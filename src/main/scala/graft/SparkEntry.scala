@@ -1,13 +1,56 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the per-category query modules under `graft.operators` /
+  * `graft.pipeline`. Every `queries` key with a matching `oracleSql` entry is
+  * hash-compared against DuckDB at sf0.01 by the driver harness; keys without
+  * an oracle get a rows-only check (non-SQL-expressible ops).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (operators.ScanProjectFilter.queries, operators.ScanProjectFilter.oracles),
+    (operators.Aggregations.queries, operators.Aggregations.oracles)
+  )
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * TPC-H-style star join: revenue by nation/year over
+    * lineitem⋈orders⋈customer⋈nation — dims broadcast, one shuffle for the agg.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name"), year(o("o_orderdate")).as("o_year"))
+      .agg(Det.sumDollars(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"), col("o_year"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every query is wrapped in a total order over all output columns
+    * (asc nulls-first; oracles end in `ORDER BY ALL NULLS FIRST`) so the
+    * driver's row-order hash compare is deterministic. The sort is a
+    * verification device: under `Bench`'s `count()` Catalyst eliminates it
+    * (EliminateSorts), so it costs nothing in benchmarked plans.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap.map { case (name, q) =>
+      name -> ((s: SparkSession, dir: String) => Det.ordered(q(s, dir)))
+    }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.{Det, Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 A1–A12: hash aggregation surface.
+  *
+  * Hive executes these over reference xml tables via delegation
+  * (`AvroFromXmlSerde.scala:13`); here they are `groupBy().agg(...)` plans —
+  * Catalyst plans partial (map-side) + final aggregation automatically, so at
+  * 100 TB the shuffle carries one row per (partition, group), not per input
+  * row. Double-typed measures are aggregated as exact integer cents
+  * (see [[graft.Det]]) purely for oracle hash determinism.
+  */
+object Aggregations {
+  import Det._
+
+  val queries: Map[String, Q] = Map(
+    // A1: TPC-H Q1 shape — grouped sum/avg/count.
+    "q_agg_group" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("sum_disc_c"),
+          avgDollars(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // A2: global (no-key) aggregate.
+    "q_agg_global" -> ((s, dir) => {
+      T.lineitem(s, dir).agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sumDollars(col("l_extendedprice")).as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+    }),
+
+    // A3: DISTINCT aggregates.
+    "q_agg_distinct" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          sum_distinct(cents(col("l_quantity"))).as("sum_dist_qty_c"))
+    }),
+
+    // A4: several distinct aggregates in one query (Expand-based plan).
+    "q_agg_multi_distinct" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          sum_distinct(cents(col("l_discount"))).as("sum_dist_disc_c"))
+    }),
+
+    // A5: HAVING (post-aggregation filter).
+    "q_agg_having" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_quantity"))).as("sum_qty_c"))
+        .filter(col("n") >= 25)
+    }),
+
+    // A6: ROLLUP with grouping_id; NULLS FIRST spelled out on both sides
+    // (Spark ASC defaults nulls-first, DuckDB nulls-last).
+    "q_agg_rollup" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(cents(col("l_quantity"))).as("sum_qty_c"))
+    }),
+
+    // A7: CUBE.
+    "q_agg_cube" -> ((s, dir) => {
+      T.customer(s, dir)
+        .cube("c_mktsegment", "c_nationkey")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sumDollars(col("c_acctbal")).as("sum_bal"))
+    }),
+
+    // A8: GROUPING SETS (SQL surface).
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      T.lineitem(s, dir).createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus, grouping_id() AS gid,
+           |  count(*) AS n, sum(${sqlCents("l_quantity")}) AS sum_qty_c
+           |FROM gs_lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    // A9: conditional aggregation (CASE inside agg).
+    "q_agg_cond" -> ((s, dir) => {
+      T.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") > 50, 1).otherwise(0)).as("n_hi"),
+          sum(when(col("value") > 50, cents(col("value"))).otherwise(0L))
+            .as("sum_hi_c"))
+    }),
+
+    // A10 (no oracle — sketch; rows-only check + unit test vs exact count).
+    "q_approx_distinct" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+    }),
+
+    // A11: collect_list / collect_set, sorted for determinism.
+    "q_agg_collect" -> ((s, dir) => {
+      T.customer(s, dir)
+        .groupBy("c_nationkey")
+        .agg(
+          array_sort(collect_list(col("c_name"))).as("names"),
+          array_sort(collect_set(col("c_mktsegment"))).as("segments"))
+    }),
+
+    // A12: exact interpolated percentile (over integer cents; rounded to
+    // absorb last-ulp interpolation differences).
+    "q_agg_percentile" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr(s"percentile(${"floor(l_quantity * 100)"}, 0.5)"), 4)
+            .as("med_qty_c"),
+          round(expr(s"percentile(floor(l_extendedprice * 100), 0.9)"), 4)
+            .as("p90_price_c"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c,
+         |  CAST(SUM(${sqlCents("l_extendedprice")}) AS BIGINT) AS sum_base_c,
+         |  CAST(SUM(${sqlCents("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_c,
+         |  ${sqlAvgDollars("l_quantity")} AS avg_qty,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY 1,2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_global" ->
+      s"""SELECT count(*) AS n,
+         |  count(DISTINCT l_orderkey) AS n_orders,
+         |  ${sqlSumDollars("l_extendedprice")} AS sum_price,
+         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+         |FROM lineitem""".stripMargin,
+    "q_agg_distinct" ->
+      s"""SELECT l_returnflag,
+         |  count(DISTINCT l_partkey) AS n_parts,
+         |  CAST(SUM(DISTINCT ${sqlCents("l_quantity")}) AS BIGINT) AS sum_dist_qty_c
+         |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_multi_distinct" ->
+      s"""SELECT l_linestatus,
+         |  count(DISTINCT l_partkey) AS n_parts,
+         |  count(DISTINCT l_suppkey) AS n_supps,
+         |  count(DISTINCT l_orderkey) AS n_orders,
+         |  CAST(SUM(DISTINCT ${sqlCents("l_discount")}) AS BIGINT) AS sum_dist_disc_c
+         |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_having" ->
+      s"""SELECT l_partkey, count(*) AS n,
+         |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c
+         |FROM lineitem GROUP BY 1 HAVING count(*) >= 25 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+         |  count(*) AS n,
+         |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      s"""SELECT c_mktsegment, c_nationkey, GROUPING_ID(c_mktsegment, c_nationkey) AS gid,
+         |  count(*) AS n,
+         |  ${sqlSumDollars("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+         |  count(*) AS n,
+         |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_cond" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+         |  CAST(SUM(CASE WHEN value > 50 THEN ${sqlCents("value")} ELSE 0 END) AS BIGINT) AS sum_hi_c
+         |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(c_name)) AS names,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segments
+        |FROM customer GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(FLOOR(l_quantity * 100), 0.5), 4) AS med_qty_c,
+        |  round(quantile_cont(FLOOR(l_extendedprice * 100), 0.9), 4) AS p90_price_c
+        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}
