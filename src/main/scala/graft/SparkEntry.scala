@@ -14,7 +14,12 @@ object SparkEntry {
 
   private def modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
     (operators.ScanProjectFilter.queries, operators.ScanProjectFilter.oracles),
-    (operators.Aggregations.queries, operators.Aggregations.oracles)
+    (operators.Aggregations.queries, operators.Aggregations.oracles),
+    (operators.Joins.queries, operators.Joins.oracles),
+    (operators.Windows.queries, operators.Windows.oracles),
+    (operators.SortSetOps.queries, operators.SortSetOps.oracles),
+    (operators.Functions.queries, operators.Functions.oracles),
+    (operators.Temporal.queries, operators.Temporal.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.{Det, Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 J1–J11: the join surface Hive 2.1 provides over reference
+  * xml tables (delegation at `AvroFromXmlSerde.scala:13`, dep `build.sbt:19`),
+  * re-expressed as declarative DataFrame joins.
+  *
+  * Physical strategy is left to Catalyst (broadcast-hash for the small dims
+  * under autoBroadcastJoinThreshold, sort-merge for fact⋈fact); J8 pins an
+  * explicit `broadcast()` hint — at 100 TB every dim⋈fact join here
+  * broadcasts the dim, so the fact table never shuffles for the join.
+  */
+object Joins {
+
+  /** Scalable as-of join (J10): for each left row, the latest right row with
+    * `right.time <= left.time` on the same key.
+    *
+    * Implemented union-style: tag both inputs, union on a common schema, and
+    * run one `last_value(ignoreNulls)` window ordered by (time, side) per
+    * key. This shuffles each input ONCE on the key — no m×n candidate-pair
+    * blowup like the naive theta-join + argmax plan, so it survives 100 TB
+    * (same partitioning strategy as sort-merge as-of joins in kdb/Flink).
+    * Right rows sort before left rows at equal timestamps, giving `<=`
+    * semantics.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, leftTime: String, rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_asof_key", col(leftKey)).withColumn("_asof_t", col(leftTime))
+      .withColumn("_asof_side", lit(1))
+      .select(Seq(col("_asof_key"), col("_asof_t"), col("_asof_side")) ++
+        leftCols.map(col) ++ payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("_asof_key", col(rightKey)).withColumn("_asof_t", col(rightTime))
+      .withColumn("_asof_side", lit(0))
+      .select(Seq(col("_asof_key"), col("_asof_t"), col("_asof_side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        payload.map(col): _*)
+    val w = Window.partitionBy("_asof_key")
+      .orderBy(col("_asof_t"), col("_asof_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r).select(
+      (leftCols.map(col) :+ col("_asof_side")) ++
+        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    carried.filter(col("_asof_side") === 1).drop("_asof_side")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // J1: inner equi-join fact⋈dim.
+    "q_join_inner_equi" -> ((s, dir) => {
+      val o = T.orders(s, dir); val c = T.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), c("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("o_totalprice"))
+    }),
+
+    // J2: left outer (customers without orders keep null order columns).
+    "q_join_left" -> ((s, dir) => {
+      val o = T.orders(s, dir); val c = T.customer(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
+    // J3: right outer — same content as J2, spelled from the fact side.
+    "q_join_right" -> ((s, dir) => {
+      val o = T.orders(s, dir); val c = T.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"))
+    }),
+
+    // J4: full outer on nationkey (unmatched rows on both sides survive).
+    "q_join_full" -> ((s, dir) => {
+      val c = T.customer(s, dir); val su = T.supplier(s, dir)
+      c.join(su, c("c_nationkey") === su("s_nationkey"), "full")
+        .select(col("c_custkey"), col("c_nationkey"), col("s_suppkey"),
+          col("s_nationkey"))
+    }),
+
+    // J5: left semi — EXISTS(order > 100k).
+    "q_join_semi" -> ((s, dir) => {
+      val o = T.orders(s, dir); val c = T.customer(s, dir)
+      c.join(o.filter(col("o_totalprice") > 100000.0),
+        c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // J6: left anti — NOT EXISTS.
+    "q_join_anti" -> ((s, dir) => {
+      val o = T.orders(s, dir); val c = T.customer(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // J7: cross join (tiny dims only — a deliberate BNLJ).
+    "q_join_cross" -> ((s, dir) => {
+      T.region(s, dir).crossJoin(T.nation(s, dir))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+    }),
+
+    // J8: explicit broadcast hint (map-side join; same rows as J1 modulo
+    // projection). At scale this is the default shape for dim joins.
+    "q_join_broadcast" -> ((s, dir) => {
+      val o = T.orders(s, dir); val c = T.customer(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"), col("c_name"), col("o_orderstatus"))
+    }),
+
+    // J9: non-equi theta join — nation pairs within a region.
+    "q_join_theta_range" -> ((s, dir) => {
+      val n1 = T.nation(s, dir).select(col("n_nationkey").as("a_key"),
+        col("n_name").as("a_name"), col("n_regionkey").as("a_region"))
+      val n2 = T.nation(s, dir).select(col("n_nationkey").as("b_key"),
+        col("n_name").as("b_name"), col("n_regionkey").as("b_region"))
+      n1.join(n2, col("a_region") === col("b_region") &&
+          col("a_key") < col("b_key"))
+        .select("a_region", "a_key", "a_name", "b_key", "b_name")
+    }),
+
+    // J10: as-of join — latest order at-or-before each event, per user.
+    "q_join_asof" -> ((s, dir) => {
+      val e = T.events(s, dir).select("event_id", "user_id", "ts")
+      val o = T.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"))
+        // dedup to the max orderkey per (cust, date) so the carried payload
+        // is unique at equal timestamps (deterministic tiebreak).
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+    }),
+
+    // J11: multi-way star join (flagship shape; Catalyst reorders + AQE).
+    "q_join_star" -> ((s, dir) => starJoin(s, dir))
+  )
+
+  private[graft] def starJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = T.lineitem(s, dir); val o = T.orders(s, dir)
+    val c = T.customer(s, dir); val n = T.nation(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(Det.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_c"), count(lit(1)).as("n_items"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner_equi" ->
+      """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT c_custkey, c_nationkey, s_suppkey, s_nationkey
+        |FROM customer FULL OUTER JOIN supplier ON c_nationkey = s_nationkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT o_orderkey, c_name, o_orderstatus
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_theta_range" ->
+      """SELECT n1.n_regionkey AS a_region, n1.n_nationkey AS a_key,
+        |  n1.n_name AS a_name, n2.n_nationkey AS b_key, n2.n_name AS b_name
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_asof" ->
+      """SELECT event_id, user_id, o_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_star" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

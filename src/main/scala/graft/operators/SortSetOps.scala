@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.6 O1–O3 + §2.7 U1–U4: sort/limit/top-k and set operations.
+  *
+  * O2's global top-k compiles to `TakeOrderedAndProject` — each partition
+  * keeps k rows, the driver merges k·p rows; no global sort even at 100 TB.
+  * Set ops are native Spark `union/intersect/except` (distinct variants
+  * shuffle once on the full row as key).
+  */
+object SortSetOps {
+
+  val queries: Map[String, Q] = Map(
+    // O1: multi-key ORDER BY with mixed directions and null placement. The
+    // interesting part at scale is the range-partitioned global Sort node;
+    // the harness wrapper re-sorts all-asc for the hash compare.
+    "q_sort_multi" -> ((s, dir) => {
+      T.orders(s, dir)
+        .orderBy(col("o_orderstatus").desc_nulls_last,
+          col("o_totalprice").asc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    }),
+
+    // O2: global top-k → TakeOrderedAndProject.
+    "q_topk" -> ((s, dir) => {
+      T.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    }),
+
+    // O3: LIMIT/OFFSET over a unique total order.
+    "q_limit_offset" -> ((s, dir) => {
+      T.orders(s, dir)
+        .orderBy(col("o_orderkey"))
+        .offset(100).limit(50)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+    }),
+
+    // U1: UNION ALL (bag semantics).
+    "q_union_all" -> ((s, dir) => {
+      val c = T.customer(s, dir).select(col("c_name").as("name"),
+        lit("customer").as("kind"))
+      val su = T.supplier(s, dir).select(col("s_name").as("name"),
+        lit("supplier").as("kind"))
+      c.unionAll(su)
+    }),
+
+    // U2: UNION DISTINCT.
+    "q_union_distinct" -> ((s, dir) => {
+      val c = T.customer(s, dir).select(col("c_nationkey").as("nk"))
+      val su = T.supplier(s, dir).select(col("s_nationkey").as("nk"))
+      c.union(su).distinct()
+    }),
+
+    // U3: INTERSECT (distinct).
+    "q_intersect" -> ((s, dir) => {
+      val c = T.customer(s, dir).select(col("c_nationkey").as("nk"))
+      val su = T.supplier(s, dir).select(col("s_nationkey").as("nk"))
+      c.intersect(su)
+    }),
+
+    // U4: EXCEPT (distinct).
+    "q_except" -> ((s, dir) => {
+      val c = T.customer(s, dir).select(col("c_nationkey").as("nk"))
+      val su = T.supplier(s, dir).select(col("s_nationkey").as("nk"))
+      c.except(su)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sort_multi" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM (
+        |  SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+        |  SELECT * FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_union_all" ->
+      """SELECT c_name AS name, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS name, 'supplier' AS kind FROM supplier
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

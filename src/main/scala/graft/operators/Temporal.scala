@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{Det, Q, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.9 T1–T3: event-time windowing, declared as batch queries
+  * (batch/streaming share these exact plans in Structured Streaming — see
+  * graft.streaming for the readStream/watermark variants of the same ops).
+  *
+  * Tumbling windows are a single hash aggregation on (window, key) — fully
+  * parallel at 100 TB. Session windows (gaps-and-islands) need one shuffle on
+  * user_id + an in-partition sort; state never exceeds one user's events.
+  */
+object Temporal {
+  import Det.cents
+
+  val queries: Map[String, Q] = Map(
+    // T1: tumbling 1-hour window aggregate (≡ streaming groupBy(window(...))).
+    "q_stream_tumbling" -> ((s, dir) => {
+      T.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_c"))
+        // window start as epoch seconds: Spark parquet timestamps are
+        // UTC-adjusted (tz-aware on re-read) while DuckDB's are naive — long
+        // epochs compare exactly.
+        .select(expr("unix_micros(w.start) div 1000000").as("wstart_s"),
+          col("event_type"), col("n"), col("sum_c"))
+    }),
+
+    // T2 (no oracle — sliding windows explode rows; checked by unit test):
+    // 1-hour window sliding every 15 minutes.
+    "q_stream_sliding" -> ((s, dir) => {
+      T.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(expr("unix_micros(w.start) div 1000000").as("wstart_s"), col("n"))
+    }),
+
+    // T3: session windows via gaps-and-islands (5-minute gap): a session
+    // starts when the gap to the previous event of the same user > 300 s.
+    "q_stream_session" -> ((s, dir) => {
+      val e = T.events(s, dir)
+        .withColumn("tsec", expr("unix_micros(ts) div 1000000"))
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("tsec"), col("event_id"))
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("new_sess",
+          when(col("tsec") - lag(col("tsec"), 1).over(byUser) > 300, 1)
+            .otherwise(0))
+        .withColumn("sess", sum(col("new_sess")).over(cum))
+        .groupBy("user_id", "sess")
+        .agg(min(col("tsec")).as("sess_start"), max(col("tsec")).as("sess_end"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // T3b (no oracle — native session_window operator; rows-only + unit test).
+    "q_stream_session_native" -> ((s, dir) => {
+      T.events(s, dir)
+        .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("wstart"), col("n_events"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS wstart_s,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_c
+        |FROM events GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, tsec,
+        |    CASE WHEN tsec - lag(tsec) OVER (PARTITION BY user_id
+        |      ORDER BY tsec, event_id) > 300 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, tsec,
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tsec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+        |  FROM flagged)
+        |SELECT user_id, sess, min(tsec) AS sess_start, max(tsec) AS sess_end,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}
