@@ -1,0 +1,92 @@
+package graft.xml
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.mapreduce.Job
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** XML DataSource (SURVEY.md §2.1 S2–S5): `spark.read.format("graft.xml")`.
+  *
+  * The Spark-native replacement for the reference's Hive plug-in pair
+  * (`AvroFromXmlSerde` + `AvroFromXmlInputFormat`,
+  * `/root/reference/src/main/scala/com/github/xmlavrobridge/AvroFromXmlInputFormat.scala:31-103`).
+  * Same four table properties, now reader options (S5,
+  * `AvroFromXmlSerde.scala:19-25`):
+  *
+  *   - `xml.separator.tag`          — element delimiting one record
+  *   - `xml.separator.tag.type`     — XSD type name of that element
+  *   - `xml.separator.tag.type.ns`  — its namespace ("" for none)
+  *   - `xml.schema.location`        — directory of XSD files
+  *
+  * Scale design:
+  *  - `isSplitable = false`: the reference's reader ignores split offsets and
+  *    opens the whole file (`AvroFromXmlInputFormat.scala:49,52-58`), i.e.
+  *    XML is treated as a non-splittable format; parallelism comes from many
+  *    files (the 100 TB contract — like spark-xml's multiline mode).
+  *  - schema derived ONCE on the driver by `inferSchema` and shipped to tasks
+  *    inside the closure — fixes the reference's per-task XSD re-parse
+  *    (`AvroTransormer.scala:26-43`, SURVEY.md §4.1).
+  *  - `requiredSchema` (Catalyst's pruned projection) is handed straight to
+  *    the StAX parser, so unprojected XML subtrees are skipped, not built.
+  */
+class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable {
+
+  import XmlFileFormat._
+
+  override def shortName(): String = "graft.xml"
+
+  override def toString: String = "GraftXML"
+
+  override def inferSchema(sparkSession: SparkSession,
+      options: Map[String, String],
+      files: Seq[FileStatus]): Option[StructType] = {
+    val (schemaDir, _, typeNs, typeName) = requiredOptions(options)
+    Some(XsdSchema.structTypeFor(schemaDir, typeNs, typeName))
+  }
+
+  override def prepareWrite(sparkSession: SparkSession, job: Job,
+      options: Map[String, String], dataSchema: StructType): OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      "graft.xml is read-only (the reference SerDe has no serializer either)")
+
+  override def isSplitable(sparkSession: SparkSession,
+      options: Map[String, String], path: Path): Boolean = false
+
+  override protected def buildReader(sparkSession: SparkSession,
+      dataSchema: StructType, partitionSchema: StructType,
+      requiredSchema: StructType, filters: Seq[Filter],
+      options: Map[String, String],
+      hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
+    val (_, separatorTag, _, _) = requiredOptions(options)
+    val confBroadcast = sparkSession.sparkContext.broadcast(
+      new SerializableConfiguration(hadoopConf))
+    (file: PartitionedFile) => {
+      val path = file.toPath
+      val fs = path.getFileSystem(confBroadcast.value.value)
+      new XmlRecordIterator(fs.open(path), requiredSchema, separatorTag)
+    }
+  }
+}
+
+object XmlFileFormat {
+  /** The reference `require`s the same four keys (AvroFromXmlInputFormat.scala:33-43). */
+  private def requiredOptions(options: Map[String, String]):
+      (String, String, String, String) = {
+    def req(k: String): String = options.getOrElse(k,
+      throw new IllegalArgumentException(s"graft.xml requires option '$k'"))
+    (req("xml.schema.location"), req("xml.separator.tag"),
+      options.getOrElse("xml.separator.tag.type.ns", ""),
+      req("xml.separator.tag.type"))
+  }
+}
+
+/** Class-name hook so `spark.read.format("graft.xml")` resolves via the
+  * `graft.xml.DefaultSource` convention (alongside the service-registry
+  * shortName).
+  */
+class DefaultSource extends XmlFileFormat

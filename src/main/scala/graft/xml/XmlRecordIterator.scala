@@ -1,0 +1,186 @@
+package graft.xml
+
+import java.io.InputStream
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable
+
+/** Streaming XML → `InternalRow` record reader (SURVEY.md §2.1 S2).
+  *
+  * Same record-assembly semantics as the reference's pull-parse loop
+  * (`/root/reference/src/main/scala/com/github/xmlavrobridge/AvroTransormer.scala:77-170`),
+  * re-expressed over JDK StAX with a schema-directed (rather than
+  * path-map-directed) walk:
+  *
+  *  - a record = one subtree rooted at `separatorTag`; one record
+  *    materialized per `next()` — O(record) memory (`:77-170`)
+  *  - start/end tags matched by LOCAL name only; namespaces on the data side
+  *    are ignored (`:106,143`)
+  *  - leaf text accumulated across character events and trimmed before
+  *    coercion (`:159-163,:98`)
+  *  - coercion via `java.lang.*.valueOf` semantics, fail-fast on malformed
+  *    numbers — no NULL-on-corrupt mode (`convert`, `:194-208`)
+  *  - attributes not present in the schema are silently dropped (`:180-188`)
+  *  - mixed content unsupported: element children inside a leaf are skipped
+  *    (`:155,164`)
+  *  - `_Value` synthetic field receives the text of simpleContent elements
+  *
+  * Improvement over the reference (documented, not parity-locked): elements
+  * absent from the supplied schema are skipped subtree-wise, which is what
+  * makes Catalyst column pruning reach INSIDE the parser — `requiredSchema`
+  * from the FileFormat drives this walk, so unprojected subtrees are never
+  * materialized (SURVEY.md §4.1 "column pruning inside the XML parser").
+  */
+final class XmlRecordIterator(input: InputStream, schema: StructType,
+    separatorTag: String) extends Iterator[InternalRow] {
+
+  private val factory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+      java.lang.Boolean.FALSE)
+    f
+  }
+  private val reader: XMLStreamReader = factory.createXMLStreamReader(input)
+  private var nextRecord: InternalRow = _
+  private var finished = false
+
+  // name→index maps per struct node, built once per distinct schema node
+  // (StructType.getFieldIndex is private[sql]).
+  private val indexCache =
+    new java.util.IdentityHashMap[StructType, java.util.HashMap[String, Integer]]
+  private def fieldIndex(st: StructType, name: String): Integer = {
+    var m = indexCache.get(st)
+    if (m == null) {
+      m = new java.util.HashMap[String, Integer]
+      var i = 0
+      while (i < st.length) { m.put(st(i).name, i); i += 1 }
+      indexCache.put(st, m)
+    }
+    m.get(name)
+  }
+
+  override def hasNext: Boolean = {
+    if (nextRecord == null && !finished) advance()
+    nextRecord != null
+  }
+
+  override def next(): InternalRow = {
+    if (!hasNext) throw new NoSuchElementException("end of XML input")
+    val r = nextRecord; nextRecord = null; r
+  }
+
+  private def advance(): Unit = {
+    while (reader.hasNext) {
+      if (reader.next() == XMLStreamConstants.START_ELEMENT &&
+          reader.getLocalName == separatorTag) {
+        nextRecord = parseStruct(schema)
+        return
+      }
+    }
+    finished = true
+    reader.close()
+    input.close()
+  }
+
+  /** Parse the struct whose START_ELEMENT the reader is positioned on. */
+  private def parseStruct(st: StructType): InternalRow = {
+    val values = new Array[Any](st.length)
+    var arrays: mutable.LongMap[mutable.ArrayBuffer[Any]] = null
+    val valueIdxBoxed = fieldIndex(st, "_Value")
+    val valueIdx = if (valueIdxBoxed == null) -1 else valueIdxBoxed.intValue()
+    var textBuf: java.lang.StringBuilder = null
+
+    // Attributes present in the schema are set; unknown ones dropped (:180-188).
+    var i = 0
+    while (i < reader.getAttributeCount) {
+      val idx = fieldIndex(st, reader.getAttributeLocalName(i))
+      if (idx != null) {
+        values(idx) = convert(reader.getAttributeValue(i), st(idx).dataType)
+      }
+      i += 1
+    }
+
+    var done = false
+    while (!done && reader.hasNext) {
+      reader.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          val idxBoxed = fieldIndex(st, reader.getLocalName)
+          if (idxBoxed == null) skipSubtree() // pruned or undeclared: never built
+          else {
+            val idx = idxBoxed.intValue()
+            st(idx).dataType match {
+              case ArrayType(et, _) =>
+                if (arrays == null) arrays = mutable.LongMap()
+                arrays.getOrElseUpdate(idx.toLong, mutable.ArrayBuffer())
+                  .append(parseValue(et))
+              case dt => values(idx) = parseValue(dt)
+            }
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
+            if valueIdx >= 0 =>
+          if (textBuf == null) textBuf = new java.lang.StringBuilder
+          textBuf.append(reader.getText)
+        case XMLStreamConstants.END_ELEMENT => done = true
+        case _ => // other events ignored (parity with the reference's case _)
+      }
+    }
+    if (arrays != null) arrays.foreach { case (idx, buf) =>
+      values(idx.toInt) = new GenericArrayData(buf.toArray)
+    }
+    if (valueIdx >= 0 && textBuf != null) {
+      values(valueIdx) = convert(textBuf.toString, st(valueIdx).dataType)
+    }
+    new GenericInternalRow(values)
+  }
+
+  /** Parse one non-array value whose START_ELEMENT the reader is on. */
+  private def parseValue(dt: DataType): Any = dt match {
+    case st: StructType => parseStruct(st)
+    case primitive =>
+      val sb = new java.lang.StringBuilder
+      var done = false
+      while (!done && reader.hasNext) {
+        reader.next() match {
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            sb.append(reader.getText)
+          case XMLStreamConstants.START_ELEMENT =>
+            skipSubtree() // mixed content: child elements inside a leaf dropped
+          case XMLStreamConstants.END_ELEMENT => done = true
+          case _ =>
+        }
+      }
+      convert(sb.toString, primitive)
+  }
+
+  private def skipSubtree(): Unit = {
+    var depth = 1
+    while (depth > 0 && reader.hasNext) {
+      reader.next() match {
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ =>
+      }
+    }
+  }
+
+  /** Trim-then-valueOf coercion, fail-fast (AvroTransormer.scala:194-208). */
+  private def convert(raw: String, dt: DataType): Any = {
+    val s = raw.trim
+    dt match {
+      case StringType => UTF8String.fromString(s)
+      case IntegerType => java.lang.Integer.parseInt(s)
+      case LongType => java.lang.Long.parseLong(s)
+      case FloatType => java.lang.Float.parseFloat(s)
+      case DoubleType => java.lang.Double.parseDouble(s)
+      case BooleanType => java.lang.Boolean.parseBoolean(s)
+      case other => throw new IllegalArgumentException(
+        s"unsupported leaf type in XML schema: $other")
+    }
+  }
+}

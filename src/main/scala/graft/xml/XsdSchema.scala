@@ -1,0 +1,220 @@
+package graft.xml
+
+import java.io.File
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+import scala.xml.{Node, XML}
+
+/** XSD-directory → Spark `StructType` schema inference (SURVEY.md §2.1 S1).
+  *
+  * Re-expresses the reference's XSD→Avro translator
+  * (`/root/reference/src/main/scala/com/github/xmlavrobridge/XMLToAvroSchema.scala:65-346`)
+  * as a direct XSD→StructType function — the Avro intermediary was an artifact
+  * of piggybacking on Hive's AvroSerDe, not a semantic requirement
+  * (SURVEY.md §1.4). Runs once on the driver; the resulting StructType is
+  * serialized into the scan tasks (fixing the reference's per-task schema
+  * re-derivation, `AvroTransormer.scala:26-43`).
+  *
+  * Parity-locked semantics (each row cites the reference behavior):
+  *  - named/inline complexType → struct; inline types get the synthesized
+  *    name `<element>Type` (`XMLToAvroSchema.scala:282-298`)
+  *  - sequence / nested sequence / all → flattened field list; choice and
+  *    substitution groups unsupported (`XMLToAvroSchema.scala:247-249,329-331`)
+  *  - simpleType restriction → its base primitive; enumeration symbols are
+  *    dropped (degenerate enum, `XMLToAvroSchema.scala:69-81`; runtime treats
+  *    enums as strings, `AvroTransormer.scala:202`)
+  *  - simpleContent/extension → synthetic `_Value` field for the text plus
+  *    attribute fields (`XMLToAvroSchema.scala:256,268-272`)
+  *  - attributes: `use="required"` ⇒ non-null, else nullable
+  *    (`XMLToAvroSchema.scala:92-116,258-266`)
+  *  - minOccurs: "0" ⇒ nullable, "1" ⇒ required, anything else rejected
+  *    (reference crashes with MatchError, `XMLToAvroSchema.scala:122-125`)
+  *  - maxOccurs: "1" ⇒ scalar, anything else ⇒ array
+  *    (`XMLToAvroSchema.scala:129-193`)
+  *  - cardinality looked up on the element, falling back to the enclosing
+  *    sequence, default "1" (`XMLToAvroSchema.scala:300-310`)
+  *  - xs:decimal → DoubleType (precision-lossy by design) and
+  *    date/dateTime/time → StringType (`XMLToAvroSchema.scala:36-47,332-346`)
+  */
+object XsdSchema {
+
+  val XsdNs = "http://www.w3.org/2001/XMLSchema"
+
+  /** XSD primitive → Spark type (SURVEY.md §1.3 table). */
+  val primitives: Map[String, DataType] = Map(
+    "string" -> StringType,
+    "int" -> IntegerType,
+    "integer" -> IntegerType,
+    "long" -> LongType,
+    "boolean" -> BooleanType,
+    "decimal" -> DoubleType,
+    "float" -> FloatType,
+    "double" -> DoubleType,
+    "dateTime" -> StringType,
+    "date" -> StringType,
+    "time" -> StringType)
+
+  private case class Attr(name: String, tpe: (String, String), required: Boolean)
+  private case class Elem(name: String, tpe: (String, String), minOccurs: String,
+      maxOccurs: String)
+  private case class Complex(elements: Seq[Elem], attrs: Seq[Attr],
+      simpleContentBase: Option[(String, String)])
+
+  private class SymbolTables {
+    val complex = mutable.Map[(String, String), Complex]()
+    val simple = mutable.Map[(String, String), (String, String)]() // -> base
+  }
+
+  /** Parse every non-.avsc file in `xsdDir` (mirrors `parseXmlSchema`,
+    * `XMLToAvroSchema.scala:204-219`, and the `.avsc` exclusion in
+    * `HFSReader.scala:15`), then build the StructType rooted at the
+    * separator tag's type `(rootTypeNs, rootTypeName)`
+    * (`XmlAvroHelper.scala:97-102`).
+    */
+  def structTypeFor(xsdDir: String, rootTypeNs: String,
+      rootTypeName: String): StructType = {
+    val tables = new SymbolTables
+    listXsdFiles(xsdDir).foreach(f => parseSchemaFile(XML.loadFile(f), tables))
+    resolve(tables, (rootTypeNs, rootTypeName), Nil) match {
+      case st: StructType => st
+      case other => throw new IllegalArgumentException(
+        s"separator tag type ($rootTypeNs, $rootTypeName) is not a complex type: $other")
+    }
+  }
+
+  private def listXsdFiles(dir: String): Seq[File] = {
+    val d = new File(dir)
+    require(d.isDirectory, s"xml.schema.location is not a directory: $dir")
+    d.listFiles().toSeq.filter(f => f.isFile && !f.getName.endsWith(".avsc"))
+      .sortBy(_.getName)
+  }
+
+  private def parseSchemaFile(root: Node, tables: SymbolTables): Unit = {
+    val tns = root.attribute("targetNamespace").map(_.text).getOrElse("")
+
+    def typeRef(n: Node, ref: String): (String, String) = ref.split(":") match {
+      case Array(prefix, local) =>
+        (Option(n.scope.getURI(prefix)).getOrElse(""), local)
+      case Array(local) =>
+        // Unprefixed refs resolve against the default namespace; absent a
+        // default, XSD primitives fall through by local name (mirrors the
+        // suffix-matching fallback `xsdToAvro`, XMLToAvroSchema.scala:332-346).
+        val ns = Option(n.scope.getURI(null)).getOrElse(
+          if (primitives.contains(local)) XsdNs else tns)
+        (ns, local)
+      case _ => throw new IllegalArgumentException(s"bad type ref: $ref")
+    }
+
+    // Registers a complexType node under `name`; synthesizes names for the
+    // anonymous inline types of its child elements ("<element>Type",
+    // XMLToAvroSchema.scala:282-298).
+    def shallowAttrs(n: Node): Seq[Attr] = (n \ "attribute").map { a =>
+      Attr(a \@ "name", typeRef(a, a \@ "type"),
+        required = (a \@ "use") == "required")
+    }
+
+    // Collect element children of sequence/all nodes, flattening nested
+    // sequences (":247-249") WITHOUT descending into child elements' own
+    // inline complexTypes.
+    def seqElements(n: Node): Seq[(Node, Node)] = n.child.flatMap {
+      case e if e.label == "element" => Seq((e, n))
+      case s if s.label == "sequence" || s.label == "all" => seqElements(s)
+      case _ => Nil
+    }.toSeq
+
+    def registerComplex(name: String, ct: Node): Unit = {
+      val simpleContentExt = (ct \ "simpleContent" \ "extension").headOption
+      simpleContentExt match {
+        case Some(ext) =>
+          tables.complex((tns, name)) =
+            Complex(Nil, shallowAttrs(ext), Some(typeRef(ext, ext \@ "base")))
+        case None =>
+          val attrs = shallowAttrs(ct)
+          val seqNodes = (ct \ "sequence") ++ (ct \ "all")
+          val elems = seqNodes.flatMap(seqElements).map { case (e, seq) =>
+              val elemName = e \@ "name"
+              val tpe = (e \@ "type") match {
+                case "" =>
+                  // Anonymous inline complexType/simpleType.
+                  val inlineComplex = (e \ "complexType").headOption
+                  val inlineSimple = (e \ "simpleType" \ "restriction").headOption
+                  (inlineComplex, inlineSimple) match {
+                    case (Some(ic), _) =>
+                      val genName = elemName + "Type"
+                      registerComplex(genName, ic)
+                      (tns, genName)
+                    case (_, Some(r)) => typeRef(r, r \@ "base")
+                    case _ => throw new IllegalArgumentException(
+                      s"element $elemName has neither type nor inline type")
+                  }
+                case ref => typeRef(e, ref)
+              }
+              // Cardinality: element attr, else enclosing sequence, else "1"
+              // (":300-310").
+              def card(attr: String): String =
+                e.attribute(attr).map(_.text)
+                  .orElse(seq.attribute(attr).map(_.text)).getOrElse("1")
+              Elem(elemName, tpe, card("minOccurs"), card("maxOccurs"))
+          }
+          tables.complex((tns, name)) = Complex(elems, attrs, None)
+      }
+    }
+
+    (root \ "complexType").foreach(ct => registerComplex(ct \@ "name", ct))
+    (root \ "simpleType").foreach { st =>
+      (st \ "restriction").headOption.foreach { r =>
+        tables.simple((tns, st \@ "name")) = typeRef(r, r \@ "base")
+      }
+    }
+    // Top-level elements with inline anonymous types (Venetian Blind roots).
+    (root \ "element").foreach { e =>
+      (e \ "complexType").headOption.foreach { ct =>
+        registerComplex((e \@ "name") + "Type", ct)
+      }
+    }
+  }
+
+  private def resolve(tables: SymbolTables, key: (String, String),
+      stack: List[(String, String)]): DataType = {
+    if (stack.contains(key)) throw new IllegalArgumentException(
+      s"recursive XSD type not supported: $key (via ${stack.reverse.mkString(" -> ")})")
+    val (ns, name) = key
+    if (ns == XsdNs) {
+      primitives.getOrElse(name, throw new IllegalArgumentException(
+        s"unsupported XSD primitive: $name"))
+    } else tables.simple.get(key) match {
+      case Some(base) => resolve(tables, base, key :: stack)
+      case None => tables.complex.get(key) match {
+        case Some(c) => complexToStruct(tables, c, key :: stack)
+        case None if primitives.contains(name) => primitives(name)
+        case None => throw new IllegalArgumentException(s"unknown type: $key")
+      }
+    }
+  }
+
+  private def complexToStruct(tables: SymbolTables, c: Complex,
+      stack: List[(String, String)]): StructType = {
+    val valueField = c.simpleContentBase.map { base =>
+      StructField("_Value", resolve(tables, base, stack), nullable = false)
+    }
+    val elemFields = c.elements.map { e =>
+      val inner = resolve(tables, e.tpe, stack)
+      val nullable = e.minOccurs match {
+        case "0" => true
+        case "1" => false
+        case other => throw new IllegalArgumentException(
+          s"unsupported minOccurs=$other on ${e.name} (reference crashes here too, " +
+            "XMLToAvroSchema.scala:122-125)")
+      }
+      val tpe = e.maxOccurs match {
+        case "1" => inner
+        case _ => ArrayType(inner, containsNull = false)
+      }
+      StructField(e.name, tpe, nullable)
+    }
+    val attrFields = c.attrs.map { a =>
+      StructField(a.name, resolve(tables, a.tpe, stack), nullable = !a.required)
+    }
+    StructType(valueField.toSeq ++ elemFields ++ attrFields)
+  }
+}

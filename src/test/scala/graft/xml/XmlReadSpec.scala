@@ -1,0 +1,120 @@
+package graft.xml
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end `spark.read.format("graft.xml")` tests over the three fixture
+  * families — replaces the reference's assertion-free println smoke tests
+  * (`TestAvroTranformer.scala:58-66`) with golden rows (SURVEY.md §5.2).
+  */
+class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val base = "src/test/resources/graftxml"
+
+  private def readLibrary = spark.read.format("graft.xml")
+    .option("xml.schema.location", s"$base/library/schema")
+    .option("xml.separator.tag", "item")
+    .option("xml.separator.tag.type", "itemType")
+    .option("xml.separator.tag.type.ns", "")
+    .load(s"$base/library/data")
+
+  test("library: full records — nested structs, arrays, trim, coercions") {
+    val rows = readLibrary.orderBy("sku").collect()
+    // 4 records: the junk:item element counts too — data-side tag matching is
+    // namespace-blind by local name (AvroTransormer.scala:106,143 parity).
+    assert(rows.length === 4)
+    val r1 = rows.find(_.getAs[String]("sku") == "SKU-001").get
+    assert(r1.getAs[String]("title") === "Distributed Query Engines")
+    assert(r1.getAs[Double]("price") === 54.90)
+    assert(r1.getAs[Long]("isbn") === 9780000000017L)
+    assert(r1.getAs[Boolean]("in_print") === true)
+    assert(r1.getAs[String]("released") === "2021-03-14")
+    assert(r1.getAs[Float]("weight_kg") === 1.25f)
+    assert(r1.getAs[Row]("publisher").getAs[String]("pub_name") === "Lakeside Press")
+    assert(r1.getSeq[String](r1.fieldIndex("tag")).toSeq === Seq("systems", "databases"))
+    val reviews = r1.getSeq[Row](r1.fieldIndex("review")).toSeq
+    assert(reviews.toSeq.map(x => (x.getAs[String]("reviewer"), x.getAs[Int]("stars")))
+      === Seq(("ada", 5), ("grace", 4)))
+    assert(r1.getAs[Int]("shelf") === 3)
+
+    val r2 = rows.find(_.getAs[String]("sku") == "SKU-002").get
+    assert(r2.getAs[String]("title") === "Padded Title") // text trimmed
+    assert(r2.isNullAt(r2.fieldIndex("isbn")))
+    assert(r2.isNullAt(r2.fieldIndex("publisher")))
+    assert(r2.getSeq[String](r2.fieldIndex("tag")).toSeq === Seq("essays"))
+    assert(r2.isNullAt(r2.fieldIndex("shelf"))) // unknown_attr silently dropped
+
+    val r3 = rows.find(_.getAs[String]("sku") == "SKU-003").get
+    assert(r3.getAs[Row]("publisher").isNullAt(1)) // city minOccurs=0 absent
+  }
+
+  test("column pruning: projecting two fields parses only those subtrees") {
+    val df = readLibrary.select("sku", "price")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<price:double,sku:string>") ||
+      plan.contains("ReadSchema: struct<sku:string,price:double>"),
+      s"pruned schema not pushed to scan:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+    assert(got("SKU-001") === 54.90 && got("SKU-002") === 12.0 && got("SKU-003") === 7.5)
+  }
+
+  test("venetian blind: namespaced data, attribute-only-ish records") {
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", s"$base/venetian/schema")
+      .option("xml.separator.tag", "Player")
+      .option("xml.separator.tag.type", "PlayerType")
+      .option("xml.separator.tag.type.ns", "http://example.org/graft/team")
+      .load(s"$base/venetian/data")
+    val rows = df.orderBy("Number").collect()
+    assert(rows.map(r => (r.getAs[Int]("Number"), r.getAs[String]("Alias"),
+      r.getAs[String]("Position"))).toSeq ===
+      Seq((1, "hawk", "keeper"), (4, "anchor", "back"), (7, "swift", "wing")))
+  }
+
+  test("simpleContent: _Value text + attributes on the same element") {
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", s"$base/simplecontent/schema")
+      .option("xml.separator.tag", "sample")
+      .option("xml.separator.tag.type", "sampleType")
+      .load(s"$base/simplecontent/data")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 2)
+    val t1 = rows(0).getAs[Row]("temperature")
+    assert(t1.getAs[Double]("_Value") === 21.5)
+    assert(t1.getAs[String]("unit") === "C")
+    assert(t1.getAs[String]("sensor") === "s1")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("humidity")))
+    assert(rows(0).getAs[String]("at") === "2024-06-01T10:00:00Z")
+  }
+
+  test("malformed numeric text fails fast (no NULL-on-corrupt mode)") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlbad").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="rType">
+        |    <xs:sequence><xs:element type="xs:int" name="n"/></xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      "<root><r><n>not-a-number</n></r></root>")
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "r")
+      .option("xml.separator.tag.type", "rType")
+      .load(dataDir.getAbsolutePath)
+    val e = intercept[org.apache.spark.SparkException] { df.collect() }
+    assert(e.getCause != null)
+  }
+}

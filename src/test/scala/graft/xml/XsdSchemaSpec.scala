@@ -1,0 +1,93 @@
+package graft.xml
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-schema tests for SURVEY.md §1.2/§1.3 — one per XSD construct family
+  * (named types + arrays; Venetian Blind inline types; simpleContent +
+  * enum degradation), plus the parity-locked minOccurs quirk.
+  */
+class XsdSchemaSpec extends AnyFunSuite {
+
+  private val base = "src/test/resources/graftxml"
+
+  test("library: named complexTypes, arrays, optional attrs, primitive map") {
+    val st = XsdSchema.structTypeFor(s"$base/library/schema", "", "itemType")
+    val expected = StructType(Seq(
+      StructField("title", StringType, nullable = false),
+      StructField("price", DoubleType, nullable = false), // xs:decimal → double
+      StructField("isbn", LongType, nullable = true),
+      StructField("in_print", BooleanType, nullable = false),
+      StructField("released", StringType, nullable = true), // xs:date → string
+      StructField("weight_kg", FloatType, nullable = true),
+      StructField("publisher", StructType(Seq(
+        StructField("pub_name", StringType, nullable = false),
+        StructField("city", StringType, nullable = true))), nullable = true),
+      StructField("tag", ArrayType(StringType, containsNull = false),
+        nullable = true),
+      StructField("review", ArrayType(StructType(Seq(
+        StructField("reviewer", StringType, nullable = false),
+        StructField("stars", IntegerType, nullable = false))),
+        containsNull = false), nullable = true),
+      StructField("sku", StringType, nullable = false), // use="required"
+      StructField("shelf", IntegerType, nullable = true)))
+    assert(st === expected)
+  }
+
+  test("venetian blind: inline anonymous types get synthesized <elem>Type names") {
+    val tns = "http://example.org/graft/team"
+    val st = XsdSchema.structTypeFor(s"$base/venetian/schema", tns, "PlayerType")
+    val expected = StructType(Seq(
+      // inline simpleType restriction of xsd:integer degrades to int
+      StructField("Number", IntegerType, nullable = false),
+      StructField("Alias", StringType, nullable = true),
+      StructField("Position", StringType, nullable = true)))
+    assert(st === expected)
+  }
+
+  test("simpleContent/extension: _Value field + attrs; enum degrades to base") {
+    val st = XsdSchema.structTypeFor(s"$base/simplecontent/schema", "", "sampleType")
+    val measurement = StructType(Seq(
+      StructField("_Value", DoubleType, nullable = false),
+      StructField("unit", StringType, nullable = false), // enum → base string
+      StructField("sensor", StringType, nullable = true)))
+    val expected = StructType(Seq(
+      StructField("at", StringType, nullable = false), // xs:dateTime → string
+      StructField("temperature", measurement, nullable = false),
+      StructField("humidity", measurement, nullable = true),
+      StructField("id", LongType, nullable = false)))
+    assert(st === expected)
+  }
+
+  test("minOccurs other than 0/1 is rejected (reference MatchError parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdquirk").toFile
+    val xsd = new java.io.File(dir, "q.xsd")
+    java.nio.file.Files.writeString(xsd.toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="qType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="x" minOccurs="2"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      XsdSchema.structTypeFor(dir.getAbsolutePath, "", "qType")
+    }
+    assert(e.getMessage.contains("minOccurs"))
+  }
+
+  test("maxOccurs=5 (any non-1) becomes an array") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdmax").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "m.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="mType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:int" name="x" maxOccurs="5"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "mType")
+    assert(st("x").dataType === ArrayType(IntegerType, containsNull = false))
+    assert(!st("x").nullable) // default minOccurs=1
+  }
+}
