@@ -41,6 +41,15 @@ def main():
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1; continue
+        # exact duckdb type check (sorted by column name)
+        otypes = dict(con.sql(
+            f"SELECT column_name, column_type FROM (DESCRIBE {sql})").fetchall())
+        stypes = dict(con.sql(
+            f"SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM read_parquet({spark_glob!r}))").fetchall())
+        tdiff = [(c, stypes[c], otypes[c]) for c in sorted(ocols)
+                 if stypes[c] != otypes[c]]
+        if tdiff:
+            print(f"WARN {name}: type mismatch {tdiff}")
         # reorder both to sorted column order (driver sorts cols by name)
         operm = [ocols.index(c) for c in sorted(ocols)]
         sperm = [scols.index(c) for c in sorted(scols)]

@@ -19,7 +19,11 @@ object SparkEntry {
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.SortSetOps.queries, operators.SortSetOps.oracles),
     (operators.Functions.queries, operators.Functions.oracles),
-    (operators.Temporal.queries, operators.Temporal.oracles)
+    (operators.Temporal.queries, operators.Temporal.oracles),
+    (pipeline.Dedup.queries, pipeline.Dedup.oracles),
+    (pipeline.Similarity.queries, pipeline.Similarity.oracles),
+    (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),
+    (pipeline.Multimodal.queries, pipeline.Multimodal.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -124,7 +124,7 @@ object Functions {
       """SELECT c_custkey,
         |  upper(c_name) AS up, lower(c_mktsegment) AS lo,
         |  substr(c_name, 10, 9) AS id_part,
-        |  length(c_name) AS len,
+        |  CAST(length(c_name) AS INTEGER) AS len,
         |  c_name || '-' || c_mktsegment AS cat,
         |  replace(c_name, 'Customer', 'Cust') AS repl,
         |  lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded,

@@ -95,9 +95,9 @@ object Windows {
   val oracles: Map[String, String] = Map(
     "q_win_rank" ->
       """SELECT o_orderkey, o_custkey,
-        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
-        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rk,
-        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drk
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS drk
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_win_running" ->
       """SELECT o_orderkey, o_custkey,
@@ -120,7 +120,7 @@ object Windows {
         |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_win_ntile" ->
       """SELECT c_custkey, c_mktsegment,
-        |  ntile(4) OVER w AS quartile,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
         |  percent_rank() OVER w AS pr,
         |  cume_dist() OVER w AS cd
         |FROM customer
@@ -129,8 +129,8 @@ object Windows {
     "q_win_topk_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_win_first_last" ->
       """SELECT o_orderkey, o_custkey,

@@ -1,0 +1,172 @@
+package graft.pipeline
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType}
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.10 L1/L2
+  * + the north-star extensions in BASELINE.json): exact, MinHash-LSH,
+  * SimHash, and n-gram Jaccard.
+  *
+  * Scale design (the whole point of these ops is the 100 TB case):
+  *  - exact dedup is one hash-shuffle on the dedup key; the scale variant
+  *    keys on a 128-bit content hash so the shuffle key is 16 bytes, not the
+  *    document text.
+  *  - MinHash-LSH never builds the n² pair matrix: docs shard into
+  *    (band, band_signature) buckets — one shuffle on a small key — and only
+  *    within-bucket pairs are candidate-joined, then Jaccard-verified.
+  *  - signatures/shingles are Catalyst higher-order functions
+  *    (transform/aggregate over `xxhash64`) — whole-stage-codegen'd, no UDF
+  *    serialization; fixed seeds ⇒ deterministic across runs and cluster
+  *    sizes.
+  */
+object Dedup {
+
+  /** Normalized text: lowercase, collapse whitespace, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Distinct word n-gram shingles (default 3-word) of normalized text. */
+  def shingles(c: Column, n: Int = 3): Column = {
+    val ws = split(normText(c), " ")
+    val grams = transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
+    when(size(ws) < n, lit(Array.empty[String]).cast(ArrayType(StringType)))
+      .otherwise(array_distinct(grams))
+  }
+
+  /** k-permutation MinHash signature of a shingle array (fixed seed family:
+    * permutation p contributes min over shingles of xxhash64(shingle, p)).
+    */
+  def minhash(sh: Column, k: Int = 16): Column =
+    transform(sequence(lit(1), lit(k)),
+      p => array_min(transform(sh, s => xxhash64(s, p))))
+
+  /** 64-bit SimHash over word hashes: bit i of the fingerprint is set iff
+    * the majority of words have bit i set in xxhash64(word).
+    */
+  def simhash(c: Column): Column = {
+    val words = split(normText(c), " ")
+    val hashes = transform(words, w => xxhash64(w))
+    // functions.shiftleft/shiftright only take Int amounts; call_function
+    // reaches the SQL expressions, which accept column amounts.
+    def shr(v: Column, amount: Column) = call_function("shiftright", v, amount)
+    def shl(v: Column, amount: Column) = call_function("shiftleft", v, amount)
+    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
+      val votes = aggregate(hashes, lit(0L), (v, h) =>
+        v + when(shr(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      acc + when(votes > 0, shl(lit(1L), i)).otherwise(lit(0L))
+    })
+  }
+
+  /** Exact Jaccard similarity of two distinct-element string arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, 0.0).otherwise(inter / uni)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: k-perm signatures, `bands` bands of
+    * k/bands rows, candidate pairs from band-bucket collisions, verified by
+    * exact shingle Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard).
+    */
+  def nearDuplicatePairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
+    val r = k / bands
+    val withSig = docs
+      .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhash(col("sh"), k))
+    // One row per (doc, band): band signature = hash of the band's slice.
+    val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))
+    val banded = withSig.select(col("doc"), col("sh"),
+      posexplode(bandSigs).as(Seq("band", "bsig")))
+    val a = banded.select(col("band"), col("bsig"), col("doc").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bsig"), col("doc").as("doc_b"),
+      col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bsig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // L1: exact dedup — keep the smallest doc_id per normalized text.
+    "q_dedup_exact" -> ((s, dir) => {
+      val w = Window.partitionBy("norm").orderBy(col("doc_id"))
+      T.documents(s, dir)
+        .withColumn("norm", normText(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source")
+    }),
+
+    // L1b: scale variant — dedup key is a 128-bit content hash (md5 so the
+    // oracle can reproduce it), not the full text.
+    "q_dedup_exact_hash" -> ((s, dir) => {
+      T.documents(s, dir)
+        .withColumn("h", md5(normText(col("text"))))
+        .groupBy("h").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups")
+    }),
+
+    // L2 (no oracle — xxhash64 has no DuckDB twin; verified by DedupSpec
+    // planted-duplicate tests): MinHash-LSH near-dup pairs.
+    "q_dedup_near" -> ((s, dir) =>
+      nearDuplicatePairs(T.documents(s, dir), "text", "doc_id")),
+
+    // L2b (no oracle): SimHash fingerprints.
+    "q_dedup_simhash" -> ((s, dir) =>
+      T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
+
+    // L2c: exact n-gram Jaccard on a bounded candidate set (same-source
+    // pairs), SQL-portable → oracle-checked.
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val d = T.documents(s, dir)
+        .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
+      val x = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val y = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      x.join(y, Seq("source")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
+        .filter(col("jac") >= 0.2)
+        .select("source", "doc_a", "doc_b", "jac")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_exact_hash" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    list_transform(
+        |      generate_series(1, len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) - 2),
+        |      i -> array_to_string(list_slice(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '), i, i + 2), ' ')
+        |    )) AS s
+        |  FROM documents
+        |  WHERE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) >= 3)
+        |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 6) AS jac
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(list_distinct(a.s || b.s)) AS DOUBLE), 6) >= 0.2
+        |ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (SURVEY.md §2.10 L5 + north star): media payloads as
+  * opaque `binary` columns with a typed metadata struct, plus partition-wise
+  * batch feature extraction.
+  *
+  * Real in this container: the Spark-side plumbing — schema (binary +
+  * struct<mime,modality,byte_len>), partitioning, the `mapPartitions` batch
+  * shape (the Scala analogue of `mapInPandas`: one iterator per partition, so
+  * a real decoder would amortize model/codec init per partition, not per
+  * row). STUBBED (no image/audio codecs in the container): the actual decode
+  * — `decodeDims` derives deterministic fake dimensions from the payload
+  * hash; swap its body for a real codec (e.g. javax.imageio) in production.
+  */
+object Multimodal {
+
+  /** One media record: id + opaque payload + typed metadata. */
+  case class MediaRecord(media_id: Long, content: Array[Byte], mime: String,
+      modality: String, byte_len: Int)
+
+  /** Extracted features (decode stub → fake but deterministic dims). */
+  case class MediaFeatures(media_id: Long, byte_len: Int, width: Int,
+      height: Int, channels: Int)
+
+  /** STUB decoder: deterministic fake dimensions from a payload hash.
+    * Production would decode the codec header here.
+    */
+  def decodeDims(content: Array[Byte]): (Int, Int, Int) = {
+    val h = java.util.Arrays.hashCode(content)
+    (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1, 3)
+  }
+
+  /** Documents → media table: payload = utf-8 bytes (deterministic fake
+    * "image"), metadata struct alongside. The schema is the contract.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("content"),
+      struct(
+        lit("text/plain").as("mime"),
+        lit("image-stub").as("modality"),
+        length(col("text").cast("binary")).as("byte_len")).as("meta"))
+
+  /** Partition-wise batch feature extraction — the mapInPandas shape: the
+    * lambda sees one Iterator per partition (batch), not one call per row.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"), col("meta.byte_len"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { batch =>
+        // per-partition init would go here (codec/model handles)
+        batch.map { case (id, content, len) =>
+          val (w, h, c) = decodeDims(content)
+          MediaFeatures(id, len, w, h, c)
+        }
+      }
+  }
+
+  val queries: Map[String, Q] = Map(
+    // L5: binary payload + metadata struct; hashes/lengths oracle-checked
+    // (md5 of a utf-8 string == md5 of its bytes in both engines).
+    "q_multimodal_meta" -> ((s, dir) => {
+      mediaTable(s, dir).select(
+        col("media_id"),
+        col("meta.mime").as("mime"),
+        col("meta.byte_len").as("byte_len"),
+        md5(col("content")).as("payload_md5"))
+    }),
+
+    // L5b (no oracle — stubbed decode; schema + determinism checked in
+    // MultimodalSpec): partition-batched feature extraction.
+    "q_multimodal_features" -> ((s, dir) =>
+      extractFeatures(mediaTable(s, dir)).toDF())
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

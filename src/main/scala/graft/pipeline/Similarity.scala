@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY.md §2.10 L3 + north-star
+  * ANN): exact cosine top-k as the correctness baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design: brute force is O(|Q|·|N|) — fine for a handful of probe
+  * queries, hopeless at 100 TB. The LSH path buckets vectors by the sign
+  * pattern of `planes` pseudo-random hyperplane projections (fixed xxhash64-
+  * derived components ⇒ deterministic, no stored model): one narrow shuffle
+  * on (bucket), candidate sets ~n/2^planes, exact rerank inside buckets.
+  * All vector math is Catalyst higher-order functions over the array column —
+  * codegen'd, no UDFs, works on any Array[Float] column.
+  */
+object Similarity {
+
+  /** Exact cosine similarity of two float-array columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(xs: Column) = aggregate(xs, lit(0.0), (acc, v) => acc + v)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+    val nb = sqrt(fold(transform(b, x => x.cast("double") * x.cast("double"))))
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Pseudo-random hyperplane component for (plane p, dimension d): uniform
+    * in [-0.5, 0.5), derived from xxhash64 — no stored model, same plane on
+    * every executor.
+    */
+  private def planeComponent(p: Column, d: Column): Column =
+    (pmod(xxhash64(p, d), lit(100000L)).cast("double") / 100000.0) - 0.5
+
+  /** LSH bucket id of a vector: sign bits of `planes` hyperplane projections. */
+  def lshBucket(vec: Column, planes: Int = 8): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (a, v) => a + v)
+      acc + when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
+    })
+
+  /** Exact top-k neighbors for each row of `queries` (qid, qvec) among
+    * `corpus` (id, vec), ranked by cosine rounded to 6 (deterministic).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    queries.crossJoin(corpus)
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+  }
+
+  /** ANN top-k: candidates restricted to the query's LSH bucket, exact
+    * cosine rerank inside the bucket. One equi-join on bucket instead of a
+    * cross join — the 100 TB path.
+    */
+  def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 8): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
+    val cb = corpus.withColumn("bucket", lshBucket(col("vec"), planes))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    qb.join(cb, Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+  }
+
+  val queries: Map[String, Q] = Map(
+    // L3: exact cosine top-5 for 5 probe vectors (oracle-checked).
+    "q_sim_topk" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+      bruteForceTopK(probes, corpus, 5)
+    }),
+
+    // L3b (no oracle — verified against brute force in SimilaritySpec):
+    // LSH-bucketed ANN with exact rerank.
+    "q_sim_ann" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+      annTopK(probes, corpus, 5)
+    }),
+
+    // Embedding-cosine near-duplicate pairs among same-label vectors
+    // (bounded candidate set → oracle-checked).
+    "q_sim_neardup" -> ((s, dir) => {
+      val e = T.embeddings(s, dir).filter(col("vec_id") < 200)
+      val x = e.select(col("label"), col("vec_id").as("a"), col("embedding").as("va"))
+      val y = e.select(col("label"), col("vec_id").as("b"), col("embedding").as("vb"))
+      x.join(y, Seq("label")).filter(col("a") < col("b"))
+        .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+        .filter(col("sim") >= 0.8)
+        .select("label", "a", "b", "sim")
+    }),
+
+    // L6: doc↔embedding integrity join (ids align 1:1).
+    "q_doc_join" -> ((s, dir) => {
+      val d = T.documents(s, dir)
+      val e = T.embeddings(s, dir)
+      d.join(e, d("doc_id") === e("vec_id"), "full")
+        .groupBy(e("label"))
+        .agg(count(d("doc_id")).as("n_docs"), count(e("vec_id")).as("n_vecs"),
+          countDistinct(d("lang")).as("n_langs"))
+    })
+  )
+
+  private val cosineSql =
+    """list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(a.qvec[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+      |  (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(a.qvec[i] AS DOUBLE) * CAST(a.qvec[i] AS DOUBLE)))) *
+      |   sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_sim_topk" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT a.qid, b.vec_id, round($cosineSql, 6) AS sim
+         |  FROM probes a CROSS JOIN embeddings b WHERE a.qid != b.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT qid, rank, vec_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sim_neardup" ->
+      """WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200),
+        |sims AS (
+        |  SELECT a.label, a.vec_id AS a, b.vec_id AS b,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT label, a, b, sim FROM sims WHERE sim >= 0.8
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_doc_join" ->
+      """SELECT label, count(doc_id) AS n_docs, count(vec_id) AS n_vecs,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.10 L4 + north
+  * star): token counting, quality scoring, n-gram language ID, document
+  * fingerprinting. Everything is built from codegen'd Catalyst expressions
+  * (split/regexp/higher-order fns) — per-row, embarrassingly parallel, no
+  * shuffle except the final aggregates; safe at 100 TB.
+  */
+object TextAnalysis {
+  import Dedup.{normText, shingles}
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Stopword lists for the language-ID heuristic (tiny on purpose — the
+    * point is the operator shape: per-language evidence → argmax).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"))
+
+  /** Count of tokens that appear in `list` (duplicates counted). */
+  def hitCount(toks: Column, list: Seq[String]): Column =
+    size(filter(toks, t => array_contains(lit(list.toArray), t)))
+
+  /** Predicted language: argmax of stopword hits; ties break to the
+    * lexicographically greatest code (struct max) — deterministic.
+    */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scored = array(stopwords.toSeq.sortBy(_._1).map { case (code, list) =>
+      struct(hitCount(toks, list).as("hits"), lit(code).as("code"))
+    }: _*)
+    array_max(scored).getField("code")
+  }
+
+  /** Bottom-k document fingerprint: the k smallest shingle hashes (a
+    * deterministic min-wise sketch; two docs share shingles iff their
+    * sketches overlap).
+    */
+  def fingerprint(c: Column, k: Int = 8): Column =
+    slice(array_sort(transform(shingles(c), s => xxhash64(s))), 1, k)
+
+  val queries: Map[String, Q] = Map(
+    // L4: corpus stats by (lang, source) — exact ratios via int sums.
+    "q_text_stats" -> ((s, dir) => {
+      val d = T.documents(s, dir)
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("n_chars_actual", length(col("text")))
+      d.groupBy("lang", "source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          (sum(col("n_tokens").cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("avg_tokens"),
+          max(col("n_chars_actual")).as("max_chars"),
+          sum(col("n_chars").cast("long")).as("sum_chars_meta"))
+    }),
+
+    // Per-doc quality scoring: punctuation ratio, stopword ratio, mean word
+    // length — all exact integer ratios, oracle-checked.
+    "q_text_quality" -> ((s, dir) => {
+      val d = T.documents(s, dir)
+      val toks = tokens(col("text"))
+      val nToks = size(toks).cast("double")
+      val nChars = length(col("text")).cast("double")
+      val punct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double")
+      val stopHits = hitCount(toks, stopwords("en")).cast("double")
+      val wordChars = aggregate(toks, lit(0L), (a, t) => a + length(t)).cast("double")
+      d.select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_tokens"),
+        round(punct / nChars, 6).as("punct_ratio"),
+        round(stopHits / nToks, 6).as("stop_ratio"),
+        round(wordChars / nToks, 6).as("mean_word_len"))
+    }),
+
+    // BPE-ish regex token classes (letters / digits / other), oracle-checked.
+    "q_text_tokens" -> ((s, dir) => {
+      T.documents(s, dir).select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_word"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("n_num"),
+        size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).as("n_other"))
+    }),
+
+    // Language-ID heuristic vs the labeled lang column (no oracle — verified
+    // by TextAnalysisSpec on planted texts; deterministic argmax).
+    "q_text_langid" -> ((s, dir) => {
+      T.documents(s, dir)
+        .withColumn("predicted", langId(col("text")))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+    }),
+
+    // Bottom-k fingerprints (no oracle — xxhash64; verified in spec).
+    "q_text_fingerprint" -> ((s, dir) => {
+      T.documents(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """WITH d AS (
+        |  SELECT lang, source, n_chars, length(text) AS n_chars_actual,
+        |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+        |  CAST(max(n_chars_actual) AS INTEGER) AS max_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars_meta
+        |FROM d GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) /
+        |        CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        |  round(CAST(len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','on','for'], x))) AS DOUBLE) /
+        |        CAST(len(toks) AS DOUBLE), 6) AS stop_ratio,
+        |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) /
+        |        CAST(len(toks) AS DOUBLE), 6) AS mean_word_len
+        |FROM t ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_word,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num,
+        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS INTEGER) AS n_other
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.Det
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.9 T1–T5): the same event
+  * transformations as `operators.Temporal`, usable on `readStream` inputs.
+  *
+  * Batch and streaming share these plan builders — Structured Streaming's
+  * incremental execution handles state: windowed aggregates keep per-window
+  * state bounded by the watermark (T4), and dedup state is likewise
+  * watermark-expired (T5). On a 100 TB/day feed the state store holds only
+  * the open windows per key, not history.
+  */
+object StreamOps {
+
+  /** T1/T4: tumbling 1-hour counts with a 10-minute watermark; works for
+    * batch DataFrames too (watermark is a no-op in batch).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(Det.cents(col("value"))).as("sum_c"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sum_c"))
+
+  /** T5: stateful dedup on event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom keyed state (the Hive-has-nothing-like-this row of §2.9): per
+    * user, emit the running event count with every update.
+    */
+  def runningCountsPerUser(events: Dataset[(Long, Long)]):
+      Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          (user, total)
+      }
+  }
+}

@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import graft.{Tables => T}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit verification for the non-oracle pipeline operators (SURVEY.md §2.10):
+  * MinHash-LSH and SimHash near-dup (planted duplicates), ANN vs brute-force
+  * agreement, language ID on planted texts, fingerprint overlap, multimodal
+  * feature extraction determinism, approx_count_distinct accuracy.
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH finds planted near-duplicates and skips unrelated docs") {
+    import spark.implicits._
+    val base = "spark shuffles partition data across the cluster for joins " +
+      "and aggregations while the optimizer prunes columns and pushes filters"
+    val nearDup = base.replace("cluster", "fleet") // 1-word edit
+    val unrelated = "entirely different words about cooking pasta with basil " +
+      "tomatoes olives garlic and a pinch of salt in a large pot"
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    // threshold 0.5 needs narrow bands: r=2 ⇒ per-band hit prob s², 16 bands
+    // ⇒ miss prob (1-s²)^16 ≈ 1e-5 at s=0.7 (k=16,b=4 targets s≈0.8+).
+    val pairs = Dedup.nearDuplicatePairs(docs, "text", "doc_id",
+      k = 32, bands = 16, threshold = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.5)
+  }
+
+  test("simhash: near-identical texts have close fingerprints (small hamming)") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = a.replace("river", "creek")
+    val c = "completely unrelated legal boilerplate concerning maritime law"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("h"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(m(1L), m(2L)) < hamming(m(1L), m(3L)))
+    assert(hamming(m(1L), m(2L)) <= 16)
+  }
+
+  test("ANN bucketing: identical vectors collide; results agree with brute force on its candidates") {
+    val e = T.embeddings(spark, sf)
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+    val brute = Similarity.bruteForceTopK(probes, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val ann = Similarity.annTopK(probes, corpus, 5).collect()
+    assert(ann.nonEmpty)
+    // every ANN result's similarity is ≤ the brute-force result at that rank
+    // (ANN sees a candidate subset), and self-bucket collisions guarantee the
+    // probe's own bucket is never empty.
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getInt(1))
+      brute.get(key).foreach { case (_, bsim) => assert(r.getDouble(3) <= bsim) }
+    }
+    // planted exact duplicate must be found at rank 1 with sim 1.0
+    import spark.implicits._
+    val v = corpus.filter(col("vec_id") === 0).collect()(0).getSeq[Float](1).toArray
+    val dupCorpus = corpus.union(Seq((999L, v)).toDF("vec_id", "vec"))
+    val res = Similarity.annTopK(
+      probes.filter(col("qid") === 0), dupCorpus, 1).collect()
+    assert(res.length === 1 && res(0).getLong(2) === 999L && res(0).getDouble(3) === 1.0)
+  }
+
+  test("langId picks the language with most stopword hits; ties deterministic") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is happy for a while"),
+      (2L, "der hund und die katze das ist nicht ein problem mit zu viel"),
+      (3L, "le chat est dans la maison et les oiseaux dans un arbre pour que"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("p"))
+    assert(df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "en", 2L -> "de", 3L -> "fr"))
+  }
+
+  test("fingerprint: shared-shingle docs overlap, disjoint docs do not") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    val c = "one two three four five six seven eight nine ten"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(m(1L).intersect(m(2L)).nonEmpty)
+    assert(m(1L).intersect(m(3L)).isEmpty)
+  }
+
+  test("multimodal: mapPartitions feature extraction is deterministic, schema stable") {
+    val f1 = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
+    val f2 = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
+    assert(f1.schema.fieldNames.toSeq ===
+      Seq("media_id", "byte_len", "width", "height", "channels"))
+    val a = f1.collect().sortBy(_.media_id)
+    val b = f2.collect().sortBy(_.media_id)
+    assert(a.toSeq === b.toSeq)
+    assert(a.forall(r => r.width >= 1 && r.height >= 1 && r.byte_len > 0))
+  }
+
+  test("approx_count_distinct is within rsd of exact (A10)") {
+    val li = T.lineitem(spark, sf)
+    val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.01))
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** T4/T5 streaming-state tests via MemoryStream (SURVEY.md §2.9): watermarked
+  * tumbling aggregation emits closed windows and drops late data; stateful
+  * dedup suppresses within-watermark duplicates; custom keyed state counts.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  test("T4: watermarked tumbling window — late events beyond watermark dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.tumblingCounts(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t4_out").start()
+    // hour 10 events, then watermark advanced past 11:10 closes the window
+    input.addData(Ev(1, ts(5), "click", 10.0), Ev(2, ts(40), "click", 20.0))
+    q.processAllAvailable()
+    input.addData(Ev(3, Timestamp.valueOf("2024-01-01 11:30:00"), "click", 5.0))
+    q.processAllAvailable()
+    // this event is an hour late — beyond the 10-minute watermark: dropped
+    input.addData(Ev(4, ts(50), "click", 99.0))
+    q.processAllAvailable()
+    input.addData(Ev(5, Timestamp.valueOf("2024-01-01 12:30:00"), "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT wstart, n, sum_c FROM t4_out").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+    // hour-10 window closed with ONLY the two on-time events (3000 cents);
+    // the late 99.0 never appears.
+    assert(rows.contains(("2024-01-01 10:00:00.0", 2L, 3000L)), rows.toString)
+  }
+
+  test("T5: dropDuplicatesWithinWatermark suppresses dup event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.dedupWithinWatermark(input.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t5_out").start()
+    input.addData(Ev(1, ts(0), "click", 1.0), Ev(1, ts(1), "click", 1.0),
+      Ev(2, ts(2), "view", 2.0))
+    q.processAllAvailable()
+    input.addData(Ev(1, ts(3), "click", 1.0)) // still within watermark: dup
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT event_id FROM t5_out").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("custom keyed state: running counts per user across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.runningCountsPerUser(input.toDS())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("state_out").start()
+    input.addData((7L, 1L), (7L, 2L), (8L, 1L))
+    q.processAllAvailable()
+    input.addData((7L, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.sql("SELECT * FROM state_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // user 7 reaches 3 across two batches; user 8 stays at 1
+    assert(last.contains((7L, 3L)) && last.contains((8L, 1L)))
+  }
+}
