@@ -1,0 +1,175 @@
+package graft.functions
+
+import java.util.Locale
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the dedup hot path (SURVEY.md §4.2: the
+  * "optional Expression for performance — k-perm hashing in one pass" row).
+  *
+  * The higher-order-function formulation (`transform(sequence(1,k), p ->
+  * array_min(transform(sh, h -> xxhash64(h, p))))`) evaluates one interpreted
+  * lambda per (element × permutation) — measured ~21 ms/row at 52 shingles ×
+  * 16 perms. These expressions do the same work in a single compiled JVM loop
+  * per row (~µs): ~1000× less per-row overhead, which at 100 TB is the
+  * difference between one pass and an unrunnable job.
+  *
+  * Hashing uses Spark's own XXH64, so values are stable across runs, JVMs,
+  * and cluster sizes. Used by [[graft.pipeline.Dedup]].
+  */
+object TextHashes {
+  // Spark 4 Column↔Expression bridge (the Column ctor no longer takes exprs).
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Distinct hashed n-word shingles of whitespace-normalized, lowercased
+    * text — the one-pass fusion of normText → split → slice/concat → distinct
+    * → xxhash64.
+    */
+  def shingleHashes(c: Column, n: Int = 3): Column =
+    column(ShingleHashes(expression(c), n))
+
+  /** k-permutation MinHash signature of a hashed-shingle array: sig(p) =
+    * min over h of xxhash64(h, seed = p).
+    */
+  def minHashSig(c: Column, k: Int = 16): Column =
+    column(MinHashSig(expression(c), k))
+
+  /** 64-bit SimHash over the words of normalized text: bit i is set iff the
+    * majority of word hashes have bit i set.
+    */
+  def simHash64(c: Column): Column = column(SimHash64(expression(c)))
+
+  /** Jaccard similarity of two distinct-long-element arrays in one pass
+    * (sort + merge count) — replaces array_intersect + array_union, which
+    * each build a hash set per row.
+    */
+  def jaccardLong(a: Column, b: Column): Column =
+    column(JaccardLong(expression(a), expression(b)))
+}
+
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(Locale.ROOT).trim
+    if (text.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val words = text.split("\\s+")
+    if (words.length < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j)); j += 1
+      }
+      val u = UTF8String.fromString(sb.toString)
+      seen.add(XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+        u.numBytes, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator(); var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"signature size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](k)
+    var p = 0
+    while (p < k) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hashes.length) {
+        val h = XXH64.hashLong(hashes(i), p + 1)
+        if (h < m) m = h
+        i += 1
+      }
+      sig(p) = m; p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+case class JaccardLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_long"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    if (a.length == 0 && b.length == 0) return java.lang.Double.valueOf(0.0)
+    java.util.Arrays.sort(a); java.util.Arrays.sort(b)
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    java.lang.Double.valueOf(inter.toDouble / union.toDouble)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardLong = copy(left = newLeft, right = newRight)
+}
+
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(Locale.ROOT).trim
+    val votes = new Array[Int](64)
+    if (text.nonEmpty) {
+      val words = text.split("\\s+")
+      var i = 0
+      while (i < words.length) {
+        val u = UTF8String.fromString(words(i))
+        val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+          u.numBytes, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+}

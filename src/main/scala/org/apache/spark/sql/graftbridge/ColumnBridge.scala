@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4 removed the public `new Column(expr)` constructor; the supported
+  * conversion lives in `org.apache.spark.sql.classic.ExpressionUtils`, which
+  * is `private[sql]` — so this one-file shim sits inside the `sql` package
+  * namespace (the customary escape hatch for Spark extension libraries).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
