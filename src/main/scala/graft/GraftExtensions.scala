@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{JaccardLong, MinHashSig, ShingleHashes, SimHash64}
+
+/** SparkSessionExtensions registration (SURVEY.md §4.2 / the custom-operator
+  * ladder): exposes the native dedup expressions to SQL, so
+  * `spark.sql("SELECT simhash64(text) FROM docs")` works next to the Column
+  * API.
+  *
+  * Usage:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)          // or
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "_FUNC_(text[, n]) - distinct hashed n-word shingles"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ShingleHashes(c, 3)
+        case Seq(c, n) => ShingleHashes(c, n.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("shingle_hashes(text[, n])")
+      }))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "_FUNC_(hashes[, k]) - k-permutation MinHash signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSig(c, 16)
+        case Seq(c, k) => MinHashSig(c, k.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("minhash_sig(hashes[, k])")
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(text) - 64-bit SimHash fingerprint"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("jaccard_long"),
+      info("jaccard_long", "_FUNC_(a, b) - Jaccard similarity of long arrays"),
+      (args: Seq[Expression]) => JaccardLong(args(0), args(1))))
+  }
+}
