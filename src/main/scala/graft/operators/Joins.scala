@@ -139,6 +139,20 @@ object Joins {
         .select(col("event_id"), col("user_id"), col("o_orderkey"))
     }),
 
+    // J10b: the same as-of join through the native custom operator
+    // (graft.plans.AsOfJoinExec — LogicalPlan + Strategy + merge-pass
+    // SparkPlan); same oracle as J10. Right side is pre-deduped to a unique
+    // (key, time) row so the at-tie pick is deterministic.
+    "q_join_asof_native" -> ((s, dir) => {
+      val e = T.events(s, dir).select("event_id", "user_id", "ts")
+      val o = T.orders(s, dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      graft.plans.AsOf.join(e, o, e("user_id"), o("o_custkey"),
+          e("ts"), o("o_orderdate"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+    }),
+
     // J11: multi-way star join (flagship shape; Catalyst reorders + AQE).
     "q_join_star" -> ((s, dir) => starJoin(s, dir))
   )
@@ -194,6 +208,14 @@ object Joins {
         |FROM nation n1 JOIN nation n2
         |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_asof_native" ->
+      """SELECT event_id, user_id, o_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_asof" ->
       """SELECT event_id, user_id, o_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,

@@ -61,6 +61,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!countPlan.contains("Sort "), s"sort should be optimized away:\n$countPlan")
   }
 
+  test("native as-of join: AsOfJoinExec merge plan, one shuffle per input") {
+    val df = SparkEntry.queries("q_join_asof_native")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), s"expected the custom operator:\n$p")
+    // co-partitioned merge: exactly one hash exchange per input feeds it
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"expected <= 3 hash exchanges (2 inputs + agg):\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // WSCG spans only appear in AQE's final plan — execute first.
     val df = SparkEntry.queries("q_filter_pred")(spark, sf)
