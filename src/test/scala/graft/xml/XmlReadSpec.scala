@@ -97,6 +97,28 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getAs[String]("at") === "2024-06-01T10:00:00Z")
   }
 
+  test("many-files contract: a directory of XML files reads as one table") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlmany").toFile
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    (0 until 8).foreach { f =>
+      val recs = (0 until 5).map(i =>
+        s"<item sku='F$f-$i'><title>t</title><price>${f * 10 + i}</price>" +
+          "<in_print>true</in_print></item>").mkString
+      java.nio.file.Files.writeString(
+        new java.io.File(dataDir, s"part-$f.xml").toPath,
+        s"<library>$recs</library>")
+    }
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", s"$base/library/schema")
+      .option("xml.separator.tag", "item")
+      .option("xml.separator.tag.type", "itemType")
+      .load(dataDir.getAbsolutePath)
+    assert(df.count() === 40)
+    assert(df.select("sku").distinct().count() === 40)
+    // files are non-splittable, so record counts survive any partitioning
+    assert(df.rdd.getNumPartitions >= 1)
+  }
+
   test("malformed numeric text fails fast (no NULL-on-corrupt mode)") {
     val dir = java.nio.file.Files.createTempDirectory("xmlbad").toFile
     val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
