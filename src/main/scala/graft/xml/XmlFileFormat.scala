@@ -68,7 +68,10 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
     (file: PartitionedFile) => {
       val path = file.toPath
       val fs = path.getFileSystem(confBroadcast.value.value)
-      new XmlRecordIterator(fs.open(path), requiredSchema, separatorTag)
+      // 256 KiB buffer: StAX pulls small chunks; unbuffered FSDataInputStream
+      // reads would hit the filesystem per chunk.
+      val in = new java.io.BufferedInputStream(fs.open(path), 256 * 1024)
+      new XmlRecordIterator(in, requiredSchema, separatorTag)
     }
   }
 }

@@ -1,0 +1,68 @@
+package graft.xml
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Single-node XML scan throughput check (BASELINE.md: the reference
+  * publishes no numbers, so the gate is a sanity floor, not a comparison):
+  * the scan must stream — O(record) memory — and sustain a reasonable
+  * records/s rate on one node, with pruned scans faster than full ones.
+  */
+class XmlThroughputSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("scan sustains >= 50k records/s/node on 4 threads; pruning helps") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlperf").toFile
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    val nFiles = 8; val recsPerFile = 25000
+    (0 until nFiles).foreach { f =>
+      val sb = new StringBuilder("<library>")
+      var i = 0
+      while (i < recsPerFile) {
+        sb.append(s"<item sku='F$f-$i' shelf='${i % 10}'><title>record number $i</title>")
+          .append(s"<price>${i % 997}.25</price><in_print>true</in_print>")
+          .append(s"<tag>alpha</tag><tag>beta</tag>")
+          .append("<review><reviewer>r</reviewer><stars>4</stars></review></item>")
+        i += 1
+      }
+      sb.append("</library>")
+      java.nio.file.Files.writeString(
+        new java.io.File(dataDir, s"part-$f.xml").toPath, sb.toString)
+    }
+    def read() = spark.read.format("graft.xml")
+      .option("xml.schema.location", "src/test/resources/graftxml/library/schema")
+      .option("xml.separator.tag", "item")
+      .option("xml.separator.tag.type", "itemType")
+      .load(dataDir.getAbsolutePath)
+
+    read().count() // warm (schema infer + codegen)
+    val n = (nFiles * recsPerFile).toLong
+
+    // full: forces parsing of scalar, array, and struct fields
+    val t0 = System.nanoTime()
+    val full = read().selectExpr("sum(length(title))", "count(price)",
+      "sum(size(tag))", "sum(size(review))", "count(sku)").collect()(0)
+    val fullSecs = (System.nanoTime() - t0) / 1e9
+    assert(full.getLong(4) === n)
+
+    // pruned: one attribute — the parser must skip all other subtrees
+    val t1 = System.nanoTime()
+    assert(read().selectExpr("count(sku)").collect()(0).getLong(0) === n)
+    val prunedSecs = (System.nanoTime() - t1) / 1e9
+
+    val rate = n / fullSecs
+    info(f"full scan: $rate%.0f rec/s ($fullSecs%.2f s); pruned: ${n / prunedSecs}%.0f rec/s")
+    assert(rate > 50000, f"full-scan throughput too low: $rate%.0f rec/s")
+    assert(prunedSecs <= fullSecs * 1.2,
+      f"pruned scan should not be slower: $prunedSecs%.2f vs $fullSecs%.2f")
+  }
+}
