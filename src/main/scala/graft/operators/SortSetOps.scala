@@ -67,6 +67,26 @@ object SortSetOps {
       val c = T.customer(s, dir).select(col("c_nationkey").as("nk"))
       val su = T.supplier(s, dir).select(col("s_nationkey").as("nk"))
       c.except(su)
+    }),
+
+    // U3b/U4b: bag-semantics variants (multiplicities preserved).
+    "q_intersect_all" -> ((s, dir) => {
+      val a = T.lineitem(s, dir).select(col("l_suppkey").as("k"))
+      val b = T.orders(s, dir).select((col("o_custkey") % 10).as("k"))
+      a.intersectAll(b)
+    }),
+    "q_except_all" -> ((s, dir) => {
+      val a = T.orders(s, dir).select((col("o_custkey") % 10).as("k"))
+      val b = T.supplier(s, dir).select(col("s_suppkey").as("k"))
+      a.exceptAll(b)
+    }),
+
+    // Spark relational pivot (oracle = conditional aggregation).
+    "q_pivot" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")))
     })
   )
 
@@ -101,6 +121,22 @@ object SortSetOps {
       """SELECT c_nationkey AS nk FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nk FROM supplier
-        |ORDER BY ALL NULLS FIRST""".stripMargin
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT l_suppkey AS k FROM lineitem
+        |INTERSECT ALL
+        |SELECT o_custkey % 10 AS k FROM orders
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_except_all" ->
+      """SELECT o_custkey % 10 AS k FROM orders
+        |EXCEPT ALL
+        |SELECT s_suppkey AS k FROM supplier
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS A,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS N,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS R
+        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

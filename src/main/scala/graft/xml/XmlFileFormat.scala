@@ -63,6 +63,10 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       options: Map[String, String],
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
     val (_, separatorTag, _, _) = requiredOptions(options)
+    // mode=FAILFAST (default; reference parity) | DROPMALFORMED (skip bad
+    // records — the 100 TB posture, matching csv/json source conventions).
+    val dropMalformed =
+      options.getOrElse("mode", "FAILFAST").equalsIgnoreCase("DROPMALFORMED")
     val confBroadcast = sparkSession.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
     (file: PartitionedFile) => {
@@ -71,7 +75,7 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       // 256 KiB buffer: StAX pulls small chunks; unbuffered FSDataInputStream
       // reads would hit the filesystem per chunk.
       val in = new java.io.BufferedInputStream(fs.open(path), 256 * 1024)
-      new XmlRecordIterator(in, requiredSchema, separatorTag)
+      new XmlRecordIterator(in, requiredSchema, separatorTag, dropMalformed)
     }
   }
 }

@@ -23,7 +23,10 @@ import scala.collection.mutable
   *  - leaf text accumulated across character events and trimmed before
   *    coercion (`:159-163,:98`)
   *  - coercion via `java.lang.*.valueOf` semantics, fail-fast on malformed
-  *    numbers — no NULL-on-corrupt mode (`convert`, `:194-208`)
+  *    numbers by default, matching the reference's no-NULL-on-corrupt
+  *    behavior (`convert`, `:194-208`); `dropMalformed` opts into skipping
+  *    bad records instead — at 100 TB one corrupt record must not kill a
+  *    1000-executor job
   *  - attributes not present in the schema are silently dropped (`:180-188`)
   *  - mixed content unsupported: element children inside a leaf are skipped
   *    (`:155,164`)
@@ -36,7 +39,8 @@ import scala.collection.mutable
   * materialized (SURVEY.md §4.1 "column pruning inside the XML parser").
   */
 final class XmlRecordIterator(input: InputStream, schema: StructType,
-    separatorTag: String) extends Iterator[InternalRow] {
+    separatorTag: String, dropMalformed: Boolean = false)
+    extends Iterator[InternalRow] {
 
   private val factory = {
     val f = XMLInputFactory.newInstance()
@@ -49,6 +53,19 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
   private val reader: XMLStreamReader = factory.createXMLStreamReader(input)
   private var nextRecord: InternalRow = _
   private var finished = false
+
+  // element depth, maintained on EVERY event pull so a malformed record can
+  // be skipped by unwinding to its parent depth (DROPMALFORMED mode).
+  private var depth = 0
+  private def nextEvent(): Int = {
+    val e = reader.next()
+    e match {
+      case XMLStreamConstants.START_ELEMENT => depth += 1
+      case XMLStreamConstants.END_ELEMENT => depth -= 1
+      case _ =>
+    }
+    e
+  }
 
   // name→index maps per struct node, built once per distinct schema node
   // (StructType.getFieldIndex is private[sql]).
@@ -77,10 +94,18 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
 
   private def advance(): Unit = {
     while (reader.hasNext) {
-      if (reader.next() == XMLStreamConstants.START_ELEMENT &&
+      if (nextEvent() == XMLStreamConstants.START_ELEMENT &&
           reader.getLocalName == separatorTag) {
-        nextRecord = parseStruct(schema)
-        return
+        val recordDepth = depth // depth of the separator element itself
+        try {
+          nextRecord = parseStruct(schema)
+          return
+        } catch {
+          case e: javax.xml.stream.XMLStreamException => throw e // stream dead
+          case e: Exception if dropMalformed =>
+            // unwind whatever is left of this record, then keep scanning
+            while (depth >= recordDepth && reader.hasNext) nextEvent()
+        }
       }
     }
     finished = true
@@ -108,7 +133,7 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
 
     var done = false
     while (!done && reader.hasNext) {
-      reader.next() match {
+      nextEvent() match {
         case XMLStreamConstants.START_ELEMENT =>
           val idxBoxed = fieldIndex(st, reader.getLocalName)
           if (idxBoxed == null) skipSubtree() // pruned or undeclared: never built
@@ -146,7 +171,7 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
       val sb = new java.lang.StringBuilder
       var done = false
       while (!done && reader.hasNext) {
-        reader.next() match {
+        nextEvent() match {
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             sb.append(reader.getText)
           case XMLStreamConstants.START_ELEMENT =>
@@ -159,11 +184,11 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
   }
 
   private def skipSubtree(): Unit = {
-    var depth = 1
-    while (depth > 0 && reader.hasNext) {
-      reader.next() match {
-        case XMLStreamConstants.START_ELEMENT => depth += 1
-        case XMLStreamConstants.END_ELEMENT => depth -= 1
+    var d = 1
+    while (d > 0 && reader.hasNext) {
+      nextEvent() match {
+        case XMLStreamConstants.START_ELEMENT => d += 1
+        case XMLStreamConstants.END_ELEMENT => d -= 1
         case _ =>
       }
     }

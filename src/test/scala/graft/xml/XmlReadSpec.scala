@@ -119,6 +119,46 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.rdd.getNumPartitions >= 1)
   }
 
+  test("XML → parquet round-trip preserves rows and schema (S2 contract)") {
+    val out = java.nio.file.Files.createTempDirectory("xmlrt").toString
+    readLibrary.write.mode("overwrite").parquet(s"$out/lib")
+    val back = spark.read.parquet(s"$out/lib")
+    assert(back.count() === readLibrary.count())
+    assert(back.schema.fieldNames.sorted === readLibrary.schema.fieldNames.sorted)
+    val a = readLibrary.orderBy("sku").collect().map(_.toString)
+    val b = back.orderBy("sku").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("mode=DROPMALFORMED skips corrupt records and keeps good ones") {
+    val dir = java.nio.file.Files.createTempDirectory("xmldrop").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="rType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:int" name="n"/>
+        |      <xs:element type="xs:string" name="s" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      "<root><r><n>1</n><s>ok</s></r>" +
+        "<r><n>bogus</n><s>bad-leaf</s></r>" +            // corrupt mid-record
+        "<r><n>not</n><deep><x>y</x></deep></r>" +        // corrupt with subtree
+        "<r><n>3</n></r></root>")
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "r")
+      .option("xml.separator.tag.type", "rType")
+      .option("mode", "DROPMALFORMED")
+      .load(dataDir.getAbsolutePath)
+    val rows = df.orderBy("n").collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 3))
+    assert(rows(0).getString(1) === "ok" && rows(1).isNullAt(1))
+  }
+
   test("malformed numeric text fails fast (no NULL-on-corrupt mode)") {
     val dir = java.nio.file.Files.createTempDirectory("xmlbad").toFile
     val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
