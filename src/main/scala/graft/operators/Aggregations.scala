@@ -121,6 +121,34 @@ object Aggregations {
           array_sort(collect_set(col("c_mktsegment"))).as("segments"))
     }),
 
+    // Statistical aggregates (Hive 2.1 surface): stddev/variance/corr/covar.
+    // Computed over SMALL-magnitude columns (discount/tax ∈ [0, 0.1]) so the
+    // engines' different one-pass algorithms agree to ≪1e-6 — rounded to 6.
+    "q_agg_stats" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          round(corr(col("l_discount"), col("l_tax")), 6).as("corr_dt"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_dt"))
+    }),
+
+    // Argmax/argmin + boolean aggregates. The ordering value is made unique
+    // (cents * 10^8 + linenumber-scaled orderkey) so the argmax is
+    // deterministic under ties.
+    "q_agg_argmax" -> ((s, dir) => {
+      val uniq = (floor(col("l_quantity") * 100).cast("long") * lit(100000000L)
+        + col("l_orderkey") * lit(10L) + col("l_linenumber"))
+      T.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          max_by(col("l_orderkey"), uniq).as("biggest_qty_order"),
+          min_by(col("l_orderkey"), uniq).as("smallest_qty_order"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_high_disc"))
+    }),
+
     // A12: exact interpolated percentile (over integer cents; rounded to
     // absorb last-ulp interpolation differences).
     "q_agg_percentile" -> ((s, dir) => {
@@ -193,6 +221,22 @@ object Aggregations {
         |  list_sort(list(c_name)) AS names,
         |  list_sort(list(DISTINCT c_mktsegment)) AS segments
         |FROM customer GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_discount), 6) AS sd_disc,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(corr(l_discount, l_tax), 6) AS corr_dt,
+        |  round(covar_samp(l_discount, l_tax), 6) AS cov_dt
+        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_agg_argmax" ->
+      """SELECT l_returnflag,
+        |  arg_max(l_orderkey, CAST(FLOOR(l_quantity * 100) AS BIGINT) * 100000000
+        |    + l_orderkey * 10 + l_linenumber) AS biggest_qty_order,
+        |  arg_min(l_orderkey, CAST(FLOOR(l_quantity * 100) AS BIGINT) * 100000000
+        |    + l_orderkey * 10 + l_linenumber) AS smallest_qty_order,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_high_disc
+        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(FLOOR(l_quantity * 100), 0.5), 4) AS med_qty_c,

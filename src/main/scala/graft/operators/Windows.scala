@@ -80,6 +80,16 @@ object Windows {
         .filter(col("rn") <= 3)
     }),
 
+    // W7b: nth_value over the full-partition frame.
+    "q_win_nth" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+    }),
+
     // W7: first_value / last_value over the full-partition frame.
     "q_win_first_last" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -132,6 +142,13 @@ object Windows {
         |    CAST(row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_win_nth" ->
+      """SELECT o_orderkey, o_custkey,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_win_first_last" ->
       """SELECT o_orderkey, o_custkey,
         |  first_value(o_orderkey) OVER w AS first_ok,
