@@ -69,6 +69,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("streaming XML ingestion: readStream over the graft.xml format") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlstream").toFile
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    def writeFile(n: Int): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(dataDir, s"batch-$n.xml").toPath,
+        s"<library><item sku='S$n'><title>t$n</title><price>$n.5</price>" +
+          "<in_print>true</in_print></item></library>")
+    writeFile(0)
+    val schema = graft.xml.XsdSchema.structTypeFor(
+      "src/test/resources/graftxml/library/schema", "", "itemType")
+    val stream = spark.readStream.format("graft.xml")
+      .schema(schema)
+      .option("xml.schema.location", "src/test/resources/graftxml/library/schema")
+      .option("xml.separator.tag", "item")
+      .option("xml.separator.tag.type", "itemType")
+      .load(dataDir.getAbsolutePath)
+    val q = stream.select("sku", "price")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("xml_stream_out").start()
+    q.processAllAvailable()
+    writeFile(1); writeFile(2) // files arriving later = new micro-batches
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT sku, price FROM xml_stream_out").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(got === Set(("S0", 0.5), ("S1", 1.5), ("S2", 2.5)))
+  }
+
   test("custom keyed state: running counts per user across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
