@@ -101,6 +101,22 @@ object TextAnalysis {
     "q_text_fingerprint" -> ((s, dir) => {
       T.documents(s, dir)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    }),
+
+    // Data-profiling / quality-gate stats over the corpus: null rates,
+    // domain sizes, length bounds — the validation step of a training
+    // pipeline (one pass, all exact values).
+    "q_profile" -> ((s, dir) => {
+      T.documents(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1)
+          .otherwise(0)).as("n_empty_text"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(length(col("text"))).as("min_len"),
+        max(length(col("text"))).as("max_len"),
+        sum(when(length(col("text")) =!= col("n_chars"), 1).otherwise(0))
+          .as("n_len_mismatch"))
     })
   )
 
@@ -131,6 +147,15 @@ object TextAnalysis {
         |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) /
         |        CAST(len(toks) AS DOUBLE), 6) AS mean_word_len
         |FROM t ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(min(length(text)) AS INTEGER) AS min_len,
+        |  CAST(max(length(text)) AS INTEGER) AS max_len,
+        |  CAST(SUM(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch
+        |FROM documents""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_word,
