@@ -76,6 +76,66 @@ class XsdSchemaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minOccurs"))
   }
 
+  test("cardinality falls back to the enclosing sequence node") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdseq").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="sType">
+        |    <xs:sequence minOccurs="0" maxOccurs="unbounded">
+        |      <xs:element type="xs:string" name="x"/>
+        |      <xs:element type="xs:int" name="y" minOccurs="1" maxOccurs="1"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "sType")
+    // x inherits (0, unbounded) from the sequence; y's own attrs win
+    assert(st("x").dataType === ArrayType(StringType, containsNull = false))
+    assert(st("x").nullable)
+    assert(st("y").dataType === IntegerType && !st("y").nullable)
+  }
+
+  test("xs:all is flattened like a sequence") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdall").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="aType">
+        |    <xs:all>
+        |      <xs:element type="xs:string" name="p"/>
+        |      <xs:element type="xs:long" name="q" minOccurs="0"/>
+        |    </xs:all>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "aType")
+    assert(st === StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("q", LongType, nullable = true))))
+  }
+
+  test("schema split across multiple XSD files in one directory resolves") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdmulti").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a_outer.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="outerType">
+        |    <xs:sequence>
+        |      <xs:element type="innerType" name="inner"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dir, "b_inner.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="innerType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:double" name="v"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    // also verify .avsc files are excluded (HFSReader.scala:15 parity)
+    java.nio.file.Files.writeString(new java.io.File(dir, "junk.avsc").toPath,
+      "not xml at all {")
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "outerType")
+    assert(st("inner").dataType.asInstanceOf[StructType]("v").dataType === DoubleType)
+  }
+
   test("maxOccurs=5 (any non-1) becomes an array") {
     val dir = java.nio.file.Files.createTempDirectory("xsdmax").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "m.xsd").toPath,
