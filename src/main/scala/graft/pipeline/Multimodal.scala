@@ -63,6 +63,52 @@ object Multimodal {
       }
   }
 
+  /** Resized media record (decode → scale stub). */
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+      content: Array[Byte])
+
+  /** STUB resize: production would decode, scale, re-encode; here the
+    * payload is truncated proportionally so batching/schema stay real.
+    */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, content) =>
+          val (w, h, _) = decodeDims(content)
+          val sw = math.min(w, maxW); val sh = math.min(h, maxH)
+          val keep = math.max(1,
+            (content.length.toLong * sw * sh / (w.toLong * h)).toInt)
+          ResizedMedia(id, sw, sh, content.take(keep))
+        }
+      }
+  }
+
+  /** One sampled frame of a (stub) video payload. */
+  case class Frame(media_id: Long, frame_idx: Int, offset: Int,
+      frame: Array[Byte])
+
+  /** STUB frame sampling: every `stride`-th slice of the payload stands in
+    * for a decoded frame — the row-explosion shape (one media row → many
+    * frame rows) and partition batching are the real contract.
+    */
+  def sampleFrames(media: DataFrame, stride: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, content) =>
+        val frameSize = math.max(1, stride)
+        (0 until content.length by frameSize).zipWithIndex.map {
+          case (off, idx) =>
+            Frame(id, idx, off,
+              content.slice(off, math.min(off + frameSize, content.length)))
+        }
+      }
+  }
+
   val queries: Map[String, Q] = Map(
     // L5: binary payload + metadata struct; hashes/lengths oracle-checked
     // (md5 of a utf-8 string == md5 of its bytes in both engines).
@@ -77,7 +123,14 @@ object Multimodal {
     // L5b (no oracle — stubbed decode; schema + determinism checked in
     // MultimodalSpec): partition-batched feature extraction.
     "q_multimodal_features" -> ((s, dir) =>
-      extractFeatures(mediaTable(s, dir)).toDF())
+      extractFeatures(mediaTable(s, dir)).toDF()),
+
+    // L5c (no oracle): frame sampling — media row → frame rows with exact
+    // per-frame byte accounting (checked rows-only + in PipelineSpec).
+    "q_multimodal_frames" -> ((s, dir) =>
+      sampleFrames(mediaTable(s, dir), 64).toDF()
+        .select(col("media_id"), col("frame_idx"), col("offset"),
+          length(col("frame")).as("frame_bytes")))
   )
 
   val oracles: Map[String, String] = Map(

@@ -115,6 +115,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.forall(r => r.width >= 1 && r.height >= 1 && r.byte_len > 0))
   }
 
+  test("multimodal resize/frame-sample stubs keep byte accounting exact") {
+    val media = Multimodal.mediaTable(spark, sf)
+    val resized = Multimodal.resize(media, 640, 480).collect()
+    assert(resized.forall(r => r.width <= 640 && r.height <= 480 &&
+      r.content.nonEmpty))
+    import spark.implicits._
+    val frames = Multimodal.sampleFrames(media, 64)
+    val byteSums = frames.groupByKey(_.media_id)
+      .mapGroups((id, fs) => (id, fs.map(_.frame.length).sum)).collect().toMap
+    val origSizes = media.select(col("media_id"), col("meta.byte_len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // frames partition the payload exactly: per-media byte sums match
+    assert(byteSums === origSizes)
+  }
+
   test("approx_count_distinct is within rsd of exact (A10)") {
     val li = T.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)

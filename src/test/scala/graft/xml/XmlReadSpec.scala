@@ -159,6 +159,15 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getString(1) === "ok" && rows(1).isNullAt(1))
   }
 
+  test("missing required option yields a clear error naming the key") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.xml")
+        .option("xml.separator.tag", "item")
+        .load(s"$base/library/data")
+    }
+    assert(e.getMessage.contains("xml.schema.location"))
+  }
+
   test("malformed numeric text fails fast (no NULL-on-corrupt mode)") {
     val dir = java.nio.file.Files.createTempDirectory("xmlbad").toFile
     val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
