@@ -1,6 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, sum, xxhash64}
+
+/** Benchmark main — driver contract: print ONE parseable JSON line
+  * `{"metric":"total","value":N,"unit":"sec",...}`.
+  *
+  * Two deliberate harness choices (both driven by round-1 findings):
+  *  - the consumer is `agg(sum(xxhash64(all columns)))`, not `count()`:
+  *    under `count()` Catalyst prunes every unused projection, so
+  *    narrow-projection queries mostly measured parquet row counting. The
+  *    hash-sum forces every output column to be computed while staying
+  *    order-agnostic, so the verification-only total sort is still
+  *    eliminated (EliminateSorts under an aggregate).
+  *  - the printed line carries only the total plus a small headline-query
+  *    map; the full per-query map goes to `bench_queries.json` (the 86-entry
+  *    inline map overflowed the driver's line capture → `"parsed": null`).
+  */
 object Bench {
+
+  /** Headline queries included inline in the printed JSON (kept small so the
+    * line never truncates): one per major subsystem.
+    */
+  private val headline = Seq(
+    "q_agg_group", "q_join_star", "q_win_rank", "q_dedup_exact_hash",
+    "q_dedup_near", "q_sim_ann", "q_text_quality", "q_stream_session")
+
+  /** Materialize every output column of `df` (codegen'd hash, no collect). */
+  private def consume(df: DataFrame): Unit = {
+    val all = df.columns.map(col).toIndexedSeq
+    df.agg(sum(xxhash64(all: _*))).collect()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,15 +49,23 @@ object Bench {
     // timed query doesn't absorb ~5s of one-time setup.
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val perQuery = results
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_queries.json"),
+      perQuery.getBytes("UTF-8"))
+    val times = results.toMap
+    val hl = headline.filter(times.contains)
+      .map(k => s"\"" + k + "\":" + f"${times(k)}%.3f")
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$hl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

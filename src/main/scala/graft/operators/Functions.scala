@@ -28,7 +28,9 @@ object Functions {
         regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("repl"),
         lpad(col("c_custkey").cast("string"), 6, "0").as("padded"),
         trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"),
-        split(col("c_name"), "#").as("parts"))
+        // joined to a string (not a raw array) so the driver's pandas-based
+        // hash compare can sort the column.
+        array_join(split(col("c_name"), "#"), "|").as("parts"))
     }),
 
     // F2: regexp extract / match / replace (POSIX-overlap patterns only).
@@ -129,7 +131,7 @@ object Functions {
         |  replace(c_name, 'Customer', 'Cust') AS repl,
         |  lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS padded,
         |  trim('  ' || c_mktsegment || '  ') AS trimmed,
-        |  string_split(c_name, '#') AS parts
+        |  array_to_string(string_split(c_name, '#'), '|') AS parts
         |FROM customer ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_regexp" ->
       """SELECT c_custkey,

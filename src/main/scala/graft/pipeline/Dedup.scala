@@ -104,11 +104,16 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
-    // L1: exact dedup — keep the smallest doc_id per normalized text.
+    // L1: exact dedup — keep the smallest doc_id per normalized text. The
+    // window partitions on the 128-bit md5 of the normalized text, NOT the
+    // text itself, so the shuffle key is fixed-width (32 hex chars) and the
+    // document bodies never ride a wide exchange — the shape that survives
+    // 100 TB. (md5 rather than xxhash64 so the oracle reproduces the key;
+    // collision probability ~n²/2¹²⁹ is negligible.)
     "q_dedup_exact" -> ((s, dir) => {
-      val w = Window.partitionBy("norm").orderBy(col("doc_id"))
+      val w = Window.partitionBy("h").orderBy(col("doc_id"))
       T.documents(s, dir)
-        .withColumn("norm", normText(col("text")))
+        .withColumn("h", md5(normText(col("text"))))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("doc_id", "lang", "source")
@@ -152,7 +157,7 @@ object Dedup {
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
-        |    row_number() OVER (PARTITION BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |    row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
         |      ORDER BY doc_id) AS rn
         |  FROM documents) WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_exact_hash" ->

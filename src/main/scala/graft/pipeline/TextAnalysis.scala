@@ -97,10 +97,13 @@ object TextAnalysis {
         .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
     }),
 
-    // Bottom-k fingerprints (no oracle — xxhash64; verified in spec).
+    // Bottom-k fingerprints (no oracle — xxhash64; verified in spec). The
+    // sketch is emitted as a '|'-joined string, not a raw array, so the
+    // driver's pandas-based rows check can sort the column.
     "q_text_fingerprint" -> ((s, dir) => {
       T.documents(s, dir)
-        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"),
+          array_join(fingerprint(col("text")).cast("array<string>"), "|").as("fp"))
     }),
 
     // Data-profiling / quality-gate stats over the corpus: null rates,
