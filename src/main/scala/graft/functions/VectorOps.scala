@@ -1,0 +1,118 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the similarity hot path (SURVEY.md §2.10
+  * L3): cosine similarity and random-hyperplane LSH bucketing over embedding
+  * columns.
+  *
+  * The higher-order-function formulations (`aggregate(zip_with(...))` for the
+  * dot product, nested `aggregate` over planes × dims for the bucket) evaluate
+  * one interpreted lambda per element — for a 64-dim vector × 8 planes that is
+  * ~1500 lambda dispatches per row, the same cost class the MinHash path
+  * already eliminated (see [[TextHashes]]). These expressions run the identical
+  * arithmetic in one compiled loop per row.
+  *
+  * Determinism: hyperplane components are derived from Spark's own XXH64
+  * (seed 42, the `xxhash64` chain order), so buckets are stable across runs,
+  * JVMs, and cluster sizes, and [[CosineSim]] accumulates in index order —
+  * bit-identical to the sequential `list_sum` the DuckDB oracle evaluates.
+  */
+object VectorOps {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** Exact cosine similarity of two float/double-array columns, double math,
+    * index-order accumulation. 0.0 when either norm is zero.
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+
+  /** Sign-pattern LSH bucket of a vector: bit p of the result is the sign of
+    * the projection onto pseudo-random hyperplane `table * planes + p`.
+    * Distinct `table` values give independent hash tables (multi-table LSH).
+    */
+  def cosineLshBucket(vec: Column, planes: Int = 8, table: Int = 0): Column =
+    column(CosineLshBucket(expression(vec), planes, table))
+
+  private[functions] def toDoubles(ad: ArrayData, elem: DataType): Array[Double] =
+    elem match {
+      case DoubleType => ad.toDoubleArray()
+      case FloatType =>
+        val f = ad.toFloatArray()
+        val out = new Array[Double](f.length)
+        var i = 0
+        while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+        out
+      case other =>
+        throw new IllegalArgumentException(
+          s"vector element type must be float or double, got $other")
+    }
+
+  private[functions] def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(et, _) => et
+    case other =>
+      throw new IllegalArgumentException(s"expected an array column, got $other")
+  }
+}
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = VectorOps.toDoubles(l.asInstanceOf[ArrayData], VectorOps.elemType(left))
+    val b = VectorOps.toDoubles(r.asInstanceOf[ArrayData], VectorOps.elemType(right))
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) java.lang.Double.valueOf(0.0)
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+case class CosineLshBucket(child: Expression, planes: Int, table: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+  require(table >= 0, s"table must be >= 0, got $table")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cosine_lsh_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = VectorOps.toDoubles(input.asInstanceOf[ArrayData],
+      VectorOps.elemType(child))
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      // Global plane index: distinct tables draw disjoint hyperplane sets.
+      val seed = XXH64.hashInt(table * planes + p, 42L)
+      var proj = 0.0
+      var d = 0
+      while (d < v.length) {
+        // Component ~ uniform[-0.5, 0.5): pmod(xxhash64(plane, dim), 1e5)/1e5 - 0.5
+        val h = XXH64.hashInt(d, seed)
+        proj += v(d) * ((((h % 100000L) + 100000L) % 100000L).toDouble / 100000.0 - 0.5)
+        d += 1
+      }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CosineLshBucket =
+    copy(child = c)
+}

@@ -11,39 +11,27 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: brute force is O(|Q|·|N|) — fine for a handful of probe
   * queries, hopeless at 100 TB. The LSH path buckets vectors by the sign
-  * pattern of `planes` pseudo-random hyperplane projections (fixed xxhash64-
-  * derived components ⇒ deterministic, no stored model): one narrow shuffle
-  * on (bucket), candidate sets ~n/2^planes, exact rerank inside buckets.
-  * All vector math is Catalyst higher-order functions over the array column —
-  * codegen'd, no UDFs, works on any Array[Float] column.
+  * pattern of pseudo-random hyperplane projections (fixed xxhash64-derived
+  * components ⇒ deterministic, no stored model): `tables` independent hash
+  * tables of `planes` sign bits each, plus 1-bit-flip multi-probe on the
+  * query side, so recall doesn't cliff off a single unlucky bucket. One
+  * narrow equi-join on (table, bucket), candidate sets ~tables·(planes+1)·
+  * n/2^planes, exact rerank on candidates only. All vector math is native
+  * Catalyst expressions ([[graft.functions.CosineSim]] /
+  * [[graft.functions.CosineLshBucket]]) — one compiled loop per row, no
+  * interpreted per-element lambdas, no UDFs.
   */
 object Similarity {
+  import graft.functions.VectorOps.{cosineLshBucket, cosineSim}
 
   /** Exact cosine similarity of two float-array columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    def fold(xs: Column) = aggregate(xs, lit(0.0), (acc, v) => acc + v)
-    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-    val na = sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
-    val nb = sqrt(fold(transform(b, x => x.cast("double") * x.cast("double"))))
-    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column = cosineSim(a, b)
 
-  /** Pseudo-random hyperplane component for (plane p, dimension d): uniform
-    * in [-0.5, 0.5), derived from xxhash64 — no stored model, same plane on
-    * every executor.
+  /** LSH bucket id of a vector: sign bits of `planes` hyperplane projections
+    * (table 0 of the multi-table scheme).
     */
-  private def planeComponent(p: Column, d: Column): Column =
-    (pmod(xxhash64(p, d), lit(100000L)).cast("double") / 100000.0) - 0.5
-
-  /** LSH bucket id of a vector: sign bits of `planes` hyperplane projections. */
   def lshBucket(vec: Column, planes: Int = 8): Column =
-    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) => {
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(p, d)),
-        lit(0.0), (a, v) => a + v)
-      acc + when(proj >= 0, call_function("shiftleft", lit(1L), p)).otherwise(0L)
-    })
+    cosineLshBucket(vec, planes)
 
   /** Exact top-k neighbors for each row of `queries` (qid, qvec) among
     * `corpus` (id, vec), ranked by cosine rounded to 6 (deterministic).
@@ -59,19 +47,39 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
-  /** ANN top-k: candidates restricted to the query's LSH bucket, exact
-    * cosine rerank inside the bucket. One equi-join on bucket instead of a
-    * cross join — the 100 TB path.
+  /** ANN top-k: candidates restricted to the query's LSH buckets, exact
+    * cosine rerank on candidates only. One equi-join on (table, bucket)
+    * instead of a cross join — the 100 TB path.
+    *
+    * Recall comes from two standard knobs instead of one giant bucket:
+    * `tables` independent hyperplane sets (a true neighbor only needs to
+    * collide in ONE of them), and 1-bit-flip multi-probe on the query side
+    * (`multiProbe`), which rescues neighbors that disagree on exactly one
+    * plane. The corpus is indexed `tables`× (the write-side cost of any
+    * multi-table ANN index); only the small query side fans out by the
+    * probe count. Candidate pairs found by several tables are collapsed by
+    * `dropDuplicates(qid, vec_id)` before the rerank pays for cosine.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 8): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
-    val cb = corpus.withColumn("bucket", lshBucket(col("vec"), planes))
+      planes: Int = 8, tables: Int = 4, multiProbe: Boolean = true): DataFrame = {
+    // (table, bucket) packed into one long join key: bucket < 2^planes.
+    def key(t: Int, b: Column): Column = lit(t.toLong * (1L << planes)) + b
+    val cb = corpus.withColumn("tb", explode(array(
+      (0 until tables).map(t => key(t, cosineLshBucket(col("vec"), planes, t))): _*)))
+    val probeKeys = (0 until tables).flatMap { t =>
+      val b0 = cosineLshBucket(col("qvec"), planes, t)
+      val base = key(t, b0)
+      if (multiProbe)
+        base +: (0 until planes).map(bit => key(t, b0.bitwiseXOR(lit(1L << bit))))
+      else Seq(base)
+    }
+    val qb = queries.withColumn("tb", explode(array(probeKeys: _*)))
     val w = Window.partitionBy("qid")
       .orderBy(col("sim").desc, col("vec_id"))
-    qb.join(cb, Seq("bucket"))
+    qb.join(cb, Seq("tb"))
       .filter(col("qid") =!= col("vec_id"))
-      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 6))
+      .dropDuplicates("qid", "vec_id")
+      .withColumn("sim", round(cosineSim(col("qvec"), col("vec")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "sim")

@@ -80,6 +80,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.length === 1 && res(0).getLong(2) === 999L && res(0).getDouble(3) === 1.0)
   }
 
+  test("ANN recall: >=0.9 on planted near-duplicates at production params") {
+    // Production-shaped check: a near-duplicate (cos ~0.99+) must survive the
+    // default planes=8 / tables=4 / multi-probe index with near-certainty
+    // (per-plane agreement ~0.95 ⇒ per-table ≤1-flip ~0.95, miss ~(0.05)^4).
+    import spark.implicits._
+    val e = T.embeddings(spark, sf)
+    val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+    val rnd = new scala.util.Random(7)
+    val planted = corpus.filter(col("vec_id") < 20).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray
+      val noisy = v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f * math.abs(x).max(0.1f))
+      (r.getLong(0) + 10000L, noisy)
+    }
+    val probes = planted.toSeq.toDF("qid", "qvec")
+    val hits = Similarity.annTopK(probes, corpus, 1).collect()
+      .filter(r => r.getLong(2) === r.getLong(0) - 10000L && r.getDouble(3) > 0.95)
+    assert(hits.length >= 18, s"found ${hits.length}/20 planted near-duplicates")
+  }
+
+  test("ANN recall vs brute-force top-5 >= 0.8 with wide test-sized params") {
+    // Whole-ranking recall on this 500-vector fixture, where "neighbors" are
+    // near-random (top-5 cosine ~0.25-0.4): per-plane agreement is only ~0.6,
+    // so the test uses few planes + more tables (the knobs a 500-row corpus
+    // would actually use; production sizes them up with the data).
+    val e = T.embeddings(spark, sf)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+    val brute = Similarity.bruteForceTopK(probes, corpus, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = Similarity.annTopK(probes, corpus, 5, planes = 3, tables = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall (${(brute & ann).size}/${brute.size})")
+  }
+
   test("langId picks the language with most stopword hits; ties deterministic") {
     import spark.implicits._
     val df = Seq(
