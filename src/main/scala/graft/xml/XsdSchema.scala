@@ -18,8 +18,17 @@ import scala.xml.{Node, XML}
   * Parity-locked semantics (each row cites the reference behavior):
   *  - named/inline complexType → struct; inline types get the synthesized
   *    name `<element>Type` (`XMLToAvroSchema.scala:282-298`)
-  *  - sequence / nested sequence / all → flattened field list; choice and
-  *    substitution groups unsupported (`XMLToAvroSchema.scala:247-249,329-331`)
+  *  - sequence / nested sequence / all → flattened field list; substitution
+  *    groups unsupported (`XMLToAvroSchema.scala:247-249,329-331`)
+  *
+  * Deliberate improvements over reference parity (the reference TODOs at
+  * `XMLToAvroSchema.scala:329-331` reject these outright):
+  *  - `xs:choice` → every branch becomes a nullable field regardless of its
+  *    own minOccurs; exactly one is populated per record. A strict superset
+  *    encoding: any document the reference could read is unchanged, and
+  *    choice-bearing schemas (ubiquitous in real XSDs) now work.
+  *  - `xs:union` member types collapse to StringType — the only Spark type
+  *    that can hold every member's lexical form without loss.
   *  - simpleType restriction → its base primitive; enumeration symbols are
   *    dropped (degenerate enum, `XMLToAvroSchema.scala:69-81`; runtime treats
   *    enums as strings, `AvroTransormer.scala:202`)
@@ -56,7 +65,7 @@ object XsdSchema {
 
   private case class Attr(name: String, tpe: (String, String), required: Boolean)
   private case class Elem(name: String, tpe: (String, String), minOccurs: String,
-      maxOccurs: String)
+      maxOccurs: String, fromChoice: Boolean = false)
   private case class Complex(elements: Seq[Elem], attrs: Seq[Attr],
       simpleContentBase: Option[(String, String)])
 
@@ -113,14 +122,18 @@ object XsdSchema {
         required = (a \@ "use") == "required")
     }
 
-    // Collect element children of sequence/all nodes, flattening nested
-    // sequences (":247-249") WITHOUT descending into child elements' own
-    // inline complexTypes.
-    def seqElements(n: Node): Seq[(Node, Node)] = n.child.flatMap {
-      case e if e.label == "element" => Seq((e, n))
-      case s if s.label == "sequence" || s.label == "all" => seqElements(s)
-      case _ => Nil
-    }.toSeq
+    // Collect element children of sequence/all/choice nodes, flattening
+    // nested compositors (":247-249") WITHOUT descending into child elements'
+    // own inline complexTypes. Elements reached through ANY choice ancestor
+    // are flagged: their fields must be nullable (only one branch appears).
+    def seqElements(n: Node, inChoice: Boolean): Seq[(Node, Node, Boolean)] =
+      n.child.flatMap {
+        case e if e.label == "element" => Seq((e, n, inChoice))
+        case s if s.label == "sequence" || s.label == "all" =>
+          seqElements(s, inChoice)
+        case c if c.label == "choice" => seqElements(c, inChoice = true)
+        case _ => Nil
+      }.toSeq
 
     def registerComplex(name: String, ct: Node): Unit = {
       val simpleContentExt = (ct \ "simpleContent" \ "extension").headOption
@@ -130,20 +143,24 @@ object XsdSchema {
             Complex(Nil, shallowAttrs(ext), Some(typeRef(ext, ext \@ "base")))
         case None =>
           val attrs = shallowAttrs(ct)
-          val seqNodes = (ct \ "sequence") ++ (ct \ "all")
-          val elems = seqNodes.flatMap(seqElements).map { case (e, seq) =>
+          val seqNodes = (ct \ "sequence") ++ (ct \ "all") ++ (ct \ "choice")
+          val elems = seqNodes
+            .flatMap(n => seqElements(n, n.label == "choice"))
+            .map { case (e, seq, inChoice) =>
               val elemName = e \@ "name"
               val tpe = (e \@ "type") match {
                 case "" =>
                   // Anonymous inline complexType/simpleType.
                   val inlineComplex = (e \ "complexType").headOption
                   val inlineSimple = (e \ "simpleType" \ "restriction").headOption
-                  (inlineComplex, inlineSimple) match {
-                    case (Some(ic), _) =>
+                  val inlineUnion = (e \ "simpleType" \ "union").headOption
+                  (inlineComplex, inlineSimple, inlineUnion) match {
+                    case (Some(ic), _, _) =>
                       val genName = elemName + "Type"
                       registerComplex(genName, ic)
                       (tns, genName)
-                    case (_, Some(r)) => typeRef(r, r \@ "base")
+                    case (_, Some(r), _) => typeRef(r, r \@ "base")
+                    case (_, _, Some(_)) => (XsdNs, "string")
                     case _ => throw new IllegalArgumentException(
                       s"element $elemName has neither type nor inline type")
                   }
@@ -154,7 +171,7 @@ object XsdSchema {
               def card(attr: String): String =
                 e.attribute(attr).map(_.text)
                   .orElse(seq.attribute(attr).map(_.text)).getOrElse("1")
-              Elem(elemName, tpe, card("minOccurs"), card("maxOccurs"))
+              Elem(elemName, tpe, card("minOccurs"), card("maxOccurs"), inChoice)
           }
           tables.complex((tns, name)) = Complex(elems, attrs, None)
       }
@@ -162,8 +179,11 @@ object XsdSchema {
 
     (root \ "complexType").foreach(ct => registerComplex(ct \@ "name", ct))
     (root \ "simpleType").foreach { st =>
-      (st \ "restriction").headOption.foreach { r =>
-        tables.simple((tns, st \@ "name")) = typeRef(r, r \@ "base")
+      (st \ "restriction").headOption match {
+        case Some(r) => tables.simple((tns, st \@ "name")) = typeRef(r, r \@ "base")
+        case None => (st \ "union").headOption.foreach { _ =>
+          tables.simple((tns, st \@ "name")) = (XsdNs, "string")
+        }
       }
     }
     // Top-level elements with inline anonymous types (Venetian Blind roots).
@@ -199,7 +219,9 @@ object XsdSchema {
     }
     val elemFields = c.elements.map { e =>
       val inner = resolve(tables, e.tpe, stack)
-      val nullable = e.minOccurs match {
+      // Choice branches are nullable no matter what they declare: at most one
+      // of the siblings appears in any record.
+      val nullable = if (e.fromChoice) true else e.minOccurs match {
         case "0" => true
         case "1" => false
         case other => throw new IllegalArgumentException(

@@ -159,6 +159,40 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).getString(1) === "ok" && rows(1).isNullAt(1))
   }
 
+  test("xs:choice records read end-to-end: populated branch set, others null") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlchoice").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "p.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="paymentType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:long" name="order_id"/>
+        |      <xs:choice>
+        |        <xs:element type="xs:string" name="card_number"/>
+        |        <xs:element type="xs:string" name="iban"/>
+        |      </xs:choice>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      """<payments>
+        |  <payment><order_id>1</order_id><card_number>4111-x</card_number></payment>
+        |  <payment><order_id>2</order_id><iban>DE89-y</iban></payment>
+        |</payments>""".stripMargin)
+    val rows = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "payment")
+      .option("xml.separator.tag.type", "paymentType")
+      .load(dataDir.getAbsolutePath)
+      .orderBy("order_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("card_number") === "4111-x")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("iban")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("card_number")))
+    assert(rows(1).getAs[String]("iban") === "DE89-y")
+  }
+
   test("missing required option yields a clear error naming the key") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft.xml")

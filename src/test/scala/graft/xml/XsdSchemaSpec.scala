@@ -136,6 +136,75 @@ class XsdSchemaSpec extends AnyFunSuite {
     assert(st("inner").dataType.asInstanceOf[StructType]("v").dataType === DoubleType)
   }
 
+  test("xs:choice: every branch becomes a nullable field (improvement over reference)") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdchoice").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "c.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="paymentType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:long" name="order_id"/>
+        |      <xs:choice>
+        |        <xs:element type="xs:string" name="card_number"/>
+        |        <xs:element type="xs:string" name="iban"/>
+        |        <xs:element type="cashType" name="cash"/>
+        |      </xs:choice>
+        |      <xs:element type="xs:double" name="amount"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |  <xs:complexType name="cashType">
+        |    <xs:sequence><xs:element type="xs:string" name="currency"/></xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "paymentType")
+    assert(st === StructType(Seq(
+      StructField("order_id", LongType, nullable = false),
+      StructField("card_number", StringType, nullable = true),
+      StructField("iban", StringType, nullable = true),
+      StructField("cash", StructType(Seq(
+        StructField("currency", StringType, nullable = false))), nullable = true),
+      StructField("amount", DoubleType, nullable = false))))
+  }
+
+  test("xs:choice as the whole content model; nested choice inside sequence") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdchoice2").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "c.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="eventType">
+        |    <xs:choice>
+        |      <xs:element type="xs:string" name="click"/>
+        |      <xs:element type="xs:string" name="view" minOccurs="1"/>
+        |    </xs:choice>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "eventType")
+    // minOccurs=1 on a branch still yields nullable: only one branch appears.
+    assert(st === StructType(Seq(
+      StructField("click", StringType, nullable = true),
+      StructField("view", StringType, nullable = true))))
+  }
+
+  test("xs:union (named and inline) collapses to string") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdunion").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "u.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:simpleType name="intOrWord">
+        |    <xs:union memberTypes="xs:int xs:string"/>
+        |  </xs:simpleType>
+        |  <xs:complexType name="uType">
+        |    <xs:sequence>
+        |      <xs:element type="intOrWord" name="named"/>
+        |      <xs:element name="inline">
+        |        <xs:simpleType><xs:union memberTypes="xs:date xs:long"/></xs:simpleType>
+        |      </xs:element>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "uType")
+    assert(st === StructType(Seq(
+      StructField("named", StringType, nullable = false),
+      StructField("inline", StringType, nullable = false))))
+  }
+
   test("maxOccurs=5 (any non-1) becomes an array") {
     val dir = java.nio.file.Files.createTempDirectory("xsdmax").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "m.xsd").toPath,
