@@ -23,6 +23,12 @@ import org.apache.spark.util.SerializableConfiguration
   *   - `xml.separator.tag.type.ns`  — its namespace ("" for none)
   *   - `xml.schema.location`        — directory of XSD files
   *
+  * Extras beyond the reference's surface (all default-off for parity):
+  *   - `mode=DROPMALFORMED`         — skip corrupt records (count surfaces as
+  *                                    a named accumulator in the Spark UI)
+  *   - `xml.decimal.as.decimal=true` — xs:decimal ⇒ DecimalType(38,18)
+  *   - `xml.namespace.aware=true`   — strict element-namespace matching
+  *
   * Scale design:
   *  - `isSplitable = false`: the reference's reader ignores split offsets and
   *    opens the whole file (`AvroFromXmlInputFormat.scala:49,52-58`), i.e.
@@ -46,7 +52,8 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       options: Map[String, String],
       files: Seq[FileStatus]): Option[StructType] = {
     val (schemaDir, _, typeNs, typeName) = requiredOptions(options)
-    Some(XsdSchema.structTypeFor(schemaDir, typeNs, typeName))
+    Some(XsdSchema.structTypeFor(schemaDir, typeNs, typeName,
+      decimalAsDecimal = boolOpt(options, "xml.decimal.as.decimal")))
   }
 
   override def prepareWrite(sparkSession: SparkSession, job: Job,
@@ -62,11 +69,20 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       requiredSchema: StructType, filters: Seq[Filter],
       options: Map[String, String],
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
-    val (_, separatorTag, _, _) = requiredOptions(options)
+    val (_, separatorTag, typeNs, _) = requiredOptions(options)
     // mode=FAILFAST (default; reference parity) | DROPMALFORMED (skip bad
     // records — the 100 TB posture, matching csv/json source conventions).
     val dropMalformed =
       options.getOrElse("mode", "FAILFAST").equalsIgnoreCase("DROPMALFORMED")
+    // xml.namespace.aware=true: strict element-namespace matching against the
+    // record type's namespace (default: reference's local-name-only matching).
+    val nsUri =
+      if (boolOpt(options, "xml.namespace.aware")) Some(typeNs) else None
+    // Per-scan named accumulator: dropped-record counts surface in the Spark
+    // UI per stage, so corruption rates at scale are observable, not silent.
+    val dropped = sparkSession.sparkContext.longAccumulator(
+      "graft.xml: malformed records dropped")
+    XmlFileFormat.lastDroppedCounter = Some(dropped)
     val confBroadcast = sparkSession.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
     (file: PartitionedFile) => {
@@ -75,12 +91,25 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       // 256 KiB buffer: StAX pulls small chunks; unbuffered FSDataInputStream
       // reads would hit the filesystem per chunk.
       val in = new java.io.BufferedInputStream(fs.open(path), 256 * 1024)
-      new XmlRecordIterator(in, requiredSchema, separatorTag, dropMalformed)
+      new XmlRecordIterator(in, requiredSchema, separatorTag, dropMalformed,
+        nsUri, () => dropped.add(1))
     }
   }
 }
 
 object XmlFileFormat {
+
+  /** Handle to the most recent scan's dropped-record accumulator — the
+    * programmatic twin of the Spark-UI named accumulator (FileFormat V1 has
+    * no SQLMetric surface). Driver-side only; used by tests and ingest jobs
+    * that want the corruption count after an action.
+    */
+  @volatile var lastDroppedCounter:
+      Option[org.apache.spark.util.LongAccumulator] = None
+
+  private def boolOpt(options: Map[String, String], key: String): Boolean =
+    options.get(key).exists(_.equalsIgnoreCase("true"))
+
   /** The reference `require`s the same four keys (AvroFromXmlInputFormat.scala:33-43). */
   private def requiredOptions(options: Map[String, String]):
       (String, String, String, String) = {

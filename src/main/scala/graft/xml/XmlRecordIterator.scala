@@ -38,8 +38,21 @@ import scala.collection.mutable
   * from the FileFormat drives this walk, so unprojected subtrees are never
   * materialized (SURVEY.md §4.1 "column pruning inside the XML parser").
   */
+/** @param namespaceUri when set (reader option `xml.namespace.aware=true`),
+  *   only elements whose namespace URI equals this value ("" = no namespace)
+  *   match schema fields or the separator tag; same-local-name elements from
+  *   other namespaces are skipped subtree-wise. Default `None` keeps the
+  *   reference's local-name-only matching (`AvroTransormer.scala:106,143`).
+  *   Attributes stay local-name-matched in both modes (qualified attributes
+  *   are rare and the reference ignores attribute namespaces too).
+  * @param onDropped invoked once per record discarded by DROPMALFORMED — the
+  *   FileFormat wires a named LongAccumulator here so a 100 TB ingest can
+  *   report its corruption rate in the Spark UI instead of dropping silently.
+  */
 final class XmlRecordIterator(input: InputStream, schema: StructType,
-    separatorTag: String, dropMalformed: Boolean = false)
+    separatorTag: String, dropMalformed: Boolean = false,
+    namespaceUri: Option[String] = None,
+    onDropped: () => Unit = () => ())
     extends Iterator[InternalRow] {
 
   private val factory = {
@@ -92,10 +105,18 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
     val r = nextRecord; nextRecord = null; r
   }
 
+  /** True when the current START_ELEMENT's namespace passes the (optional)
+    * strict-namespace check.
+    */
+  private def nsMatches(): Boolean = namespaceUri match {
+    case None => true
+    case Some(ns) => Option(reader.getNamespaceURI).getOrElse("") == ns
+  }
+
   private def advance(): Unit = {
     while (reader.hasNext) {
       if (nextEvent() == XMLStreamConstants.START_ELEMENT &&
-          reader.getLocalName == separatorTag) {
+          reader.getLocalName == separatorTag && nsMatches()) {
         val recordDepth = depth // depth of the separator element itself
         try {
           nextRecord = parseStruct(schema)
@@ -103,6 +124,7 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
         } catch {
           case e: javax.xml.stream.XMLStreamException => throw e // stream dead
           case e: Exception if dropMalformed =>
+            onDropped()
             // unwind whatever is left of this record, then keep scanning
             while (depth >= recordDepth && reader.hasNext) nextEvent()
         }
@@ -135,8 +157,9 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
     while (!done && reader.hasNext) {
       nextEvent() match {
         case XMLStreamConstants.START_ELEMENT =>
-          val idxBoxed = fieldIndex(st, reader.getLocalName)
-          if (idxBoxed == null) skipSubtree() // pruned or undeclared: never built
+          val idxBoxed =
+            if (nsMatches()) fieldIndex(st, reader.getLocalName) else null
+          if (idxBoxed == null) skipSubtree() // pruned, undeclared, or wrong ns
           else {
             val idx = idxBoxed.intValue()
             st(idx).dataType match {
@@ -204,6 +227,8 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
       case FloatType => java.lang.Float.parseFloat(s)
       case DoubleType => java.lang.Double.parseDouble(s)
       case BooleanType => java.lang.Boolean.parseBoolean(s)
+      case dt: DecimalType => // xml.decimal.as.decimal=true path
+        Decimal(new java.math.BigDecimal(s), dt.precision, dt.scale)
       case other => throw new IllegalArgumentException(
         s"unsupported leaf type in XML schema: $other")
     }

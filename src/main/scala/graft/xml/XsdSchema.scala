@@ -79,12 +79,20 @@ object XsdSchema {
     * `HFSReader.scala:15`), then build the StructType rooted at the
     * separator tag's type `(rootTypeNs, rootTypeName)`
     * (`XmlAvroHelper.scala:97-102`).
+    *
+    * `decimalAsDecimal` (reader option `xml.decimal.as.decimal`) maps
+    * `xs:decimal` to `DecimalType(38,18)` instead of the parity-locked lossy
+    * DoubleType (`XMLToAvroSchema.scala:41`) — SURVEY §1.3's opt-in
+    * improvement; money columns at 100 TB want exact decimals.
     */
   def structTypeFor(xsdDir: String, rootTypeNs: String,
-      rootTypeName: String): StructType = {
+      rootTypeName: String, decimalAsDecimal: Boolean = false): StructType = {
     val tables = new SymbolTables
     listXsdFiles(xsdDir).foreach(f => parseSchemaFile(XML.loadFile(f), tables))
-    resolve(tables, (rootTypeNs, rootTypeName), Nil) match {
+    val prims =
+      if (decimalAsDecimal) primitives + ("decimal" -> DecimalType(38, 18))
+      else primitives
+    resolve(tables, prims, (rootTypeNs, rootTypeName), Nil) match {
       case st: StructType => st
       case other => throw new IllegalArgumentException(
         s"separator tag type ($rootTypeNs, $rootTypeName) is not a complex type: $other")
@@ -194,31 +202,31 @@ object XsdSchema {
     }
   }
 
-  private def resolve(tables: SymbolTables, key: (String, String),
-      stack: List[(String, String)]): DataType = {
+  private def resolve(tables: SymbolTables, prims: Map[String, DataType],
+      key: (String, String), stack: List[(String, String)]): DataType = {
     if (stack.contains(key)) throw new IllegalArgumentException(
       s"recursive XSD type not supported: $key (via ${stack.reverse.mkString(" -> ")})")
     val (ns, name) = key
     if (ns == XsdNs) {
-      primitives.getOrElse(name, throw new IllegalArgumentException(
+      prims.getOrElse(name, throw new IllegalArgumentException(
         s"unsupported XSD primitive: $name"))
     } else tables.simple.get(key) match {
-      case Some(base) => resolve(tables, base, key :: stack)
+      case Some(base) => resolve(tables, prims, base, key :: stack)
       case None => tables.complex.get(key) match {
-        case Some(c) => complexToStruct(tables, c, key :: stack)
-        case None if primitives.contains(name) => primitives(name)
+        case Some(c) => complexToStruct(tables, prims, c, key :: stack)
+        case None if prims.contains(name) => prims(name)
         case None => throw new IllegalArgumentException(s"unknown type: $key")
       }
     }
   }
 
-  private def complexToStruct(tables: SymbolTables, c: Complex,
-      stack: List[(String, String)]): StructType = {
+  private def complexToStruct(tables: SymbolTables, prims: Map[String, DataType],
+      c: Complex, stack: List[(String, String)]): StructType = {
     val valueField = c.simpleContentBase.map { base =>
-      StructField("_Value", resolve(tables, base, stack), nullable = false)
+      StructField("_Value", resolve(tables, prims, base, stack), nullable = false)
     }
     val elemFields = c.elements.map { e =>
-      val inner = resolve(tables, e.tpe, stack)
+      val inner = resolve(tables, prims, e.tpe, stack)
       // Choice branches are nullable no matter what they declare: at most one
       // of the siblings appears in any record.
       val nullable = if (e.fromChoice) true else e.minOccurs match {
@@ -235,7 +243,8 @@ object XsdSchema {
       StructField(e.name, tpe, nullable)
     }
     val attrFields = c.attrs.map { a =>
-      StructField(a.name, resolve(tables, a.tpe, stack), nullable = !a.required)
+      StructField(a.name, resolve(tables, prims, a.tpe, stack),
+        nullable = !a.required)
     }
     StructType(valueField.toSeq ++ elemFields ++ attrFields)
   }

@@ -154,9 +154,67 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
       .option("xml.separator.tag.type", "rType")
       .option("mode", "DROPMALFORMED")
       .load(dataDir.getAbsolutePath)
-    val rows = df.orderBy("n").collect()
+    // single-scan action (no orderBy): accumulator updates count once per
+    // scan execution, so a sort's sampling pass would double them.
+    val rows = df.collect().sortBy(_.getInt(0))
     assert(rows.map(_.getInt(0)).toSeq === Seq(1, 3))
     assert(rows(0).getString(1) === "ok" && rows(1).isNullAt(1))
+    // both dropped records are counted, not silently discarded
+    assert(XmlFileFormat.lastDroppedCounter.map(_.value) === Some(2L))
+  }
+
+  test("xml.decimal.as.decimal=true: price reads as exact BigDecimal") {
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", s"$base/library/schema")
+      .option("xml.separator.tag", "item")
+      .option("xml.separator.tag.type", "itemType")
+      .option("xml.decimal.as.decimal", "true")
+      .load(s"$base/library/data")
+    val r = df.filter(org.apache.spark.sql.functions.col("sku") === "SKU-001")
+      .select("price").collect()(0)
+    val got = r.getDecimal(0)
+    assert(got.compareTo(new java.math.BigDecimal("54.90")) === 0, s"got $got")
+  }
+
+  test("xml.namespace.aware=true distinguishes same-local-name elements by ns") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlns").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+        |    targetNamespace="http://example.org/good" elementFormDefault="qualified">
+        |  <xs:complexType name="recType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="id"/>
+        |      <xs:element type="xs:string" name="payload" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    // Two namespaces, same local names: g:payload must be read, b:payload
+    // skipped; the b:rec record element must not produce a record at all.
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      """<root xmlns:g="http://example.org/good" xmlns:b="http://example.org/bad">
+        |  <g:rec><g:id>1</g:id><g:payload>right</g:payload><b:payload>WRONG</b:payload></g:rec>
+        |  <b:rec><b:id>2</b:id><b:payload>WRONG</b:payload></b:rec>
+        |</root>""".stripMargin)
+    def read(aware: Boolean) = {
+      val r = spark.read.format("graft.xml")
+        .option("xml.schema.location", schemaDir.getAbsolutePath)
+        .option("xml.separator.tag", "rec")
+        .option("xml.separator.tag.type", "recType")
+        .option("xml.separator.tag.type.ns", "http://example.org/good")
+      (if (aware) r.option("xml.namespace.aware", "true") else r)
+        .load(dataDir.getAbsolutePath)
+    }
+    val aware = read(aware = true).orderBy("id").collect()
+    assert(aware.length === 1) // b:rec is not a record in strict mode
+    assert(aware(0).getString(0) === "1")
+    assert(aware(0).getString(1) === "right") // trailing b:payload skipped
+    // default (reference parity): namespace-blind — both recs read, and the
+    // trailing b:payload clobbers g:payload (last scalar occurrence wins)
+    val blind = read(aware = false).orderBy("id").collect()
+    assert(blind.length === 2)
+    assert(blind(0).getString(1) === "WRONG")
   }
 
   test("xs:choice records read end-to-end: populated branch set, others null") {

@@ -205,6 +205,16 @@ class XsdSchemaSpec extends AnyFunSuite {
       StructField("inline", StringType, nullable = false))))
   }
 
+  test("xml.decimal.as.decimal: xs:decimal maps to DecimalType(38,18) opt-in") {
+    val st = XsdSchema.structTypeFor(s"$base/library/schema", "", "itemType",
+      decimalAsDecimal = true)
+    assert(st("price").dataType === DecimalType(38, 18))
+    // everything else unchanged — and the default stays DoubleType
+    assert(st("isbn").dataType === LongType)
+    val def0 = XsdSchema.structTypeFor(s"$base/library/schema", "", "itemType")
+    assert(def0("price").dataType === DoubleType)
+  }
+
   test("maxOccurs=5 (any non-1) becomes an array") {
     val dir = java.nio.file.Files.createTempDirectory("xsdmax").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "m.xsd").toPath,
