@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * struct<mime,modality,byte_len>), partitioning, the `mapPartitions` batch
   * shape (the Scala analogue of `mapInPandas`: one iterator per partition, so
   * a real decoder would amortize model/codec init per partition, not per
-  * row). STUBBED (no image/audio codecs in the container): the actual decode
-  * — `decodeDims` derives deterministic fake dimensions from the payload
-  * hash; swap its body for a real codec (e.g. javax.imageio) in production.
+  * row) — and IMAGE decode: `decodeDims` reads real dimensions/channels from
+  * any JDK-supported format (PNG/JPEG/GIF/BMP/WBMP) via javax.imageio,
+  * header-only (no full-raster decode). STUBBED: non-image payloads (audio/
+  * video codecs aren't in the JDK) fall back to deterministic fake dims from
+  * the payload hash; `resize`/`sampleFrames` re-encode stubs likewise.
   */
 object Multimodal {
 
@@ -26,10 +28,39 @@ object Multimodal {
   case class MediaFeatures(media_id: Long, byte_len: Int, width: Int,
       height: Int, channels: Int)
 
-  /** STUB decoder: deterministic fake dimensions from a payload hash.
-    * Production would decode the codec header here.
+  /** Real header-only image decode for JDK-supported formats; deterministic
+    * fake dimensions (payload-hash stub) for everything else, so non-image
+    * payloads still flow through the pipeline shape.
     */
-  def decodeDims(content: Array[Byte]): (Int, Int, Int) = {
+  def decodeDims(content: Array[Byte]): (Int, Int, Int) =
+    imageDims(content).getOrElse(hashDims(content))
+
+  /** (width, height, channels) from the image header via javax.imageio —
+    * `ImageReader.getWidth/getHeight/getImageTypes` read metadata only, no
+    * full-raster decode, so this is cheap enough for a 100 TB scan.
+    */
+  def imageDims(content: Array[Byte]): Option[(Int, Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(content))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val w = r.getWidth(0); val h = r.getHeight(0)
+          val types = r.getImageTypes(0)
+          val channels = if (types.hasNext) types.next().getNumBands else 3
+          Some((w, h, channels))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally iis.close()
+  }
+
+  /** The non-image stub: deterministic fake dims from a payload hash. */
+  def hashDims(content: Array[Byte]): (Int, Int, Int) = {
     val h = java.util.Arrays.hashCode(content)
     (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1, 3)
   }

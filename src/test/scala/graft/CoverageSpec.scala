@@ -49,6 +49,26 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getSeq[String](2).toSeq === Seq("a", "b"))
   }
 
+  test("T2: sliding window emits each event in exactly windowSize/slide windows") {
+    import spark.implicits._
+    // planted events: a 1-hour window sliding every 15 min must place each
+    // event in exactly 4 windows, and per-window counts must match by hand.
+    val df = Seq(
+      "2024-05-01 10:00:00", // windows starting 09:15, 09:30, 09:45, 10:00
+      "2024-05-01 10:07:30",
+      "2024-05-01 10:31:00"  // windows starting 09:45, 10:00, 10:15, 10:30
+    ).toDF("s").select(to_timestamp(col("s")).as("ts"))
+    val agg = df.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "HH:mm").as("wstart"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // each of 3 events lands in exactly 4 windows
+    assert(agg.values.sum === 12L)
+    assert(agg === Map(
+      "09:15" -> 2, "09:30" -> 2, "09:45" -> 3, "10:00" -> 3,
+      "10:15" -> 1, "10:30" -> 1))
+  }
+
   test("S8: csv and json sinks round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("sinks").toFile
     val df = Tables.nation(spark, "/root/testdata/sf0.001")

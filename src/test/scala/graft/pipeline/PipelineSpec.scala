@@ -151,6 +151,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.forall(r => r.width >= 1 && r.height >= 1 && r.byte_len > 0))
   }
 
+  test("multimodal: real PNG payloads decode to exact dimensions via imageio") {
+    import spark.implicits._
+    // generate two tiny PNGs with known dims + one non-image payload
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF8800)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.imageDims(png(17, 9)) === Some((17, 9, 3)))
+    assert(Multimodal.imageDims("not an image".getBytes) === None)
+    // end-to-end through the partition-batched extractor
+    val media = Seq(
+      (1L, png(17, 9)), (2L, png(3, 44)), (3L, "plain bytes".getBytes))
+      .toDF("media_id", "content")
+      .withColumn("meta", struct(lit("image/png").as("mime"),
+        lit("image").as("modality"), length(col("content")).as("byte_len")))
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> ((f.width, f.height, f.channels))).toMap
+    assert(feats(1L) === ((17, 9, 3)))
+    assert(feats(2L) === ((3, 44, 3)))
+    assert(feats(3L) === Multimodal.hashDims("plain bytes".getBytes)) // fallback
+  }
+
   test("multimodal resize/frame-sample stubs keep byte accounting exact") {
     val media = Multimodal.mediaTable(spark, sf)
     val resized = Multimodal.resize(media, 640, 480).collect()
