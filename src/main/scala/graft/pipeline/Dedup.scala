@@ -140,6 +140,11 @@ object Dedup {
     // L2c: exact n-gram Jaccard on a bounded candidate set (same-source
     // pairs), SQL-portable → oracle-checked. Pairwise compare runs on hashed
     // shingle sets (same jaccard values, ~5× cheaper than string arrays).
+    // DELIBERATELY NOT THE SCALE PATH: the same-source self-join is n² in
+    // the hottest source key — it exists because DuckDB can reproduce it
+    // exactly (the oracle for the Jaccard arithmetic). Production near-dup
+    // at 100 TB routes through q_dedup_near's LSH candidate generator, which
+    // verifies with this same jaccardLong on ~n·bands candidates instead.
     "q_dedup_jaccard" -> ((s, dir) => {
       val d = T.documents(s, dir)
         .select(col("doc_id"), col("source"), hashedShingles(col("text")).as("sh"))

@@ -2,10 +2,10 @@ package graft.xml
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.hadoop.mapreduce.Job
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
@@ -56,10 +56,24 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       decimalAsDecimal = boolOpt(options, "xml.decimal.as.decimal")))
   }
 
+  /** Write path (improvement over the reference, whose SerDe never
+    * implements `serialize`): one XML document per task file, records
+    * delimited by `xml.separator.tag`, root element `xml.root.tag`
+    * (default "root"). See [[XmlOutputWriter]] for the encoding contract.
+    */
   override def prepareWrite(sparkSession: SparkSession, job: Job,
-      options: Map[String, String], dataSchema: StructType): OutputWriterFactory =
-    throw new UnsupportedOperationException(
-      "graft.xml is read-only (the reference SerDe has no serializer either)")
+      options: Map[String, String], dataSchema: StructType): OutputWriterFactory = {
+    val separatorTag = options.getOrElse("xml.separator.tag",
+      throw new IllegalArgumentException(
+        "graft.xml write requires option 'xml.separator.tag'"))
+    val rootTag = options.getOrElse("xml.root.tag", "root")
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String = ".xml"
+      override def newInstance(path: String, dataSchema: StructType,
+          context: TaskAttemptContext): OutputWriter =
+        new XmlOutputWriter(path, dataSchema, separatorTag, rootTag, context)
+    }
+  }
 
   override def isSplitable(sparkSession: SparkSession,
       options: Map[String, String], path: Path): Boolean = false
@@ -78,11 +92,15 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
     // record type's namespace (default: reference's local-name-only matching).
     val nsUri =
       if (boolOpt(options, "xml.namespace.aware")) Some(typeNs) else None
-    // Per-scan named accumulator: dropped-record counts surface in the Spark
-    // UI per stage, so corruption rates at scale are observable, not silent.
+    // Per-scan named accumulators: parsed/dropped counts surface in the
+    // Spark UI per stage, so scan progress and corruption rates at scale are
+    // observable, not silent.
     val dropped = sparkSession.sparkContext.longAccumulator(
       "graft.xml: malformed records dropped")
+    val parsed = sparkSession.sparkContext.longAccumulator(
+      "graft.xml: records parsed")
     XmlFileFormat.lastDroppedCounter = Some(dropped)
+    XmlFileFormat.lastParsedCounter = Some(parsed)
     val confBroadcast = sparkSession.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
     (file: PartitionedFile) => {
@@ -92,7 +110,7 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       // reads would hit the filesystem per chunk.
       val in = new java.io.BufferedInputStream(fs.open(path), 256 * 1024)
       new XmlRecordIterator(in, requiredSchema, separatorTag, dropMalformed,
-        nsUri, () => dropped.add(1))
+        nsUri, () => dropped.add(1), () => parsed.add(1))
     }
   }
 }
@@ -105,6 +123,10 @@ object XmlFileFormat {
     * that want the corruption count after an action.
     */
   @volatile var lastDroppedCounter:
+      Option[org.apache.spark.util.LongAccumulator] = None
+
+  /** Same handle for the records-parsed progress counter. */
+  @volatile var lastParsedCounter:
       Option[org.apache.spark.util.LongAccumulator] = None
 
   private def boolOpt(options: Map[String, String], key: String): Boolean =

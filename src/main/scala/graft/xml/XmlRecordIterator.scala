@@ -48,11 +48,16 @@ import scala.collection.mutable
   * @param onDropped invoked once per record discarded by DROPMALFORMED — the
   *   FileFormat wires a named LongAccumulator here so a 100 TB ingest can
   *   report its corruption rate in the Spark UI instead of dropping silently.
+  * @param onRecord invoked once per successfully parsed record — the scan
+  *   progress signal (the reference reports byte progress via
+  *   `ProgressCounter.java:5-35`; a record count per stage is the Spark-UI
+  *   analogue).
   */
 final class XmlRecordIterator(input: InputStream, schema: StructType,
     separatorTag: String, dropMalformed: Boolean = false,
     namespaceUri: Option[String] = None,
-    onDropped: () => Unit = () => ())
+    onDropped: () => Unit = () => (),
+    onRecord: () => Unit = () => ())
     extends Iterator[InternalRow] {
 
   private val factory = {
@@ -120,6 +125,7 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
         val recordDepth = depth // depth of the separator element itself
         try {
           nextRecord = parseStruct(schema)
+          onRecord()
           return
         } catch {
           case e: javax.xml.stream.XMLStreamException => throw e // stream dead

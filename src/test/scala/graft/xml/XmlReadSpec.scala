@@ -159,8 +159,10 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect().sortBy(_.getInt(0))
     assert(rows.map(_.getInt(0)).toSeq === Seq(1, 3))
     assert(rows(0).getString(1) === "ok" && rows(1).isNullAt(1))
-    // both dropped records are counted, not silently discarded
+    // both dropped records are counted, not silently discarded, and the
+    // progress counter reports the survivors
     assert(XmlFileFormat.lastDroppedCounter.map(_.value) === Some(2L))
+    assert(XmlFileFormat.lastParsedCounter.map(_.value) === Some(2L))
   }
 
   test("xml.decimal.as.decimal=true: price reads as exact BigDecimal") {
@@ -249,6 +251,26 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(0).isNullAt(rows(0).fieldIndex("iban")))
     assert(rows(1).isNullAt(rows(1).fieldIndex("card_number")))
     assert(rows(1).getAs[String]("iban") === "DE89-y")
+  }
+
+  test("write path: df.write.format(graft.xml) round-trips through the reader") {
+    val out = java.nio.file.Files.createTempDirectory("xmlwrite").toFile
+    val outPath = new java.io.File(out, "lib").getAbsolutePath
+    readLibrary.write.format("graft.xml")
+      .option("xml.separator.tag", "item")
+      .option("xml.root.tag", "library")
+      .mode("overwrite")
+      .save(outPath)
+    val files = new java.io.File(outPath).listFiles.filter(_.getName.endsWith(".xml"))
+    assert(files.nonEmpty)
+    val back = spark.read.format("graft.xml")
+      .option("xml.schema.location", s"$base/library/schema")
+      .option("xml.separator.tag", "item")
+      .option("xml.separator.tag.type", "itemType")
+      .load(outPath)
+    val orig = readLibrary.collect().map(_.toString).sorted
+    val rt = back.collect().map(_.toString).sorted
+    assert(rt.toSeq === orig.toSeq)
   }
 
   test("missing required option yields a clear error naming the key") {

@@ -47,17 +47,23 @@ class XmlThroughputSpec extends AnyFunSuite with BeforeAndAfterAll {
     read().count() // warm (schema infer + codegen)
     val n = (nFiles * recsPerFile).toLong
 
+    // best-of-3: the floor is a sanity gate, and single runs on a shared
+    // machine see 2×+ load spikes that aren't the scanner's fault.
+    def bestOf3(body: => Unit): Double = (0 until 3).map { _ =>
+      val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
+    }.min
+
     // full: forces parsing of scalar, array, and struct fields
-    val t0 = System.nanoTime()
-    val full = read().selectExpr("sum(length(title))", "count(price)",
-      "sum(size(tag))", "sum(size(review))", "count(sku)").collect()(0)
-    val fullSecs = (System.nanoTime() - t0) / 1e9
-    assert(full.getLong(4) === n)
+    val fullSecs = bestOf3 {
+      val full = read().selectExpr("sum(length(title))", "count(price)",
+        "sum(size(tag))", "sum(size(review))", "count(sku)").collect()(0)
+      assert(full.getLong(4) === n)
+    }
 
     // pruned: one attribute — the parser must skip all other subtrees
-    val t1 = System.nanoTime()
-    assert(read().selectExpr("count(sku)").collect()(0).getLong(0) === n)
-    val prunedSecs = (System.nanoTime() - t1) / 1e9
+    val prunedSecs = bestOf3 {
+      assert(read().selectExpr("count(sku)").collect()(0).getLong(0) === n)
+    }
 
     val rate = n / fullSecs
     info(f"full scan: $rate%.0f rec/s ($fullSecs%.2f s); pruned: ${n / prunedSecs}%.0f rec/s")
