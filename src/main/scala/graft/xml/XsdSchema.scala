@@ -29,6 +29,11 @@ import scala.xml.{Node, XML}
   *    choice-bearing schemas (ubiquitous in real XSDs) now work.
   *  - `xs:union` member types collapse to StringType — the only Spark type
   *    that can hold every member's lexical form without loss.
+  *  - `xs:element ref="..."` resolves against top-level element declarations
+  *    (cross-file), with cardinality read from the referencing site.
+  *  - substitution groups: a ref to a group head expands to one nullable
+  *    field per substitutable element (transitively), plus the head itself
+  *    unless it is `abstract` — the same nullable-branch encoding as choice.
   *  - simpleType restriction → its base primitive; enumeration symbols are
   *    dropped (degenerate enum, `XMLToAvroSchema.scala:69-81`; runtime treats
   *    enums as strings, `AvroTransormer.scala:202`)
@@ -64,14 +69,26 @@ object XsdSchema {
     "time" -> StringType)
 
   private case class Attr(name: String, tpe: (String, String), required: Boolean)
+  /** `ref`, when set, points at a top-level element declaration; `name`/`tpe`
+    * are then resolved at struct-build time (the target may live in another
+    * schema file not yet parsed).
+    */
   private case class Elem(name: String, tpe: (String, String), minOccurs: String,
-      maxOccurs: String, fromChoice: Boolean = false)
+      maxOccurs: String, fromChoice: Boolean = false,
+      ref: Option[(String, String)] = None)
   private case class Complex(elements: Seq[Elem], attrs: Seq[Attr],
       simpleContentBase: Option[(String, String)])
+  /** A top-level `<xs:element name=...>` declaration. */
+  private case class TopElem(name: String, tpe: (String, String),
+      isAbstract: Boolean)
 
   private class SymbolTables {
     val complex = mutable.Map[(String, String), Complex]()
     val simple = mutable.Map[(String, String), (String, String)]() // -> base
+    val topElems = mutable.Map[(String, String), TopElem]()
+    // substitution-group head -> directly substitutable element keys
+    val substGroups = mutable.Map[(String, String),
+      mutable.ArrayBuffer[(String, String)]]()
   }
 
   /** Parse every non-.avsc file in `xsdDir` (mirrors `parseXmlSchema`,
@@ -155,6 +172,18 @@ object XsdSchema {
           val elems = seqNodes
             .flatMap(n => seqElements(n, n.label == "choice"))
             .map { case (e, seq, inChoice) =>
+              // Cardinality: element attr, else enclosing compositor, else "1"
+              // (":300-310").
+              def card(attr: String): String =
+                e.attribute(attr).map(_.text)
+                  .orElse(seq.attribute(attr).map(_.text)).getOrElse("1")
+              val refAttr = e \@ "ref"
+              if (refAttr.nonEmpty) {
+                // Reference to a top-level element — resolved at build time
+                // (the declaration may live in a not-yet-parsed file).
+                Elem("", ("", ""), card("minOccurs"), card("maxOccurs"),
+                  inChoice, ref = Some(typeRef(e, refAttr)))
+              } else {
               val elemName = e \@ "name"
               val tpe = (e \@ "type") match {
                 case "" =>
@@ -174,12 +203,8 @@ object XsdSchema {
                   }
                 case ref => typeRef(e, ref)
               }
-              // Cardinality: element attr, else enclosing sequence, else "1"
-              // (":300-310").
-              def card(attr: String): String =
-                e.attribute(attr).map(_.text)
-                  .orElse(seq.attribute(attr).map(_.text)).getOrElse("1")
               Elem(elemName, tpe, card("minOccurs"), card("maxOccurs"), inChoice)
+              }
           }
           tables.complex((tns, name)) = Complex(elems, attrs, None)
       }
@@ -194,10 +219,32 @@ object XsdSchema {
         }
       }
     }
-    // Top-level elements with inline anonymous types (Venetian Blind roots).
+    // Top-level element declarations: Venetian Blind roots (inline anonymous
+    // types get `<name>Type`), ref targets, and substitution-group members.
     (root \ "element").foreach { e =>
-      (e \ "complexType").headOption.foreach { ct =>
-        registerComplex((e \@ "name") + "Type", ct)
+      val name = e \@ "name"
+      if (name.nonEmpty) {
+        val tpe = (e \@ "type") match {
+          case "" =>
+            val inlineComplex = (e \ "complexType").headOption
+            val inlineSimple = (e \ "simpleType" \ "restriction").headOption
+            val inlineUnion = (e \ "simpleType" \ "union").headOption
+            (inlineComplex, inlineSimple, inlineUnion) match {
+              case (Some(ct), _, _) =>
+                registerComplex(name + "Type", ct); (tns, name + "Type")
+              case (_, Some(r), _) => typeRef(r, r \@ "base")
+              case (_, _, Some(_)) => (XsdNs, "string")
+              case _ => (XsdNs, "string") // no type info: xs:anyType as text
+            }
+          case ref => typeRef(e, ref)
+        }
+        tables.topElems((tns, name)) =
+          TopElem(name, tpe, (e \@ "abstract") == "true")
+        val sg = e \@ "substitutionGroup"
+        if (sg.nonEmpty) {
+          tables.substGroups.getOrElseUpdate(typeRef(e, sg),
+            mutable.ArrayBuffer()) += ((tns, name))
+        }
       }
     }
   }
@@ -225,22 +272,61 @@ object XsdSchema {
     val valueField = c.simpleContentBase.map { base =>
       StructField("_Value", resolve(tables, prims, base, stack), nullable = false)
     }
-    val elemFields = c.elements.map { e =>
-      val inner = resolve(tables, prims, e.tpe, stack)
+    def mk(name: String, tpeKey: (String, String), nullable: Boolean,
+        maxOccurs: String): StructField = {
+      val inner = resolve(tables, prims, tpeKey, stack)
+      val tpe = maxOccurs match {
+        case "1" => inner
+        case _ => ArrayType(inner, containsNull = false)
+      }
+      StructField(name, tpe, nullable)
+    }
+    // Transitive closure of substitutable elements under a group head (a
+    // member may itself head another group).
+    def substMembers(head: (String, String)): Seq[(String, String)] = {
+      val out = mutable.LinkedHashSet[(String, String)]()
+      var frontier = tables.substGroups.get(head).map(_.toList).getOrElse(Nil)
+      while (frontier.nonEmpty) {
+        val k = frontier.head; frontier = frontier.tail
+        if (!out.contains(k)) {
+          out += k
+          frontier ++= tables.substGroups.get(k).map(_.toList).getOrElse(Nil)
+        }
+      }
+      out.toSeq
+    }
+    val elemFields = c.elements.flatMap { e =>
       // Choice branches are nullable no matter what they declare: at most one
       // of the siblings appears in any record.
-      val nullable = if (e.fromChoice) true else e.minOccurs match {
+      val baseNullable = if (e.fromChoice) true else e.minOccurs match {
         case "0" => true
         case "1" => false
         case other => throw new IllegalArgumentException(
           s"unsupported minOccurs=$other on ${e.name} (reference crashes here too, " +
             "XMLToAvroSchema.scala:122-125)")
       }
-      val tpe = e.maxOccurs match {
-        case "1" => inner
-        case _ => ArrayType(inner, containsNull = false)
+      e.ref match {
+        case None => Seq(mk(e.name, e.tpe, baseNullable, e.maxOccurs))
+        case Some(key) =>
+          val head = tables.topElems.getOrElse(key,
+            throw new IllegalArgumentException(
+              s"element ref to unknown top-level element: $key"))
+          val members = substMembers(key)
+          if (members.isEmpty) {
+            Seq(mk(head.name, head.tpe, baseNullable, e.maxOccurs))
+          } else {
+            // Substitution group: nullable-branch encoding (like choice) —
+            // any substitutable element may stand in; abstract heads never
+            // appear in documents, so they get no field of their own.
+            val headField =
+              if (head.isAbstract) Nil
+              else Seq(mk(head.name, head.tpe, nullable = true, e.maxOccurs))
+            headField ++ members.map { k =>
+              val m = tables.topElems(k)
+              mk(m.name, m.tpe, nullable = true, e.maxOccurs)
+            }
+          }
       }
-      StructField(e.name, tpe, nullable)
     }
     val attrFields = c.attrs.map { a =>
       StructField(a.name, resolve(tables, prims, a.tpe, stack),

@@ -253,6 +253,38 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).getAs[String]("iban") === "DE89-y")
   }
 
+  test("substitution-group records read end-to-end: member branch populated") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlsubst").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="vehicle" type="xs:string" abstract="true"/>
+        |  <xs:element name="car" type="xs:string" substitutionGroup="vehicle"/>
+        |  <xs:element name="bike" type="xs:string" substitutionGroup="vehicle"/>
+        |  <xs:complexType name="garageType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:long" name="id"/>
+        |      <xs:element ref="vehicle"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      """<garages>
+        |  <garage><id>1</id><car>mazda</car></garage>
+        |  <garage><id>2</id><bike>brompton</bike></garage>
+        |</garages>""".stripMargin)
+    val rows = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "garage")
+      .option("xml.separator.tag.type", "garageType")
+      .load(dataDir.getAbsolutePath)
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0),
+      Option(r.getAs[String]("car")), Option(r.getAs[String]("bike")))).toSeq ===
+      Seq((1L, Some("mazda"), None), (2L, None, Some("brompton"))))
+  }
+
   test("write path: df.write.format(graft.xml) round-trips through the reader") {
     val out = java.nio.file.Files.createTempDirectory("xmlwrite").toFile
     val outPath = new java.io.File(out, "lib").getAbsolutePath

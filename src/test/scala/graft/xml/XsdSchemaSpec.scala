@@ -215,6 +215,70 @@ class XsdSchemaSpec extends AnyFunSuite {
     assert(def0("price").dataType === DoubleType)
   }
 
+  test("xs:element ref resolves against top-level declarations across files") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdref").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a_main.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="orderType">
+        |    <xs:sequence>
+        |      <xs:element ref="sku" maxOccurs="unbounded"/>
+        |      <xs:element ref="note" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dir, "b_elems.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="sku" type="xs:string"/>
+        |  <xs:element name="note">
+        |    <xs:complexType>
+        |      <xs:sequence><xs:element type="xs:string" name="body"/></xs:sequence>
+        |    </xs:complexType>
+        |  </xs:element>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "orderType")
+    assert(st === StructType(Seq(
+      StructField("sku", ArrayType(StringType, containsNull = false),
+        nullable = false),
+      StructField("note", StructType(Seq(
+        StructField("body", StringType, nullable = false))), nullable = true))))
+  }
+
+  test("substitutionGroup: abstract head expands to nullable member fields") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdsubst").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:element name="vehicle" type="xs:string" abstract="true"/>
+        |  <xs:element name="car" type="carType" substitutionGroup="vehicle"/>
+        |  <xs:element name="bike" type="xs:string" substitutionGroup="vehicle"/>
+        |  <xs:element name="ebike" type="xs:string" substitutionGroup="bike"/>
+        |  <xs:complexType name="carType">
+        |    <xs:sequence><xs:element type="xs:int" name="doors"/></xs:sequence>
+        |  </xs:complexType>
+        |  <xs:complexType name="garageType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="owner"/>
+        |      <xs:element ref="vehicle"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "garageType")
+    // abstract head → no 'vehicle' field; members (incl. transitive ebike)
+    // are all nullable branches
+    assert(st === StructType(Seq(
+      StructField("owner", StringType, nullable = false),
+      StructField("car", StructType(Seq(
+        StructField("doors", IntegerType, nullable = false))), nullable = true),
+      StructField("bike", StringType, nullable = true),
+      StructField("ebike", StringType, nullable = true))))
+    // non-abstract head keeps its own (nullable) field
+    java.nio.file.Files.writeString(new java.io.File(dir, "s.xsd").toPath,
+      java.nio.file.Files.readString(
+        new java.io.File(dir, "s.xsd").toPath).replace(" abstract=\"true\"", ""))
+    val st2 = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "garageType")
+    assert(st2.fieldNames.toSeq === Seq("owner", "vehicle", "car", "bike", "ebike"))
+    assert(st2("vehicle").nullable)
+  }
+
   test("maxOccurs=5 (any non-1) becomes an array") {
     val dir = java.nio.file.Files.createTempDirectory("xsdmax").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "m.xsd").toPath,
