@@ -106,6 +106,36 @@ object TextAnalysis {
           array_join(fingerprint(col("text")).cast("array<string>"), "|").as("fp"))
     }),
 
+    // Repetition / diversity filter (Gopher-style quality gate): distinct
+    // unigram and bigram ratios per doc, plus the keep decision at a 0.3
+    // unigram-diversity threshold. Per-row expressions + no shuffle — the
+    // filter a 100 TB corpus actually runs before training.
+    "q_text_repetition" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nT = size(toks)
+      val uniq = size(array_distinct(toks))
+      val uniqBi = size(Dedup.shingles(col("text"), 2))
+      val uniRatio = round(uniq.cast("double") / nT.cast("double"), 6)
+      T.documents(s, dir).select(
+        col("doc_id"),
+        nT.as("n_tokens"),
+        uniRatio.as("uniq_unigram_ratio"),
+        round(when(nT > 1, uniqBi.cast("double") / (nT - 1).cast("double"))
+          .otherwise(1.0), 6).as("uniq_bigram_ratio"),
+        (uniRatio >= 0.3).cast("int").as("keep"))
+    }),
+
+    // Corpus-level top-20 words by frequency (tie-break on the word) — the
+    // classic vocabulary sanity check: one explode + one agg shuffle + a
+    // TakeOrdered, no global sort of the full word list.
+    "q_text_topwords" -> ((s, dir) => {
+      T.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+
     // Data-profiling / quality-gate stats over the corpus: null rates,
     // domain sizes, length bounds — the validation step of a training
     // pipeline (one pass, all exact values).
@@ -159,6 +189,33 @@ object TextAnalysis {
         |  CAST(max(length(text)) AS INTEGER) AS max_len,
         |  CAST(SUM(CASE WHEN length(text) != n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch
         |FROM documents""".stripMargin,
+    "q_text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    round(CAST(len(list_distinct(toks)) AS DOUBLE) /
+        |          CAST(len(toks) AS DOUBLE), 6) AS uniq_unigram_ratio,
+        |    CASE WHEN len(toks) > 1 THEN
+        |      round(CAST(len(list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i + 1]))) AS DOUBLE) /
+        |        CAST(len(toks) - 1 AS DOUBLE), 6)
+        |    ELSE 1.0 END AS uniq_bigram_ratio
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  uniq_unigram_ratio, uniq_bigram_ratio,
+        |  CAST(CASE WHEN uniq_unigram_ratio >= 0.3 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_topwords" ->
+      """SELECT * FROM (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |    FROM documents)
+        |  GROUP BY 1 ORDER BY n DESC, word LIMIT 20)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_word,
