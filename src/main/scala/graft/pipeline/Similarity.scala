@@ -85,7 +85,77 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
+  /** Per-label elementwise centroid of an embedding column, computed from
+    * EXACT integer sums (micros-longs) so the result is order-independent —
+    * the coarse-quantizer build step of an IVF index (labels stand in for
+    * k-means cells; the structure is identical). One posexplode shuffle on
+    * (label, dim); output is |labels|·dims rows.
+    */
+  def labelCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        ((col("sv").cast("double") / col("n").cast("double")) / 1e6).as("c"))
+
+  /** Centroids as one vector row per label: (clabel, cvec). */
+  def centroidVectors(e: DataFrame): DataFrame =
+    labelCentroids(e)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"))
+
+  /** IVF top-k: the caller supplies a quantizer (`centroids`: cell → cvec)
+    * and a corpus already assigned to cells; each query probes its `nprobe`
+    * nearest cells, candidates come from one equi-join on cell, exact rerank
+    * on candidates only. Centroids broadcast (they are tiny by construction);
+    * the corpus shuffles once on cell — the standard IVF scale shape.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 3): DataFrame = {
+    val cw = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("clabel"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosineSim(col("qvec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(cw))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("qvec"), col("clabel").as("cell"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(corpus, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("sim", round(cosineSim(col("qvec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+  }
+
   val queries: Map[String, Q] = Map(
+    // IVF quantizer build: per-label centroids from exact integer sums
+    // (oracle-checked; one narrow shuffle, deterministic at any parallelism).
+    "q_sim_centroids" -> ((s, dir) => {
+      labelCentroids(T.embeddings(s, dir))
+        .select(col("label"), col("dim"), round(col("c"), 6).as("c"))
+    }),
+
+    // IVF assignment: every vector → nearest label centroid (broadcast 10
+    // centroids, per-row argmax, one small final agg — no n² anywhere).
+    // Output is the label×assigned confusion matrix, oracle-checked.
+    "q_sim_ivf_assign" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val cent = centroidVectors(e)
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("sim").desc, col("clabel"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("sim", round(cosineSim(col("embedding"), col("cvec")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("label", "clabel").agg(count(lit(1)).as("n"))
+        .select(col("label"), col("clabel").as("assigned"), col("n"))
+    }),
+
     // L3: exact cosine top-5 for 5 probe vectors (oracle-checked).
     "q_sim_topk" -> ((s, dir) => {
       val e = T.embeddings(s, dir)
@@ -137,6 +207,38 @@ object Similarity {
       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sim_centroids" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
+        |  FROM embeddings)
+        |SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
+        |  round((CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE)) / 1000000, 6) AS c
+        |FROM ex GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sim_ivf_assign" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS clabel, list(c ORDER BY dim) AS cvec FROM (
+        |    SELECT label, dim,
+        |      (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE)) / 1000000 AS c
+        |    FROM ex GROUP BY 1, 2) GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> c.cvec[i] * c.cvec[i])))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+        |  FROM scored)
+        |SELECT label, clabel AS assigned, count(*) AS n
+        |FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sim_topk" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),

@@ -99,6 +99,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits.length >= 18, s"found ${hits.length}/20 planted near-duplicates")
   }
 
+  test("IVF top-k: planted near-duplicates found; sims never beat brute force") {
+    import spark.implicits._
+    val e = T.embeddings(spark, sf)
+    val cent = Similarity.centroidVectors(e)
+    // corpus assigned to cells by true label (the quantizer the oracle query
+    // q_sim_ivf_assign validates); queries probe nearest cells
+    val corpus = e.select(col("label").as("cell"), col("vec_id"),
+      col("embedding").as("vec"))
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(
+      probes, corpus.select(col("vec_id"), col("vec")), 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(probes, corpus, cent, 5, nprobe = 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getInt(1)))
+        .foreach(bsim => assert(r.getDouble(3) <= bsim))
+    }
+    // a planted exact duplicate (same cell as its original) is found at rank 1
+    val v0 = e.filter(col("vec_id") === 0)
+      .select("label", "embedding").collect()(0)
+    val dup = Seq((v0.getInt(0), 999L, v0.getSeq[Float](1).toArray))
+      .toDF("cell", "vec_id", "vec")
+    val res = Similarity.ivfTopK(probes.filter(col("qid") === 0),
+      corpus.union(dup), cent, 1, nprobe = 3).collect()
+    assert(res.length === 1 && res(0).getLong(2) === 999L &&
+      res(0).getDouble(3) === 1.0)
+  }
+
   test("ANN recall vs brute-force top-5 >= 0.8 with wide test-sized params") {
     // Whole-ranking recall on this 500-vector fixture, where "neighbors" are
     // near-random (top-5 cosine ~0.25-0.4): per-plane agreement is only ~0.6,
