@@ -70,6 +70,40 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 3, s"expected <= 3 hash exchanges (2 inputs + agg):\n$p")
   }
 
+  test("exact dedup: the exchange partitions on the content hash, not the text") {
+    val p = plan("q_dedup_exact")
+    // the window's Exchange key must be the fixed-width md5, and the raw
+    // document text must not appear in any hashpartitioning clause
+    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty, s"expected a hash exchange:\n$p")
+    assert(exchangeLines.exists(_.contains("h#")), s"expected md5 key h:\n$p")
+    assert(!exchangeLines.exists(_.contains("text#")),
+      s"document text must not be a shuffle key:\n$p")
+  }
+
+  test("top-words: TakeOrdered over a partially aggregated explode (no global sort)") {
+    val df = pipeline.TextAnalysis.queries("q_text_topwords")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(p.contains("partial_"), s"expected map-side combine:\n$p")
+  }
+
+  test("IVF assign: centroids broadcast; no shuffle of the full vector table for the argmax") {
+    val df = pipeline.Similarity.queries("q_sim_ivf_assign")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected the centroid side to broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian allowed:\n$p")
+  }
+
+  test("ANN: bucket join is a hash join on the packed key, never a cartesian") {
+    val df = pipeline.Similarity.queries("q_sim_ann")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the bucket key:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the ANN path:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // WSCG spans only appear in AQE's final plan — execute first.
     val df = SparkEntry.queries("q_filter_pred")(spark, sf)
