@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{JaccardLong, MinHashSig, ShingleHashes, SimHash64}
+import graft.functions.{CosineLshBucket, CosineSim, JaccardLong, MinHashSig, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions registration (SURVEY.md §4.2 / the custom-operator
   * ladder): exposes the native dedup expressions to SQL, so
@@ -44,5 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("jaccard_long"),
       info("jaccard_long", "_FUNC_(a, b) - Jaccard similarity of long arrays"),
       (args: Seq[Expression]) => JaccardLong(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "_FUNC_(a, b) - cosine similarity of float/double arrays"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("cosine_lsh_bucket"),
+      info("cosine_lsh_bucket",
+        "_FUNC_(vec[, planes[, table]]) - sign-pattern LSH bucket id"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => CosineLshBucket(c, 8, 0)
+        case Seq(c, p) => CosineLshBucket(c, p.eval().asInstanceOf[Int], 0)
+        case Seq(c, p, t) => CosineLshBucket(c, p.eval().asInstanceOf[Int],
+          t.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException(
+          "cosine_lsh_bucket(vec[, planes[, table]])")
+      }))
   }
 }

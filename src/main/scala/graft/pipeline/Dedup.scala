@@ -104,19 +104,21 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
-    // L1: exact dedup — keep the smallest doc_id per normalized text. The
-    // window partitions on the 128-bit md5 of the normalized text, NOT the
-    // text itself, so the shuffle key is fixed-width (32 hex chars) and the
-    // document bodies never ride a wide exchange — the shape that survives
-    // 100 TB. (md5 rather than xxhash64 so the oracle reproduces the key;
-    // collision probability ~n²/2¹²⁹ is negligible.)
+    // L1: exact dedup — keep the smallest doc_id per normalized text. Keyed
+    // on the 128-bit md5 of the normalized text, NOT the text itself, so the
+    // shuffle key is fixed-width (32 hex chars) and the document bodies never
+    // ride a wide exchange; min_by makes it a HASH aggregation with map-side
+    // partial combine — no per-group sort, the shape that survives 100 TB.
+    // (md5 rather than xxhash64 so the oracle reproduces the key; collision
+    // probability ~n²/2¹²⁹ is negligible. doc_id is unique, so min_by is
+    // deterministic.)
     "q_dedup_exact" -> ((s, dir) => {
-      val w = Window.partitionBy("h").orderBy(col("doc_id"))
       T.documents(s, dir)
         .withColumn("h", md5(normText(col("text"))))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("doc_id", "lang", "source")
+        .groupBy("h")
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("source")),
+          col("doc_id")).as("r"))
+        .select("r.doc_id", "r.lang", "r.source")
     }),
 
     // L1b: scale variant — dedup key is a 128-bit content hash (md5 so the

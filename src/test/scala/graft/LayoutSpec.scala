@@ -65,4 +65,17 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.forall(_.getInt(2) === 8))
     assert(r.forall(_.getDouble(3) === 1.0))
   }
+
+  test("GraftExtensions: vector expressions callable from SQL") {
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_ext")
+    val r = spark.sql(
+      """SELECT vec_id, cosine_sim(embedding, embedding) AS self_sim,
+        |  cosine_lsh_bucket(embedding) AS b8,
+        |  cosine_lsh_bucket(embedding, 4, 1) AS b4t1
+        |FROM emb_ext LIMIT 5""".stripMargin).collect()
+    assert(r.length === 5)
+    assert(r.forall(x => math.abs(x.getDouble(1) - 1.0) < 1e-12))
+    assert(r.forall(x => x.getLong(2) >= 0 && x.getLong(2) < 256))
+    assert(r.forall(x => x.getLong(3) >= 0 && x.getLong(3) < 16))
+  }
 }
