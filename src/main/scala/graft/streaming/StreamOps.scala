@@ -33,6 +33,26 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — the canonical click↔impression
+    * attribution shape: a click joins the impression it followed within
+    * `horizon`. Both sides carry watermarks and the join condition bounds
+    * event time on both ends, so each side's state store retains only
+    * `horizon`+watermark of history — bounded state on an unbounded feed.
+    */
+  def clickAttribution(impressions: DataFrame, clicks: DataFrame,
+      horizon: String = "15 minutes"): DataFrame = {
+    val imp = impressions
+      .withWatermark("imp_ts", "10 minutes")
+    val clk = clicks
+      .withWatermark("click_ts", "10 minutes")
+    imp.join(clk,
+      expr(s"""imp_user = click_user AND
+              |click_ts >= imp_ts AND
+              |click_ts <= imp_ts + interval $horizon""".stripMargin))
+      .select(col("imp_user").as("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** Custom keyed state (the Hive-has-nothing-like-this row of §2.9): per
     * user, emit the running event count with every update.
     */

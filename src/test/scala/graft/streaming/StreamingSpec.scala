@@ -98,6 +98,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set(("S0", 0.5), ("S1", 1.5), ("S2", 2.5)))
   }
 
+  test("stream-stream interval join: clicks attribute to in-horizon impressions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Long, Timestamp)]
+    val clks = MemoryStream[(Long, Long, Timestamp)]
+    val q = StreamOps.clickAttribution(
+      imps.toDF().toDF("imp_id", "imp_user", "imp_ts"),
+      clks.toDF().toDF("click_id", "click_user", "click_ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    // user 1: click 4 min after impression (attributed); user 2: click 30 min
+    // after (outside the 15-min horizon); user 3: click with no impression.
+    imps.addData((100L, 1L, ts(0)), (200L, 2L, ts(0)))
+    clks.addData((900L, 1L, ts(4)), (901L, 2L, ts(30)), (902L, 3L, ts(5)))
+    q.processAllAvailable()
+    // advance both watermarks so state can be finalized
+    imps.addData((300L, 9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    clks.addData((903L, 9L, Timestamp.valueOf("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT imp_id, click_id FROM attr_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 900L)), got.toString)   // in-horizon pair
+    assert(!got.exists(_._2 == 901L), got.toString)    // out of horizon
+    assert(!got.exists(_._2 == 902L), got.toString)    // no impression
+  }
+
   test("custom keyed state: running counts per user across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
