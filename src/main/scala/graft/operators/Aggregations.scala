@@ -179,6 +179,20 @@ object Aggregations {
             .as("med_qty_c"),
           round(expr(s"percentile(floor(l_extendedprice * 100), 0.9)"), 4)
             .as("p90_price_c"))
+    }),
+
+    // A12b: the scale twin — approx_percentile (t-digest-style sketch,
+    // mergeable partial state, bounded memory per group) where exact
+    // percentile buffers every value. No oracle (sketch internals differ
+    // across engines); accuracy vs exact asserted in PipelineSpec.
+    "q_agg_percentile_approx" -> ((s, dir) => {
+      T.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(floor(l_quantity * 100), 0.5, 1000)")
+            .as("med_qty_c"),
+          expr("approx_percentile(floor(l_extendedprice * 100), 0.9, 1000)")
+            .as("p90_price_c"))
     })
   )
 

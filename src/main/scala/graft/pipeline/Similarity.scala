@@ -91,13 +91,16 @@ object Similarity {
     * k-means cells; the structure is identical). One posexplode shuffle on
     * (label, dim); output is |labels|·dims rows.
     */
-  def labelCentroids(e: DataFrame): DataFrame =
+  /** Exact per-(label, dim) integer moments: Σ micro-units + count. */
+  private def centroidMoments(e: DataFrame): DataFrame =
     e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("sv"),
         count(lit(1)).as("n"))
-      .select(col("label"), col("dim"),
-        ((col("sv").cast("double") / col("n").cast("double")) / 1e6).as("c"))
+
+  def labelCentroids(e: DataFrame): DataFrame =
+    centroidMoments(e).select(col("label"), col("dim"),
+      ((col("sv").cast("double") / col("n").cast("double")) / 1e6).as("c"))
 
   /** Centroids as one vector row per label: (clabel, cvec). */
   def centroidVectors(e: DataFrame): DataFrame =
@@ -135,9 +138,15 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     // IVF quantizer build: per-label centroids from exact integer sums
     // (oracle-checked; one narrow shuffle, deterministic at any parallelism).
+    // The 6-decimal rounding happens in INTEGER micro-units (half away from
+    // zero on abs values) — sv/n lands on exact .5 micro ties constantly,
+    // where double round() diverges between engines (Spark rounds the
+    // shortest decimal rendering, DuckDB the binary value).
     "q_sim_centroids" -> ((s, dir) => {
-      labelCentroids(T.embeddings(s, dir))
-        .select(col("label"), col("dim"), round(col("c"), 6).as("c"))
+      val r = expr("(2 * abs(sv) + n) DIV (2 * n)")
+      centroidMoments(T.embeddings(s, dir)).select(
+        col("label"), col("dim"),
+        (when(col("sv") >= 0, r).otherwise(-r).cast("double") / 1e6).as("c"))
     }),
 
     // IVF assignment: every vector → nearest label centroid (broadcast 10
@@ -210,11 +219,16 @@ object Similarity {
     "q_sim_centroids" ->
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, dim,
+        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv,
+        |    count(*) AS n
+        |  FROM ex GROUP BY 1, 2),
+        |r AS (SELECT *, (2 * abs(sv) + n) // (2 * n) AS rr FROM m)
         |SELECT label, CAST(dim - 1 AS INTEGER) AS dim,
-        |  round((CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
-        |         CAST(count(*) AS DOUBLE)) / 1000000, 6) AS c
-        |FROM ex GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+        |  CAST(CASE WHEN sv >= 0 THEN rr ELSE -rr END AS DOUBLE) / 1000000 AS c
+        |FROM r ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sim_ivf_assign" ->
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim

@@ -222,6 +222,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byteSums === origSizes)
   }
 
+  test("approx_percentile tracks exact percentile within 2% (A12b)") {
+    val li = T.lineitem(spark, sf)
+    val exact = li.selectExpr("percentile(floor(l_extendedprice * 100), 0.9)")
+      .collect()(0).getDouble(0)
+    val approx = li.selectExpr(
+      "approx_percentile(floor(l_extendedprice * 100), 0.9, 1000)")
+      .collect()(0).getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"approx $approx vs exact $exact")
+  }
+
   test("approx_count_distinct is within rsd of exact (A10)") {
     val li = T.lineitem(spark, sf)
     val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
