@@ -30,6 +30,18 @@ object Windows {
         dense_rank().over(wCoarse).as("drk"))
     }),
 
+    // W1b: rank-distribution functions over a UNIQUE ordering (ties broken
+    // by o_orderkey) — (rank-1)/(n-1) is a single IEEE division, so the raw
+    // doubles are bit-identical across engines, no rounding needed.
+    "q_win_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"))
+    }),
+
     // W2: running sum over a rows frame (exact: integer cents).
     "q_win_running" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
@@ -108,6 +120,11 @@ object Windows {
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn,
         |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS rk,
         |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS INTEGER) AS drk
+        |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_win_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS prk,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS cd
         |FROM orders ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_win_running" ->
       """SELECT o_orderkey, o_custkey,

@@ -232,9 +232,16 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
       case LongType => java.lang.Long.parseLong(s)
       case FloatType => java.lang.Float.parseFloat(s)
       case DoubleType => java.lang.Double.parseDouble(s)
-      case BooleanType => java.lang.Boolean.parseBoolean(s)
-      case dt: DecimalType => // xml.decimal.as.decimal=true path
+      case BooleanType =>
+        // XSD's boolean lexical space is {true, false, 1, 0}; plain
+        // parseBoolean (reference behavior) silently reads "1" as false.
+        if (s == "1") java.lang.Boolean.TRUE
+        else if (s == "0") java.lang.Boolean.FALSE
+        else java.lang.Boolean.parseBoolean(s)
+      case dt: DecimalType => // xml.decimal.as.decimal / xs:unsignedLong
         Decimal(new java.math.BigDecimal(s), dt.precision, dt.scale)
+      case BinaryType => // xs:base64Binary (MIME decoder tolerates line wraps)
+        java.util.Base64.getMimeDecoder.decode(s)
       case other => throw new IllegalArgumentException(
         s"unsupported leaf type in XML schema: $other")
     }

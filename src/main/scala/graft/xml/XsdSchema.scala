@@ -54,7 +54,10 @@ object XsdSchema {
 
   val XsdNs = "http://www.w3.org/2001/XMLSchema"
 
-  /** XSD primitive → Spark type (SURVEY.md §1.3 table). */
+  /** XSD primitive → Spark type (SURVEY.md §1.3 table, extended with the
+    * full XSD built-in datatype long tail real schemas use — the reference
+    * maps only the first 11 and rejects the rest).
+    */
   val primitives: Map[String, DataType] = Map(
     "string" -> StringType,
     "int" -> IntegerType,
@@ -66,7 +69,43 @@ object XsdSchema {
     "double" -> DoubleType,
     "dateTime" -> StringType,
     "date" -> StringType,
-    "time" -> StringType)
+    "time" -> StringType,
+    // integer family: everything that fits an int stays an int
+    "byte" -> IntegerType,
+    "short" -> IntegerType,
+    "unsignedByte" -> IntegerType,
+    "unsignedShort" -> IntegerType,
+    // fits a long
+    "unsignedInt" -> LongType,
+    "nonNegativeInteger" -> LongType,
+    "nonPositiveInteger" -> LongType,
+    "positiveInteger" -> LongType,
+    "negativeInteger" -> LongType,
+    // may exceed a long: exact 20-digit decimal
+    "unsignedLong" -> DecimalType(20, 0),
+    // string family (lexical forms preserved verbatim)
+    "token" -> StringType,
+    "normalizedString" -> StringType,
+    "anyURI" -> StringType,
+    "language" -> StringType,
+    "Name" -> StringType,
+    "NCName" -> StringType,
+    "NMTOKEN" -> StringType,
+    "ID" -> StringType,
+    "IDREF" -> StringType,
+    "ENTITY" -> StringType,
+    "QName" -> StringType,
+    "duration" -> StringType,
+    "gYear" -> StringType,
+    "gYearMonth" -> StringType,
+    "gMonth" -> StringType,
+    "gMonthDay" -> StringType,
+    "gDay" -> StringType,
+    // binary: base64 decodes to real bytes; hex stays a string (the leaf
+    // DataType alone can't tell the runtime which decoder to use, and
+    // base64 is what multimodal payloads actually ship as)
+    "base64Binary" -> BinaryType,
+    "hexBinary" -> StringType)
 
   private case class Attr(name: String, tpe: (String, String), required: Boolean)
   /** `ref`, when set, points at a top-level element declaration; `name`/`tpe`

@@ -305,6 +305,43 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rt.toSeq === orig.toSeq)
   }
 
+  test("XSD long-tail primitives: ints, unsigned, token/anyURI, base64Binary, bool 1/0") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlprims").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "p.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="recType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:short" name="a"/>
+        |      <xs:element type="xs:unsignedInt" name="b"/>
+        |      <xs:element type="xs:unsignedLong" name="c"/>
+        |      <xs:element type="xs:anyURI" name="u"/>
+        |      <xs:element type="xs:base64Binary" name="payload"/>
+        |      <xs:element type="xs:boolean" name="flag"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "binary payload!".getBytes("UTF-8"))
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      s"""<root><r><a>-7</a><b>4294967295</b><c>18446744073709551615</c>
+         |<u>https://example.org/x</u><payload>$b64</payload><flag>1</flag></r></root>""".stripMargin)
+    val rows = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "r")
+      .option("xml.separator.tag.type", "recType")
+      .load(dataDir.getAbsolutePath).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    assert(r.getInt(0) === -7)
+    assert(r.getLong(1) === 4294967295L)
+    assert(r.getDecimal(2).toBigInteger.toString === "18446744073709551615")
+    assert(r.getString(3) === "https://example.org/x")
+    assert(new String(r.getAs[Array[Byte]](4), "UTF-8") === "binary payload!")
+    assert(r.getBoolean(5) === true) // XSD "1" is true (plain parseBoolean isn't)
+  }
+
   test("missing required option yields a clear error naming the key") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft.xml")
