@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
 /** XML DataSource (SURVEY.md §2.1 S2–S5): `spark.read.format("graft.xml")`.
@@ -26,6 +26,9 @@ import org.apache.spark.util.SerializableConfiguration
   * Extras beyond the reference's surface (all default-off for parity):
   *   - `mode=DROPMALFORMED`         — skip corrupt records (count surfaces as
   *                                    a named accumulator in the Spark UI)
+  *   - `mode=PERMISSIVE`            — null-fill bad leaf values, report them
+  *                                    in `columnNameOfCorruptRecord`
+  *                                    (default `_corrupt_record`)
   *   - `xml.decimal.as.decimal=true` — xs:decimal ⇒ DecimalType(38,18)
   *   - `xml.namespace.aware=true`   — strict element-namespace matching
   *
@@ -52,8 +55,14 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       options: Map[String, String],
       files: Seq[FileStatus]): Option[StructType] = {
     val (schemaDir, _, typeNs, typeName) = requiredOptions(options)
-    Some(XsdSchema.structTypeFor(schemaDir, typeNs, typeName,
-      decimalAsDecimal = boolOpt(options, "xml.decimal.as.decimal")))
+    val base = XsdSchema.structTypeFor(schemaDir, typeNs, typeName,
+      decimalAsDecimal = boolOpt(options, "xml.decimal.as.decimal"))
+    // PERMISSIVE mode reports leaf-coercion failures into an appended
+    // corrupt-record column (csv/json source convention).
+    if (parseMode(options) == "PERMISSIVE") {
+      Some(base.add(StructField(corruptColName(options), StringType,
+        nullable = true)))
+    } else Some(base)
   }
 
   /** Write path (improvement over the reference, whose SerDe never
@@ -85,9 +94,12 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       hadoopConf: Configuration): PartitionedFile => Iterator[InternalRow] = {
     val (_, separatorTag, typeNs, _) = requiredOptions(options)
     // mode=FAILFAST (default; reference parity) | DROPMALFORMED (skip bad
-    // records — the 100 TB posture, matching csv/json source conventions).
-    val dropMalformed =
-      options.getOrElse("mode", "FAILFAST").equalsIgnoreCase("DROPMALFORMED")
+    // records — the 100 TB posture) | PERMISSIVE (null-fill bad leaves,
+    // report into the corrupt-record column), matching csv/json conventions.
+    val mode = parseMode(options)
+    val dropMalformed = mode == "DROPMALFORMED"
+    val permissive = mode == "PERMISSIVE"
+    val corruptCol = corruptColName(options)
     // xml.namespace.aware=true: strict element-namespace matching against the
     // record type's namespace (default: reference's local-name-only matching).
     val nsUri =
@@ -110,7 +122,8 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       // reads would hit the filesystem per chunk.
       val in = new java.io.BufferedInputStream(fs.open(path), 256 * 1024)
       new XmlRecordIterator(in, requiredSchema, separatorTag, dropMalformed,
-        nsUri, () => dropped.add(1), () => parsed.add(1))
+        nsUri, () => dropped.add(1), () => parsed.add(1), permissive,
+        corruptCol)
     }
   }
 }
@@ -131,6 +144,12 @@ object XmlFileFormat {
 
   private def boolOpt(options: Map[String, String], key: String): Boolean =
     options.get(key).exists(_.equalsIgnoreCase("true"))
+
+  private def parseMode(options: Map[String, String]): String =
+    options.getOrElse("mode", "FAILFAST").toUpperCase(java.util.Locale.ROOT)
+
+  private def corruptColName(options: Map[String, String]): String =
+    options.getOrElse("columnNameOfCorruptRecord", "_corrupt_record")
 
   /** The reference `require`s the same four keys (AvroFromXmlInputFormat.scala:33-43). */
   private def requiredOptions(options: Map[String, String]):

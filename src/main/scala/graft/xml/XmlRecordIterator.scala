@@ -52,13 +52,24 @@ import scala.collection.mutable
   *   progress signal (the reference reports byte progress via
   *   `ProgressCounter.java:5-35`; a record count per stage is the Spark-UI
   *   analogue).
+  * @param permissive mode=PERMISSIVE: a leaf value that fails coercion
+  *   becomes null and the record is KEPT; the failure messages land in the
+  *   `corruptCol` string field when the (pruned) schema carries it. Records
+  *   that fail structurally still follow the dropMalformed/fail-fast rule.
+  * @param corruptCol name of the corrupt-record column PERMISSIVE reports
+  *   into (appended to the schema by the FileFormat).
   */
 final class XmlRecordIterator(input: InputStream, schema: StructType,
     separatorTag: String, dropMalformed: Boolean = false,
     namespaceUri: Option[String] = None,
     onDropped: () => Unit = () => (),
-    onRecord: () => Unit = () => ())
+    onRecord: () => Unit = () => (),
+    permissive: Boolean = false,
+    corruptCol: String = "_corrupt_record")
     extends Iterator[InternalRow] {
+
+  // per-record coercion-failure log (PERMISSIVE mode only)
+  private var corruptMessages: java.lang.StringBuilder = _
 
   private val factory = {
     val f = XMLInputFactory.newInstance()
@@ -124,7 +135,16 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
           reader.getLocalName == separatorTag && nsMatches()) {
         val recordDepth = depth // depth of the separator element itself
         try {
-          nextRecord = parseStruct(schema)
+          corruptMessages = null
+          val row = parseStruct(schema)
+          if (permissive && corruptMessages != null) {
+            val idx = fieldIndex(schema, corruptCol)
+            if (idx != null) {
+              row.update(idx.intValue(),
+                UTF8String.fromString(corruptMessages.toString))
+            }
+          }
+          nextRecord = row
           onRecord()
           return
         } catch {
@@ -154,7 +174,8 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
     while (i < reader.getAttributeCount) {
       val idx = fieldIndex(st, reader.getAttributeLocalName(i))
       if (idx != null) {
-        values(idx) = convert(reader.getAttributeValue(i), st(idx).dataType)
+        values(idx) = coerce(reader.getAttributeValue(i), st(idx).dataType,
+          st(idx).name)
       }
       i += 1
     }
@@ -171,9 +192,14 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
             st(idx).dataType match {
               case ArrayType(et, _) =>
                 if (arrays == null) arrays = mutable.LongMap()
-                arrays.getOrElseUpdate(idx.toLong, mutable.ArrayBuffer())
-                  .append(parseValue(et))
-              case dt => values(idx) = parseValue(dt)
+                val v = parseValue(et, st(idx).name)
+                // a PERMISSIVE-rescued element is logged but not appended
+                // (the array types are containsNull = false)
+                if (v != null) {
+                  arrays.getOrElseUpdate(idx.toLong, mutable.ArrayBuffer())
+                    .append(v)
+                }
+              case dt => values(idx) = parseValue(dt, st(idx).name)
             }
           }
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
@@ -188,13 +214,13 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
       values(idx.toInt) = new GenericArrayData(buf.toArray)
     }
     if (valueIdx >= 0 && textBuf != null) {
-      values(valueIdx) = convert(textBuf.toString, st(valueIdx).dataType)
+      values(valueIdx) = coerce(textBuf.toString, st(valueIdx).dataType, "_Value")
     }
     new GenericInternalRow(values)
   }
 
   /** Parse one non-array value whose START_ELEMENT the reader is on. */
-  private def parseValue(dt: DataType): Any = dt match {
+  private def parseValue(dt: DataType, fieldName: String): Any = dt match {
     case st: StructType => parseStruct(st)
     case primitive =>
       val sb = new java.lang.StringBuilder
@@ -209,8 +235,23 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
           case _ =>
         }
       }
-      convert(sb.toString, primitive)
+      coerce(sb.toString, primitive, fieldName)
   }
+
+  /** convert(), rescued to null + a corrupt-record note in PERMISSIVE mode.
+    * Only leaf coercions are rescued — structural failures still follow the
+    * fail-fast / DROPMALFORMED record rule.
+    */
+  private def coerce(raw: String, dt: DataType, fieldName: String): Any =
+    if (!permissive) convert(raw, dt)
+    else try convert(raw, dt) catch {
+      case e: Exception =>
+        if (corruptMessages == null) {
+          corruptMessages = new java.lang.StringBuilder
+        } else corruptMessages.append("; ")
+        corruptMessages.append(fieldName).append(": ").append(e.getMessage)
+        null
+    }
 
   private def skipSubtree(): Unit = {
     var d = 1

@@ -165,6 +165,38 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(XmlFileFormat.lastParsedCounter.map(_.value) === Some(2L))
   }
 
+  test("mode=PERMISSIVE keeps bad records: null leaf + corrupt-record column") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlperm").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="rType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="id"/>
+        |      <xs:element type="xs:int" name="n" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      "<root><r><id>a</id><n>1</n></r>" +
+        "<r><id>b</id><n>bogus</n></r>" +
+        "<r><id>c</id><n>3</n></r></root>")
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "r")
+      .option("xml.separator.tag.type", "rType")
+      .option("mode", "PERMISSIVE")
+      .load(dataDir.getAbsolutePath)
+    assert(df.schema.fieldNames.toSeq === Seq("id", "n", "_corrupt_record"))
+    val rows = df.collect().sortBy(_.getString(0))
+    assert(rows.length === 3) // nothing dropped
+    assert(rows(0).getInt(1) === 1 && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1)) // bad leaf null-filled
+    assert(rows(1).getString(2).contains("n:"), rows(1).toString) // reported
+    assert(rows(2).getInt(1) === 3 && rows(2).isNullAt(2))
+  }
+
   test("xml.decimal.as.decimal=true: price reads as exact BigDecimal") {
     val df = spark.read.format("graft.xml")
       .option("xml.schema.location", s"$base/library/schema")
