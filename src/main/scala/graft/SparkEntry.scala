@@ -22,6 +22,7 @@ object SparkEntry {
     (operators.Temporal.queries, operators.Temporal.oracles),
     (operators.Subqueries.queries, operators.Subqueries.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),
+    (pipeline.Sampling.queries, pipeline.Sampling.oracles),
     (pipeline.Similarity.queries, pipeline.Similarity.oracles),
     (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),
     (pipeline.Multimodal.queries, pipeline.Multimodal.oracles)

@@ -87,6 +87,17 @@ object SortSetOps {
         .groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(sum(floor(col("l_quantity") * 100).cast("long")))
+    }),
+
+    // Unpivot via the stack generator — wide measures to (metric, value)
+    // rows, the inverse of pivot (oracle = UNION ALL; values in exact cents).
+    "q_unpivot" -> ((s, dir) => {
+      T.lineitem(s, dir).selectExpr("l_orderkey", "l_linenumber",
+        """stack(3,
+          |  'qty',   CAST(FLOOR(l_quantity * 100) AS BIGINT),
+          |  'price', CAST(FLOOR(l_extendedprice * 100) AS BIGINT),
+          |  'disc',  CAST(FLOOR(l_discount * 100) AS BIGINT)
+          |) AS (metric, value_c)""".stripMargin)
     })
   )
 
@@ -137,6 +148,16 @@ object SortSetOps {
         |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS A,
         |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS N,
         |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(FLOOR(l_quantity * 100) AS BIGINT) END) AS BIGINT) AS R
-        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'qty' AS metric,
+        |  CAST(FLOOR(l_quantity * 100) AS BIGINT) AS value_c FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'price',
+        |  CAST(FLOOR(l_extendedprice * 100) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'disc',
+        |  CAST(FLOOR(l_discount * 100) AS BIGINT) FROM lineitem
+        |ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

@@ -104,6 +104,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), s"no cartesian in the ANN path:\n$p")
   }
 
+  test("partitioned layout: a filter on the partition column prunes at plan time") {
+    val dir = java.nio.file.Files.createTempDirectory("partprune").toFile
+    val out = new java.io.File(dir, "li").getAbsolutePath
+    Tables.lineitem(spark, sf)
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    val df = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("l_returnflag"),
+      s"expected partition filters in the scan:\n$p")
+    // the pruned scan must not list the other partitions' files
+    val scanned = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("l_returnflag=A"), "partition A should be pruned")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // WSCG spans only appear in AQE's final plan — execute first.
     val df = SparkEntry.queries("q_filter_pred")(spark, sf)
