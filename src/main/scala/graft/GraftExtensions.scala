@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineLshBucket, CosineSim, JaccardLong, MinHashSig, ShingleHashes, SimHash64}
+import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, JaccardLong, MinHashSig, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions registration (SURVEY.md §4.2 / the custom-operator
   * ladder): exposes the native dedup expressions to SQL, so
@@ -47,6 +47,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "_FUNC_(a, b) - cosine similarity of float/double arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("content_chunks"),
+      info("content_chunks",
+        "_FUNC_(text[, avgBits]) - Rabin-Karp content-defined chunk hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ContentChunks(c, 6)
+        case Seq(c, b) => ContentChunks(c, b.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("content_chunks(text[, avgBits])")
+      }))
     ext.injectFunction((FunctionIdentifier("cosine_lsh_bucket"),
       info("cosine_lsh_bucket",
         "_FUNC_(vec[, planes[, table]]) - sign-pattern LSH bucket id"),

@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
+import scala.collection.mutable
 
 /** Native Catalyst expressions for the dedup hot path (SURVEY.md §4.2: the
   * "optional Expression for performance — k-perm hashing in one pass" row).
@@ -49,6 +51,16 @@ object TextHashes {
     */
   def jaccardLong(a: Column, b: Column): Column =
     column(JaccardLong(expression(a), expression(b)))
+
+  /** Content-defined chunk hashes of text: a Rabin-Karp rolling hash over a
+    * sliding byte window places chunk boundaries where `hash & mask == 0`
+    * (expected chunk length 2^avgBits), and each chunk is fingerprinted with
+    * XXH64. Unlike fixed-width slicing, inserting a prefix shifts only the
+    * chunk containing the edit — the rest of the fingerprints survive, which
+    * is what makes chunk-level dedup robust to shifted content.
+    */
+  def contentChunks(c: Column, avgBits: Int = 6): Column =
+    column(ContentChunks(expression(c), avgBits))
 }
 
 case class ShingleHashes(child: Expression, n: Int)
@@ -138,6 +150,50 @@ case class JaccardLong(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): JaccardLong = copy(left = newLeft, right = newRight)
+}
+
+case class ContentChunks(child: Expression, avgBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(avgBits >= 1 && avgBits <= 20, s"avgBits must be in [1,20], got $avgBits")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "content_chunks"
+
+  private val Window = 16
+  private val mask = (1L << avgBits) - 1
+  // polynomial rolling hash base and its Window-th power (for removals)
+  private val Base = 257L
+  private val basePow: Long = {
+    var p = 1L; var i = 0
+    while (i < Window) { p *= Base; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val out = new mutable.ArrayBuffer[Long]
+    var h = 0L
+    var chunkStart = 0
+    var i = 0
+    while (i < bytes.length) {
+      h = h * Base + (bytes(i) & 0xff)
+      if (i >= Window) h -= basePow * (bytes(i - Window) & 0xff)
+      // boundary: rolling hash hits the mask AND the chunk is non-trivial
+      if (i + 1 - chunkStart >= Window && (h & mask) == 0) {
+        out += XXH64.hashUnsafeBytes(bytes,
+          Platform.BYTE_ARRAY_OFFSET + chunkStart, i + 1 - chunkStart, 42L)
+        chunkStart = i + 1
+      }
+      i += 1
+    }
+    if (chunkStart < bytes.length) {
+      out += XXH64.hashUnsafeBytes(bytes,
+        Platform.BYTE_ARRAY_OFFSET + chunkStart, bytes.length - chunkStart, 42L)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ContentChunks =
+    copy(child = c)
 }
 
 case class SimHash64(child: Expression)

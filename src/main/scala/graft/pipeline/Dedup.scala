@@ -67,6 +67,14 @@ object Dedup {
   def hashedShingles(c: Column, n: Int = 3): Column =
     graft.functions.TextHashes.shingleHashes(c, n)
 
+  /** Content-defined chunk hashes (Rabin-Karp rolling-hash boundaries):
+    * shift-robust chunk fingerprints — inserting a prefix invalidates only
+    * the chunk containing the edit. See
+    * [[graft.functions.ContentChunks]].
+    */
+  def contentChunks(c: Column, avgBits: Int = 6): Column =
+    graft.functions.TextHashes.contentChunks(c, avgBits)
+
   /** MinHash-LSH near-duplicate pairs: k-perm signatures, `bands` bands of
     * k/bands rows, candidate pairs from band-bucket collisions, verified by
     * exact shingle Jaccard ≥ threshold. Returns (doc_a, doc_b, jaccard).
@@ -138,6 +146,17 @@ object Dedup {
     // L2b (no oracle): SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>
       T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
+
+    // L2d (no oracle — rolling hash has no DuckDB twin; shift-robustness
+    // verified in PipelineSpec): chunk-sharing distribution across the
+    // corpus — how many content-defined chunks appear in k distinct docs.
+    // One explode + two narrow aggs; chunk-level storage dedup at 100 TB.
+    "q_dedup_chunks" -> ((s, dir) => {
+      T.documents(s, dir)
+        .select(col("doc_id"), explode(contentChunks(col("text"))).as("chunk"))
+        .groupBy("chunk").agg(countDistinct(col("doc_id")).as("n_docs"))
+        .groupBy("n_docs").agg(count(lit(1)).as("n_chunks"))
+    }),
 
     // L2c: exact n-gram Jaccard on a bounded candidate set (same-source
     // pairs), SQL-portable → oracle-checked. Pairwise compare runs on hashed

@@ -222,6 +222,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byteSums === origSizes)
   }
 
+  test("content-defined chunks survive a prefix insertion; fixed-width slicing doesn't") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "merge", "shuffle", "spark", "vector", "window", "stream")
+    val body = Seq.fill(400)(words(rnd.nextInt(words.length))).mkString(" ")
+    val shifted = "ENTIRELY NEW PREFIX SENTENCE INSERTED AT THE FRONT. " + body
+    val chunks = Seq((1L, body), (2L, shifted)).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.contentChunks(col("text")).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val cdcShared = (chunks(1L) & chunks(2L)).size.toDouble / chunks(1L).size
+    // fixed-width slicing baseline: the same byte shift misaligns every chunk
+    val fixedA = body.grouped(64).toSet
+    val fixedB = shifted.grouped(64).toSet
+    val fixedShared = (fixedA & fixedB).size.toDouble / fixedA.size
+    assert(cdcShared >= 0.6, s"CDC shared only $cdcShared")
+    assert(fixedShared < 0.1, s"fixed-width baseline unexpectedly robust: $fixedShared")
+  }
+
   test("approx_percentile tracks exact percentile within 2% (A12b)") {
     val li = T.lineitem(spark, sf)
     val exact = li.selectExpr("percentile(floor(l_extendedprice * 100), 0.9)")
