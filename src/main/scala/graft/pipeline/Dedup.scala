@@ -111,6 +111,43 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate clusters from a pair list: connected components by iterative
+    * min-label propagation. Returns (id, label) where `label` is the
+    * smallest id in the component — the canonical survivor, so "keep one per
+    * cluster" is `filter(id === label)`.
+    *
+    * Scale shape: each iteration is one equi-join + one (id) aggregation —
+    * all narrow keys; rounds needed = O(component diameter), and near-dup
+    * components are overwhelmingly tiny (pairs/triples), so 3–4 rounds
+    * converge in practice. `localCheckpoint` cuts the growing lineage so
+    * iteration N doesn't replay 1..N-1; the per-round convergence count is
+    * the standard driver-side fixpoint check (an O(1)-row action, not a
+    * data collect).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("y"), col("label").as("ylabel")), Seq("y"))
+        .groupBy(col("x").as("id")).agg(min(col("ylabel")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("changed")).limit(1).count() == 0
+      labels = updated.select("id", "label")
+      iter += 1
+    }
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup — keep the smallest doc_id per normalized text. Keyed
     // on the 128-bit md5 of the normalized text, NOT the text itself, so the
@@ -142,6 +179,17 @@ object Dedup {
     // planted-duplicate tests): MinHash-LSH near-dup pairs.
     "q_dedup_near" -> ((s, dir) =>
       nearDuplicatePairs(T.documents(s, dir), "text", "doc_id")),
+
+    // L2e (no oracle — chained from LSH pairs; clustering correctness is
+    // unit-tested on planted chains): cluster-size distribution of the
+    // corpus's near-duplicate components + survivor count.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = nearDuplicatePairs(T.documents(s, dir), "text", "doc_id",
+        threshold = 0.5)
+      duplicateClusters(pairs)
+        .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
 
     // L2b (no oracle): SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>

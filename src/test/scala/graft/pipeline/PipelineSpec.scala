@@ -222,6 +222,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byteSums === origSizes)
   }
 
+  test("duplicate clusters: min-label propagation finds connected components") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus pair 10-11 and a transitive 20-21, 21-22, 22-23
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8),
+      (20L, 21L, 0.7), (21L, 22L, 0.7), (22L, 23L, 0.7))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val labels = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // survivors = one per component
+    val survivors = labels.filter { case (id, l) => id == l }.keySet
+    assert(survivors === Set(1L, 10L, 20L))
+  }
+
   test("content-defined chunks survive a prefix insertion; fixed-width slicing doesn't") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
