@@ -2,7 +2,7 @@ package graft.functions
 
 import java.util.Locale
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -51,6 +51,17 @@ object TextHashes {
     */
   def jaccardLong(a: Column, b: Column): Column =
     column(JaccardLong(expression(a), expression(b)))
+
+  /** All per-document text statistics in ONE pass over the text: token
+    * count, punctuation count (original text), stopword hits, total word
+    * chars, distinct unigram and bigram counts. The HOF formulation
+    * (split + filter + aggregate + array_distinct + transform) traverses
+    * the text 4–6 times with one interpreted lambda per token each —
+    * this is the fused replacement, arithmetic identical to the split-based
+    * definitions the DuckDB oracle evaluates.
+    */
+  def textStatsOne(c: Column, stop: Seq[String]): Column =
+    column(TextStatsOne(expression(c), stop))
 
   /** Content-defined chunk hashes of text: a Rabin-Karp rolling hash over a
     * sliding byte window places chunk boundaries where `hash & mask == 0`
@@ -150,6 +161,59 @@ case class JaccardLong(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): JaccardLong = copy(left = newLeft, right = newRight)
+}
+
+case class TextStatsOne(child: Expression, stop: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false),
+    StructField("stop_hits", IntegerType, nullable = false),
+    StructField("word_chars", LongType, nullable = false),
+    StructField("distinct_tokens", IntegerType, nullable = false),
+    StructField("distinct_bigrams", IntegerType, nullable = false)))
+  override def prettyName: String = "text_stats_one"
+
+  @transient private lazy val stopSet = {
+    val s = new java.util.HashSet[String](stop.size * 2)
+    stop.foreach(s.add); s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    // punctuation counted over the ORIGINAL text (oracle: regexp keeps
+    // only [.,;:!?] then measures length)
+    var punct = 0
+    var i = 0
+    while (i < raw.length) {
+      (raw.charAt(i): @annotation.switch) match {
+        case '.' | ',' | ';' | ':' | '!' | '?' => punct += 1
+        case _ =>
+      }
+      i += 1
+    }
+    // tokens of normalized text: lower → trim → split on whitespace runs
+    // (identical token list to split(trim(regexp_replace(lower, '\s+', ' ')), ' '))
+    val toks = raw.toLowerCase(Locale.ROOT).trim.split("\\s+")
+    var stopHits = 0
+    var wordChars = 0L
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val seenBi = new java.util.HashSet[String](toks.length * 2)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      wordChars += tok.codePointCount(0, tok.length)
+      if (stopSet.contains(tok)) stopHits += 1
+      seen.add(tok)
+      if (t > 0) seenBi.add(toks(t - 1) + " " + tok)
+      t += 1
+    }
+    new GenericInternalRow(Array[Any](toks.length, punct, stopHits,
+      wordChars, seen.size, seenBi.size))
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextStatsOne =
+    copy(child = c)
 }
 
 case class ContentChunks(child: Expression, avgBits: Int)
