@@ -145,8 +145,14 @@ object XmlFileFormat {
   private def boolOpt(options: Map[String, String], key: String): Boolean =
     options.get(key).exists(_.equalsIgnoreCase("true"))
 
-  private def parseMode(options: Map[String, String]): String =
-    options.getOrElse("mode", "FAILFAST").toUpperCase(java.util.Locale.ROOT)
+  private val ValidModes = Set("FAILFAST", "DROPMALFORMED", "PERMISSIVE")
+
+  private def parseMode(options: Map[String, String]): String = {
+    val m = options.getOrElse("mode", "FAILFAST").toUpperCase(java.util.Locale.ROOT)
+    require(ValidModes.contains(m),
+      s"graft.xml mode must be one of ${ValidModes.mkString(", ")}; got '$m'")
+    m
+  }
 
   private def corruptColName(options: Map[String, String]): String =
     options.getOrElse("columnNameOfCorruptRecord", "_corrupt_record")

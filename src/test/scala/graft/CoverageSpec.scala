@@ -69,6 +69,40 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       "10:15" -> 1, "10:30" -> 1))
   }
 
+  test("graft.syntax extension methods delegate to the pipeline operators") {
+    import graft.syntax._
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // sampling: same membership as the module call
+    val viaSyntax = docs.hashSample($"doc_id", 20).select("doc_id").collect().toSet
+    val viaModule = pipeline.Sampling.hashSample(docs, $"doc_id", 20)
+      .select("doc_id").collect().toSet
+    assert(viaSyntax === viaModule && viaSyntax.nonEmpty)
+    // column ops compile and evaluate
+    val r = Seq(("a b c a", Array(1f, 0f), Array(1f, 0f))).toDF("t", "u", "v")
+      .select($"t".simhash64.as("sh"), $"u".cosineSim($"v").as("cs"),
+        $"t".shingleHashes(2).as("g2"), $"t".contentChunks().as("cc"))
+      .collect()(0)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getSeq[Long](2).nonEmpty && r.getSeq[Long](3).nonEmpty)
+    // pair clustering through the sugar
+    val labels = Seq((1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("doc_a", "doc_b", "j")
+      .dupClusters().collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("unknown XML mode option is rejected with the valid set named") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.xml")
+        .option("xml.schema.location", "src/test/resources/graftxml/library/schema")
+        .option("xml.separator.tag", "item")
+        .option("xml.separator.tag.type", "itemType")
+        .option("mode", "IGNORE_ERRORS")
+        .load("src/test/resources/graftxml/library/data")
+    }
+    assert(e.getMessage.contains("FAILFAST") && e.getMessage.contains("IGNORE_ERRORS"))
+  }
+
   test("S8: csv and json sinks round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("sinks").toFile
     val df = Tables.nation(spark, "/root/testdata/sf0.001")

@@ -165,6 +165,32 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(XmlFileFormat.lastParsedCounter.map(_.value) === Some(2L))
   }
 
+  test("CDATA sections and comments inside leaves are handled") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlcdata").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="rType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="body"/>
+        |      <xs:element type="xs:int" name="n"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      "<root><r><body><![CDATA[raw <markup> & stuff]]></body>" +
+        "<!-- a comment between elements --><n><![CDATA[42]]></n></r></root>")
+    val rows = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "r")
+      .option("xml.separator.tag.type", "rType")
+      .load(dataDir.getAbsolutePath).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "raw <markup> & stuff")
+    assert(rows(0).getInt(1) === 42)
+  }
+
   test("mode=PERMISSIVE keeps bad records: null leaf + corrupt-record column") {
     val dir = java.nio.file.Files.createTempDirectory("xmlperm").toFile
     val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
