@@ -34,6 +34,9 @@ import scala.xml.{Node, XML}
   *  - substitution groups: a ref to a group head expands to one nullable
   *    field per substitutable element (transitively), plus the head itself
   *    unless it is `abstract` — the same nullable-branch encoding as choice.
+  *  - `xs:group` / `xs:attributeGroup` named fragments: refs splice the
+  *    group's members in place (cross-file), with the ref site's
+  *    cardinality applied to every member.
   *  - simpleType restriction → its base primitive; enumeration symbols are
   *    dropped (degenerate enum, `XMLToAvroSchema.scala:69-81`; runtime treats
   *    enums as strings, `AvroTransormer.scala:202`)
@@ -108,15 +111,18 @@ object XsdSchema {
     "hexBinary" -> StringType)
 
   private case class Attr(name: String, tpe: (String, String), required: Boolean)
-  /** `ref`, when set, points at a top-level element declaration; `name`/`tpe`
-    * are then resolved at struct-build time (the target may live in another
+  /** `ref`, when set, points at a top-level element declaration;
+    * `groupRef`, when set, at a named model group — in both cases `name`/
+    * `tpe` resolve at struct-build time (the target may live in another
     * schema file not yet parsed).
     */
   private case class Elem(name: String, tpe: (String, String), minOccurs: String,
       maxOccurs: String, fromChoice: Boolean = false,
-      ref: Option[(String, String)] = None)
+      ref: Option[(String, String)] = None,
+      groupRef: Option[(String, String)] = None)
   private case class Complex(elements: Seq[Elem], attrs: Seq[Attr],
-      simpleContentBase: Option[(String, String)])
+      simpleContentBase: Option[(String, String)],
+      attrGroupRefs: Seq[(String, String)] = Nil)
   /** A top-level `<xs:element name=...>` declaration. */
   private case class TopElem(name: String, tpe: (String, String),
       isAbstract: Boolean)
@@ -128,6 +134,9 @@ object XsdSchema {
     // substitution-group head -> directly substitutable element keys
     val substGroups = mutable.Map[(String, String),
       mutable.ArrayBuffer[(String, String)]]()
+    // named model groups (xs:group) and attribute groups (xs:attributeGroup)
+    val groups = mutable.Map[(String, String), Seq[Elem]]()
+    val attrGroups = mutable.Map[(String, String), Seq[Attr]]()
   }
 
   /** Parse every non-.avsc file in `xsdDir` (mirrors `parseXmlSchema`,
@@ -193,60 +202,96 @@ object XsdSchema {
     def seqElements(n: Node, inChoice: Boolean): Seq[(Node, Node, Boolean)] =
       n.child.flatMap {
         case e if e.label == "element" => Seq((e, n, inChoice))
+        case g if g.label == "group" && (g \@ "ref").nonEmpty =>
+          Seq((g, n, inChoice)) // named-model-group ref: expanded at build
         case s if s.label == "sequence" || s.label == "all" =>
           seqElements(s, inChoice)
         case c if c.label == "choice" => seqElements(c, inChoice = true)
         case _ => Nil
       }.toSeq
 
+    // One collected (node, enclosing compositor, choice?) triple → Elem.
+    // Used for complexType content and for top-level xs:group definitions.
+    def mapElem(registerInline: (String, Node) => Unit)(
+        triple: (Node, Node, Boolean)): Elem = {
+      val (e, seq, inChoice) = triple
+      // Cardinality: element attr, else enclosing compositor, else "1"
+      // (":300-310").
+      def card(attr: String): String =
+        e.attribute(attr).map(_.text)
+          .orElse(seq.attribute(attr).map(_.text)).getOrElse("1")
+      val refAttr = e \@ "ref"
+      if (e.label == "group") {
+        Elem("", ("", ""), card("minOccurs"), card("maxOccurs"), inChoice,
+          groupRef = Some(typeRef(e, refAttr)))
+      } else if (refAttr.nonEmpty) {
+        // Reference to a top-level element — resolved at build time
+        // (the declaration may live in a not-yet-parsed file).
+        Elem("", ("", ""), card("minOccurs"), card("maxOccurs"),
+          inChoice, ref = Some(typeRef(e, refAttr)))
+      } else {
+        val elemName = e \@ "name"
+        val tpe = (e \@ "type") match {
+          case "" =>
+            // Anonymous inline complexType/simpleType.
+            val inlineComplex = (e \ "complexType").headOption
+            val inlineSimple = (e \ "simpleType" \ "restriction").headOption
+            val inlineUnion = (e \ "simpleType" \ "union").headOption
+            (inlineComplex, inlineSimple, inlineUnion) match {
+              case (Some(ic), _, _) =>
+                val genName = elemName + "Type"
+                registerInline(genName, ic)
+                (tns, genName)
+              case (_, Some(r), _) => typeRef(r, r \@ "base")
+              case (_, _, Some(_)) => (XsdNs, "string")
+              case _ => throw new IllegalArgumentException(
+                s"element $elemName has neither type nor inline type")
+            }
+          case ref => typeRef(e, ref)
+        }
+        Elem(elemName, tpe, card("minOccurs"), card("maxOccurs"), inChoice)
+      }
+    }
+
+    def contentElems(parent: Node, registerInline: (String, Node) => Unit):
+        Seq[Elem] = {
+      val seqNodes = (parent \ "sequence") ++ (parent \ "all") ++
+        (parent \ "choice")
+      seqNodes.flatMap(n => seqElements(n, n.label == "choice"))
+        .map(mapElem(registerInline))
+    }
+
     def registerComplex(name: String, ct: Node): Unit = {
       val simpleContentExt = (ct \ "simpleContent" \ "extension").headOption
       simpleContentExt match {
         case Some(ext) =>
           tables.complex((tns, name)) =
-            Complex(Nil, shallowAttrs(ext), Some(typeRef(ext, ext \@ "base")))
+            Complex(Nil, shallowAttrs(ext), Some(typeRef(ext, ext \@ "base")),
+              attrGroupRefs(ext))
         case None =>
-          val attrs = shallowAttrs(ct)
-          val seqNodes = (ct \ "sequence") ++ (ct \ "all") ++ (ct \ "choice")
-          val elems = seqNodes
-            .flatMap(n => seqElements(n, n.label == "choice"))
-            .map { case (e, seq, inChoice) =>
-              // Cardinality: element attr, else enclosing compositor, else "1"
-              // (":300-310").
-              def card(attr: String): String =
-                e.attribute(attr).map(_.text)
-                  .orElse(seq.attribute(attr).map(_.text)).getOrElse("1")
-              val refAttr = e \@ "ref"
-              if (refAttr.nonEmpty) {
-                // Reference to a top-level element — resolved at build time
-                // (the declaration may live in a not-yet-parsed file).
-                Elem("", ("", ""), card("minOccurs"), card("maxOccurs"),
-                  inChoice, ref = Some(typeRef(e, refAttr)))
-              } else {
-              val elemName = e \@ "name"
-              val tpe = (e \@ "type") match {
-                case "" =>
-                  // Anonymous inline complexType/simpleType.
-                  val inlineComplex = (e \ "complexType").headOption
-                  val inlineSimple = (e \ "simpleType" \ "restriction").headOption
-                  val inlineUnion = (e \ "simpleType" \ "union").headOption
-                  (inlineComplex, inlineSimple, inlineUnion) match {
-                    case (Some(ic), _, _) =>
-                      val genName = elemName + "Type"
-                      registerComplex(genName, ic)
-                      (tns, genName)
-                    case (_, Some(r), _) => typeRef(r, r \@ "base")
-                    case (_, _, Some(_)) => (XsdNs, "string")
-                    case _ => throw new IllegalArgumentException(
-                      s"element $elemName has neither type nor inline type")
-                  }
-                case ref => typeRef(e, ref)
-              }
-              Elem(elemName, tpe, card("minOccurs"), card("maxOccurs"), inChoice)
-              }
-          }
-          tables.complex((tns, name)) = Complex(elems, attrs, None)
+          tables.complex((tns, name)) = Complex(
+            contentElems(ct, registerComplex), shallowAttrs(ct), None,
+            attrGroupRefs(ct))
       }
+    }
+
+    def attrGroupRefs(n: Node): Seq[(String, String)] =
+      (n \ "attributeGroup").flatMap { ag =>
+        val r = ag \@ "ref"
+        if (r.nonEmpty) Seq(typeRef(ag, r)) else Nil
+      }
+
+    // Named model groups and attribute groups (reusable fragments).
+    (root \ "group").foreach { g =>
+      val name = g \@ "name"
+      if (name.nonEmpty) {
+        tables.groups((tns, name)) = contentElems(g,
+          (n, ct) => registerComplex(n, ct))
+      }
+    }
+    (root \ "attributeGroup").foreach { ag =>
+      val name = ag \@ "name"
+      if (name.nonEmpty) tables.attrGroups((tns, name)) = shallowAttrs(ag)
     }
 
     (root \ "complexType").foreach(ct => registerComplex(ct \@ "name", ct))
@@ -334,7 +379,7 @@ object XsdSchema {
       }
       out.toSeq
     }
-    val elemFields = c.elements.flatMap { e =>
+    def expandElem(e: Elem, groupsSeen: Set[(String, String)]): Seq[StructField] = {
       // Choice branches are nullable no matter what they declare: at most one
       // of the siblings appears in any record.
       val baseNullable = if (e.fromChoice) true else e.minOccurs match {
@@ -344,9 +389,22 @@ object XsdSchema {
           s"unsupported minOccurs=$other on ${e.name} (reference crashes here too, " +
             "XMLToAvroSchema.scala:122-125)")
       }
-      e.ref match {
-        case None => Seq(mk(e.name, e.tpe, baseNullable, e.maxOccurs))
-        case Some(key) =>
+      (e.groupRef, e.ref) match {
+        case (Some(gkey), _) =>
+          // Named model group: splice its members here. The group ref's own
+          // cardinality applies to every member (minOccurs=0/choice makes
+          // them nullable; a repeating group makes each member an array).
+          if (groupsSeen.contains(gkey)) throw new IllegalArgumentException(
+            s"recursive xs:group not supported: $gkey")
+          val members = tables.groups.getOrElse(gkey,
+            throw new IllegalArgumentException(s"unknown xs:group ref: $gkey"))
+          members.flatMap { m =>
+            val adjusted = m.copy(
+              fromChoice = m.fromChoice || e.fromChoice || e.minOccurs == "0",
+              maxOccurs = if (e.maxOccurs != "1") e.maxOccurs else m.maxOccurs)
+            expandElem(adjusted, groupsSeen + gkey)
+          }
+        case (None, Some(key)) =>
           val head = tables.topElems.getOrElse(key,
             throw new IllegalArgumentException(
               s"element ref to unknown top-level element: $key"))
@@ -365,9 +423,15 @@ object XsdSchema {
               mk(m.name, m.tpe, nullable = true, e.maxOccurs)
             }
           }
+        case (None, None) => Seq(mk(e.name, e.tpe, baseNullable, e.maxOccurs))
       }
     }
-    val attrFields = c.attrs.map { a =>
+    val elemFields = c.elements.flatMap(e => expandElem(e, Set.empty))
+    val groupAttrs = c.attrGroupRefs.flatMap { k =>
+      tables.attrGroups.getOrElse(k,
+        throw new IllegalArgumentException(s"unknown xs:attributeGroup ref: $k"))
+    }
+    val attrFields = (c.attrs ++ groupAttrs).map { a =>
       StructField(a.name, resolve(tables, prims, a.tpe, stack),
         nullable = !a.required)
     }

@@ -279,6 +279,46 @@ class XsdSchemaSpec extends AnyFunSuite {
     assert(st2("vehicle").nullable)
   }
 
+  test("xs:group and xs:attributeGroup refs splice named fragments in place") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdgroup").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a_types.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="orderType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:long" name="order_id"/>
+        |      <xs:group ref="addressGroup"/>
+        |      <xs:group ref="addressGroup" minOccurs="0"/>
+        |    </xs:sequence>
+        |    <xs:attributeGroup ref="auditAttrs"/>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dir, "b_frags.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:group name="addressGroup">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="street"/>
+        |      <xs:element type="xs:string" name="city" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:group>
+        |  <xs:attributeGroup name="auditAttrs">
+        |    <xs:attribute type="xs:string" name="created_by" use="required"/>
+        |    <xs:attribute type="xs:long" name="version"/>
+        |  </xs:attributeGroup>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "orderType")
+    // first splice keeps member cardinality; the minOccurs=0 splice makes
+    // every member nullable; attr group contributes required+optional attrs.
+    // (duplicate names from the second splice mirror XSD's behavior of
+    // repeated groups; last-write-wins at parse like repeated elements)
+    assert(st.fieldNames.count(_ == "street") === 2)
+    val fields = st.fields.toSeq
+    assert(fields(1).name === "street" && !fields(1).nullable)
+    assert(fields(2).name === "city" && fields(2).nullable)
+    assert(fields(3).name === "street" && fields(3).nullable) // minOccurs=0 group
+    assert(st("created_by").dataType === StringType && !st("created_by").nullable)
+    assert(st("version").dataType === LongType && st("version").nullable)
+  }
+
   test("maxOccurs=5 (any non-1) becomes an array") {
     val dir = java.nio.file.Files.createTempDirectory("xsdmax").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "m.xsd").toPath,
