@@ -65,6 +65,23 @@ object Multimodal {
     (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1, 3)
   }
 
+  /** Real audio header metadata via the JDK's javax.sound (WAV/AIFF/AU —
+    * header-only, no codec): (sample_rate_hz, channels, bits_per_sample,
+    * duration_ms; duration −1 when the container doesn't declare frame
+    * count). None for non-audio payloads — same seam as [[imageDims]].
+    */
+  def audioMeta(content: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(content))
+      val f = aff.getFormat
+      val durMs =
+        if (aff.getFrameLength > 0 && f.getFrameRate > 0)
+          (aff.getFrameLength * 1000L / f.getFrameRate.toLong)
+        else -1L
+      Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits, durMs))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Documents → media table: payload = utf-8 bytes (deterministic fake
     * "image"), metadata struct alongside. The schema is the contract.
     */

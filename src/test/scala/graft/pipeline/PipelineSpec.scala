@@ -207,6 +207,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(3L) === Multimodal.hashDims("plain bytes".getBytes)) // fallback
   }
 
+  test("multimodal: WAV payloads decode real sample rate/channels/duration") {
+    // generate a genuine 16-bit stereo 8 kHz WAV of 4000 frames (500 ms)
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val frames = 4000
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(Multimodal.audioMeta(wav) === Some((8000, 2, 16, 500L)))
+    assert(Multimodal.audioMeta("not audio".getBytes) === None)
+    assert(Multimodal.imageDims(wav) === None) // seams don't cross-match
+  }
+
   test("multimodal resize/frame-sample stubs keep byte accounting exact") {
     val media = Multimodal.mediaTable(spark, sf)
     val resized = Multimodal.resize(media, 640, 480).collect()
