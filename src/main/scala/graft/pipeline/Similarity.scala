@@ -110,6 +110,45 @@ object Similarity {
         x => x.getField("c")).as("cvec"))
       .select(col("label").as("clabel"), col("cvec"))
 
+  /** Nearest-centroid assignment of a (vec_id, vec) corpus against a small
+    * (cell, cvec) centroid set: centroids broadcast, per-row argmax with a
+    * deterministic (sim, cell) tie-break — no shuffle of the corpus.
+    */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("cell"))
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("sim", round(cosineSim(col("vec"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "vec", "cell", "sim")
+  }
+
+  /** Deterministic k-means coarse quantizer for IVF: cells initialized by
+    * vec_id hash (no RNG — same result at any parallelism), then `iters`
+    * Lloyd rounds of cosine-argmax assignment + exact-integer-mean update.
+    * Fully lazy — the rounds compose into one plan, each round costing one
+    * posexplode agg (narrow (cell, dim) keys) and one broadcast argmax; no
+    * driver-side loop state. Replaces the label column as the quantizer
+    * when no natural partitioning exists.
+    */
+  def kmeansQuantizer(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    def centroidsOf(assigned: DataFrame): DataFrame =
+      centroidVectors(assigned.select(col("cell").as("label"),
+        col("vec").as("embedding")))
+        .select(col("clabel").as("cell"), col("cvec"))
+    var assigned = corpus.select(col("vec_id"), col("vec"),
+      pmod(xxhash64(col("vec_id")), lit(k.toLong)).cast("int").as("cell"))
+    var centroids = centroidsOf(assigned)
+    var i = 0
+    while (i < iters) {
+      assigned = assignCells(corpus, centroids).drop("sim")
+      centroids = centroidsOf(assigned)
+      i += 1
+    }
+    centroids
+  }
+
   /** IVF top-k: the caller supplies a quantizer (`centroids`: cell → cvec)
     * and a corpus already assigned to cells; each query probes its `nprobe`
     * nearest cells, candidates come from one equi-join on cell, exact rerank

@@ -129,6 +129,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       res(0).getDouble(3) === 1.0)
   }
 
+  test("k-means quantizer: Lloyd rounds improve fit over hash init; deterministic") {
+    val e = T.embeddings(spark, sf)
+    val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+    def avgBestSim(centroids: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignCells(corpus, centroids)
+        .agg(avg(col("sim"))).collect()(0).getDouble(0)
+    val init = Similarity.kmeansQuantizer(corpus, 8, iters = 0)
+    val trained = Similarity.kmeansQuantizer(corpus, 8, iters = 2)
+    val (a0, a2) = (avgBestSim(init), avgBestSim(trained))
+    assert(a2 > a0, s"training did not improve fit: init $a0, trained $a2")
+    // deterministic: an independent rebuild yields identical centroids
+    val again = Similarity.kmeansQuantizer(corpus, 8, iters = 2)
+    val c1 = trained.collect().map(_.toString).sorted.toSeq
+    val c2 = again.collect().map(_.toString).sorted.toSeq
+    assert(c1 === c2)
+    // and the trained quantizer slots straight into ivfTopK
+    val probes = e.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val indexed = Similarity.assignCells(corpus, trained).drop("sim")
+    val res = Similarity.ivfTopK(probes, indexed,
+      trained.select(col("cell").as("clabel"), col("cvec")), 3, nprobe = 2)
+    assert(res.collect().nonEmpty)
+  }
+
   test("ANN recall vs brute-force top-5 >= 0.8 with wide test-sized params") {
     // Whole-ranking recall on this 500-vector fixture, where "neighbors" are
     // near-random (top-5 cosine ~0.25-0.4): per-plane agreement is only ~0.6,
