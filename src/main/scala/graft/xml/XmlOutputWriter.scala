@@ -78,6 +78,8 @@ final class XmlOutputWriter(val path: String, dataSchema: StructType,
   private def leafText(value: Any, dt: DataType): String = dt match {
     case _: DecimalType =>
       value.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
+    case BinaryType => // round-trips through the reader's xs:base64Binary
+      java.util.Base64.getEncoder.encodeToString(value.asInstanceOf[Array[Byte]])
     case _ => value.toString // UTF8String / boxed primitives
   }
 

@@ -400,6 +400,70 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getBoolean(5) === true) // XSD "1" is true (plain parseBoolean isn't)
   }
 
+  test("write path round-trips decimal and binary leaves") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlwrt2").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="rType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:long" name="id"/>
+        |      <xs:element type="xs:decimal" name="amount"/>
+        |      <xs:element type="xs:base64Binary" name="payload"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    import spark.implicits._
+    val out = new java.io.File(dir, "data").getAbsolutePath
+    Seq((7L, new java.math.BigDecimal("12.340000000000000000"),
+        Array[Byte](1, 2, -3, 127)))
+      .toDF("id", "amount", "payload")
+      .selectExpr("id", "CAST(amount AS DECIMAL(38,18)) AS amount", "payload")
+      .write.format("graft.xml")
+      .option("xml.separator.tag", "r").mode("overwrite").save(out)
+    val back = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "r")
+      .option("xml.separator.tag.type", "rType")
+      .option("xml.decimal.as.decimal", "true")
+      .load(out).collect()(0)
+    assert(back.getLong(0) === 7L)
+    assert(back.getDecimal(1).compareTo(new java.math.BigDecimal("12.34")) === 0)
+    assert(back.getAs[Array[Byte]](2).toSeq === Seq[Byte](1, 2, -3, 127))
+  }
+
+  test("streaming sink: writeStream format(graft.xml) produces readable files") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlsink").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="evType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:long" name="n"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val q = input.toDF().toDF("n")
+      .writeStream.format("graft.xml")
+      .option("xml.separator.tag", "ev")
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").getAbsolutePath)
+      .start(out)
+    input.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "ev")
+      .option("xml.separator.tag.type", "evType")
+      .load(out)
+    assert(back.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("missing required option yields a clear error naming the key") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft.xml")
