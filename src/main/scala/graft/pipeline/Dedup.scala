@@ -125,8 +125,13 @@ object Dedup {
     * data collect).
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // materialize the edge list once: `pairs` is typically the tail of an
+    // expensive pipeline (LSH candidate generation + verify), and the loop
+    // below would otherwise re-execute it on every round AND every
+    // convergence check.
     val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
       .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      .localCheckpoint(true)
     var labels = edges.select(col("x").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
