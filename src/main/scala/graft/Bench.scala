@@ -49,6 +49,11 @@ object Bench {
     // timed query doesn't absorb ~5s of one-time setup.
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // ... and one untimed full query: table counts alone don't initialize
+    // the SQL/aggregation/codegen paths, so whatever query sorted first
+    // was still absorbing ~1.5s of first-query setup.
+    try consume(SparkEntry.queries("q_agg_global")(spark, sfDir))
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
