@@ -45,6 +45,13 @@ object TextHashes {
     */
   def simHash64(c: Column): Column = column(SimHash64(expression(c)))
 
+  /** 60-bit SimHash over md5 word hashes — functionally the cross-engine
+    * twin of [[simHash64]]: md5 exists in every engine (the DuckDB oracle
+    * reproduces it bit-for-bit), where xxhash64 is Spark-private. 60 bits
+    * because 15 hex chars parse into a positive signed long everywhere.
+    */
+  def simHashMd5(c: Column): Column = column(SimHashMd5(expression(c)))
+
   /** Jaccard similarity of two distinct-long-element arrays in one pass
     * (sort + merge count) — replaces array_intersect + array_union, which
     * each build a hash set per row.
@@ -161,6 +168,43 @@ case class JaccardLong(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): JaccardLong = copy(left = newLeft, right = newRight)
+}
+
+case class SimHashMd5(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_md5"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(Locale.ROOT).trim
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    val words = text.split("\\s+")
+    var i = 0
+    while (i < words.length) {
+      md.reset()
+      val digest = md.digest(words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = the high 60 bits of the first 8 digest bytes
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+      h = h >>> 4 // drop the 16th hex char: 64 -> 60 bits, always positive
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 =
+    copy(child = c)
 }
 
 case class TextStatsOne(child: Expression, stop: Seq[String])

@@ -200,6 +200,14 @@ object Dedup {
     "q_dedup_simhash" -> ((s, dir) =>
       T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
 
+    // L2b' — the cross-engine SimHash twin over md5 word hashes (60 bits so
+    // the hash parses as a positive signed long in every engine). Same
+    // majority-vote semantics as q_dedup_simhash, but DuckDB can reproduce
+    // md5 → this one is oracle hash-checked bit-for-bit.
+    "q_dedup_simhash_md5" -> ((s, dir) =>
+      T.documents(s, dir).select(col("doc_id"),
+        graft.functions.TextHashes.simHashMd5(col("text")).as("sim60"))),
+
     // L2d (no oracle — rolling hash has no DuckDB twin; shift-robustness
     // verified in PipelineSpec): chunk-sharing distribution across the
     // corpus — how many content-defined chunks appear in k distinct docs.
@@ -233,6 +241,16 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_simhash_md5" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 59),
+        |    b -> CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+        |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim60
+        |FROM (SELECT doc_id,
+        |        list_transform(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |          w -> CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+        |      FROM documents)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_exact" ->
       """SELECT doc_id, lang, source FROM (
         |  SELECT doc_id, lang, source,
