@@ -52,6 +52,14 @@ object TextHashes {
     */
   def simHashMd5(c: Column): Column = column(SimHashMd5(expression(c)))
 
+  /** k-perm MinHash signature over md5(shingle ++ "|" ++ perm) — the
+    * cross-engine twin of [[minHashSig]] (same min-over-permuted-hashes
+    * semantics, md5 instead of Spark-private xxhash64). Input is the STRING
+    * shingle array; 60-bit hashes as in [[simHashMd5]].
+    */
+  def minHashSigMd5(c: Column, k: Int = 8): Column =
+    column(MinHashSigMd5(expression(c), k))
+
   /** Jaccard similarity of two distinct-long-element arrays in one pass
     * (sort + merge count) — replaces array_intersect + array_union, which
     * each build a hash set per row.
@@ -204,6 +212,44 @@ case class SimHashMd5(child: Expression)
   }
 
   override protected def withNewChildInternal(c: Expression): SimHashMd5 =
+    copy(child = c)
+}
+
+case class MinHashSigMd5(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"signature size must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_md5"
+
+  private def hash60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    h >>> 4 // first 15 hex chars, always positive
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig = new Array[Long](k)
+    var p = 0
+    while (p < k) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i).toString + "|" + (p + 1)
+        val h = hash60(md, s)
+        if (h < m) m = h
+        i += 1
+      }
+      sig(p) = m; p += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigMd5 =
     copy(child = c)
 }
 

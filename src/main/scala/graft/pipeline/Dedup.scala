@@ -200,6 +200,20 @@ object Dedup {
     "q_dedup_simhash" -> ((s, dir) =>
       T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
 
+    // L2a' — the cross-engine MinHash twin: k=8 signatures over
+    // md5(shingle|perm), emitted as '|'-joined strings. Oracle reproduces
+    // every signature bit-for-bit; the xxhash64 MinHashSig stays the fast
+    // path inside the LSH pipeline. Docs with no 3-gram are filtered on
+    // both sides (empty-set minima are undefined).
+    "q_dedup_minhash_md5" -> ((s, dir) => {
+      T.documents(s, dir)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"),
+          array_join(graft.functions.TextHashes.minHashSigMd5(col("sh"))
+            .cast("array<string>"), "|").as("sig"))
+    }),
+
     // L2b' — the cross-engine SimHash twin over md5 word hashes (60 bits so
     // the hash parses as a positive signed long in every engine). Same
     // majority-vote semantics as q_dedup_simhash, but DuckDB can reproduce
@@ -241,6 +255,23 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash_md5" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END AS sh
+        |  FROM t)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(generate_series(1, 8),
+        |    p -> list_min(list_transform(sh,
+        |      s -> CAST(('0x' || substr(md5(s || '|' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT)))),
+        |    '|') AS sig
+        |FROM sh WHERE len(sh) > 0 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_simhash_md5" ->
       """SELECT doc_id,
         |  CAST(list_sum(list_transform(generate_series(0, 59),
