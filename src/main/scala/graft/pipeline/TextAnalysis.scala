@@ -128,6 +128,23 @@ object TextAnalysis {
           (uniRatio >= 0.3).cast("int").as("keep"))
     }),
 
+    // PII-style scrubbing: mask emails and long digit runs before training —
+    // the standard redaction pass of a corpus pipeline. Output is the md5 of
+    // the redacted text (small, still proves byte-exact transform parity)
+    // plus the match count.
+    "q_text_redact" -> ((s, dir) => {
+      val redacted = regexp_replace(
+        regexp_replace(col("text"),
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "[0-9]{4,}", "<NUM>")
+      T.documents(s, dir).select(
+        col("doc_id"),
+        md5(redacted).as("redacted_md5"),
+        (size(expr("regexp_extract_all(text, '[0-9]{4,}', 0)")) +
+          size(expr("regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', 0)")))
+          .as("n_redacted"))
+    }),
+
     // Corpus-level top-20 words by frequency (tie-break on the word) — the
     // classic vocabulary sanity check: one explode + one agg shuffle + a
     // TakeOrdered, no global sort of the full word list.
@@ -212,6 +229,14 @@ object TextAnalysis {
         |  uniq_unigram_ratio, uniq_bigram_ratio,
         |  CAST(CASE WHEN uniq_unigram_ratio >= 0.3 THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{4,}')) +
+        |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_redacted
+        |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_topwords" ->
       """SELECT * FROM (
         |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
