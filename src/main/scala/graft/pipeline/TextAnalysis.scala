@@ -91,8 +91,9 @@ object TextAnalysis {
         size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).as("n_other"))
     }),
 
-    // Language-ID heuristic vs the labeled lang column (no oracle — verified
-    // by TextAnalysisSpec on planted texts; deterministic argmax).
+    // Language-ID heuristic vs the labeled lang column — deterministic
+    // stopword-hits argmax (ties break to the lexicographically greatest
+    // code), oracle-checked via the equivalent CASE cascade.
     "q_text_langid" -> ((s, dir) => {
       T.documents(s, dir)
         .withColumn("predicted", langId(col("text")))
@@ -229,6 +230,25 @@ object TextAnalysis {
         |  uniq_unigram_ratio, uniq_bigram_ratio,
         |  CAST(CASE WHEN uniq_unigram_ratio >= 0.3 THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_langid" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','on','for'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['le','la','les','et','est','un','une','dans','pour','que'], x))) AS s_fr
+        |  FROM t)
+        |SELECT lang,
+        |  CASE WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+        |       WHEN s_en >= s_de THEN 'en' ELSE 'de' END AS predicted,
+        |  count(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_redact" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(text,
