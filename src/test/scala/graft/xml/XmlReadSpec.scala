@@ -223,6 +223,35 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(2).getInt(1) === 3 && rows(2).isNullAt(2))
   }
 
+  test("PERMISSIVE with the corrupt column pruned away still null-fills") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlperm2").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="rType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="id"/>
+        |      <xs:element type="xs:int" name="n" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      "<root><r><id>a</id><n>1</n></r><r><id>b</id><n>bogus</n></r></root>")
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "r")
+      .option("xml.separator.tag.type", "rType")
+      .option("mode", "PERMISSIVE")
+      .load(dataDir.getAbsolutePath)
+    // projecting only data columns prunes _corrupt_record out of the scan;
+    // the rescue path must not depend on the report column being present
+    val rows = df.select("id", "n").collect().sortBy(_.getString(0))
+    assert(rows.length === 2)
+    assert(rows(0).getInt(1) === 1)
+    assert(rows(1).isNullAt(1))
+  }
+
   test("xml.decimal.as.decimal=true: price reads as exact BigDecimal") {
     val df = spark.read.format("graft.xml")
       .option("xml.schema.location", s"$base/library/schema")
