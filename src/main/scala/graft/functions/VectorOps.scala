@@ -31,6 +31,12 @@ object VectorOps {
   def cosineSim(a: Column, b: Column): Column =
     column(CosineSim(expression(a), expression(b)))
 
+  /** Plain dot product of two float/double-array columns, double math,
+    * index-order accumulation (bit-identical to a sequential `list_sum`).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
   /** Sign-pattern LSH bucket of a vector: bit p of the result is the sign of
     * the projection onto pseudo-random hyperplane `table * planes + p`.
     * Distinct `table` values give independent hash tables (multi-table LSH).
@@ -82,6 +88,25 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = VectorOps.toDoubles(l.asInstanceOf[ArrayData], VectorOps.elemType(left))
+    val b = VectorOps.toDoubles(r.asInstanceOf[ArrayData], VectorOps.elemType(right))
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
 }
 
 case class CosineLshBucket(child: Expression, planes: Int, table: Int)

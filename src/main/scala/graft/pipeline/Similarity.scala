@@ -174,7 +174,32 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
+  /** Deterministic pseudo-random classifier weight for dimension `d`:
+    * uniform in [-0.5, 0.5) from md5("w" + d) — reproducible in any engine
+    * (stands in for trained weights; the pipeline shape is the point).
+    */
+  private[pipeline] def classifierWeight(d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(("w" + d).getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex, 16) % 1000L).toDouble / 1000.0 - 0.5
+  }
+
   val queries: Map[String, Q] = Map(
+    // Classifier-based quality scoring — the fastText-style filter of a
+    // training pipeline: broadcast weight vector (a literal here; tiny
+    // either way), one native dot product per row, sigmoid, threshold.
+    // No shuffle at all until the tiny final count.
+    "q_sim_classify" -> ((s, dir) => {
+      import graft.functions.VectorOps.dotProduct
+      val w = typedLit((0 until 64).map(classifierWeight))
+      val score = round(lit(1.0) /
+        (lit(1.0) + exp(-dotProduct(col("embedding"), w))), 6)
+      T.embeddings(s, dir)
+        .select(col("vec_id"), score.as("score"))
+        .withColumn("keep", (col("score") >= 0.5).cast("int"))
+    }),
+
     // IVF quantizer build: per-label centroids from exact integer sums
     // (oracle-checked; one narrow shuffle, deterministic at any parallelism).
     // The 6-decimal rounding happens in INTEGER micro-units (half away from
@@ -255,6 +280,17 @@ object Similarity {
       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sim_classify" ->
+      """WITH scored AS (
+        |  SELECT vec_id,
+        |    round(1.0 / (1.0 + exp(-list_sum(list_transform(generate_series(1, 64),
+        |      d -> CAST(embedding[d] AS DOUBLE) *
+        |        ((CAST(('0x' || substr(md5('w' || CAST(d - 1 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000)
+        |          / 1000.0 - 0.5))))), 6) AS score
+        |  FROM embeddings)
+        |SELECT vec_id, score,
+        |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS keep
+        |FROM scored ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sim_centroids" ->
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
