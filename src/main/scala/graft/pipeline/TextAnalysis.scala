@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines (SURVEY.md §2.10 L4 + north
@@ -129,6 +130,27 @@ object TextAnalysis {
           (uniRatio >= 0.3).cast("int").as("keep"))
     }),
 
+    // TF-IDF: classic corpus weighting — term frequency per (doc, word),
+    // document frequency per word, idf = ln(N/df), emit each doc's top
+    // term. Two narrow shuffles ((doc,word) then (word)) plus a broadcast
+    // single-row N; ranking uses the ROUNDED score so cross-engine ln()
+    // last-ulp drift can't reorder ties.
+    "q_text_tfidf" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("word"))
+      val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double")), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("word"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("word").as("top_term"), col("tfidf"))
+    }),
+
     // PII-style scrubbing: mask emails and long digit runs before training —
     // the standard redaction pass of a corpus pipeline. Output is the md5 of
     // the redacted text (small, still proves byte-exact transform parity)
@@ -230,6 +252,23 @@ object TextAnalysis {
         |  uniq_unigram_ratio, uniq_bigram_ratio,
         |  CAST(CASE WHEN uniq_unigram_ratio >= 0.3 THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, word,
+        |    round(CAST(tf AS DOUBLE) * ln(CAST(nn.n AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (word) CROSS JOIN nn),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+        |  FROM scored)
+        |SELECT doc_id, word AS top_term, tfidf FROM ranked WHERE rn = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_langid" ->
       """WITH t AS (
         |  SELECT lang,
