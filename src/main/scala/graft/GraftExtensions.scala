@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, JaccardLong, MinHashSig, ShingleHashes, SimHash64}
+import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, DotProduct, JaccardLong, MinHashSig, ShingleHashes, SimHash64}
 
 /** SparkSessionExtensions registration (SURVEY.md §4.2 / the custom-operator
   * ladder): exposes the native dedup expressions to SQL, so
@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "_FUNC_(a, b) - cosine similarity of float/double arrays"),
       (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "_FUNC_(a, b) - dot product of float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("content_chunks"),
       info("content_chunks",
         "_FUNC_(text[, avgBits]) - Rabin-Karp content-defined chunk hashes"),

@@ -47,6 +47,10 @@ object syntax {
     def cosineSim(other: Column): Column =
       functions.VectorOps.cosineSim(c, other)
 
+    /** Dot product; see [[functions.VectorOps.dotProduct]]. */
+    def dot(other: Column): Column =
+      functions.VectorOps.dotProduct(c, other)
+
     /** Sign-pattern LSH bucket; see [[functions.VectorOps.cosineLshBucket]]. */
     def lshBucket(planes: Int = 8, table: Int = 0): Column =
       functions.VectorOps.cosineLshBucket(c, planes, table)
