@@ -6,8 +6,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (SURVEY.md §2.10 L3 + north-star
-  * ANN): exact cosine top-k as the correctness baseline, and a random-
-  * hyperplane LSH-bucketed variant as the scale path.
+  * ANN): exact cosine top-k as the correctness baseline, a random-hyperplane
+  * LSH-bucketed variant and an IVF path (deterministic k-means quantizer,
+  * broadcast assignment, nprobe cell search) as the scale paths, plus
+  * classifier-based quality scoring over the same vector machinery.
   *
   * Scale design: brute force is O(|Q|·|N|) — fine for a handful of probe
   * queries, hopeless at 100 TB. The LSH path buckets vectors by the sign
