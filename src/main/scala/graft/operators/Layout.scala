@@ -39,4 +39,48 @@ object Layout {
   def clusterBy(df: DataFrame, partitions: Int, cols: Column*): DataFrame =
     df.repartitionByRange(partitions, cols: _*)
       .sortWithinPartitions(cols: _*)
+
+  /** Small-file compaction — THE routine lake-maintenance op: rewrite a
+    * directory of fragmented parquet into files of ~`targetFileMB`, sized
+    * from the optimizer's own byte statistics (so the caller doesn't guess a
+    * partition count). Returns the partition count used.
+    */
+  def compact(df: DataFrame, outPath: String, targetFileMB: Int = 128): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = math.max(1,
+      (bytes / (targetFileMB.toLong * 1024 * 1024)).toInt +
+        (if (bytes % (targetFileMB.toLong * 1024 * 1024) > 0) 1 else 0))
+    df.repartition(parts).write.mode("overwrite").parquet(outPath)
+    parts
+  }
+
+  /** Z-order clustering value for two non-negative int columns: interleaves
+    * the low 31 bits of each (a in even positions, b in odd), so sorting by
+    * the result keeps rows close in BOTH dimensions — parquet row-group
+    * min/max stats then prune 2-D range predicates, which a lexicographic
+    * sort only achieves for the leading column. Pure bit arithmetic on
+    * columns — codegen'd, no UDF.
+    */
+  def zValue(a: Column, b: Column): Column = {
+    // spread the low 31 bits of x to even bit positions (classic morton
+    // spreading, done with shift-or-mask stages as column expressions)
+    def spread(x: Column): Column = {
+      var v = x.cast("long")
+      v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
+      v = v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
+      v
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Repartition+sort by the Z-order value of (a, b) — the write-side layout
+    * for 2-D data skipping.
+    */
+  def zorderBy(df: DataFrame, partitions: Int, a: Column, b: Column): DataFrame = {
+    val z = zValue(a, b)
+    df.repartitionByRange(partitions, z).sortWithinPartitions(z)
+  }
 }

@@ -33,6 +33,19 @@ object StreamOps {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming CONTENT dedup — the ingest-time twin of the batch exact
+    * dedup: drop records whose normalized-text hash was already seen within
+    * the watermark horizon. State holds one 32-char hash per distinct doc in
+    * the horizon, never the text.
+    */
+  def contentDedupWithinWatermark(docs: DataFrame, textCol: String,
+      tsCol: String): DataFrame =
+    docs
+      .withColumn("__h", md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))))
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
+
   /** Stream-stream interval join — the canonical click↔impression
     * attribution shape: a click joins the impression it followed within
     * `horizon`. Both sides carry watermarks and the join condition bounds

@@ -54,6 +54,51 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted === plain && plain.nonEmpty)
   }
 
+  test("compact rewrites fragmented parquet into size-targeted files") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toFile
+    val fragmented = new java.io.File(dir, "frag").getAbsolutePath
+    val li = Tables.lineitem(spark, sf)
+    li.repartition(64).write.mode("overwrite").parquet(fragmented) // 64 shards
+    val nFrags = new java.io.File(fragmented).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFrags >= 32)
+    val out = new java.io.File(dir, "compacted").getAbsolutePath
+    val parts = operators.Layout.compact(
+      spark.read.parquet(fragmented), out, targetFileMB = 64)
+    val nOut = new java.io.File(out).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(nOut === parts && nOut < nFrags)
+    // content preserved
+    assert(spark.read.parquet(out).count() === li.count())
+  }
+
+  test("zValue interleaves bits; z-sorted layout keeps both dims locally bounded") {
+    import spark.implicits._
+    // known interleavings: z(1,0)=1, z(0,1)=2, z(3,5)=0b100111=39
+    val z = Seq((1, 0), (0, 1), (3, 5)).toDF("a", "b")
+      .select(operators.Layout.zValue(col("a"), col("b"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(z === Seq(1L, 2L, 39L))
+    // locality: z-order a 32x32 grid into 16 chunks; in a lexicographic sort
+    // by (a, b), each chunk spans the full b-range (spread 31), while z-order
+    // bounds BOTH dimensions per chunk.
+    val grid = (0 until 32).flatMap(a => (0 until 32).map(b => (a, b)))
+      .toDF("a", "b")
+    def maxChunkSpread(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val rows = df.collect().map(r => (r.getInt(0), r.getInt(1)))
+      val spreads = rows.grouped(64).map { chunk =>
+        (chunk.map(_._1).max - chunk.map(_._1).min,
+          chunk.map(_._2).max - chunk.map(_._2).min)
+      }.toSeq
+      (spreads.map(_._1).max, spreads.map(_._2).max)
+    }
+    val lex = maxChunkSpread(grid.orderBy("a", "b"))
+    val zord = maxChunkSpread(
+      grid.orderBy(operators.Layout.zValue(col("a"), col("b"))))
+    assert(lex._2 === 31) // lexicographic: trailing dim unbounded per chunk
+    assert(zord._1 <= 8 && zord._2 <= 8, s"z-order spreads $zord") // both bounded
+  }
+
   test("GraftExtensions: native expressions callable from SQL") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_ext")
     val r = spark.sql(

@@ -125,6 +125,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._2 == 902L), got.toString)    // no impression
   }
 
+  test("streaming content dedup drops same-text docs across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = StreamOps.contentDedupWithinWatermark(
+      input.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdedup_out").start()
+    input.addData((1L, "Hello  World", ts(0)), (2L, "other doc", ts(1)))
+    q.processAllAvailable()
+    // same text modulo case/whitespace, later batch: dropped
+    input.addData((3L, "hello world", ts(2)), (4L, "third doc", ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT doc_id FROM cdedup_out").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 4L))
+  }
+
   test("custom keyed state: running counts per user across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
