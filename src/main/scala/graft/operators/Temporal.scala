@@ -54,6 +54,25 @@ object Temporal {
           count(lit(1)).as("n_events"))
     }),
 
+    // T6: resample with gap fill — a dense 15-minute grid from min to max
+    // event time, left-joined against the bucket aggregate so EMPTY buckets
+    // appear with n=0 (tumbling windows only emit non-empty buckets; every
+    // monitoring/feature pipeline needs the gaps). The grid explodes from a
+    // one-row bounds aggregate — tiny even over years — and the gap-fill
+    // join shuffles on the bucket key only.
+    "q_stream_resample" -> ((s, dir) => {
+      val e = T.events(s, dir)
+        .withColumn("tsec", expr("unix_micros(ts) div 1000000"))
+      val bounds = e.agg(
+        (expr("min(tsec) div 900") * 900).as("lo"), max(col("tsec")).as("hi"))
+      val grid = bounds
+        .select(explode(sequence(col("lo"), col("hi"), lit(900L))).as("gsec"))
+      val agg = e.groupBy((expr("tsec div 900") * lit(900L)).as("gsec"))
+        .agg(count(lit(1)).as("n"))
+      grid.join(agg, Seq("gsec"), "left")
+        .select(col("gsec"), coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     // T3b (no oracle — native session_window operator; rows-only + unit test).
     "q_stream_session_native" -> ((s, dir) => {
       T.events(s, dir)
@@ -64,6 +83,20 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_resample" ->
+      """WITH b AS (
+        |  SELECT epoch_us(min(ts)) // 1000000 AS lo,
+        |         epoch_us(max(ts)) // 1000000 AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT lo FROM b) // 900 * 900, (SELECT hi FROM b), 900)) AS gsec),
+        |agg AS (
+        |  SELECT epoch_us(ts) // 1000000 // 900 * 900 AS gsec, count(*) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT g.gsec, coalesce(a.n, CAST(0 AS BIGINT)) AS n
+        |FROM grid g LEFT JOIN agg a USING (gsec)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS wstart_s,
         |  event_type, count(*) AS n,
