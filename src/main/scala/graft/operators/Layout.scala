@@ -40,6 +40,25 @@ object Layout {
     df.repartitionByRange(partitions, cols: _*)
       .sortWithinPartitions(cols: _*)
 
+  /** Bloom-pruned semi-join for long keys — the explicit form of a runtime
+    * filter: build a Bloom filter over the small side's keys, broadcast it,
+    * and drop non-matching big-side rows BEFORE the shuffle; the exact
+    * left-semi join afterwards removes the false positives, so the result
+    * is identical to a plain semi-join while the shuffle carries ~fpp of
+    * the non-matching rows instead of all of them. (The membership test is
+    * a UDF by necessity: Spark's `might_contain` expression is
+    * optimizer-internal, not registered for users.)
+    */
+  def bloomPrunedSemiJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bc.value.mightContain(k.longValue()))
+    big.filter(mightContain(col(key)))
+      .join(small.select(key).distinct(), Seq(key), "left_semi")
+  }
+
   /** Small-file compaction — THE routine lake-maintenance op: rewrite a
     * directory of fragmented parquet into files of ~`targetFileMB`, sized
     * from the optimizer's own byte statistics (so the caller doesn't guess a

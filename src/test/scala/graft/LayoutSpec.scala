@@ -54,6 +54,24 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(salted === plain && plain.nonEmpty)
   }
 
+  test("bloom-pruned semi-join: same rows as plain semi-join, big side pre-filtered") {
+    val o = Tables.orders(spark, sf)
+    val sel = Tables.customer(spark, sf)
+      .filter(col("c_custkey") % 97 === 0) // selective small side
+      .select(col("c_custkey").as("o_custkey"))
+    val plain = o.join(sel, Seq("o_custkey"), "left_semi")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val pruned = operators.Layout.bloomPrunedSemiJoin(o, sel, "o_custkey",
+      expectedItems = 1000, fpp = 0.01)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(pruned === plain && plain.nonEmpty)
+    // the bloom pre-filter alone already removes almost all non-matches
+    val bf = sel.stat.bloomFilter("o_custkey", 1000, 0.01)
+    val kept = o.collect().count(r =>
+      bf.mightContain(r.getAs[Long]("o_custkey")))
+    assert(kept < o.count() / 10, s"bloom kept $kept of ${o.count()}")
+  }
+
   test("compact rewrites fragmented parquet into size-targeted files") {
     val dir = java.nio.file.Files.createTempDirectory("compact").toFile
     val fragmented = new java.io.File(dir, "frag").getAbsolutePath
