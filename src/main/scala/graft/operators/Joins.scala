@@ -26,20 +26,28 @@ object Joins {
     * (same partitioning strategy as sort-merge as-of joins in kdb/Flink).
     * Right rows sort before left rows at equal timestamps, giving `<=`
     * semantics.
+    *
+    * `toleranceDays` (pandas `merge_asof(tolerance=...)` semantics): when
+    * set, a match older than the bound yields null payload instead. Only the
+    * LATEST candidate can ever be within tolerance, so masking after the
+    * carry is equivalent to restricting candidates — the plan shape is
+    * unchanged (still one shuffle per input).
     */
   def asofJoin(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String,
-      payload: Seq[String]): DataFrame = {
+      payload: Seq[String], toleranceDays: Option[Int] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_asof_key", col(leftKey)).withColumn("_asof_t", col(leftTime))
       .withColumn("_asof_side", lit(1))
-      .select(Seq(col("_asof_key"), col("_asof_t"), col("_asof_side")) ++
+      .select(Seq(col("_asof_key"), col("_asof_t"), col("_asof_side"),
+          lit(null).cast("timestamp").as("_asof_mt")) ++
         leftCols.map(col) ++ payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
     val r = right
       .withColumn("_asof_key", col(rightKey)).withColumn("_asof_t", col(rightTime))
       .withColumn("_asof_side", lit(0))
-      .select(Seq(col("_asof_key"), col("_asof_t"), col("_asof_side")) ++
+      .select(Seq(col("_asof_key"), col("_asof_t"), col("_asof_side"),
+          col(rightTime).cast("timestamp").as("_asof_mt")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         payload.map(col): _*)
     val w = Window.partitionBy("_asof_key")
@@ -47,8 +55,16 @@ object Joins {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r).select(
       (leftCols.map(col) :+ col("_asof_side")) ++
-        payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    carried.filter(col("_asof_side") === 1).drop("_asof_side")
+        (payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
+          last(col("_asof_mt"), ignoreNulls = true).over(w).as("_asof_mt")): _*)
+    val matched = carried.filter(col("_asof_side") === 1).drop("_asof_side")
+    toleranceDays match {
+      case None => matched.drop("_asof_mt")
+      case Some(tol) => matched.select(
+        leftCols.map(col) ++ payload.map(c =>
+          when(datediff(col(leftTime), col("_asof_mt")) <= tol, col(c))
+            .otherwise(lit(null)).as(c)): _*)
+    }
   }
 
   val queries: Map[String, Q] = Map(
@@ -139,6 +155,19 @@ object Joins {
         .select(col("event_id"), col("user_id"), col("o_orderkey"))
     }),
 
+    // J10c: as-of join with a 30-day staleness tolerance (pandas
+    // merge_asof(tolerance=...) semantics) — matches older than the bound
+    // yield null payload; same one-shuffle-per-input plan.
+    "q_join_asof_tol" -> ((s, dir) => {
+      val e = T.events(s, dir).select("event_id", "user_id", "ts")
+      val o = T.orders(s, dir)
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(max("o_orderkey").as("o_orderkey"))
+      asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey"), toleranceDays = Some(30))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+    }),
+
     // J10b: the same as-of join through the native custom operator
     // (graft.plans.AsOfJoinExec — LogicalPlan + Strategy + merge-pass
     // SparkPlan); same oracle as J10. Right side is pre-deduped to a unique
@@ -219,6 +248,17 @@ object Joins {
     "q_join_asof" ->
       """SELECT event_id, user_id, o_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_asof_tol" ->
+      """SELECT event_id, user_id,
+        |  CASE WHEN datediff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE)) <= 30
+        |       THEN o_orderkey END AS o_orderkey
+        |FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
         |    row_number() OVER (PARTITION BY e.event_id
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e LEFT JOIN orders o
