@@ -125,6 +125,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._2 == 902L), got.toString)    // no impression
   }
 
+  test("stream-static enrichment: streaming events join a static dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = graft.Tables.customer(spark, "/root/testdata/sf0.001")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val input = MemoryStream[(Long, Long)] // (event_id, user_id)
+    val q = input.toDF().toDF("event_id", "user_id")
+      .join(dim, col("user_id") === col("c_custkey"), "left")
+      .select("event_id", "c_mktsegment")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    input.addData((1L, 1L), (2L, 999999L)) // known customer + miss
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT event_id, c_mktsegment FROM enrich_out")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L).nonEmpty) // enriched from the static side
+    assert(got(2L).isEmpty)  // unmatched stays null (left join)
+  }
+
   test("streaming content dedup drops same-text docs across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
