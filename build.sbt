@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output must reach the REAL stdout/stderr, not sbt's
+// logger: the logger prefixes stdout with [info] (and hides it entirely
+// under -error), which is why the driver's tail-parse of Bench's JSON
+// line kept seeing "parsed": null. StdoutOutput = inherited file
+// descriptors, no prefix, no log-level filtering.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,21 +1,27 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, sum, xxhash64}
+import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
 
 /** Benchmark main — driver contract: print ONE parseable JSON line
   * `{"metric":"total","value":N,"unit":"sec",...}`.
   *
-  * Two deliberate harness choices (both driven by round-1 findings):
-  *  - the consumer is `agg(sum(xxhash64(all columns)))`, not `count()`:
-  *    under `count()` Catalyst prunes every unused projection, so
-  *    narrow-projection queries mostly measured parquet row counting. The
-  *    hash-sum forces every output column to be computed while staying
-  *    order-agnostic, so the verification-only total sort is still
-  *    eliminated (EliminateSorts under an aggregate).
+  * Harness choices (driven by round-1/2 findings):
+  *  - the consumer is `select(xxhash64(struct(all))).agg(bit_xor(h))`, not
+  *    `count()` and not `sum(...)`: under `count()` Catalyst prunes every
+  *    unused projection, so narrow-projection queries mostly measured
+  *    parquet row counting; under ANSI mode (Spark 4 default) a running
+  *    `sum` of uniform random 64-bit hashes overflows Long after a handful
+  *    of rows and aborts the job (round-2's numbers were time-to-abort).
+  *    `bit_xor` forces every output column, is order-agnostic (the
+  *    verification-only total sort is still eliminated — EliminateSorts
+  *    under an aggregate), and cannot overflow.
+  *  - per-query failures are counted, reported in the JSON (`"errors":N`),
+  *    and make the run exit non-zero — never silently absorbed.
   *  - the printed line carries only the total plus a small headline-query
   *    map; the full per-query map goes to `bench_queries.json` (the 86-entry
   *    inline map overflowed the driver's line capture → `"parsed": null`).
+  *    It is printed AFTER `spark.stop()` so it is the last stdout line.
   */
 object Bench {
 
@@ -26,10 +32,12 @@ object Bench {
     "q_agg_group", "q_join_star", "q_win_rank", "q_dedup_exact_hash",
     "q_dedup_near", "q_sim_ann", "q_text_quality", "q_stream_session")
 
-  /** Materialize every output column of `df` (codegen'd hash, no collect). */
+  /** Materialize every output column of `df` (codegen'd hash, no collect).
+    * bit_xor is overflow-free under ANSI mode and order-agnostic.
+    */
   private def consume(df: DataFrame): Unit = {
     val all = df.columns.map(col).toIndexedSeq
-    df.agg(sum(xxhash64(all: _*))).collect()
+    df.select(xxhash64(struct(all: _*)).as("h")).agg(expr("bit_xor(h)")).collect()
     ()
   }
 
@@ -54,9 +62,14 @@ object Bench {
     // was still absorbing ~1.5s of first-query setup.
     try consume(SparkEntry.queries("q_agg_global")(spark, sfDir))
     catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try consume(fn(spark, sfDir))
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val perQuery = results
@@ -70,7 +83,13 @@ object Bench {
       .map(k => s"\"" + k + "\":" + f"${times(k)}%.3f")
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$hl,"sf":"$sfDir"}""")
     spark.stop()
+    // Printed after spark.stop() so this is the LAST stdout line (the driver
+    // tail-parses; sbt trailers land on stderr under -error).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"queries":$hl,"sf":"$sfDir"}""")
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

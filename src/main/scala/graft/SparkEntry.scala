@@ -52,7 +52,8 @@ object SparkEntry {
     * Every query is wrapped in a total order over all output columns
     * (asc nulls-first; oracles end in `ORDER BY ALL NULLS FIRST`) so the
     * driver's row-order hash compare is deterministic. The sort is a
-    * verification device: under `Bench`'s `count()` Catalyst eliminates it
+    * verification device: under `Bench`'s order-agnostic aggregate consumer
+    * (`bit_xor` of `xxhash64(struct(*))`) Catalyst eliminates it
     * (EliminateSorts), so it costs nothing in benchmarked plans.
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -34,6 +34,13 @@ object TextHashes {
   def shingleHashes(c: Column, n: Int = 3): Column =
     column(ShingleHashes(expression(c), n))
 
+  /** Distinct n-word shingle STRINGS (same normalization as
+    * [[shingleHashes]]), for cross-engine twins that must digest the shingle
+    * text itself (md5 MinHash oracle).
+    */
+  def shingleStrings(c: Column, n: Int = 3): Column =
+    column(ShingleStrings(expression(c), n))
+
   /** k-permutation MinHash signature of a hashed-shingle array: sig(p) =
     * min over h of xxhash64(h, seed = p).
     */
@@ -87,6 +94,44 @@ object TextHashes {
     */
   def contentChunks(c: Column, avgBits: Int = 6): Column =
     column(ContentChunks(expression(c), avgBits))
+}
+
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  override def nullSafeEval(input: Any): Any = {
+    // One pass, no per-element lambda dispatch: the HOF formulation
+    // (transform + slice + concat_ws + array_distinct) is interpreted per
+    // element and measured ~40µs/shingle — 8.6 s for 5k docs at sf0.1.
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(Locale.ROOT).trim
+    if (text.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val words = text.split("\\s+")
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j)); j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator(); var x = 0
+    while (it.hasNext) { out(x) = it.next(); x += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ShingleStrings =
+    copy(child = c)
 }
 
 case class ShingleHashes(child: Expression, n: Int)
@@ -230,20 +275,32 @@ case class MinHashSigMd5(child: Expression, k: Int)
     h >>> 4 // first 15 hex chars, always positive
   }
 
+  // One 60-bit constant per permutation, md5-derived so DuckDB reproduces
+  // them: c_p = hash60(md5("perm|p")). Computed once per expression
+  // instance, not per row.
+  private lazy val permConsts: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k)(p => hash60(md, "perm|" + (p + 1)))
+  }
+
   override def nullSafeEval(input: Any): Any = {
+    // ONE digest per shingle (round-2 did k×|shingles| digests — 4× the
+    // next-slowest query at sf0.1); the k permutations are XOR bijections
+    // on the 60-bit space, exact in both engines (no overflow, stays
+    // positive).
     val arr = input.asInstanceOf[ArrayData]
     val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hash60(md, arr.getUTF8String(i).toString); i += 1 }
     val sig = new Array[Long](k)
     var p = 0
     while (p < k) {
+      val c = permConsts(p)
       var m = Long.MaxValue
-      var i = 0
-      while (i < arr.numElements()) {
-        val s = arr.getUTF8String(i).toString + "|" + (p + 1)
-        val h = hash60(md, s)
-        if (h < m) m = h
-        i += 1
-      }
+      var j = 0
+      while (j < n) { val v = hs(j) ^ c; if (v < m) m = v; j += 1 }
       sig(p) = m; p += 1
     }
     new GenericArrayData(sig)

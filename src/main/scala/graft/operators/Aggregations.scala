@@ -148,10 +148,15 @@ object Aggregations {
           sum(dc * tc).as("sxy"))
         .select(
           col("l_returnflag"),
-          round(sqrt(varX) / lit(100.0), 6).as("sd_disc"),
-          round(varX / lit(10000.0), 6).as("var_disc"),
-          round(covXY / sqrt(varX * varY), 6).as("corr_dt"),
-          round(covXY / lit(10000.0), 6).as("cov_dt"))
+          // Unrounded: over identical integer moments both engines evaluate
+          // the identical IEEE expression → bit-identical doubles. round(,6)
+          // DIVERGED on exact decimal .5 ties (Spark rounds the shortest
+          // decimal rendering, DuckDB the binary value) — same pattern as
+          // q_win_dist.
+          (sqrt(varX) / lit(100.0)).as("sd_disc"),
+          (varX / lit(10000.0)).as("var_disc"),
+          (covXY / sqrt(varX * varY)).as("corr_dt"),
+          (covXY / lit(10000.0)).as("cov_dt"))
     }),
 
     // Argmax/argmin + boolean aggregates. The ordering value is made unique
@@ -266,11 +271,11 @@ object Aggregations {
          |    CAST(SUM(${sqlCents("l_discount")} * ${sqlCents("l_tax")}) AS DOUBLE) AS sxy
          |  FROM lineitem GROUP BY 1)
          |SELECT l_returnflag,
-         |  round(sqrt((sxx - sx * sx / n) / (n - 1.0)) / 100.0, 6) AS sd_disc,
-         |  round(((sxx - sx * sx / n) / (n - 1.0)) / 10000.0, 6) AS var_disc,
-         |  round(((sxy - sx * sy / n) / (n - 1.0)) /
-         |    sqrt(((sxx - sx * sx / n) / (n - 1.0)) * ((syy - sy * sy / n) / (n - 1.0))), 6) AS corr_dt,
-         |  round(((sxy - sx * sy / n) / (n - 1.0)) / 10000.0, 6) AS cov_dt
+         |  sqrt((sxx - sx * sx / n) / (n - 1.0)) / 100.0 AS sd_disc,
+         |  ((sxx - sx * sx / n) / (n - 1.0)) / 10000.0 AS var_disc,
+         |  ((sxy - sx * sy / n) / (n - 1.0)) /
+         |    sqrt(((sxx - sx * sx / n) / (n - 1.0)) * ((syy - sy * sy / n) / (n - 1.0))) AS corr_dt,
+         |  ((sxy - sx * sy / n) / (n - 1.0)) / 10000.0 AS cov_dt
          |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_argmax" ->
       """SELECT l_returnflag,

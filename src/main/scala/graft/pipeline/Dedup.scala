@@ -28,14 +28,16 @@ object Dedup {
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Distinct word n-gram shingles (default 3-word) of normalized text. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val ws = split(normText(c), " ")
-    val grams = transform(sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", slice(ws, i + 1, lit(n))))
-    when(size(ws) < n, lit(Array.empty[String]).cast(ArrayType(StringType)))
-      .otherwise(array_distinct(grams))
-  }
+  /** Distinct word n-gram shingles (default 3-word) of normalized text.
+    *
+    * Pure-DataFrame shape (kept as documentation): `ws = split(normText, " ");
+    * array_distinct(transform(sequence(0, size(ws)-n), i ->
+    * concat_ws(" ", slice(ws, i+1, n))))` — but HOF lambdas are interpreted
+    * per element (~40µs each; 8.6 s over sf0.1 documents), so the shipped
+    * implementation is the one-pass native [[graft.functions.ShingleStrings]].
+    */
+  def shingles(c: Column, n: Int = 3): Column =
+    graft.functions.TextHashes.shingleStrings(c, n)
 
   /** k-permutation MinHash signature of a shingle array. The higher-order-
     * function formulation (kept as documentation of the pure-DataFrame shape)
@@ -200,11 +202,12 @@ object Dedup {
     "q_dedup_simhash" -> ((s, dir) =>
       T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
 
-    // L2a' — the cross-engine MinHash twin: k=8 signatures over
-    // md5(shingle|perm), emitted as '|'-joined strings. Oracle reproduces
-    // every signature bit-for-bit; the xxhash64 MinHashSig stays the fast
-    // path inside the LSH pipeline. Docs with no 3-gram are filtered on
-    // both sides (empty-set minima are undefined).
+    // L2a' — the cross-engine MinHash twin: ONE md5 digest per shingle
+    // (60-bit positive long), then k=8 XOR-bijection permutations with
+    // md5-derived constants, emitted as '|'-joined strings. Oracle
+    // reproduces every signature bit-for-bit; the xxhash64 MinHashSig stays
+    // the fast path inside the LSH pipeline. Docs with no 3-gram are
+    // filtered on both sides (empty-set minima are undefined).
     "q_dedup_minhash_md5" -> ((s, dir) => {
       T.documents(s, dir)
         .select(col("doc_id"), shingles(col("text")).as("sh"))
@@ -265,13 +268,17 @@ object Dedup {
         |    CASE WHEN len(toks) < 3 THEN []
         |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
         |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END AS sh
-        |  FROM t)
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hv
+        |  FROM sh WHERE len(sh) > 0)
         |SELECT doc_id,
         |  array_to_string(list_transform(generate_series(1, 8),
-        |    p -> list_min(list_transform(sh,
-        |      s -> CAST(('0x' || substr(md5(s || '|' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT)))),
+        |    p -> list_min(list_transform(hv,
+        |      h -> xor(h, CAST(('0x' || substr(md5('perm|' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT))))),
         |    '|') AS sig
-        |FROM sh WHERE len(sh) > 0 ORDER BY ALL NULLS FIRST""".stripMargin,
+        |FROM hs ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_simhash_md5" ->
       """SELECT doc_id,
         |  CAST(list_sum(list_transform(generate_series(0, 59),

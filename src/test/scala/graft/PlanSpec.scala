@@ -55,10 +55,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
   }
 
-  test("bench harness: the determinism sort is eliminated under count()") {
+  test("bench harness: determinism sort eliminated under the bit_xor consumer") {
+    // Pins Bench.consume's actual shape: xxhash64(struct(*)) + bit_xor — an
+    // order-agnostic aggregate, so EliminateSorts drops the verification
+    // sort, yet every output column is still computed (no pruning to a bare
+    // row count).
+    import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
     val df = SparkEntry.queries("q_agg_group")(spark, sf)
-    val countPlan = df.groupBy().count().queryExecution.executedPlan.toString
-    assert(!countPlan.contains("Sort "), s"sort should be optimized away:\n$countPlan")
+    val all = df.columns.map(col).toIndexedSeq
+    val benchPlan = df.select(xxhash64(struct(all: _*)).as("h"))
+      .agg(expr("bit_xor(h)")).queryExecution.executedPlan.toString
+    assert(!benchPlan.contains("Sort "), s"sort should be optimized away:\n$benchPlan")
+    // xxhash64(struct(*)) fuses into the upstream operator's result
+    // projection (not rendered in the plan string), so pin the bit_xor
+    // aggregate plus its partial (map-side) phase instead.
+    assert(benchPlan.contains("bit_xor"), s"consumer must bit_xor the row hash:\n$benchPlan")
+    assert(benchPlan.contains("partial_bit_xor"), s"expected partial aggregation:\n$benchPlan")
   }
 
   test("native as-of join: AsOfJoinExec merge plan, one shuffle per input") {
