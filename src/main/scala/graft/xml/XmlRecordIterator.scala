@@ -190,6 +190,15 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
           else {
             val idx = idxBoxed.intValue()
             st(idx).dataType match {
+              // xs:list leaf (maxOccurs=1): the element's TEXT is the whole
+              // array — whitespace-split in convert(). A repeated xs:list
+              // element (ArrayType of ArrayType) falls through to the
+              // repeated-element branch below, whose per-occurrence
+              // parseValue on the inner ArrayType splits the same way.
+              case at @ ArrayType(et, _)
+                  if st(idx).metadata.contains("xml.list") &&
+                    !et.isInstanceOf[ArrayType] =>
+                values(idx) = parseValue(at, st(idx).name)
               case ArrayType(et, _) =>
                 if (arrays == null) arrays = mutable.LongMap()
                 val v = parseValue(et, st(idx).name)
@@ -283,6 +292,10 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
         Decimal(new java.math.BigDecimal(s), dt.precision, dt.scale)
       case BinaryType => // xs:base64Binary (MIME decoder tolerates line wraps)
         java.util.Base64.getMimeDecoder.decode(s)
+      case ArrayType(et, _) => // xs:list: space-separated item lexical forms
+        if (s.isEmpty) new GenericArrayData(Array.empty[Any])
+        else new GenericArrayData(
+          s.split("\\s+").map(tok => convert(tok, et)).toArray[Any])
       case other => throw new IllegalArgumentException(
         s"unsupported leaf type in XML schema: $other")
     }

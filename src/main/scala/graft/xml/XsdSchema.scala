@@ -120,9 +120,14 @@ object XsdSchema {
       maxOccurs: String, fromChoice: Boolean = false,
       ref: Option[(String, String)] = None,
       groupRef: Option[(String, String)] = None)
+  /** `complexBase`, when set, names the base complexType of a
+    * `complexContent` extension/restriction — its fields are spliced before
+    * this type's own at build time (transitively through the chain).
+    */
   private case class Complex(elements: Seq[Elem], attrs: Seq[Attr],
       simpleContentBase: Option[(String, String)],
-      attrGroupRefs: Seq[(String, String)] = Nil)
+      attrGroupRefs: Seq[(String, String)] = Nil,
+      complexBase: Option[(String, String)] = None)
   /** A top-level `<xs:element name=...>` declaration. */
   private case class TopElem(name: String, tpe: (String, String),
       isAbstract: Boolean)
@@ -130,6 +135,8 @@ object XsdSchema {
   private class SymbolTables {
     val complex = mutable.Map[(String, String), Complex]()
     val simple = mutable.Map[(String, String), (String, String)]() // -> base
+    // xs:list simple types -> item type (space-separated values -> ArrayType)
+    val simpleLists = mutable.Map[(String, String), (String, String)]()
     val topElems = mutable.Map[(String, String), TopElem]()
     // substitution-group head -> directly substitutable element keys
     val substGroups = mutable.Map[(String, String),
@@ -237,13 +244,19 @@ object XsdSchema {
             val inlineComplex = (e \ "complexType").headOption
             val inlineSimple = (e \ "simpleType" \ "restriction").headOption
             val inlineUnion = (e \ "simpleType" \ "union").headOption
-            (inlineComplex, inlineSimple, inlineUnion) match {
-              case (Some(ic), _, _) =>
+            val inlineList = (e \ "simpleType" \ "list").headOption
+            (inlineComplex, inlineSimple, inlineUnion, inlineList) match {
+              case (Some(ic), _, _, _) =>
                 val genName = elemName + "Type"
                 registerInline(genName, ic)
                 (tns, genName)
-              case (_, Some(r), _) => typeRef(r, r \@ "base")
-              case (_, _, Some(_)) => (XsdNs, "string")
+              case (_, Some(r), _, _) => typeRef(r, r \@ "base")
+              case (_, _, Some(_), _) => (XsdNs, "string")
+              case (_, _, _, Some(l)) =>
+                // Inline xs:list gets a synthesized named list type.
+                val genName = elemName + "ListType"
+                tables.simpleLists((tns, genName)) = listItemType(l)
+                (tns, genName)
               case _ => throw new IllegalArgumentException(
                 s"element $elemName has neither type nor inline type")
             }
@@ -263,12 +276,33 @@ object XsdSchema {
 
     def registerComplex(name: String, ct: Node): Unit = {
       val simpleContentExt = (ct \ "simpleContent" \ "extension").headOption
-      simpleContentExt match {
-        case Some(ext) =>
+      val complexContentExt = (ct \ "complexContent" \ "extension").headOption
+      val complexContentRes = (ct \ "complexContent" \ "restriction").headOption
+      (simpleContentExt, complexContentExt, complexContentRes) match {
+        case (Some(ext), _, _) =>
           tables.complex((tns, name)) =
             Complex(Nil, shallowAttrs(ext), Some(typeRef(ext, ext \@ "base")),
               attrGroupRefs(ext))
-        case None =>
+        case (_, Some(ext), _) =>
+          // complexContent extension: base fields (transitively) spliced
+          // before the extension's own at build time. The reference never
+          // handled complexType inheritance (XMLToAvroSchema.scala:256 covers
+          // simpleContent only) — same "strict superset" justification as
+          // the xs:choice encoding: type hierarchies are the most common
+          // industrial-XSD construct after choice.
+          tables.complex((tns, name)) = Complex(
+            contentElems(ext, registerComplex), shallowAttrs(ext), None,
+            attrGroupRefs(ext), Some(typeRef(ext, ext \@ "base")))
+        case (_, _, Some(res)) =>
+          // complexContent restriction: the derived type repeats a SUBSET of
+          // the base's content model, so the base's field list (a strict
+          // superset — unrestricted fields just stay null) is the encoding;
+          // own attrs still apply (restrictions may re-declare/tighten them;
+          // name-dedup at build keeps the base's version).
+          tables.complex((tns, name)) = Complex(
+            Nil, shallowAttrs(res), None,
+            attrGroupRefs(res), Some(typeRef(res, res \@ "base")))
+        case _ =>
           tables.complex((tns, name)) = Complex(
             contentElems(ct, registerComplex), shallowAttrs(ct), None,
             attrGroupRefs(ct))
@@ -294,11 +328,25 @@ object XsdSchema {
       if (name.nonEmpty) tables.attrGroups((tns, name)) = shallowAttrs(ag)
     }
 
+    // An xs:list node -> its item-type key (itemType attr, or an inline
+    // simpleType restriction; unresolvable item types degrade to string).
+    def listItemType(l: Node): (String, String) = (l \@ "itemType") match {
+      case "" =>
+        (l \ "simpleType" \ "restriction").headOption
+          .map(r => typeRef(r, r \@ "base")).getOrElse((XsdNs, "string"))
+      case ref => typeRef(l, ref)
+    }
+
     (root \ "complexType").foreach(ct => registerComplex(ct \@ "name", ct))
     (root \ "simpleType").foreach { st =>
-      (st \ "restriction").headOption match {
-        case Some(r) => tables.simple((tns, st \@ "name")) = typeRef(r, r \@ "base")
-        case None => (st \ "union").headOption.foreach { _ =>
+      ((st \ "restriction").headOption, (st \ "list").headOption) match {
+        case (Some(r), _) =>
+          tables.simple((tns, st \@ "name")) = typeRef(r, r \@ "base")
+        case (_, Some(l)) =>
+          // xs:list: space-separated item lexical forms -> ArrayType(item).
+          // Unsupported in the reference; GML/office-format schemas use it.
+          tables.simpleLists((tns, st \@ "name")) = listItemType(l)
+        case _ => (st \ "union").headOption.foreach { _ =>
           tables.simple((tns, st \@ "name")) = (XsdNs, "string")
         }
       }
@@ -313,11 +361,15 @@ object XsdSchema {
             val inlineComplex = (e \ "complexType").headOption
             val inlineSimple = (e \ "simpleType" \ "restriction").headOption
             val inlineUnion = (e \ "simpleType" \ "union").headOption
-            (inlineComplex, inlineSimple, inlineUnion) match {
-              case (Some(ct), _, _) =>
+            val inlineList = (e \ "simpleType" \ "list").headOption
+            (inlineComplex, inlineSimple, inlineUnion, inlineList) match {
+              case (Some(ct), _, _, _) =>
                 registerComplex(name + "Type", ct); (tns, name + "Type")
-              case (_, Some(r), _) => typeRef(r, r \@ "base")
-              case (_, _, Some(_)) => (XsdNs, "string")
+              case (_, Some(r), _, _) => typeRef(r, r \@ "base")
+              case (_, _, Some(_), _) => (XsdNs, "string")
+              case (_, _, _, Some(l)) =>
+                tables.simpleLists((tns, name + "ListType")) = listItemType(l)
+                (tns, name + "ListType")
               case _ => (XsdNs, "string") // no type info: xs:anyType as text
             }
           case ref => typeRef(e, ref)
@@ -341,12 +393,17 @@ object XsdSchema {
     if (ns == XsdNs) {
       prims.getOrElse(name, throw new IllegalArgumentException(
         s"unsupported XSD primitive: $name"))
-    } else tables.simple.get(key) match {
-      case Some(base) => resolve(tables, prims, base, key :: stack)
-      case None => tables.complex.get(key) match {
-        case Some(c) => complexToStruct(tables, prims, c, key :: stack)
-        case None if prims.contains(name) => prims(name)
-        case None => throw new IllegalArgumentException(s"unknown type: $key")
+    } else tables.simpleLists.get(key) match {
+      case Some(item) =>
+        ArrayType(resolve(tables, prims, item, key :: stack),
+          containsNull = false)
+      case None => tables.simple.get(key) match {
+        case Some(base) => resolve(tables, prims, base, key :: stack)
+        case None => tables.complex.get(key) match {
+          case Some(c) => complexToStruct(tables, prims, c, key :: stack)
+          case None if prims.contains(name) => prims(name)
+          case None => throw new IllegalArgumentException(s"unknown type: $key")
+        }
       }
     }
   }
@@ -356,14 +413,32 @@ object XsdSchema {
     val valueField = c.simpleContentBase.map { base =>
       StructField("_Value", resolve(tables, prims, base, stack), nullable = false)
     }
+    // complexContent inheritance: the base chain's fields come first
+    // (transitively — the base may itself extend). The recursion stack
+    // doubles as the inheritance-cycle guard.
+    val baseFields: Seq[StructField] = c.complexBase.toSeq.flatMap { bkey =>
+      resolve(tables, prims, bkey, stack) match {
+        case st: StructType => st.fields.toSeq
+        case other => throw new IllegalArgumentException(
+          s"complexContent base $bkey is not a complex type: $other")
+      }
+    }
     def mk(name: String, tpeKey: (String, String), nullable: Boolean,
         maxOccurs: String): StructField = {
       val inner = resolve(tables, prims, tpeKey, stack)
+      // An element type resolving to ArrayType can only come from xs:list
+      // (repeated elements wrap below, by maxOccurs): mark the field so the
+      // record reader whitespace-splits the TEXT into the array instead of
+      // expecting repeated child elements.
+      val meta =
+        if (inner.isInstanceOf[ArrayType])
+          new MetadataBuilder().putBoolean("xml.list", true).build()
+        else Metadata.empty
       val tpe = maxOccurs match {
         case "1" => inner
         case _ => ArrayType(inner, containsNull = false)
       }
-      StructField(name, tpe, nullable)
+      StructField(name, tpe, nullable, meta)
     }
     // Transitive closure of substitutable elements under a group head (a
     // member may itself head another group).
@@ -432,9 +507,20 @@ object XsdSchema {
         throw new IllegalArgumentException(s"unknown xs:attributeGroup ref: $k"))
     }
     val attrFields = (c.attrs ++ groupAttrs).map { a =>
-      StructField(a.name, resolve(tables, prims, a.tpe, stack),
-        nullable = !a.required)
+      val t = resolve(tables, prims, a.tpe, stack)
+      val meta =
+        if (t.isInstanceOf[ArrayType]) // list-typed attribute value
+          new MetadataBuilder().putBoolean("xml.list", true).build()
+        else Metadata.empty
+      StructField(a.name, t, nullable = !a.required, meta)
     }
-    StructType(valueField.toSeq ++ elemFields ++ attrFields)
+    // Own fields that collide with an inherited base field are dropped (a
+    // restriction re-declaring an attribute to tighten it): the base version
+    // is the superset encoding. Duplicates WITHIN own fields (repeated
+    // xs:group splices) are preserved — that mirrors repeated-element
+    // behavior and is pinned by tests.
+    val baseNames = baseFields.iterator.map(_.name).toSet
+    val own = (elemFields ++ attrFields).filterNot(f => baseNames.contains(f.name))
+    StructType(valueField.toSeq ++ baseFields ++ own)
   }
 }

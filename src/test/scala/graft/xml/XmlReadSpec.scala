@@ -493,6 +493,55 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("complexContent extension + xs:list records read end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlext").toFile
+    val schemaDir = new java.io.File(dir, "schema"); schemaDir.mkdirs()
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(schemaDir, "s.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:simpleType name="intList">
+        |    <xs:list itemType="xs:int"/>
+        |  </xs:simpleType>
+        |  <xs:complexType name="BaseType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="id"/>
+        |    </xs:sequence>
+        |    <xs:attribute name="version" type="xs:int"/>
+        |  </xs:complexType>
+        |  <xs:complexType name="EventType">
+        |    <xs:complexContent>
+        |      <xs:extension base="BaseType">
+        |        <xs:sequence>
+        |          <xs:element type="xs:double" name="score"/>
+        |          <xs:element type="intList" name="pages" minOccurs="0"/>
+        |        </xs:sequence>
+        |      </xs:extension>
+        |    </xs:complexContent>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    java.nio.file.Files.writeString(new java.io.File(dataDir, "d.xml").toPath,
+      """<root>
+        |  <ev version="3"><id>a1</id><score>0.5</score><pages>1 2  3</pages></ev>
+        |  <ev><id>a2</id><score>1.5</score></ev>
+        |</root>""".stripMargin)
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", schemaDir.getAbsolutePath)
+      .option("xml.separator.tag", "ev")
+      .option("xml.separator.tag.type", "EventType")
+      .load(dataDir.getAbsolutePath)
+    // inherited fields come first in the schema
+    assert(df.schema.fieldNames.toSeq === Seq("id", "version", "score", "pages"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[String]("id") === "a1")
+    assert(rows(0).getAs[Int]("version") === 3)
+    assert(rows(0).getAs[Double]("score") === 0.5)
+    assert(rows(0).getSeq[Int](rows(0).fieldIndex("pages")).toSeq === Seq(1, 2, 3))
+    assert(rows(1).getAs[String]("id") === "a2")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("version")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("pages")))
+  }
+
   test("missing required option yields a clear error naming the key") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft.xml")

@@ -319,6 +319,147 @@ class XsdSchemaSpec extends AnyFunSuite {
     assert(st("version").dataType === LongType && st("version").nullable)
   }
 
+  test("complexContent extension: base fields spliced before own, transitively") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdext").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "e.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="BaseType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="id"/>
+        |      <xs:element type="xs:string" name="created" minOccurs="0"/>
+        |    </xs:sequence>
+        |    <xs:attribute name="version" type="xs:int"/>
+        |  </xs:complexType>
+        |  <xs:complexType name="MidType">
+        |    <xs:complexContent>
+        |      <xs:extension base="BaseType">
+        |        <xs:sequence>
+        |          <xs:element type="xs:double" name="score"/>
+        |        </xs:sequence>
+        |      </xs:extension>
+        |    </xs:complexContent>
+        |  </xs:complexType>
+        |  <xs:complexType name="LeafType">
+        |    <xs:complexContent>
+        |      <xs:extension base="MidType">
+        |        <xs:sequence>
+        |          <xs:element type="xs:string" name="label" maxOccurs="unbounded"/>
+        |        </xs:sequence>
+        |        <xs:attribute name="kind" type="xs:string" use="required"/>
+        |      </xs:extension>
+        |    </xs:complexContent>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "LeafType")
+    // base-chain order: Base fields, then Mid's own, then Leaf's own.
+    assert(st.fieldNames.toSeq ===
+      Seq("id", "created", "version", "score", "label", "kind"))
+    assert(st("id").dataType === StringType && !st("id").nullable)
+    assert(st("created").nullable)
+    assert(st("version").dataType === IntegerType && st("version").nullable)
+    assert(st("score").dataType === DoubleType)
+    assert(st("label").dataType === ArrayType(StringType, containsNull = false))
+    assert(st("kind").dataType === StringType && !st("kind").nullable)
+  }
+
+  test("complexContent restriction: base fields only, own new attrs kept") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdres").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "r.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="BaseType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="a"/>
+        |      <xs:element type="xs:int" name="b" minOccurs="0"/>
+        |    </xs:sequence>
+        |    <xs:attribute name="u" type="xs:string"/>
+        |  </xs:complexType>
+        |  <xs:complexType name="NarrowType">
+        |    <xs:complexContent>
+        |      <xs:restriction base="BaseType">
+        |        <xs:sequence>
+        |          <xs:element type="xs:string" name="a"/>
+        |        </xs:sequence>
+        |        <xs:attribute name="u" type="xs:string" use="required"/>
+        |        <xs:attribute name="extra" type="xs:long"/>
+        |      </xs:restriction>
+        |    </xs:complexContent>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "NarrowType")
+    // base's full field list (superset encoding — restricted-away fields
+    // just stay null); re-declared attr u keeps the base (nullable) version;
+    // genuinely new attrs are appended.
+    assert(st.fieldNames.toSeq === Seq("a", "b", "u", "extra"))
+    assert(st("u").nullable) // base version wins over the tightened re-decl
+    assert(st("extra").dataType === LongType)
+  }
+
+  test("xs:list: named, inline, and list-typed attribute map to ArrayType") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdlist").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "l.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:simpleType name="intList">
+        |    <xs:list itemType="xs:int"/>
+        |  </xs:simpleType>
+        |  <xs:complexType name="docType">
+        |    <xs:sequence>
+        |      <xs:element type="intList" name="pages"/>
+        |      <xs:element name="scores" minOccurs="0">
+        |        <xs:simpleType>
+        |          <xs:list itemType="xs:double"/>
+        |        </xs:simpleType>
+        |      </xs:element>
+        |    </xs:sequence>
+        |    <xs:attribute name="refs" type="intList"/>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val st = XsdSchema.structTypeFor(dir.getAbsolutePath, "", "docType")
+    assert(st("pages").dataType === ArrayType(IntegerType, containsNull = false))
+    assert(st("pages").metadata.contains("xml.list"))
+    assert(st("scores").dataType === ArrayType(DoubleType, containsNull = false))
+    assert(st("scores").nullable && st("scores").metadata.contains("xml.list"))
+    assert(st("refs").dataType === ArrayType(IntegerType, containsNull = false))
+    assert(st("refs").metadata.contains("xml.list"))
+  }
+
+  test("recursive complexType fails with the type name, not a stack overflow") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdrec").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "t.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="NodeType">
+        |    <xs:sequence>
+        |      <xs:element type="xs:string" name="name"/>
+        |      <xs:element type="NodeType" name="child" minOccurs="0"/>
+        |    </xs:sequence>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      XsdSchema.structTypeFor(dir.getAbsolutePath, "", "NodeType")
+    }
+    assert(e.getMessage.contains("recursive") && e.getMessage.contains("NodeType"))
+  }
+
+  test("recursive complexContent inheritance cycle fails with a clear error") {
+    val dir = java.nio.file.Files.createTempDirectory("xsdreccc").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "c.xsd").toPath,
+      """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+        |  <xs:complexType name="AType">
+        |    <xs:complexContent>
+        |      <xs:extension base="BType"/>
+        |    </xs:complexContent>
+        |  </xs:complexType>
+        |  <xs:complexType name="BType">
+        |    <xs:complexContent>
+        |      <xs:extension base="AType"/>
+        |    </xs:complexContent>
+        |  </xs:complexType>
+        |</xs:schema>""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      XsdSchema.structTypeFor(dir.getAbsolutePath, "", "AType")
+    }
+    assert(e.getMessage.contains("recursive"))
+  }
+
   test("maxOccurs=5 (any non-1) becomes an array") {
     val dir = java.nio.file.Files.createTempDirectory("xsdmax").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "m.xsd").toPath,
