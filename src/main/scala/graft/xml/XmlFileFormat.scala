@@ -33,10 +33,12 @@ import org.apache.spark.util.SerializableConfiguration
   *   - `xml.namespace.aware=true`   — strict element-namespace matching
   *
   * Scale design:
-  *  - `isSplitable = false`: the reference's reader ignores split offsets and
-  *    opens the whole file (`AvroFromXmlInputFormat.scala:49,52-58`), i.e.
+  *  - non-splittable by default: the reference's reader ignores split offsets
+  *    and opens the whole file (`AvroFromXmlInputFormat.scala:49,52-58`), i.e.
   *    XML is treated as a non-splittable format; parallelism comes from many
-  *    files (the 100 TB contract — like spark-xml's multiline mode).
+  *    files (like spark-xml's multiline mode). `xml.splittable=true` lifts
+  *    this: byte-offset splits with separator-tag boundary scanning
+  *    ([[XmlSplitScanner]]), so one huge dump parallelizes too.
   *  - schema derived ONCE on the driver by `inferSchema` and shipped to tasks
   *    inside the closure — fixes the reference's per-task XSD re-parse
   *    (`AvroTransormer.scala:26-43`, SURVEY.md §4.1).
@@ -84,8 +86,15 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
     }
   }
 
+  /** Non-splittable by default (reference parity — parallelism from many
+    * files). `xml.splittable=true` opts into byte-offset splits via
+    * [[XmlSplitScanner]]: each split parses only records whose start tag
+    * begins inside it, so one 50 GB dump fans out across executors instead
+    * of being one task at 100 TB.
+    */
   override def isSplitable(sparkSession: SparkSession,
-      options: Map[String, String], path: Path): Boolean = false
+      options: Map[String, String], path: Path): Boolean =
+    boolOpt(options, "xml.splittable")
 
   override protected def buildReader(sparkSession: SparkSession,
       dataSchema: StructType, partitionSchema: StructType,
@@ -115,15 +124,30 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
     XmlFileFormat.lastParsedCounter = Some(parsed)
     val confBroadcast = sparkSession.sparkContext.broadcast(
       new SerializableConfiguration(hadoopConf))
+    val splittable = boolOpt(options, "xml.splittable")
     (file: PartitionedFile) => {
       val path = file.toPath
       val fs = path.getFileSystem(confBroadcast.value.value)
-      // 256 KiB buffer: StAX pulls small chunks; unbuffered FSDataInputStream
-      // reads would hit the filesystem per chunk.
-      val in = new java.io.BufferedInputStream(fs.open(path), 256 * 1024)
-      new XmlRecordIterator(in, requiredSchema, separatorTag, dropMalformed,
-        nsUri, () => dropped.add(1), () => parsed.add(1), permissive,
-        corruptCol)
+      if (splittable) {
+        // Byte-offset split: seek to the split start, extract each record
+        // subtree as bytes, parse each standalone (it is well-formed XML
+        // with the separator element as root).
+        val raw = fs.open(path)
+        if (file.start > 0) raw.seek(file.start)
+        val in = new java.io.BufferedInputStream(raw, 256 * 1024)
+        new XmlSplitScanner(in, file.length, separatorTag).flatMap { rec =>
+          new XmlRecordIterator(new java.io.ByteArrayInputStream(rec),
+            requiredSchema, separatorTag, dropMalformed, nsUri,
+            () => dropped.add(1), () => parsed.add(1), permissive, corruptCol)
+        }
+      } else {
+        // 256 KiB buffer: StAX pulls small chunks; unbuffered
+        // FSDataInputStream reads would hit the filesystem per chunk.
+        val in = new java.io.BufferedInputStream(fs.open(path), 256 * 1024)
+        new XmlRecordIterator(in, requiredSchema, separatorTag, dropMalformed,
+          nsUri, () => dropped.add(1), () => parsed.add(1), permissive,
+          corruptCol)
+      }
     }
   }
 }

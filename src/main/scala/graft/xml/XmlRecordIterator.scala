@@ -59,6 +59,23 @@ import scala.collection.mutable
   * @param corruptCol name of the corrupt-record column PERMISSIVE reports
   *   into (appended to the schema by the FileFormat).
   */
+object XmlRecordIterator {
+  /** One StAX factory per thread: `XMLInputFactory.newInstance()` does a
+    * service-provider lookup, and the splittable scan creates one reader per
+    * RECORD — per-instance factories would dominate small-record parses.
+    * (XMLInputFactory is not specified thread-safe, hence ThreadLocal.)
+    */
+  private[xml] val factory: ThreadLocal[XMLInputFactory] =
+    ThreadLocal.withInitial { () =>
+      val f = XMLInputFactory.newInstance()
+      f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+      f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+      f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+        java.lang.Boolean.FALSE)
+      f
+    }
+}
+
 final class XmlRecordIterator(input: InputStream, schema: StructType,
     separatorTag: String, dropMalformed: Boolean = false,
     namespaceUri: Option[String] = None,
@@ -71,15 +88,8 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
   // per-record coercion-failure log (PERMISSIVE mode only)
   private var corruptMessages: java.lang.StringBuilder = _
 
-  private val factory = {
-    val f = XMLInputFactory.newInstance()
-    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
-      java.lang.Boolean.FALSE)
-    f
-  }
-  private val reader: XMLStreamReader = factory.createXMLStreamReader(input)
+  private val reader: XMLStreamReader =
+    XmlRecordIterator.factory.get().createXMLStreamReader(input)
   private var nextRecord: InternalRow = _
   private var finished = false
 
