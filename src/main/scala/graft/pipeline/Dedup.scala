@@ -155,6 +155,87 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): O(log n) rounds versus [[duplicateClusters]]' O(diameter) —
+    * the upgrade when components are DEEP (long duplicate chains, e.g.
+    * boilerplate that drifts one edit per crawl snapshot). Same contract:
+    * (id, label) with `label` the component minimum.
+    *
+    * Scale shape per round: two narrow (key, key) aggregations + joins over
+    * the edge list, `localCheckpoint` between rounds, and an O(1)-row
+    * signature action for the fixpoint check. Min-label stays the default —
+    * near-dup components are overwhelmingly shallow and its per-round
+    * constant is smaller.
+    */
+  def duplicateClustersLogStar(pairs: DataFrame, maxIters: Int = 25): DataFrame =
+    logStarWithRounds(pairs, maxIters)._1
+
+  /** [[duplicateClustersLogStar]] plus the round count (for convergence
+    * tests: a chain of length n must converge in ~log2(n) rounds).
+    */
+  def logStarWithRounds(pairs: DataFrame, maxIters: Int = 25):
+      (DataFrame, Int) = {
+    // canonical undirected edges (u < v), no self-loops
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    // (count, bit_xor of row hashes): O(1)-row equality signature
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // large-star(a): connect every LARGER neighbor b of a to
+    // m(a) = min({a} ∪ N(a)); m <= a < b keeps the edge canonical.
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val m = adj.groupBy("a").agg(min("b").as("minb"))
+        .select(col("a"), least(col("a"), col("minb")).as("m"))
+      adj.filter(col("b") > col("a"))
+        .join(m, Seq("a"))
+        .select(col("m").as("u"), col("b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+
+    // small-star(a): connect every SMALLER neighbor (and a itself) to the
+    // minimum of the smaller neighborhood.
+    def smallStar(e: DataFrame): DataFrame = {
+      val adj = e.select(col("u").as("a"), col("v").as("b"))
+        .union(e.select(col("v").as("a"), col("u").as("b")))
+      val sm = adj.filter(col("b") < col("a"))
+      val m = sm.groupBy("a").agg(min("b").as("m"))
+      val toSmaller = sm.join(m, Seq("a"))
+        .select(col("m").as("u"), col("b").as("v"))
+        .filter(col("u") =!= col("v"))
+      val toSelf = m.select(col("m").as("u"), col("a").as("v"))
+      toSmaller.union(toSelf).distinct()
+    }
+
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val updated = smallStar(largeStar(edges)).localCheckpoint(true)
+      val usig = signature(updated)
+      converged = usig == sig
+      edges = updated
+      sig = usig
+      iter += 1
+    }
+    // converged edges are stars: u = component min, v = member
+    val labels = edges.select(col("v").as("id"), col("u").as("label"))
+      .groupBy("id").agg(min("label").as("label"))
+      .union(edges.select(col("u").as("id"), col("u").as("label")).distinct())
+      .groupBy("id").agg(min("label").as("label"))
+    (labels, iter)
+  }
+
   val queries: Map[String, Q] = Map(
     // L1: exact dedup — keep the smallest doc_id per normalized text. Keyed
     // on the 128-bit md5 of the normalized text, NOT the text itself, so the

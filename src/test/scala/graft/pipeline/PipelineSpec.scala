@@ -277,6 +277,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors === Set(1L, 10L, 20L))
   }
 
+  test("log-star clusters: 64-chain converges in <= log2(n)+1 rounds") {
+    import spark.implicits._
+    // one deep 64-node chain (diameter 63: min-label would need ~63 rounds)
+    // plus a separate pair, to check components stay separate
+    val chain = (0L until 63L).map(i => (i, i + 1, 0.9))
+    val pairs = (chain :+ ((100L, 101L, 0.8))).toDF("doc_a", "doc_b", "jaccard")
+    val (labelsDf, rounds) = Dedup.logStarWithRounds(pairs)
+    val labels = labelsDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 66)
+    (0L to 63L).foreach(i => assert(labels(i) === 0L, s"node $i"))
+    assert(labels(100L) === 100L && labels(101L) === 100L)
+    // O(log n) convergence — the whole point over min-label's O(diameter)
+    assert(rounds <= 7, s"expected <= log2(64)+1 = 7 rounds, got $rounds")
+    // same labeling as the min-label default
+    val viaMinLabel = Dedup.duplicateClusters(pairs, maxIters = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMinLabel === labels)
+  }
+
   test("content-defined chunks survive a prefix insertion; fixed-width slicing doesn't") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
