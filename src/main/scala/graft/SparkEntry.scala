@@ -25,7 +25,8 @@ object SparkEntry {
     (pipeline.Sampling.queries, pipeline.Sampling.oracles),
     (pipeline.Similarity.queries, pipeline.Similarity.oracles),
     (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),
-    (pipeline.Multimodal.queries, pipeline.Multimodal.oracles)
+    (pipeline.Multimodal.queries, pipeline.Multimodal.oracles),
+    (pipeline.Web.queries, pipeline.Web.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

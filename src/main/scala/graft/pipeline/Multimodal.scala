@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * struct<mime,modality,byte_len>), partitioning, the `mapPartitions` batch
   * shape (the Scala analogue of `mapInPandas`: one iterator per partition, so
   * a real decoder would amortize model/codec init per partition, not per
-  * row) — and IMAGE decode: `decodeDims` reads real dimensions/channels from
-  * any JDK-supported format (PNG/JPEG/GIF/BMP/WBMP) via javax.imageio,
-  * header-only (no full-raster decode). STUBBED: non-image payloads (audio/
-  * video codecs aren't in the JDK) fall back to deterministic fake dims from
-  * the payload hash; `resize`/`sampleFrames` re-encode stubs likewise.
+  * row) — and header metadata for all three modalities: IMAGE dims via
+  * javax.imageio (PNG/JPEG/GIF/BMP/WBMP, header-only), AUDIO via javax.sound
+  * (WAV/AIFF/AU), VIDEO via [[videoMeta]]'s MP4/ISO-BMFF box walk (brand,
+  * duration, resolution, tracks — pure byte parsing). STUBBED (needs real
+  * codecs, absent from this container): pixel/frame DECODE — non-parseable
+  * payloads fall back to deterministic fake dims from the payload hash, and
+  * `resize`/`sampleFrames` re-encode stubs likewise.
   */
 object Multimodal {
 
@@ -81,6 +83,64 @@ object Multimodal {
         else -1L
       Some((f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits, durMs))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real MP4 / ISO-BMFF video container metadata by box walking — pure
+    * byte parsing, no codec needed (same header-only posture as
+    * [[imageDims]]/[[audioMeta]]): major brand from `ftyp`, duration from
+    * `moov/mvhd` (duration/timescale), presentation size from the largest
+    * `trak/tkhd` (16.16 fixed point), and the track count. Handles 64-bit
+    * box sizes and mvhd/tkhd version 1. Returns None when the payload
+    * isn't ISO-BMFF (the first box walk immediately fails bounds checks on
+    * non-MP4 bytes). FRAME decode stays stubbed — that genuinely needs a
+    * codec — but container metadata, the part a 100 TB curation pass
+    * filters on (duration/resolution gates), is real.
+    */
+  def videoMeta(content: Array[Byte]):
+      Option[(String, Long, Int, Int, Int)] = try {
+    val bb = java.nio.ByteBuffer.wrap(content) // big-endian
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    var brand: String = null
+    var dur = -1L; var ts = 0L; var w = 0; var h = 0; var tracks = 0
+    def walk(start: Long, end: Long): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val sz = u32(o.toInt)
+        val tpe = new String(content, o.toInt + 4, 4, "ISO-8859-1")
+        val (payload, boxEnd) =
+          if (sz == 1) {
+            if (o + 16 > end) return
+            (o + 16, o + bb.getLong(o.toInt + 8))
+          } else if (sz == 0) (o + 8, end) // box extends to container end
+          else (o + 8, o + sz)
+        if (boxEnd <= o || boxEnd > end) return // malformed/non-BMFF: stop
+        val p = payload.toInt
+        tpe match {
+          case "ftyp" if payload + 4 <= boxEnd =>
+            brand = new String(content, p, 4, "ISO-8859-1")
+          case "moov" => walk(payload, boxEnd)
+          case "trak" => tracks += 1; walk(payload, boxEnd)
+          case "mvhd" if payload + 24 <= boxEnd =>
+            if ((content(p) & 0xff) == 1) { // version 1: 64-bit times
+              ts = u32(p + 20); dur = bb.getLong(p + 24)
+            } else { ts = u32(p + 12); dur = u32(p + 16) }
+          case "tkhd" =>
+            // width/height trail the fixed header + 36-byte matrix
+            val base = if ((content(p) & 0xff) == 1) p + 88 else p + 76
+            if (base + 8 <= boxEnd) {
+              val tw = (u32(base) >> 16).toInt
+              val th = (u32(base + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = math.max(w, tw); h = math.max(h, th) }
+            }
+          case _ => // leaf box we don't need: skip
+        }
+        o = boxEnd
+      }
+    }
+    walk(0L, content.length.toLong)
+    if (brand == null && tracks == 0) None
+    else Some((if (brand == null) "" else brand,
+      if (ts > 0 && dur >= 0) dur * 1000L / ts else -1L, w, h, tracks))
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Documents → media table: payload = utf-8 bytes (deterministic fake
     * "image"), metadata struct alongside. The schema is the contract.

@@ -247,6 +247,71 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.imageDims(wav) === None) // seams don't cross-match
   }
 
+  test("url normalization: case, ports, fragments, tracking params") {
+    import spark.implicits._
+    val in = Seq(
+      "HTTP://Example.COM:80/A/b?utm_source=x&q=1#frag",
+      "https://www.site.org:443/path/",
+      "https://site.org/path?ref=tw",
+      "https://site.org/p?q=1&utm_campaign=c&r=2",
+      "ftp://Host.Net/File.TXT",
+      "https://site.org/clean?q=UPPER")
+    val out = in.toDF("url")
+      .select(Web.normalizeUrl(col("url")).as("n"),
+        Web.domainOf(Web.normalizeUrl(col("url"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out(0) === (("http://example.com/A/b?q=1", "example.com")))
+    assert(out(1) === (("https://www.site.org/path/", "site.org")))
+    assert(out(2) === (("https://site.org/path", "site.org")))
+    assert(out(3) === (("https://site.org/p?q=1&r=2", "site.org")))
+    assert(out(4) === (("ftp://host.net/File.TXT", "host.net"))) // path case kept
+    assert(out(5) === (("https://site.org/clean?q=UPPER", "site.org")))
+  }
+
+  test("multimodal: MP4 box walk reads real brand/duration/size/tracks") {
+    // handcraft a minimal valid ISO-BMFF file: ftyp + moov{mvhd, trak{tkhd}}
+    val bb = java.nio.ByteBuffer.allocate(512)
+    def box(tpe: String)(body: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(400)
+      body(b); b.flip()
+      val payload = new Array[Byte](b.remaining()); b.get(payload)
+      val out = java.nio.ByteBuffer.allocate(8 + payload.length)
+      out.putInt(8 + payload.length)
+      out.put(tpe.getBytes("ISO-8859-1")); out.put(payload)
+      out.array()
+    }
+    val ftyp = box("ftyp") { b =>
+      b.put("isom".getBytes); b.putInt(512)
+      b.put("isomavc1".getBytes)
+    }
+    val mvhd = box("mvhd") { b =>
+      b.putInt(0) // version 0 + flags
+      b.putInt(0); b.putInt(0) // creation, modification
+      b.putInt(1000) // timescale: 1000 units/s
+      b.putInt(7500) // duration: 7.5 s
+      b.position(b.position() + 80) // rate..matrix..predefined, zeros
+    }
+    val tkhd = box("tkhd") { b =>
+      b.putInt(0) // version 0 + flags
+      b.putInt(0); b.putInt(0); b.putInt(1); b.putInt(0) // times, id, rsvd
+      b.putInt(7500) // duration
+      b.position(b.position() + 8 + 2 + 2 + 2 + 2 + 36) // rsvd..matrix
+      b.putInt(1920 << 16) // width, 16.16 fixed
+      b.putInt(1080 << 16) // height
+    }
+    val trak = box("trak")(b => b.put(tkhd))
+    val moov = box("moov") { b => b.put(mvhd); b.put(trak) }
+    bb.put(ftyp); bb.put(moov); bb.flip()
+    val mp4 = new Array[Byte](bb.remaining()); bb.get(mp4)
+
+    assert(Multimodal.videoMeta(mp4) === Some(("isom", 7500L, 1920, 1080, 1)))
+    assert(Multimodal.videoMeta("definitely not an mp4 file".getBytes) === None)
+    assert(Multimodal.videoMeta(Array.empty[Byte]) === None)
+    // seams don't cross-match
+    assert(Multimodal.imageDims(mp4) === None)
+    assert(Multimodal.audioMeta(mp4) === None)
+  }
+
   test("multimodal resize/frame-sample stubs keep byte accounting exact") {
     val media = Multimodal.mediaTable(spark, sf)
     val resized = Multimodal.resize(media, 640, 480).collect()
