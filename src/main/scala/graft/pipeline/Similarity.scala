@@ -176,6 +176,198 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI'11): split each 64-dim embedding into M=8
+  // 8-dim subvectors, learn a tiny per-subspace codebook, store one byte
+  // per subspace. 256 payload bytes → 8 code bytes (32×) — at 100 TB the
+  // difference between vectors that fit in executor memory and vectors
+  // that don't. ADC search scans codes with a per-query lookup table.
+  // ---------------------------------------------------------------------
+
+  /** PQ geometry: M subspaces × dsub dims (= the 64-dim embeddings), ksub
+    * codebook entries per subspace (1 byte of code space each).
+    */
+  val pqM = 8; val pqDsub = 8; val pqK = 16
+
+  /** Engine-portable deterministic cell id in [0, k): md5 of "vec_id:sub",
+    * first 15 hex chars as a positive long (the established md5 bridge —
+    * DuckDB reproduces it with CAST('0x'||substr(md5(..),1,15) AS BIGINT)).
+    */
+  private def md5Cell(vecId: Column, sub: Column, k: Int): Column =
+    (conv(substring(md5(concat(vecId.cast("string"), lit(":"),
+      sub.cast("string"))), 1, 15), 16, 10).cast("long") % k).cast("int")
+
+  /** The M d-dim subvectors of each embedding: (vec_id, sub, svec). */
+  def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * pqDsub + 1, lit(pqDsub)).as("svec"))
+
+  /** Hash-initialized PQ codebooks as exact-integer subvector means:
+    * (sub, cell, dim, c). Same tie-safe integer rounding as the IVF
+    * centroids (micro-units, `(2|sv|+n) div (2n)`), so the oracle
+    * reproduces every coordinate bit-for-bit. One narrow (sub, cell, dim)
+    * aggregation; map-side combine applies.
+    */
+  def pqCodebooks(e: DataFrame): DataFrame = {
+    val sv = pqSubvectors(e)
+      .withColumn("cell", md5Cell(col("vec_id"), col("sub"), pqK))
+    sv.select(col("sub"), col("cell"), posexplode(col("svec")).as(Seq("dim", "v")))
+      .groupBy("sub", "cell", "dim")
+      .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("sv"),
+        count(lit(1)).as("n"))
+      .withColumn("rr", (lit(2) * abs(col("sv")) + col("n"))
+        .divide(lit(2) * col("n")).cast("long"))
+      .select(col("sub"), col("cell"), col("dim"),
+        (when(col("sv") >= 0, col("rr")).otherwise(-col("rr"))
+          .cast("double") / 1e6).as("c"))
+  }
+
+  /** Codebooks folded to one vector per entry: (sub, cell, cvec). Tiny by
+    * construction (M × ksub rows) — always broadcast.
+    */
+  def pqCodebookVectors(e: DataFrame): DataFrame =
+    pqCodebooks(e)
+      .groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+
+  /** (vec_id, sub, svec, cell): nearest-codebook assignment per subspace —
+    * broadcast join + per-row argmax, the corpus never shuffles for it.
+    */
+  private def pqAssign(sv: DataFrame, books: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "sub")
+      .orderBy(col("sim").desc, col("cell"))
+    sv.join(broadcast(books), Seq("sub"))
+      .withColumn("sim", round(cosineSim(col("svec"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("svec"), col("cell"))
+  }
+
+  /** Exact-integer mean of assigned subvectors → (sub, cell, cvec). */
+  private def pqUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("sub"), col("cell"), posexplode(col("svec")).as(Seq("dim", "v")))
+      .groupBy("sub", "cell", "dim")
+      .agg(sum(floor(col("v").cast("double") * 1e6).cast("long")).as("sv"),
+        count(lit(1)).as("n"))
+      .withColumn("rr", (lit(2) * abs(col("sv")) + col("n"))
+        .divide(lit(2) * col("n")).cast("long"))
+      .select(col("sub"), col("cell"), col("dim"),
+        (when(col("sv") >= 0, col("rr")).otherwise(-col("rr"))
+          .cast("double") / 1e6).as("c"))
+      .groupBy(col("sub"), col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        x => x.getField("c")).as("cvec"))
+
+  /** Lloyd-refined codebooks: hash-init means (the oracle-checked base),
+    * then `iters` assign/update rounds per subspace. Deterministic (no RNG,
+    * exact-integer means, rounded-sim argmax with tie-break) at any
+    * parallelism; each round is one broadcast argmax + one narrow
+    * (sub, cell, dim) aggregation. Refinement is what makes the codes
+    * informative — hash-init alone leaves every centroid near the subspace
+    * mean.
+    */
+  def pqCodebooksRefined(e: DataFrame, iters: Int = 2): DataFrame = {
+    val sv = pqSubvectors(e)
+    var books = pqCodebookVectors(e)
+    var i = 0
+    while (i < iters) {
+      books = pqUpdate(pqAssign(sv, books))
+      i += 1
+    }
+    books
+  }
+
+  /** PQ encoding: per (vector, subspace) cosine-argmax against the
+    * broadcast codebook (rounded sim + cell tie-break = deterministic),
+    * codes collected in subspace order: (vec_id, codes array<int>).
+    * The corpus never shuffles — broadcast join + per-row argmax; the only
+    * exchange is the final (vec_id) collect_list aggregation.
+    */
+  def pqEncode(e: DataFrame, books: DataFrame): DataFrame =
+    pqAssign(pqSubvectors(e), books)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cell")))),
+        x => x.getField("cell")).as("codes"))
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: each query
+    * builds an M × ksub lookup table of partial dot products against the
+    * codebook (native DotProduct, broadcast), then candidate scoring is a
+    * pure table lookup: approx(q, x) = Σ_m lut[m][codes[m]]. The code table
+    * is the ONLY per-corpus-row data touched — the full vectors never load,
+    * which is the point of PQ at scale.
+    */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, books: DataFrame,
+      k: Int): DataFrame = {
+    import graft.functions.VectorOps.dotProduct
+    val qsub = queries.select(col("qid"),
+        explode(sequence(lit(0), lit(pqM - 1))).as("sub"), col("qvec"))
+      .select(col("qid"), col("sub"),
+        slice(col("qvec"), col("sub") * pqDsub + 1, lit(pqDsub)).as("qsvec"))
+    // per-query LUT: array (by sub) of arrays (by cell) of partial dots
+    val lut = qsub.join(broadcast(books), Seq("sub"))
+      .withColumn("pdot", dotProduct(col("qsvec"), col("cvec")))
+      .groupBy("qid", "sub")
+      .agg(transform(array_sort(collect_list(struct(col("cell"), col("pdot")))),
+        x => x.getField("pdot")).as("cells"))
+      .groupBy("qid")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cells")))),
+        x => x.getField("cells")).as("lut"))
+    // query-independent norm LUT: ||c_{m,cell}||² — the candidate-norm
+    // correction that makes ADC rank by (approximate) COSINE, not raw dot
+    // (raw dot systematically favors large-norm candidates)
+    val nlut = books
+      .withColumn("n2", aggregate(col("cvec"), lit(0.0),
+        (acc, x) => acc + x * x))
+      .groupBy("sub")
+      .agg(transform(array_sort(collect_list(struct(col("cell"), col("n2")))),
+        x => x.getField("n2")).as("cells"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cells")))),
+        x => x.getField("cells")).as("nlut"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("approx").desc, col("vec_id"))
+    codes.crossJoin(broadcast(lut)).crossJoin(broadcast(nlut))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("dotsum", aggregate(
+        zip_with(col("codes"), col("lut"),
+          (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("norm2", aggregate(
+        zip_with(col("codes"), col("nlut"),
+          (c, l) => element_at(l, c + 1)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("approx",
+        when(col("norm2") > 0, col("dotsum") / sqrt(col("norm2")))
+          .otherwise(lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "approx")
+  }
+
+  /** The production PQ search shape: ADC over codes produces a `shortlist`
+    * of candidates per query (full vectors untouched), then ONLY those
+    * candidates' exact vectors are fetched and cosine-reranked. Exact-scan
+    * cost drops by corpus/shortlist (the ratio grows with corpus size);
+    * result quality = exact ranking over the shortlist.
+    */
+  def pqShortlistTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
+      books: DataFrame, k: Int, shortlist: Int = 100): DataFrame = {
+    val cand = pqAdcTopK(queries, codes, books, shortlist)
+      .select("qid", "vec_id")
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .withColumn("sim", round(cosineSim(col("qvec"), col("vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "sim")
+  }
+
   /** Deterministic pseudo-random classifier weight for dimension `d`:
     * uniform in [-0.5, 0.5) from md5("w" + d) — reproducible in any engine
     * (stands in for trained weights; the pipeline shape is the point).
@@ -270,6 +462,35 @@ object Similarity {
         .groupBy(e("label"))
         .agg(count(d("doc_id")).as("n_docs"), count(e("vec_id")).as("n_vecs"),
           countDistinct(d("lang")).as("n_langs"))
+    }),
+
+    // L3e: PQ codebook build (oracle hash-checked — exact-integer means
+    // over md5-hash-initialized cells, the q_sim_centroids pattern per
+    // subspace).
+    "q_pq_codebooks" -> ((s, dir) =>
+      pqCodebooks(T.embeddings(s, dir))),
+
+    // L3f: PQ encoding — 64 floats → 8 codebook indices per vector, every
+    // code oracle-checked ('|'-joined; deterministic argmax via rounded
+    // sim + cell tie-break).
+    "q_pq_codes" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      pqEncode(e, pqCodebookVectors(e))
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), "|").as("codes"))
+    }),
+
+    // L3g (no oracle — ADC is an approximation; recall vs the exact top-k
+    // is asserted in PipelineSpec): ADC search over codes for 5 probes,
+    // using Lloyd-refined codebooks (the production path).
+    "q_pq_adc" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val books = pqCodebooksRefined(e)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      pqAdcTopK(probes, pqEncode(e, books), books, 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("approx"), 6).as("approx"))
     })
   )
 
@@ -281,7 +502,52 @@ object Similarity {
       |   sqrt(list_sum(list_transform(generate_series(1, 64),
       |    i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))""".stripMargin
 
+  /** Shared oracle CTE chain: subvectors with md5-hash cells, exact-integer
+    * codebook moments (mirrors [[pqCodebooks]] exactly).
+    */
+  private val pqBaseSql =
+    """sv AS (
+      |  SELECT vec_id, s.sub,
+      |    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(s.sub AS VARCHAR)), 1, 15)) AS BIGINT) % 16 AS cell,
+      |    list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS svec
+      |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s),
+      |ex AS (
+      |  SELECT sub, cell, unnest(svec) AS v, unnest(generate_series(1, 8)) AS dim FROM sv),
+      |m AS (
+      |  SELECT sub, cell, dim,
+      |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv,
+      |    count(*) AS n
+      |  FROM ex GROUP BY 1, 2, 3),
+      |r AS (SELECT *, (2 * abs(sv) + n) // (2 * n) AS rr FROM m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_pq_codebooks" ->
+      s"""WITH $pqBaseSql
+         |SELECT CAST(sub AS INTEGER) AS sub, CAST(cell AS INTEGER) AS cell,
+         |  CAST(dim - 1 AS INTEGER) AS dim,
+         |  CAST(CASE WHEN sv >= 0 THEN rr ELSE -rr END AS DOUBLE) / 1000000 AS c
+         |FROM r ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_pq_codes" ->
+      s"""WITH $pqBaseSql,
+         |cb AS (
+         |  SELECT sub, cell,
+         |    list(CAST(CASE WHEN sv >= 0 THEN rr ELSE -rr END AS DOUBLE) / 1000000 ORDER BY dim) AS cvec
+         |  FROM r GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT s.vec_id, s.sub, c.cell,
+         |    round(list_sum(list_transform(generate_series(1, 8),
+         |        i -> CAST(s.svec[i] AS DOUBLE) * c.cvec[i])) /
+         |      (sqrt(list_sum(list_transform(generate_series(1, 8),
+         |        i -> CAST(s.svec[i] AS DOUBLE) * CAST(s.svec[i] AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(generate_series(1, 8),
+         |        i -> c.cvec[i] * c.cvec[i])))), 6) AS sim
+         |  FROM sv s JOIN cb c ON s.sub = c.sub),
+         |best AS (
+         |  SELECT vec_id, sub, cell,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY sim DESC, cell) AS rn
+         |  FROM scored)
+         |SELECT vec_id, array_to_string(list(cell ORDER BY sub), '|') AS codes
+         |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sim_classify" ->
       """WITH scored AS (
         |  SELECT vec_id,

@@ -247,6 +247,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.imageDims(wav) === None) // seams don't cross-match
   }
 
+  test("pq: 32x code compression; ADC shortlist + exact rerank recall >= 0.7") {
+    val e = T.embeddings(spark, sf)
+    val books = Similarity.pqCodebooksRefined(e)
+    val codes = Similarity.pqEncode(e, books)
+    // every vector gets exactly M codes in [0, ksub): 8 bytes vs 256
+    val bad = codes.filter(size(col("codes")) =!= Similarity.pqM ||
+      exists(col("codes"), c => c < 0 || c >= Similarity.pqK)).count()
+    assert(bad === 0)
+    assert(Similarity.pqM * 1 * 32 === 256) // 8 byte-codes stand in for 64 floats
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+    val exact = Similarity.bruteForceTopK(probes, corpus, 10)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reranked = Similarity
+      .pqShortlistTopK(probes, corpus, codes, books, 10, shortlist = 100)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & reranked).size.toDouble / exact.size
+    assert(recall >= 0.7, s"shortlist+rerank recall@10 = $recall")
+  }
+
   test("url normalization: case, ports, fragments, tracking params") {
     import spark.implicits._
     val in = Seq(
