@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, DotProduct, JaccardLong, MinHashSig, ShingleHashes, SimHash64}
+import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, DotProduct, JaccardLong, MinHashSig, MinHashSigMd5, ShingleHashes, ShingleStrings, SimHash64, SimHashMd5}
 
 /** SparkSessionExtensions registration (SURVEY.md §4.2 / the custom-operator
   * ladder): exposes the native dedup expressions to SQL, so
@@ -38,6 +38,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, k) => MinHashSig(c, k.eval().asInstanceOf[Int])
         case _ => throw new IllegalArgumentException("minhash_sig(hashes[, k])")
       }))
+    ext.injectFunction((FunctionIdentifier("shingle_strings"),
+      info("shingle_strings", "_FUNC_(text[, n]) - distinct n-word shingle strings"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ShingleStrings(c, 3)
+        case Seq(c, n) => ShingleStrings(c, n.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("shingle_strings(text[, n])")
+      }))
+    ext.injectFunction((FunctionIdentifier("minhash_sig_md5"),
+      info("minhash_sig_md5",
+        "_FUNC_(shingles[, k]) - md5-based engine-portable MinHash signature"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSigMd5(c, 8)
+        case Seq(c, k) => MinHashSigMd5(c, k.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("minhash_sig_md5(shingles[, k])")
+      }))
+    ext.injectFunction((FunctionIdentifier("simhash_md5"),
+      info("simhash_md5", "_FUNC_(text) - 60-bit md5-based SimHash fingerprint"),
+      (args: Seq[Expression]) => SimHashMd5(args.head)))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "_FUNC_(text) - 64-bit SimHash fingerprint"),
       (args: Seq[Expression]) => SimHash64(args.head)))

@@ -236,7 +236,39 @@ object Dedup {
     (labels, iter)
   }
 
+  /** Per-document duplicated-span profile: which fraction of a document's
+    * L-token windows also appear in OTHER documents (the exact-substring
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" — boilerplate/licence blocks/copypasta show up
+    * as high dup fractions even when whole-document hashes differ).
+    *
+    * Scale shape: windows hash to 15-hex md5 prefixes BEFORE the exchange
+    * (only (doc_id, 15-char key) rides the two shuffles: one countDistinct
+    * by window, one per-doc sum after an equi-join back). Distinct windows
+    * per doc — a doc repeating its own boilerplate counts once.
+    */
+  def duplicatedSpans(docs: DataFrame, l: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(shingles(col("text"), l)).as("g"))
+      .select(col("doc_id"), substring(md5(col("g")), 1, 15).as("h"))
+    val shared = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("dup"))
+    grams.join(shared, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(col("dup")), lit(0)).cast("long").as("n_dup_spans"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // L2f: exact-substring dedup signal — per-doc duplicated L-token window
+    // counts (oracle hash-checked; md5-keyed windows are engine-portable;
+    // docs shorter than L tokens have no windows and appear in neither
+    // engine's output).
+    "q_dedup_spans" -> ((s, dir) =>
+      duplicatedSpans(T.documents(s, dir))),
+
     // L1: exact dedup — keep the smallest doc_id per normalized text. Keyed
     // on the 128-bit md5 of the normalized text, NOT the text itself, so the
     // shuffle key is fixed-width (32 hex chars) and the document bodies never
@@ -339,6 +371,23 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN []
+        |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 7),
+        |           i -> array_to_string(list_slice(toks, i, i + 7), ' '))) END AS sh
+        |  FROM t),
+        |g AS (SELECT doc_id, substr(md5(unnest(sh)), 1, 15) AS h FROM sh),
+        |shared AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |FROM g LEFT JOIN shared s ON g.h = s.h
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_minhash_md5" ->
       """WITH t AS (
         |  SELECT doc_id,

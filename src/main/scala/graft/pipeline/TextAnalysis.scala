@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.{Q, Tables => T}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,7 +47,44 @@ object TextAnalysis {
   def fingerprint(c: Column, k: Int = 8): Column =
     slice(array_sort(graft.functions.TextHashes.shingleHashes(c)), 1, k)
 
+  /** Corpus-trained bigram language-model quality score (the CCNet/
+    * fastText-era shape: score text by how expected its token sequences are
+    * under a reference model; low scores → gibberish/garbled docs). The
+    * "model" is document frequencies from the corpus itself: for each
+    * distinct doc bigram (w1 w2), lp = ln(df(w1 w2) / df(w1)) ≤ 0, and the
+    * doc score is the exact-integer mean of lp in micro-units (engine-
+    * portable: integer counts, one IEEE ln rounded to micro-units, integer
+    * tie-safe mean — no order-dependent double summation).
+    *
+    * Scale shape: two narrow DF aggregations (unigram, bigram — map-side
+    * combine), two equi-joins on short string keys, one per-doc agg. The
+    * native [[graft.functions.ShingleStrings]] builds distinct n-grams in
+    * one pass.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    import graft.pipeline.Dedup.shingles
+    val uni = docs.select(col("doc_id"), explode(shingles(col("text"), 1)).as("w1"))
+    val df1 = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bg = docs.select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+    val df2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val lp = bg.join(df2, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(df1, Seq("w1"))
+      .withColumn("lpu",
+        round(log(col("c2").cast("double") / col("c1").cast("double")) * 1e6, 0)
+          .cast("long"))
+    lp.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lpu")).as("s"))
+      .withColumn("rr", (lit(2) * abs(col("s")) + col("n_bigrams"))
+        .divide(lit(2) * col("n_bigrams")).cast("long"))
+      .select(col("doc_id"), col("n_bigrams"),
+        when(col("s") >= 0, col("rr")).otherwise(-col("rr")).as("avg_lp_micro"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // L4e: bigram-LM quality score (oracle hash-checked — integer-exact).
+    "q_text_lm" -> ((s, dir) => lmScore(T.documents(s, dir))),
+
     // L4: corpus stats by (lang, source) — exact ratios via int sums.
     "q_text_stats" -> ((s, dir) => {
       val d = T.documents(s, dir)
@@ -197,6 +234,34 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(list_distinct(toks)) AS w1 FROM t),
+        |df1 AS (SELECT w1, count(*) AS c1 FROM u GROUP BY 1),
+        |b AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(toks) < 2 THEN []
+        |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |           i -> toks[i] || ' ' || toks[i + 1])) END) AS bg
+        |  FROM t),
+        |df2 AS (SELECT bg, count(*) AS c2 FROM b GROUP BY 1),
+        |lp AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000, 0) AS BIGINT) AS lpu
+        |  FROM b
+        |  JOIN df2 USING (bg)
+        |  JOIN df1 ON split_part(bg, ' ', 1) = df1.w1),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(lpu) AS BIGINT) AS s
+        |  FROM lp GROUP BY 1),
+        |r AS (SELECT *, (2 * abs(s) + n_bigrams) // (2 * n_bigrams) AS rr FROM a)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(CASE WHEN s >= 0 THEN rr ELSE -rr END AS BIGINT) AS avg_lp_micro
+        |FROM r ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_stats" ->
       """WITH d AS (
         |  SELECT lang, source, n_chars, length(text) AS n_chars_actual,

@@ -127,6 +127,16 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.length === 5)
     assert(r.forall(_.getInt(2) === 8))
     assert(r.forall(_.getDouble(3) === 1.0))
+    // md5-twin and string-shingle variants registered too
+    val r2 = spark.sql(
+      """SELECT doc_id, simhash_md5(text) AS sh60,
+        |  size(minhash_sig_md5(shingle_strings(text), 4)) AS k,
+        |  size(shingle_strings(text, 2)) AS n2
+        |FROM docs_ext LIMIT 5""".stripMargin).collect()
+    assert(r2.length === 5)
+    assert(r2.forall(_.getLong(1) >= 0)) // 60-bit: always positive
+    assert(r2.forall(_.getInt(2) === 4))
+    assert(r2.forall(_.getInt(3) > 0))
   }
 
   test("GraftExtensions: vector expressions callable from SQL") {
