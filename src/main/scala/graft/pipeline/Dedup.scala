@@ -261,7 +261,41 @@ object Dedup {
         coalesce(sum(col("dup")), lit(0)).cast("long").as("n_dup_spans"))
   }
 
+  /** Benchmark decontamination: per training document, how many of its
+    * L-token windows appear in the benchmark set (the n-gram-overlap
+    * contamination check every LLM training run does against its eval
+    * suites before training). `contaminated` = any overlap.
+    *
+    * Scale shape: benchmark window hashes are DISTINCT and tiny relative to
+    * the corpus — explicitly broadcast, so the training corpus never
+    * shuffles: per-row window hashing + a broadcast left join + one per-doc
+    * aggregation.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, l: Int = 8): DataFrame = {
+    val bg = bench
+      .select(explode(shingles(col("text"), l)).as("g"))
+      .select(substring(md5(col("g")), 1, 15).as("h")).distinct()
+      .withColumn("hit", lit(1))
+    docs
+      .select(col("doc_id"), explode(shingles(col("text"), l)).as("g"))
+      .select(col("doc_id"), substring(md5(col("g")), 1, 15).as("h"))
+      .join(broadcast(bg), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_bench_spans"))
+      .withColumn("contaminated", col("n_bench_spans") > 0)
+  }
+
   val queries: Map[String, Q] = Map(
+    // L2g: benchmark decontamination — docs 0-9 stand in for the eval set;
+    // remaining docs are profiled for n-gram overlap against it
+    // (oracle-checked).
+    "q_dedup_contamination" -> ((s, dir) => {
+      val all = T.documents(s, dir)
+      contamination(all.filter(col("doc_id") >= 10),
+        all.filter(col("doc_id") < 10))
+    }),
+
     // L2f: exact-substring dedup signal — per-doc duplicated L-token window
     // counts (oracle hash-checked; md5-keyed windows are engine-portable;
     // docs shorter than L tokens have no windows and appear in neither
@@ -371,6 +405,25 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN []
+        |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 7),
+        |           i -> array_to_string(list_slice(toks, i, i + 7), ' '))) END AS sh
+        |  FROM t),
+        |g AS (SELECT doc_id, substr(md5(unnest(sh)), 1, 15) AS h FROM sh),
+        |bh AS (SELECT DISTINCT h FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bench_spans,
+        |  SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) > 0 AS contaminated
+        |FROM g LEFT JOIN bh b ON g.h = b.h
+        |WHERE g.doc_id >= 10
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_spans" ->
       """WITH t AS (
         |  SELECT doc_id,

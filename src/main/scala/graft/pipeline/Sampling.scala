@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling for training-data pipelines.
@@ -36,6 +37,47 @@ object Sampling {
     df.filter(hashBucket(key) < rate)
   }
 
+  /** Epoch-weighted source mixing — the dataset-mixture step of LLM
+    * training prep ("Wikipedia × 3 epochs, CommonCrawl × 0.3"): each row is
+    * replicated `epochsPct(source)/100` times, with the fractional epoch
+    * decided by the row's hash bucket (reproducible, nests across rate
+    * changes like all hash sampling here). Rates in integer PERCENT so the
+    * copy arithmetic is exact.
+    *
+    * Scale shape: per-row `explode(sequence(1, copies))` — no shuffle at
+    * all; output carries the copy index so downstream shuffles can salt on
+    * it (identical copies otherwise co-locate on any content key).
+    */
+  def mixWithEpochs(df: DataFrame, key: Column, source: Column,
+      epochsPct: Map[String, Int], otherPct: Int): DataFrame = {
+    val pct = epochsPct.foldLeft(lit(otherPct)) { case (acc, (v, p)) =>
+      when(source === v, p).otherwise(acc)
+    }
+    val copies = (pct / lit(100)).cast("int") +
+      when(hashBucket(key) < pct % 100, 1).otherwise(0)
+    // Spark's sequence(1, 0) DESCENDS — guard zero-copy rows explicitly
+    // (explode of an empty array drops the row, which is the semantics).
+    df.withColumn("copy", explode(
+      when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(lit(Array.empty[Int]))))
+  }
+
+  /** Pack documents into fixed-token-budget shards, per source: docs are
+    * laid out in (source, doc_id) order and a doc's shard is the bin its
+    * START offset falls in — the sequence-packing layout step before
+    * tokenize-and-concatenate training prep. Per-source windows keep the
+    * running sum distributed (one shuffle on source, no global sort).
+    */
+  def packIntoShards(docs: DataFrame, tokensPerShard: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs
+      .withColumn("n_tokens", size(split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("shard", expr(s"start div ${tokensPerShard}L"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Stratified reproducible sample: English kept at 80%, the rest at 20%
     // — the rebalancing step of corpus curation, exactly reproducible in any
@@ -44,6 +86,24 @@ object Sampling {
       stratifiedHashSample(T.documents(s, dir), col("doc_id"), col("lang"),
         Map("en" -> 80), otherPct = 20)
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    }),
+
+    // Mixture with epochs: src0 × 2.5 epochs, src1 × 0 (dropped), others
+    // × 0.3 — per-source row counts after replication (oracle-checked).
+    "q_sample_mix" -> ((s, dir) => {
+      mixWithEpochs(T.documents(s, dir), col("doc_id"), col("source"),
+        Map("src0" -> 250, "src1" -> 0), otherPct = 30)
+        .groupBy("source").agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+    }),
+
+    // Token-budget shard packing: per (source, shard) fill profile
+    // (oracle-checked; the window arithmetic is integer-exact).
+    "q_sample_pack" -> ((s, dir) => {
+      packIntoShards(T.documents(s, dir), 512)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("shard_tokens"))
     })
   )
 
@@ -52,6 +112,35 @@ object Sampling {
       """SELECT lang, count(*) AS n_kept FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
         |      < (CASE WHEN lang = 'en' THEN 80 ELSE 20 END)
-        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sample_mix" ->
+      """WITH c AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 250
+        |         WHEN source = 'src1' THEN 0 ELSE 30 END AS pct,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, source,
+        |    (pct // 100) + CASE WHEN b < pct % 100 THEN 1 ELSE 0 END AS n
+        |  FROM c),
+        |x AS (
+        |  SELECT doc_id, source, unnest(generate_series(1, n)) AS copy
+        |  FROM e WHERE n >= 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM x GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sample_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) - n_tokens AS start
+        |  FROM t)
+        |SELECT source, start // 512 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM s GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }
