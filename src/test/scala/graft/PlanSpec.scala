@@ -131,6 +131,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scanned.contains("l_returnflag=A"), "partition A should be pruned")
   }
 
+  test("contamination: benchmark hashes broadcast — corpus side never shuffles for the join") {
+    val p = plan("q_dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast join on benchmark hashes:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
+  test("span dedup: the exchange carries the 15-hex key, not document text") {
+    val p = plan("q_dedup_spans")
+    // the shuffle key is the substring(md5) hash column 'h'
+    assert("Exchange hashpartitioning\\(h#".r.findFirstIn(p).isDefined,
+      s"expected the window-hash exchange key:\n$p")
+    assert(!p.toLowerCase.contains("exchange hashpartitioning(text"),
+      s"document text must not be a shuffle key:\n$p")
+  }
+
+  test("pq: codebooks broadcast for encode; no cartesian against the corpus") {
+    val df = SparkEntry.queries("q_pq_codes")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast codebook join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in PQ encode:\n$p")
+  }
+
+  test("shard packing: one exchange on source, no global sort") {
+    // Under the order-agnostic bench consumer (the verification total sort
+    // is eliminated), the packing pipeline itself must show only the
+    // source-partitioned window exchange — no rangepartitioning.
+    import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+    val df = SparkEntry.queries("q_sample_pack")(spark, sf)
+    val all = df.columns.map(col).toIndexedSeq
+    val p = df.select(xxhash64(struct(all: _*)).as("h"))
+      .agg(expr("bit_xor(h)")).queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(source"),
+      s"expected source-partitioned window exchange:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort in the packing path:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // WSCG spans only appear in AQE's final plan — execute first.
     val df = SparkEntry.queries("q_filter_pred")(spark, sf)
