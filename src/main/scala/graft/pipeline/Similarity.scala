@@ -272,11 +272,16 @@ object Similarity {
     * mean.
     */
   def pqCodebooksRefined(e: DataFrame, iters: Int = 2): DataFrame = {
-    val sv = pqSubvectors(e)
-    var books = pqCodebookVectors(e)
+    // Materialize between rounds (and before return): round N's plan
+    // references round N-1, and the returned books are consumed by
+    // encode + both ADC LUTs — left lazy, the whole refinement chain
+    // re-executes once per consumer per round (measured 32 s for what is
+    // ~1 s materialized at sf0.1). The checkpointed table is M × ksub rows.
+    val sv = pqSubvectors(e).localCheckpoint(true)
+    var books = pqCodebookVectors(e).localCheckpoint(true)
     var i = 0
     while (i < iters) {
-      books = pqUpdate(pqAssign(sv, books))
+      books = pqUpdate(pqAssign(sv, books)).localCheckpoint(true)
       i += 1
     }
     books
@@ -347,6 +352,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "rank", "vec_id", "approx")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster the
+    * corpus with a coarse quantizer, then prune near-identical pairs WITHIN
+    * each cluster only — the cluster bound is what keeps the pairwise step
+    * tractable (O(Σ|cell|²) instead of O(n²); at 100 TB, k grows with n so
+    * |cell| stays bounded and each cell's pairwise block fits one task).
+    * Shape: centroids broadcast for assignment (corpus never shuffles for
+    * it), then ONE exchange on cell for the self-join. Returns the removed
+    * rows: (vec_id, keep_id = lowest-id near-duplicate, max_sim, n_dups).
+    * A row is removed iff some lower-id vector in its cell has cosine ≥
+    * `threshold` — deterministic, engine-reproducible (rounded sims).
+    * `centroids` defaults to the label centroids; pass
+    * [[kmeansQuantizer]]'s output when no natural partitioning exists.
+    */
+  def semanticDedup(e: DataFrame, threshold: Double,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      centroidVectors(e).select(col("clabel").as("cell"), col("cvec")))
+    val assigned = assignCells(
+      e.select(col("vec_id"), col("embedding").as("vec")), cent)
+    val x = assigned.select(col("cell"), col("vec_id").as("a"),
+      col("vec").as("va"))
+    val y = assigned.select(col("cell"), col("vec_id").as("b"),
+      col("vec").as("vb"))
+    x.join(y, Seq("cell")).filter(col("a") < col("b"))
+      .withColumn("psim", round(cosineSim(col("va"), col("vb")), 6))
+      .filter(col("psim") >= threshold)
+      .groupBy(col("b"))
+      .agg(min(col("a")).as("keep_id"), max(col("psim")).as("max_sim"),
+        count(lit(1)).as("n_dups"))
+      .select(col("b").as("vec_id"), col("keep_id"), col("max_sim"),
+        col("n_dups"))
+  }
+
+  /** The kept corpus after [[semanticDedup]] — the actual pipeline step. */
+  def semanticPrune(e: DataFrame, threshold: Double): DataFrame =
+    e.join(semanticDedup(e, threshold).select("vec_id"),
+      Seq("vec_id"), "left_anti")
 
   /** The production PQ search shape: ADC over codes produces a `shortlist`
     * of candidates per query (full vectors untouched), then ONLY those
@@ -453,6 +496,12 @@ object Similarity {
         .filter(col("sim") >= 0.8)
         .select("label", "a", "b", "sim")
     }),
+
+    // SemDeDup semantic dedup: cluster-bounded pairwise prune (the
+    // threshold is data-relative — synthetic embeddings top out near
+    // cosine 0.47; production text embeddings would use ~0.95+).
+    "q_dedup_semantic" -> ((s, dir) =>
+      semanticDedup(T.embeddings(s, dir), 0.40)),
 
     // L6: doc↔embedding integrity join (ids align 1:1).
     "q_doc_join" -> ((s, dir) => {
@@ -621,6 +670,41 @@ object Similarity {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT label, a, b, sim FROM sims WHERE sim >= 0.8
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH ex AS (
+        |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label AS cell, list(c ORDER BY dim) AS cvec FROM (
+        |    SELECT label, dim,
+        |      (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
+        |       CAST(count(*) AS DOUBLE)) / 1000000 AS c
+        |    FROM ex GROUP BY 1, 2) GROUP BY 1),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i])) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> c.cvec[i] * c.cvec[i])))), 6) AS sim
+        |  FROM embeddings e CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b,
+        |    round(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS psim
+        |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT b AS vec_id, min(a) AS keep_id, max(psim) AS max_sim,
+        |  CAST(count(*) AS BIGINT) AS n_dups
+        |FROM pairs WHERE psim >= 0.40 GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_doc_join" ->
       """SELECT label, count(doc_id) AS n_docs, count(vec_id) AS n_vecs,
         |  count(DISTINCT lang) AS n_langs

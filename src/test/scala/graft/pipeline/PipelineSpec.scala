@@ -170,6 +170,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, s"recall $recall (${(brute & ann).size}/${brute.size})")
   }
 
+  test("semantic dedup: planted near-duplicate removed with its keeper; rest kept") {
+    import spark.implicits._
+    val e = T.embeddings(spark, sf).select("vec_id", "label", "embedding")
+    val r3 = e.filter(col("vec_id") === 3).collect()(0)
+    // An exact copy has cosine 1.0 with its source and lands in the same
+    // cell (identical centroid sims, same tie-break order).
+    val planted = Seq((999L, r3.getInt(1), r3.getSeq[Float](2).toSeq))
+      .toDF("vec_id", "label", "embedding")
+    val e2 = e.union(planted)
+    val dups = Similarity.semanticDedup(e2, 0.95).collect()
+    assert(dups.length === 1, s"expected only the planted dup, got ${dups.toSeq}")
+    assert(dups(0).getLong(0) === 999L && dups(0).getLong(1) === 3L)
+    assert(dups(0).getDouble(2) === 1.0)
+    assert(Similarity.semanticPrune(e2, 0.95).count() === e2.count() - 1)
+  }
+
   test("langId picks the language with most stopword hits; ties deterministic") {
     import spark.implicits._
     val df = Seq(
