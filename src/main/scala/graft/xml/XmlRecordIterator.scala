@@ -121,6 +121,46 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
     m.get(name)
   }
 
+  // Per-struct default-value tables (XSD default=/fixed=), precomputed so the
+  // per-record path never touches Metadata: attribute defaults fill ABSENT
+  // attributes; element defaults fill PRESENT-but-EMPTY leaf elements.
+  private val defaultsCache =
+    new java.util.IdentityHashMap[StructType, (Array[String], Array[String])]
+  private def defaults(st: StructType): (Array[String], Array[String]) = {
+    var d = defaultsCache.get(st)
+    if (d == null) {
+      val attr = new Array[String](st.length)
+      val elem = new Array[String](st.length)
+      var i = 0
+      while (i < st.length) {
+        val m = st(i).metadata
+        if (m.contains("xml.default.attr")) attr(i) = m.getString("xml.default.attr")
+        if (m.contains("xml.default.elem")) elem(i) = m.getString("xml.default.elem")
+        i += 1
+      }
+      d = (attr, elem)
+      defaultsCache.put(st, d)
+    }
+    d
+  }
+
+  /** True when the START_ELEMENT the reader is on carries xsi:nil="true"
+    * (namespace-checked — a no-namespace nil attribute is ordinary data).
+    */
+  private def isNil(): Boolean = {
+    var i = 0
+    while (i < reader.getAttributeCount) {
+      if (reader.getAttributeLocalName(i) == "nil" &&
+          reader.getAttributeNamespace(i) ==
+            "http://www.w3.org/2001/XMLSchema-instance") {
+        val v = reader.getAttributeValue(i)
+        return v == "true" || v == "1"
+      }
+      i += 1
+    }
+    false
+  }
+
   override def hasNext: Boolean = {
     if (nextRecord == null && !finished) advance()
     nextRecord != null
@@ -179,6 +219,8 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
     val valueIdx = if (valueIdxBoxed == null) -1 else valueIdxBoxed.intValue()
     var textBuf: java.lang.StringBuilder = null
 
+    val (attrDefaults, elemDefaults) = defaults(st)
+
     // Attributes present in the schema are set; unknown ones dropped (:180-188).
     var i = 0
     while (i < reader.getAttributeCount) {
@@ -186,6 +228,14 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
       if (idx != null) {
         values(idx) = coerce(reader.getAttributeValue(i), st(idx).dataType,
           st(idx).name)
+      }
+      i += 1
+    }
+    // XSD attribute default/fixed: absent attributes take the declared value.
+    i = 0
+    while (i < st.length) {
+      if (attrDefaults(i) != null && values(i) == null) {
+        values(i) = coerce(attrDefaults(i), st(i).dataType, st(i).name)
       }
       i += 1
     }
@@ -197,6 +247,7 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
           val idxBoxed =
             if (nsMatches()) fieldIndex(st, reader.getLocalName) else null
           if (idxBoxed == null) skipSubtree() // pruned, undeclared, or wrong ns
+          else if (isNil()) skipSubtree() // xsi:nil="true": explicit null
           else {
             val idx = idxBoxed.intValue()
             st(idx).dataType match {
@@ -208,17 +259,18 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
               case at @ ArrayType(et, _)
                   if st(idx).metadata.contains("xml.list") &&
                     !et.isInstanceOf[ArrayType] =>
-                values(idx) = parseValue(at, st(idx).name)
+                values(idx) = parseValue(at, st(idx).name, elemDefaults(idx))
               case ArrayType(et, _) =>
                 if (arrays == null) arrays = mutable.LongMap()
-                val v = parseValue(et, st(idx).name)
+                val v = parseValue(et, st(idx).name, elemDefaults(idx))
                 // a PERMISSIVE-rescued element is logged but not appended
                 // (the array types are containsNull = false)
                 if (v != null) {
                   arrays.getOrElseUpdate(idx.toLong, mutable.ArrayBuffer())
                     .append(v)
                 }
-              case dt => values(idx) = parseValue(dt, st(idx).name)
+              case dt =>
+                values(idx) = parseValue(dt, st(idx).name, elemDefaults(idx))
             }
           }
         case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
@@ -238,8 +290,11 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
     new GenericInternalRow(values)
   }
 
-  /** Parse one non-array value whose START_ELEMENT the reader is on. */
-  private def parseValue(dt: DataType, fieldName: String): Any = dt match {
+  /** Parse one non-array value whose START_ELEMENT the reader is on.
+    * `default` (XSD default=/fixed= lexical form) replaces EMPTY leaf text.
+    */
+  private def parseValue(dt: DataType, fieldName: String,
+      default: String = null): Any = dt match {
     case st: StructType => parseStruct(st)
     case primitive =>
       val sb = new java.lang.StringBuilder
@@ -254,7 +309,9 @@ final class XmlRecordIterator(input: InputStream, schema: StructType,
           case _ =>
         }
       }
-      coerce(sb.toString, primitive, fieldName)
+      val text = sb.toString
+      if (default != null && text.trim.isEmpty) coerce(default, primitive, fieldName)
+      else coerce(text, primitive, fieldName)
   }
 
   /** convert(), rescued to null + a corrupt-record note in PERMISSIVE mode.

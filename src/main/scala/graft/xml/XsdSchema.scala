@@ -110,7 +110,8 @@ object XsdSchema {
     "base64Binary" -> BinaryType,
     "hexBinary" -> StringType)
 
-  private case class Attr(name: String, tpe: (String, String), required: Boolean)
+  private case class Attr(name: String, tpe: (String, String), required: Boolean,
+      default: Option[String] = None)
   /** `ref`, when set, points at a top-level element declaration;
     * `groupRef`, when set, at a named model group — in both cases `name`/
     * `tpe` resolve at struct-build time (the target may live in another
@@ -119,7 +120,9 @@ object XsdSchema {
   private case class Elem(name: String, tpe: (String, String), minOccurs: String,
       maxOccurs: String, fromChoice: Boolean = false,
       ref: Option[(String, String)] = None,
-      groupRef: Option[(String, String)] = None)
+      groupRef: Option[(String, String)] = None,
+      default: Option[String] = None,
+      nillable: Boolean = false)
   /** `complexBase`, when set, names the base complexType of a
     * `complexContent` extension/restriction — its fields are spliced before
     * this type's own at build time (transitively through the chain).
@@ -198,8 +201,12 @@ object XsdSchema {
     // anonymous inline types of its child elements ("<element>Type",
     // XMLToAvroSchema.scala:282-298).
     def shallowAttrs(n: Node): Seq[Attr] = (n \ "attribute").map { a =>
+      // default= fills an ABSENT attribute; fixed= is the same fill (we
+      // don't validate that present values equal the fixed one).
+      val dflt = a.attribute("default").map(_.text)
+        .orElse(a.attribute("fixed").map(_.text))
       Attr(a \@ "name", typeRef(a, a \@ "type"),
-        required = (a \@ "use") == "required")
+        required = (a \@ "use") == "required", default = dflt)
     }
 
     // Collect element children of sequence/all/choice nodes, flattening
@@ -262,7 +269,10 @@ object XsdSchema {
             }
           case ref => typeRef(e, ref)
         }
-        Elem(elemName, tpe, card("minOccurs"), card("maxOccurs"), inChoice)
+        Elem(elemName, tpe, card("minOccurs"), card("maxOccurs"), inChoice,
+          default = e.attribute("default").map(_.text)
+            .orElse(e.attribute("fixed").map(_.text)),
+          nillable = (e \@ "nillable") == "true")
       }
     }
 
@@ -424,21 +434,23 @@ object XsdSchema {
       }
     }
     def mk(name: String, tpeKey: (String, String), nullable: Boolean,
-        maxOccurs: String): StructField = {
+        maxOccurs: String, default: Option[String] = None): StructField = {
       val inner = resolve(tables, prims, tpeKey, stack)
       // An element type resolving to ArrayType can only come from xs:list
       // (repeated elements wrap below, by maxOccurs): mark the field so the
       // record reader whitespace-splits the TEXT into the array instead of
       // expecting repeated child elements.
-      val meta =
-        if (inner.isInstanceOf[ArrayType])
-          new MetadataBuilder().putBoolean("xml.list", true).build()
-        else Metadata.empty
+      val mb = new MetadataBuilder()
+      if (inner.isInstanceOf[ArrayType]) mb.putBoolean("xml.list", true)
+      // XSD element default/fixed: fills a PRESENT-but-EMPTY element (an
+      // absent one stays null — that's the spec's semantics, not an
+      // oversight). The reader applies the lexical form via its own coercion.
+      default.foreach(mb.putString("xml.default.elem", _))
       val tpe = maxOccurs match {
         case "1" => inner
         case _ => ArrayType(inner, containsNull = false)
       }
-      StructField(name, tpe, nullable, meta)
+      StructField(name, tpe, nullable, mb.build())
     }
     // Transitive closure of substitutable elements under a group head (a
     // member may itself head another group).
@@ -498,7 +510,11 @@ object XsdSchema {
               mk(m.name, m.tpe, nullable = true, e.maxOccurs)
             }
           }
-        case (None, None) => Seq(mk(e.name, e.tpe, baseNullable, e.maxOccurs))
+        case (None, None) =>
+          // nillable="true" forces nullability regardless of minOccurs:
+          // a present <e xsi:nil="true"/> reads as null.
+          Seq(mk(e.name, e.tpe, baseNullable || e.nillable, e.maxOccurs,
+            e.default))
       }
     }
     val elemFields = c.elements.flatMap(e => expandElem(e, Set.empty))
@@ -508,11 +524,12 @@ object XsdSchema {
     }
     val attrFields = (c.attrs ++ groupAttrs).map { a =>
       val t = resolve(tables, prims, a.tpe, stack)
-      val meta =
-        if (t.isInstanceOf[ArrayType]) // list-typed attribute value
-          new MetadataBuilder().putBoolean("xml.list", true).build()
-        else Metadata.empty
-      StructField(a.name, t, nullable = !a.required, meta)
+      val mb = new MetadataBuilder()
+      if (t.isInstanceOf[ArrayType]) mb.putBoolean("xml.list", true)
+      // Attribute default/fixed fills an ABSENT attribute (unlike element
+      // defaults, which need the element present).
+      a.default.foreach(mb.putString("xml.default.attr", _))
+      StructField(a.name, t, nullable = !a.required, mb.build())
     }
     // Own fields that collide with an inherited base field are dropped (a
     // restriction re-declaring an attribute to tighten it): the base version

@@ -68,6 +68,34 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("SKU-001") === 54.90 && got("SKU-002") === 12.0 && got("SKU-003") === 7.5)
   }
 
+  test("xsi:nil reads as null; absent attrs and empty elements take XSD defaults") {
+    val df = spark.read.format("graft.xml")
+      .option("xml.schema.location", s"$base/nildefaults/schema")
+      .option("xml.separator.tag", "reading")
+      .option("xml.separator.tag.type", "readingType")
+      .option("xml.separator.tag.type.ns", "")
+      .load(s"$base/nildefaults/data")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 3)
+    val Seq(r1, r2, r3) = rows.toSeq
+    // r1: everything explicit — defaults must NOT override present values
+    assert(r1.getAs[String]("source") === "sensor")
+    assert(r1.getAs[Int]("version") === 1)
+    assert(r1.getAs[Double]("value") === 21.5)
+    assert(r1.getAs[String]("unit") === "kelvin")
+    assert(r1.getAs[String]("note") === "ok")
+    // r2: xsi:nil value → null; absent attrs take default/fixed;
+    // present-but-empty unit takes its default; absent note stays null
+    assert(r2.isNullAt(r2.fieldIndex("value")))
+    assert(r2.getAs[String]("source") === "manual")
+    assert(r2.getAs[Int]("version") === 2)
+    assert(r2.getAs[String]("unit") === "celsius")
+    assert(r2.isNullAt(r2.fieldIndex("note")))
+    // r3: xsi:nil="false" is not nil; self-closed unit takes the default
+    assert(r3.getAs[Double]("value") === 3.5)
+    assert(r3.getAs[String]("unit") === "celsius")
+  }
+
   test("venetian blind: namespaced data, attribute-only-ish records") {
     val df = spark.read.format("graft.xml")
       .option("xml.schema.location", s"$base/venetian/schema")

@@ -460,6 +460,18 @@ class XsdSchemaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("recursive"))
   }
 
+  test("nillable forces nullability; default/fixed land in field metadata") {
+    val st = XsdSchema.structTypeFor(s"$base/nildefaults/schema", "", "readingType")
+    // nillable="true" overrides minOccurs=1 — a present xsi:nil element is null
+    assert(st("value").nullable && st("value").dataType === DoubleType)
+    assert(!st("station").nullable)
+    assert(st("unit").metadata.getString("xml.default.elem") === "celsius")
+    assert(!st("note").metadata.contains("xml.default.elem"))
+    assert(st("source").metadata.getString("xml.default.attr") === "manual")
+    assert(st("version").metadata.getString("xml.default.attr") === "2") // fixed=
+    assert(!st("id").metadata.contains("xml.default.attr"))
+  }
+
   test("maxOccurs=5 (any non-1) becomes an array") {
     val dir = java.nio.file.Files.createTempDirectory("xsdmax").toFile
     java.nio.file.Files.writeString(new java.io.File(dir, "m.xsd").toPath,
