@@ -67,6 +67,29 @@ object Joins {
     }
   }
 
+  /** Binned range join: point-in-interval without an equi key — the case
+    * Spark plans as BroadcastNestedLoopJoin (O(|P|·|I|) compares, and a
+    * broadcast of a side that may not fit). Standard bin trick instead:
+    * points land in bin floor(pt/w); each interval explodes to every bin it
+    * overlaps; equi-join on bin, then the exact containment filter. A
+    * matching pair meets EXACTLY once (the point has one bin; the interval
+    * emits that bin once) so no dedup step is needed. Cost: interval rows ×
+    * (len/w + 1) replication vs a hash join instead of a nested loop — pick
+    * `binWidth` near the typical interval length. Hot bins (skewed point
+    * density) are AQE-skew-join territory, same as any hash join.
+    */
+  def rangeJoinBinned(points: DataFrame, pt: String, intervals: DataFrame,
+      startCol: String, endCol: String, binWidth: Long): DataFrame = {
+    val p = points.withColumn("_bin",
+      floor(col(pt).cast("double") / binWidth).cast("long"))
+    val iv = intervals.withColumn("_bin", explode(sequence(
+      floor(col(startCol).cast("double") / binWidth).cast("long"),
+      floor(col(endCol).cast("double") / binWidth).cast("long"))))
+    p.join(iv, Seq("_bin"))
+      .filter(col(pt) >= col(startCol) && col(pt) <= col(endCol))
+      .drop("_bin")
+  }
+
   val queries: Map[String, Q] = Map(
     // J1: inner equi-join fact⋈dim.
     "q_join_inner_equi" -> ((s, dir) => {
@@ -138,6 +161,19 @@ object Joins {
       n1.join(n2, col("a_region") === col("b_region") &&
           col("a_key") < col("b_key"))
         .select("a_region", "a_key", "a_name", "b_key", "b_name")
+    }),
+
+    // J9b: keyless point-in-interval join via binning — "all events during
+    // each incident window" — planned as TWO hash joins (bin explode +
+    // equi-join) where the naive spelling is a nested-loop join.
+    "q_join_range" -> ((s, dir) => {
+      val ev = T.events(s, dir)
+        .select(col("event_id"), expr("unix_micros(ts) DIV 1000000").as("sec"))
+      val windows = ev.filter(col("event_id") < 50)
+        .select(col("event_id").as("wid"), col("sec").as("w_start"),
+          (col("sec") + 21600L).as("w_end"))
+      rangeJoinBinned(ev, "sec", windows, "w_start", "w_end", 3600L)
+        .groupBy("wid").agg(count(lit(1)).as("n_events"))
     }),
 
     // J10: as-of join — latest order at-or-before each event, per user.
@@ -237,6 +273,15 @@ object Joins {
         |FROM nation n1 JOIN nation n2
         |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_range" ->
+      """WITH ev AS (
+        |  SELECT event_id, epoch_us(ts) // 1000000 AS sec FROM events),
+        |w AS (
+        |  SELECT event_id AS wid, sec AS w_start, sec + 21600 AS w_end
+        |  FROM ev WHERE event_id < 50)
+        |SELECT wid, count(*) AS n_events
+        |FROM w JOIN ev ON ev.sec >= w.w_start AND ev.sec <= w.w_end
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_asof_native" ->
       """SELECT event_id, user_id, o_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,

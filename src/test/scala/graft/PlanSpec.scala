@@ -73,6 +73,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(benchPlan.contains("partial_bit_xor"), s"expected partial aggregation:\n$benchPlan")
   }
 
+  test("binned range join: hash joins on the bin key, never a nested loop") {
+    val p = plan("q_join_range")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash join on _bin:\n$p")
+  }
+
   test("native as-of join: AsOfJoinExec merge plan, one shuffle per input") {
     val df = SparkEntry.queries("q_join_asof_native")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
