@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   *    map; the full per-query map goes to `bench_queries.json` (the 86-entry
   *    inline map overflowed the driver's line capture → `"parsed": null`).
   *    It is printed AFTER `spark.stop()` so it is the last stdout line.
+  *  - each query runs `Runs`× and reports its MEDIAN: round-3 vs round-4 on
+  *    byte-identical code drifted +34% under single-shot timing, so a real
+  *    regression below ~1.4× was indistinguishable from noise. The JSON
+  *    carries `"runs":3`; `bench_queries.json` keeps the min/max spread.
   */
 object Bench {
 
@@ -62,31 +66,44 @@ object Bench {
     // was still absorbing ~1.5s of first-query setup.
     try consume(SparkEntry.queries("q_agg_global")(spark, sfDir))
     catch { case _: Throwable => () }
+    val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // results: name -> (median, min, max) over Runs timings (a query that
+    // throws counts as failed once and keeps its single time-to-fail).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var broken = false
+      var r = 0
+      while (r < Runs && !broken) {
+        val t0 = System.nanoTime()
+        try consume(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          broken = true
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+        times += (System.nanoTime() - t0) / 1e9
+        r += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sorted = times.sorted
+      name -> ((sorted(sorted.size / 2), sorted.head, sorted.last))
     }
     val perQuery = results
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, (med, mn, mx)) =>
+        s"\"" + k + "\":" + f"""{"median":$med%.3f,"min":$mn%.3f,"max":$mx%.3f}""" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       perQuery.getBytes("UTF-8"))
-    val times = results.toMap
+    val times = results.map { case (k, (med, _, _)) => k -> med }.toMap
     val hl = headline.filter(times.contains)
       .map(k => s"\"" + k + "\":" + f"${times(k)}%.3f")
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = times.values.sum
     spark.stop()
     // Printed after spark.stop() so this is the LAST stdout line (the driver
     // tail-parses; sbt trailers land on stderr under -error).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"queries":$hl,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"runs":$Runs,"queries":$hl,"sf":"$sfDir"}""")
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
       sys.exit(1)

@@ -94,6 +94,20 @@ object TextHashes {
     */
   def contentChunks(c: Column, avgBits: Int = 6): Column =
     column(ContentChunks(expression(c), avgBits))
+
+  /** Word-level content-defined chunk keys — the cross-engine twin of
+    * [[contentChunks]]: a boundary closes the chunk after token i whenever
+    * the 60-bit md5 hash of the 2-token window (toks(i-1), toks(i)) is
+    * ≡ 0 mod 2^avgBits (expected chunk ≈ 2^avgBits tokens), and each chunk
+    * is keyed by the first 15 hex chars of the md5 of its space-joined
+    * tokens. Same shift-robustness as the byte-level rolling hash (a
+    * boundary depends only on its local window, so an edit re-keys only
+    * the chunk containing it), but every ingredient — whitespace split,
+    * md5, mod — is reproducible in DuckDB, which makes this variant
+    * oracle hash-checkable where XXH64 chunk keys are not.
+    */
+  def wordChunksMd5(c: Column, avgBits: Int = 3): Column =
+    column(WordChunksMd5(expression(c), avgBits))
 }
 
 case class ShingleStrings(child: Expression, n: Int)
@@ -404,6 +418,70 @@ case class ContentChunks(child: Expression, avgBits: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): ContentChunks =
+    copy(child = c)
+}
+
+case class WordChunksMd5(child: Expression, avgBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(avgBits >= 1 && avgBits <= 20, s"avgBits must be in [1,20], got $avgBits")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks_md5"
+
+  private val mask = (1L << avgBits) - 1
+
+  private def hash60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+    h >>> 4 // first 15 hex chars, always positive
+  }
+
+  private def hex15(md: java.security.MessageDigest, s: String): UTF8String = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(16)
+    var j = 0
+    while (j < 8) {
+      sb.append(Character.forDigit((d(j) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(j) & 0xf, 16))
+      j += 1
+    }
+    UTF8String.fromString(sb.substring(0, 15))
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    // Same normalization as SimHashMd5 / the oracle's
+    // string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '):
+    // empty text yields one empty token (and so one md5("") chunk) in both.
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(Locale.ROOT).trim
+    val toks = text.split("\\s+")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new mutable.ArrayBuffer[Any]
+    val sb = new java.lang.StringBuilder
+    var start = 0
+    def close(endExcl: Int): Unit = {
+      sb.setLength(0)
+      var j = start
+      while (j < endExcl) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j)); j += 1
+      }
+      out += hex15(md, sb.toString)
+      start = endExcl
+    }
+    var i = 1
+    while (i < toks.length) {
+      if ((hash60(md, toks(i - 1) + " " + toks(i)) & mask) == 0L) close(i + 1)
+      i += 1
+    }
+    if (start < toks.length) close(toks.length)
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordChunksMd5 =
     copy(child = c)
 }
 

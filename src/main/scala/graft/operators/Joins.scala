@@ -219,8 +219,35 @@ object Joins {
     }),
 
     // J11: multi-way star join (flagship shape; Catalyst reorders + AQE).
-    "q_join_star" -> ((s, dir) => starJoin(s, dir))
+    "q_join_star" -> ((s, dir) => starJoin(s, dir)),
+
+    // J12: skew-safe SALTED fact⋈fact equi-join — the 100 TB answer to a
+    // hot orderkey. The probe side takes a deterministic salt in [0, S)
+    // from its own row identity; the build side replicates ×S; the join
+    // key becomes (orderkey, salt), so one hot key's rows spread over S
+    // tasks instead of one straggler. Each lineitem row still matches
+    // exactly the one replica carrying its salt → result set identical to
+    // the unsalted join, which is therefore the oracle. shuffle_hash hint
+    // pins the shuffled shape (a broadcast would hide the salted exchange
+    // this query exists to demonstrate; at real scale neither side fits).
+    "q_join_salted" -> ((s, dir) => saltedStarJoin(s, dir))
   )
+
+  private val JoinSalts = 8
+
+  private[graft] def saltedStarJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val li = T.lineitem(s, dir).withColumn("_salt",
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+        lit(JoinSalts.toLong)).cast("int"))
+    val o = T.orders(s, dir).withColumn("_salt",
+      explode(sequence(lit(0), lit(JoinSalts - 1))))
+    li.hint("shuffle_hash")
+      .join(o, li("l_orderkey") === o("o_orderkey") && li("_salt") === o("_salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(Det.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue_c"), count(lit(1)).as("n_items"))
+  }
 
   private[graft] def starJoin(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
@@ -309,6 +336,12 @@ object Joins {
         |  FROM events e LEFT JOIN orders o
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_star" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,

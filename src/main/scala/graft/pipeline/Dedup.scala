@@ -383,6 +383,18 @@ object Dedup {
         .groupBy("n_docs").agg(count(lit(1)).as("n_chunks"))
     }),
 
+    // L2d' — the cross-engine CDC twin (oracle hash-checked): word-level
+    // content-defined chunks with md5 boundary hashes and md5 chunk keys
+    // (same local-window boundary rule = same shift-robustness; DuckDB
+    // reproduces every key). Downstream shape identical to q_dedup_chunks.
+    "q_dedup_chunks_md5" -> ((s, dir) => {
+      T.documents(s, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.TextHashes.wordChunksMd5(col("text"))).as("chunk"))
+        .groupBy("chunk").agg(countDistinct(col("doc_id")).as("n_docs"))
+        .groupBy("n_docs").agg(count(lit(1)).as("n_chunks"))
+    }),
+
     // L2c: exact n-gram Jaccard on a bounded candidate set (same-source
     // pairs), SQL-portable → oracle-checked. Pairwise compare runs on hashed
     // shingle sets (same jaccard values, ~5× cheaper than string arrays).
@@ -462,6 +474,31 @@ object Dedup {
         |      h -> xor(h, CAST(('0x' || substr(md5('perm|' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT))))),
         |    '|') AS sig
         |FROM hs ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_chunks_md5" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS BIGINT[])
+        |         ELSE list_filter(generate_series(CAST(2 AS BIGINT), CAST(len(toks) AS BIGINT)),
+        |           i -> CAST(('0x' || substr(md5(toks[i - 1] || ' ' || toks[i]), 1, 15)) AS BIGINT) % 8 = 0)
+        |    END AS bnd
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks,
+        |    list_concat(list_concat([CAST(0 AS BIGINT)], bnd),
+        |      CASE WHEN len(bnd) > 0 AND bnd[-1] = n THEN CAST([] AS BIGINT[]) ELSE [n] END) AS bb
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(bb) - 1),
+        |      j -> substr(md5(array_to_string(list_slice(toks, bb[j] + 1, bb[j + 1]), ' ')), 1, 15))) AS chunk
+        |  FROM e),
+        |d AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1)
+        |SELECT n_docs, CAST(count(*) AS BIGINT) AS n_chunks
+        |FROM d GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_simhash_md5" ->
       """SELECT doc_id,
         |  CAST(list_sum(list_transform(generate_series(0, 59),

@@ -35,19 +35,42 @@ object Similarity {
   def lshBucket(vec: Column, planes: Int = 8): Column =
     cosineLshBucket(vec, planes)
 
+  /** Two-phase deterministic per-query top-k over a scored candidate set:
+    * local top-k within (qid, salt) buckets first — so the WIDE exchange
+    * carries the salted key and no single task ever sorts one query's full
+    * candidate list — then the final top-k ranks only the Q·k·S survivors.
+    * Identical rows to a single `row_number` window (every global top-k row
+    * is in its bucket's top-k; the (order, vec_id) order is total per qid),
+    * but the unsalted plan shuffles ALL Q·N scored rows into Q partitions —
+    * with few queries that is a handful of straggler tasks each sorting a
+    * corpus-sized list, the classic per-group top-k scale killer.
+    */
+  private val TopKSalts = 16
+  private def topKPerQuery(scored: DataFrame, k: Int, order: String): DataFrame = {
+    val lw = Window.partitionBy("qid", "_salt")
+      .orderBy(col(order).desc, col("vec_id"))
+    val fw = Window.partitionBy("qid")
+      .orderBy(col(order).desc, col("vec_id"))
+    scored
+      .withColumn("_salt",
+        pmod(xxhash64(col("vec_id")), lit(TopKSalts.toLong)).cast("int"))
+      .withColumn("_lrank", row_number().over(lw))
+      .filter(col("_lrank") <= k)
+      .withColumn("rank", row_number().over(fw))
+      .filter(col("rank") <= k)
+      .drop("_salt", "_lrank")
+  }
+
   /** Exact top-k neighbors for each row of `queries` (qid, qvec) among
     * `corpus` (id, vec), ranked by cosine rounded to 6 (deterministic).
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("vec_id"))
-    queries.crossJoin(corpus)
-      .filter(col("qid") =!= col("vec_id"))
-      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topKPerQuery(
+      queries.crossJoin(corpus)
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("sim", round(cosine(col("qvec"), col("vec")), 6)),
+      k, "sim")
       .select("qid", "rank", "vec_id", "sim")
-  }
 
   /** ANN top-k: candidates restricted to the query's LSH buckets, exact
     * cosine rerank on candidates only. One equi-join on (table, bucket)
@@ -306,15 +329,17 @@ object Similarity {
     * is the ONLY per-corpus-row data touched — the full vectors never load,
     * which is the point of PQ at scale.
     */
-  def pqAdcTopK(queries: DataFrame, codes: DataFrame, books: DataFrame,
-      k: Int): DataFrame = {
+  /** Per-query ADC lookup table: (qid, lut) where lut is an array (by sub)
+    * of arrays (by cell) of partial dot products against the codebook.
+    * M × ksub doubles per query — always broadcast.
+    */
+  private def adcQueryLut(queries: DataFrame, books: DataFrame): DataFrame = {
     import graft.functions.VectorOps.dotProduct
     val qsub = queries.select(col("qid"),
         explode(sequence(lit(0), lit(pqM - 1))).as("sub"), col("qvec"))
       .select(col("qid"), col("sub"),
         slice(col("qvec"), col("sub") * pqDsub + 1, lit(pqDsub)).as("qsvec"))
-    // per-query LUT: array (by sub) of arrays (by cell) of partial dots
-    val lut = qsub.join(broadcast(books), Seq("sub"))
+    qsub.join(broadcast(books), Seq("sub"))
       .withColumn("pdot", dotProduct(col("qsvec"), col("cvec")))
       .groupBy("qid", "sub")
       .agg(transform(array_sort(collect_list(struct(col("cell"), col("pdot")))),
@@ -322,10 +347,14 @@ object Similarity {
       .groupBy("qid")
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cells")))),
         x => x.getField("cells")).as("lut"))
-    // query-independent norm LUT: ||c_{m,cell}||² — the candidate-norm
-    // correction that makes ADC rank by (approximate) COSINE, not raw dot
-    // (raw dot systematically favors large-norm candidates)
-    val nlut = books
+  }
+
+  /** Query-independent norm LUT: ||c_{m,cell}||² — the candidate-norm
+    * correction that makes ADC rank by (approximate) COSINE, not raw dot
+    * (raw dot systematically favors large-norm candidates). One row.
+    */
+  private def adcNormLut(books: DataFrame): DataFrame =
+    books
       .withColumn("n2", aggregate(col("cvec"), lit(0.0),
         (acc, x) => acc + x * x))
       .groupBy("sub")
@@ -333,10 +362,12 @@ object Similarity {
         x => x.getField("n2")).as("cells"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("cells")))),
         x => x.getField("cells")).as("nlut"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("approx").desc, col("vec_id"))
-    codes.crossJoin(broadcast(lut)).crossJoin(broadcast(nlut))
-      .filter(col("qid") =!= col("vec_id"))
+
+  /** ADC scoring of candidate rows carrying (codes, lut, nlut): pure table
+    * lookups, no vector math per candidate.
+    */
+  private def adcScored(cands: DataFrame): DataFrame =
+    cands
       .withColumn("dotsum", aggregate(
         zip_with(col("codes"), col("lut"),
           (c, l) => element_at(l, c + 1)),
@@ -348,8 +379,44 @@ object Similarity {
       .withColumn("approx",
         when(col("norm2") > 0, col("dotsum") / sqrt(col("norm2")))
           .otherwise(lit(0.0)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, books: DataFrame,
+      k: Int): DataFrame =
+    topKPerQuery(
+      adcScored(codes
+          .crossJoin(broadcast(adcQueryLut(queries, books)))
+          .crossJoin(broadcast(adcNormLut(books)))
+          .filter(col("qid") =!= col("vec_id"))),
+      k, "approx")
+      .select("qid", "rank", "vec_id", "approx")
+
+  /** IVFADC (Jégou et al. TPAMI'11 §IV — the FAISS IVFADC shape): compose
+    * the IVF coarse quantizer with ADC so each query scores ONLY the codes
+    * whose vectors fall in its `nprobe` nearest coarse cells — ~nprobe/k of
+    * the code table instead of all of it, which at 100 TB is the difference
+    * between scanning everything and scanning a slice. `assigned` is
+    * [[assignCells]] output (vec_id, cell) — built once at index time, like
+    * the codes; probing reuses [[ivfTopK]]'s broadcast-centroid argmax; the
+    * candidate join is one hash join on cell; ranking is the salted
+    * two-phase top-k.
+    */
+  def pqIvfAdcTopK(queries: DataFrame, codes: DataFrame, books: DataFrame,
+      assigned: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int = 3): DataFrame = {
+    val cw = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosineSim(col("qvec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(cw))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val cellCodes = codes.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+    topKPerQuery(
+      adcScored(probes.join(cellCodes, Seq("cell"))
+          .join(broadcast(adcQueryLut(queries, books)), Seq("qid"))
+          .crossJoin(broadcast(adcNormLut(books)))
+          .filter(col("qid") =!= col("vec_id"))),
+      k, "approx")
       .select("qid", "rank", "vec_id", "approx")
   }
 
@@ -538,6 +605,22 @@ object Similarity {
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       pqAdcTopK(probes, pqEncode(e, books), books, 10)
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("approx"), 6).as("approx"))
+    }),
+
+    // L3h (no oracle — approximate by design; recall vs brute force is
+    // asserted ≥ the exhaustive-ADC recall − ε in PipelineSpec): IVFADC —
+    // the ADC scan restricted to each query's nprobe nearest coarse cells.
+    "q_pq_ivfadc" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val books = pqCodebooksRefined(e)
+      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+      val cent = centroidVectors(e).select(col("clabel").as("cell"), col("cvec"))
+      val assigned = assignCells(corpus, cent)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      pqIvfAdcTopK(probes, pqEncode(e, books), books, assigned, cent, 10)
         .select(col("qid"), col("rank"), col("vec_id"),
           round(col("approx"), 6).as("approx"))
     })

@@ -147,6 +147,19 @@ object TextAnalysis {
           array_join(fingerprint(col("text")).cast("array<string>"), "|").as("fp"))
     }),
 
+    // Bottom-k fingerprint, md5 twin (oracle hash-checked): same min-wise
+    // sketch semantics over the same distinct 3-gram shingles, hashed with
+    // the 60-bit md5 bridge instead of xxhash64 so DuckDB reproduces every
+    // sketch bit-for-bit. One single-level HOF over builtin md5/conv.
+    "q_text_fingerprint_md5" -> ((s, dir) => {
+      val hv = transform(
+        graft.functions.TextHashes.shingleStrings(col("text")),
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+      T.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(slice(array_sort(hv), 1, 8).cast("array<string>"), "|").as("fp"))
+    }),
+
     // Repetition / diversity filter (Gopher-style quality gate): distinct
     // unigram and bigram ratios per doc, plus the keep decision at a 0.3
     // unigram-diversity threshold. Per-row expressions + no shuffle — the
@@ -234,6 +247,21 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_text_fingerprint_md5" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END AS sh
+        |  FROM t)
+        |SELECT doc_id,
+        |  array_to_string(list_slice(list_sort(list_transform(sh,
+        |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))), 1, 8), '|') AS fp
+        |FROM sh ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_lm" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -177,6 +177,33 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"no global sort in the packing path:\n$p")
   }
 
+  test("salted join: the fact exchange carries (orderkey, salt), no broadcast") {
+    val p = plan("q_join_salted")
+    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.exists(l => l.contains("l_orderkey") && l.contains("_salt")),
+      s"expected a salted join exchange on (l_orderkey, _salt):\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the salted fact-fact join must not broadcast (it exists to pin the shuffle shape):\n$p")
+  }
+
+  test("two-phase top-k: the wide ranking exchange is salted, not per-qid") {
+    // The Q·N scored candidates must shuffle on (qid, _salt) — the unsalted
+    // per-qid exchange is the straggler shape the two-phase rewrite removes.
+    val p = plan("q_pq_adc")
+    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.exists(l => l.contains("qid") && l.contains("_salt")),
+      s"expected the salted (qid, _salt) ranking exchange:\n$p")
+  }
+
+  test("ivfadc: candidates come from a hash join on cell — never a cartesian over the code table") {
+    val p = plan("q_pq_ivfadc")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in IVFADC:\n$p")
+    val joinLines = p.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).toSeq
+    assert(joinLines.exists(_.contains("cell")),
+      s"expected the cell-pruning equi-join:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // WSCG spans only appear in AQE's final plan — execute first.
     val df = SparkEntry.queries("q_filter_pred")(spark, sf)

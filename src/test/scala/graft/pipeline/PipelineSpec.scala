@@ -286,6 +286,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.7, s"shortlist+rerank recall@10 = $recall")
   }
 
+  test("ivfadc: cell-pruned ADC recall within eps of the exhaustive ADC scan") {
+    // sf0.01 (500 vectors): at sf0.001's ~50 vectors a 10-cell quantizer
+    // leaves ~5-row cells and recall@10 is mostly sampling noise.
+    val e = T.embeddings(spark, "/root/testdata/sf0.01")
+    val books = Similarity.pqCodebooksRefined(e)
+    val codes = Similarity.pqEncode(e, books)
+    val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+    val cent = Similarity.centroidVectors(e)
+      .select(col("clabel").as("cell"), col("cvec"))
+    val assigned = Similarity.assignCells(corpus, cent)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(probes, corpus, 10))
+    val adc = pairs(Similarity.pqAdcTopK(probes, codes, books, 10))
+    val ivfadc = pairs(Similarity.pqIvfAdcTopK(
+      probes, codes, books, assigned, cent, 10, nprobe = 3))
+    val rAdc = (exact & adc).size.toDouble / exact.size
+    val rIvf = (exact & ivfadc).size.toDouble / exact.size
+    // The claim under test: pruning to nprobe cells costs only a bounded
+    // recall epsilon vs scanning EVERY code (exhaustive ADC measures 0.30
+    // here — the 8×16 codebook is deliberately small; rerank recovers it,
+    // see the shortlist test). Floor = 10× the random-k baseline (10/500).
+    assert(rIvf >= rAdc - 0.15, s"ivfadc recall $rIvf vs adc $rAdc")
+    assert(rIvf >= 0.2, s"ivfadc recall floor: $rIvf (adc: $rAdc)")
+  }
+
   test("url normalization: case, ports, fragments, tracking params") {
     import spark.implicits._
     val in = Seq(
@@ -417,6 +446,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fixedShared = (fixedA & fixedB).size.toDouble / fixedA.size
     assert(cdcShared >= 0.6, s"CDC shared only $cdcShared")
     assert(fixedShared < 0.1, s"fixed-width baseline unexpectedly robust: $fixedShared")
+    // the md5 twin (word-level boundaries) carries the same shift property
+    val md5Chunks = Seq((1L, body), (2L, shifted)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextHashes.wordChunksMd5(col("text")).as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val md5Shared = (md5Chunks(1L) & md5Chunks(2L)).size.toDouble / md5Chunks(1L).size
+    assert(md5Shared >= 0.6, s"md5 word-CDC shared only $md5Shared")
   }
 
   test("approx_percentile tracks exact percentile within 2% (A12b)") {
