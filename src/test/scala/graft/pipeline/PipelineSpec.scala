@@ -315,6 +315,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rIvf >= 0.2, s"ivfadc recall floor: $rIvf (adc: $rAdc)")
   }
 
+  test("semantic dedup: hot-cell cap bounds the pairwise block, same removed-set") {
+    import spark.implicits._
+    // planted skew: ONE cell holds 50% of all rows (the near-duplicate-heavy
+    // web-corpus shape that makes the plain cell self-join a straggler)
+    val rnd = new scala.util.Random(7)
+    def jitter(hotDim: Int): Seq[Float] = {
+      val a = Array.fill(64)(0.0f)
+      a(hotDim) = 1.0f
+      a.map(v => v + (rnd.nextGaussian() * 0.05).toFloat).toSeq
+    }
+    val rows = (0L until 100L).map(i => (i, "hot", jitter(0))) ++
+      (100L until 200L).map(i => (i, "cold" + i % 5, jitter(1 + (i % 5).toInt)))
+    val e = rows.toDF("vec_id", "label", "embedding")
+    def removed(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "keep_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = removed(Similarity.semanticDedup(e, 0.9))
+    val capped = removed(Similarity.semanticDedup(e, 0.9, maxCellSize = Some(10)))
+    assert(capped === uncapped, "cap must not change the removed-set")
+    assert(uncapped.nonEmpty, "planted near-duplicates must be found")
+    // the guard's point: no (cell, i, j) task sees more than a bounded pair
+    // block — hot cell alone would be 100·99/2 = 4950 pairs in ONE task
+    val cent = Similarity.centroidVectors(e)
+      .select(col("clabel").as("cell"), col("cvec"))
+    val assigned = Similarity.assignCells(
+      e.select(col("vec_id"), col("embedding").as("vec")), cent)
+    val maxBlock = Similarity.saltedCellPairs(assigned, 10)
+      .groupBy("cell", "_i", "_j").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBlock <= 4L * 10 * 10,
+      s"per-task pair block must stay bounded, got $maxBlock")
+  }
+
   test("url normalization: case, ports, fragments, tracking params") {
     import spark.implicits._
     val in = Seq(

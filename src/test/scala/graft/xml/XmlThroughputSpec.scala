@@ -75,4 +75,63 @@ class XmlThroughputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prunedSecs <= fullSecs * 1.2,
       f"pruned scan should not be slower: $prunedSecs%.2f vs $fullSecs%.2f")
   }
+
+  test("splittable scan: 4 splits on ONE file beat the single-split read >= 1.5x") {
+    // E25's scale claim as a measured number: a lone multi-GB XML file must
+    // not serialize onto one core when xml.splittable=true is on. Ratio of
+    // two timings under the same load — more robust than an absolute floor.
+    val dir = java.nio.file.Files.createTempDirectory("xmlsplitperf").toFile
+    val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
+    // big enough that parse work (~1.5 s single-threaded) dwarfs the fixed
+    // per-job scheduling/codegen overhead (~0.1 s) the ratio would otherwise
+    // measure: at 150k records the single-split read won on overhead alone.
+    val recs = 600000
+    val sb = new StringBuilder("<library>")
+    var i = 0
+    while (i < recs) {
+      sb.append(s"<item sku='S-$i' shelf='${i % 10}'><title>record number $i</title>")
+        .append(s"<price>${i % 997}.25</price><in_print>true</in_print>")
+        .append(s"<tag>alpha</tag><tag>beta</tag>")
+        .append("<review><reviewer>r</reviewer><stars>4</stars></review></item>")
+      i += 1
+    }
+    sb.append("</library>")
+    val file = new java.io.File(dataDir, "big.xml")
+    java.nio.file.Files.writeString(file.toPath, sb.toString)
+
+    def timed(splittable: Boolean, parts: Int): (Int, Double) = {
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        (file.length / parts + 1).toString)
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      try {
+        val df = spark.read.format("graft.xml")
+          .option("xml.schema.location", "src/test/resources/graftxml/library/schema")
+          .option("xml.separator.tag", "item")
+          .option("xml.separator.tag.type", "itemType")
+          .option("xml.splittable", splittable.toString)
+          .load(dataDir.getAbsolutePath)
+        val nParts = df.rdd.getNumPartitions
+        def run(): Unit =
+          assert(df.selectExpr("count(sku)", "sum(length(title))")
+            .collect()(0).getLong(0) === recs.toLong)
+        run() // warm
+        val best = (0 until 5).map { _ =>
+          val t = System.nanoTime(); run(); (System.nanoTime() - t) / 1e9
+        }.min
+        (nParts, best)
+      } finally {
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+      }
+    }
+
+    val (singleParts, singleSecs) = timed(splittable = false, 1)
+    val (multiParts, multiSecs) = timed(splittable = true, 4)
+    assert(singleParts === 1, s"unsplittable read must be one task, got $singleParts")
+    assert(multiParts >= 4, s"expected >= 4 splits, got $multiParts")
+    val speedup = singleSecs / multiSecs
+    info(f"single: $singleSecs%.2f s; $multiParts splits: $multiSecs%.2f s; speedup $speedup%.2fx")
+    assert(speedup >= 1.5,
+      f"4 splits on one file must beat single-split >= 1.5x, got $speedup%.2fx")
+  }
 }
