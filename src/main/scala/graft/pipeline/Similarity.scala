@@ -514,12 +514,32 @@ object Similarity {
     * result quality = exact ranking over the shortlist.
     */
   def pqShortlistTopK(queries: DataFrame, corpus: DataFrame, codes: DataFrame,
-      books: DataFrame, k: Int, shortlist: Int = 100): DataFrame = {
-    val cand = pqAdcTopK(queries, codes, books, shortlist)
-      .select("qid", "vec_id")
+      books: DataFrame, k: Int, shortlist: Int = 100): DataFrame =
+    rerankShortlist(queries, corpus,
+      pqAdcTopK(queries, codes, books, shortlist), k)
+
+  /** The full production composition: IVF cell pruning → ADC shortlist →
+    * exact rerank of shortlist candidates only. Scan cost ~nprobe/k of the
+    * code table; exact cosine touches shortlist·|Q| vectors total.
+    */
+  def pqIvfShortlistTopK(queries: DataFrame, corpus: DataFrame,
+      codes: DataFrame, books: DataFrame, assigned: DataFrame,
+      centroids: DataFrame, k: Int, shortlist: Int = 100,
+      nprobe: Int = 3): DataFrame =
+    rerankShortlist(queries, corpus,
+      pqIvfAdcTopK(queries, codes, books, assigned, centroids, shortlist,
+        nprobe), k)
+
+  /** Exact cosine rerank of an approximate candidate list: only the
+    * candidates' full vectors are fetched (one equi-join on vec_id); the
+    * query side broadcasts.
+    */
+  private def rerankShortlist(queries: DataFrame, corpus: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid")
       .orderBy(col("sim").desc, col("vec_id"))
-    cand.join(corpus, Seq("vec_id"))
+    cand.select("qid", "vec_id")
+      .join(corpus, Seq("vec_id"))
       .join(broadcast(queries), Seq("qid"))
       .withColumn("sim", round(cosineSim(col("qvec"), col("vec")), 6))
       .withColumn("rank", row_number().over(w))
