@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, DotProduct, JaccardLong, MinHashSig, MinHashSigMd5, ShingleHashes, ShingleStrings, SimHash64, SimHashMd5}
+import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, DotProduct, JaccardLong, Md5Hash60Array, MinHashSig, MinHashSigMd5, ShingleHashes, ShingleStrings, SimHash64, SimHashMd5, WordChunksMd5}
 
 /** SparkSessionExtensions registration (SURVEY.md §4.2 / the custom-operator
   * ladder): exposes the native dedup expressions to SQL, so
@@ -76,6 +76,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, b) => ContentChunks(c, b.eval().asInstanceOf[Int])
         case _ => throw new IllegalArgumentException("content_chunks(text[, avgBits])")
       }))
+    ext.injectFunction((FunctionIdentifier("word_chunks_md5"),
+      info("word_chunks_md5",
+        "_FUNC_(text[, avgBits]) - md5 word-level content-defined chunk keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WordChunksMd5(c, 3)
+        case Seq(c, b) => WordChunksMd5(c, b.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("word_chunks_md5(text[, avgBits])")
+      }))
+    ext.injectFunction((FunctionIdentifier("md5_hash60_array"),
+      info("md5_hash60_array",
+        "_FUNC_(strings) - element-wise 60-bit md5 hashes (engine-portable)"),
+      (args: Seq[Expression]) => Md5Hash60Array(args.head)))
     ext.injectFunction((FunctionIdentifier("cosine_lsh_bucket"),
       info("cosine_lsh_bucket",
         "_FUNC_(vec[, planes[, table]]) - sign-pattern LSH bucket id"),

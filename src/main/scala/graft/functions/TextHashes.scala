@@ -108,6 +108,13 @@ object TextHashes {
     */
   def wordChunksMd5(c: Column, avgBits: Int = 3): Column =
     column(WordChunksMd5(expression(c), avgBits))
+
+  /** Element-wise 60-bit md5 hash of a string array (first 15 hex chars as
+    * a positive long — the engine-portable bridge). Native one-pass loop;
+    * the HOF spelling (`transform` + builtin md5/conv/substring) pays the
+    * interpreted-lambda dispatch per element.
+    */
+  def md5Hash60Array(c: Column): Column = column(Md5Hash60Array(expression(c)))
 }
 
 case class ShingleStrings(child: Expression, n: Int)
@@ -418,6 +425,34 @@ case class ContentChunks(child: Expression, avgBits: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): ContentChunks =
+    copy(child = c)
+}
+
+case class Md5Hash60Array(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_hash60_array"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = h >>> 4 // first 15 hex chars, always positive
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Md5Hash60Array =
     copy(child = c)
 }
 

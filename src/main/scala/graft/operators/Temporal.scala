@@ -28,8 +28,10 @@ object Temporal {
           col("event_type"), col("n"), col("sum_c"))
     }),
 
-    // T2 (no oracle — sliding windows explode rows; checked by unit test):
-    // 1-hour window sliding every 15 minutes.
+    // T2: 1-hour window sliding every 15 minutes. Oracle-checked: every
+    // event lands in EXACTLY size/slide = 4 windows with starts
+    // 900·⌊ts/900⌋ − 900i, i ∈ [0, 4) (epoch-aligned, same as Spark's
+    // default startTime), so the explode is enumerable in plain SQL.
     "q_stream_sliding" -> ((s, dir) => {
       T.events(s, dir)
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
@@ -73,16 +75,41 @@ object Temporal {
         .select(col("gsec"), coalesce(col("n"), lit(0L)).as("n"))
     }),
 
-    // T3b (no oracle — native session_window operator; rows-only + unit test).
+    // T3b: the native session_window operator, oracle-checked at µs
+    // precision against a gaps-and-islands rewrite (a session's window is
+    // [start, last+gap), so an event exactly AT prev+gap starts a NEW
+    // session — the oracle's new-session test is `>= gap`, unlike
+    // q_stream_session's whole-second `> gap` convention). Start emitted
+    // as epoch µs (raw timestamps don't hash-compare across engines).
     "q_stream_session_native" -> ((s, dir) => {
       T.events(s, dir)
         .groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
         .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("w.start").as("wstart"), col("n_events"))
+        .select(col("user_id"), expr("unix_micros(w.start)").as("wstart_us"),
+          col("n_events"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "q_stream_sliding" ->
+      """SELECT wstart_s, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT 900 * ((epoch_us(ts) // 1000000) // 900) - 900 * g.i AS wstart_s
+        |  FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g)
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_stream_session_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |flagged AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+        |      >= 300000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, tus,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(tus) AS wstart_us, CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_stream_resample" ->
       """WITH b AS (
         |  SELECT epoch_us(min(ts)) // 1000000 AS lo,

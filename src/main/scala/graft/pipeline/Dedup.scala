@@ -113,6 +113,41 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cross-engine md5 twin of [[nearDuplicatePairs]]: the SAME banded-LSH +
+    * Jaccard-verify pipeline, built entirely from md5 60-bit hashes so
+    * DuckDB reproduces every candidate pair and every Jaccard value
+    * bit-for-bit — the oracle for the WHOLE near-dup pair generator, not
+    * just the signatures. Band keys are the raw signature slices (a
+    * ','-joined string; no extra hash needed for a join key). xxhash64
+    * [[nearDuplicatePairs]] stays the fast path.
+    */
+  def nearDuplicatePairsMd5(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextHashes.{jaccardLong, md5Hash60Array, minHashSigMd5, shingleStrings}
+    val r = k / bands
+    val sh = docs
+      .select(col(idCol).as("doc"), shingleStrings(col(textCol)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc"), md5Hash60Array(col("shs")).as("hv"),
+        minHashSigMd5(col("shs"), k).as("sig"))
+    val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))
+    val banded = sh.select(col("doc"),
+      posexplode(bandSigs).as(Seq("band", "bsig")))
+    val candidates = banded
+      .select(col("band"), col("bsig"), col("doc").as("doc_a"))
+      .join(banded.select(col("band"), col("bsig"), col("doc").as("doc_b")),
+        Seq("band", "bsig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(sh.select(col("doc").as("doc_a"), col("hv").as("hv_a")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("hv").as("hv_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(jaccardLong(col("hv_a"), col("hv_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Duplicate clusters from a pair list: connected components by iterative
     * min-label propagation. Returns (id, label) where `label` is the
     * smallest id in the component — the canonical survivor, so "keep one per
@@ -345,6 +380,23 @@ object Dedup {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // L2 md5 twin (oracle hash-checked): the ENTIRE LSH near-dup pair
+    // pipeline — signatures, banding, candidate join, Jaccard verify — on
+    // the md5 bridge, so the DuckDB oracle re-derives every pair.
+    "q_dedup_near_md5" -> ((s, dir) =>
+      nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id")),
+
+    // L2e md5 twin (oracle hash-checked): connected components over the
+    // md5 LSH pairs — the oracle resolves the same components with a
+    // recursive CTE, so the min-label clustering is cross-engine-verified
+    // end to end, not just unit-tested on planted chains.
+    "q_dedup_clusters_md5" -> ((s, dir) => {
+      duplicateClusters(
+        nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id"))
+        .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // L2b (no oracle): SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>
       T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
@@ -416,6 +468,50 @@ object Dedup {
     })
   )
 
+  /** Shared oracle CTE chain mirroring [[nearDuplicatePairsMd5]] exactly:
+    * normalized 3-gram shingles → 60-bit md5 hashes → k=8 XOR-permutation
+    * MinHash signature → 4 bands of 2 rows (','-joined slice as band key)
+    * → distinct candidate pairs → Jaccard ≥ 0.5 verify on the hash sets.
+    */
+  private val lshPairsMd5Sql: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |shx AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN []
+      |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) END AS sh
+      |  FROM t),
+      |hs AS (
+      |  SELECT doc_id,
+      |    list_transform(sh, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hv
+      |  FROM shx WHERE len(sh) > 0),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, 8),
+      |      p -> list_min(list_transform(hv,
+      |        h -> xor(h, CAST(('0x' || substr(md5('perm|' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT))))) AS sg
+      |  FROM hs),
+      |banded AS (
+      |  SELECT doc_id, b.band,
+      |    array_to_string(list_slice(sg, b.band * 2 + 1, b.band * 2 + 2), ',') AS bsig
+      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
+      |          CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) AS jaccard
+      |  FROM cand c
+      |    JOIN hs x ON x.doc_id = c.doc_a
+      |    JOIN hs y ON y.doc_id = c.doc_b
+      |  WHERE round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
+      |        CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) >= 0.5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_contamination" ->
       """WITH t AS (
@@ -474,6 +570,25 @@ object Dedup {
         |      h -> xor(h, CAST(('0x' || substr(md5('perm|' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT))))),
         |    '|') AS sig
         |FROM hs ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_near_md5" ->
+      s"""WITH $lshPairsMd5Sql
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_clusters_md5" ->
+      s"""WITH RECURSIVE $lshPairsMd5Sql,
+         |edges AS (
+         |  SELECT doc_a AS x, doc_b AS y FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(x, label) AS (
+         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+         |  UNION
+         |  SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.x),
+         |labels AS (SELECT x AS id, min(label) AS label FROM reach GROUP BY 1),
+         |csize AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM labels GROUP BY 1)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM csize GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_chunks_md5" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -150,11 +150,11 @@ object TextAnalysis {
     // Bottom-k fingerprint, md5 twin (oracle hash-checked): same min-wise
     // sketch semantics over the same distinct 3-gram shingles, hashed with
     // the 60-bit md5 bridge instead of xxhash64 so DuckDB reproduces every
-    // sketch bit-for-bit. One single-level HOF over builtin md5/conv.
+    // sketch bit-for-bit. Native one-pass hash array (HOF md5 lambdas are
+    // interpreted per element).
     "q_text_fingerprint_md5" -> ((s, dir) => {
-      val hv = transform(
-        graft.functions.TextHashes.shingleStrings(col("text")),
-        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long"))
+      val hv = graft.functions.TextHashes.md5Hash60Array(
+        graft.functions.TextHashes.shingleStrings(col("text")))
       T.documents(s, dir)
         .select(col("doc_id"),
           array_join(slice(array_sort(hv), 1, 8).cast("array<string>"), "|").as("fp"))
