@@ -44,6 +44,14 @@ object VectorOps {
   def cosineLshBucket(vec: Column, planes: Int = 8, table: Int = 0): Column =
     column(CosineLshBucket(expression(vec), planes, table))
 
+  /** [[cosineLshBucket]] with md5-derived hyperplane components — the
+    * cross-engine twin: DuckDB reproduces every plane weight (and so every
+    * bucket) from `md5('plane|' || gp || '|' || d)`, where xxhash64 is
+    * Spark-private. The xxhash64 variant stays the fast path.
+    */
+  def cosineLshBucketMd5(vec: Column, planes: Int = 8, table: Int = 0): Column =
+    column(CosineLshBucketMd5(expression(vec), planes, table))
+
   private[functions] def toDoubles(ad: ArrayData, elem: DataType): Array[Double] =
     elem match {
       case DoubleType => ad.toDoubleArray()
@@ -139,5 +147,58 @@ case class CosineLshBucket(child: Expression, planes: Int, table: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): CosineLshBucket =
+    copy(child = c)
+}
+
+case class CosineLshBucketMd5(child: Expression, planes: Int, table: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+  require(table >= 0, s"table must be >= 0, got $table")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cosine_lsh_bucket_md5"
+
+  // Plane components, derived once per (expression instance, dims) — NOT per
+  // row: w(p, d) = hash60(md5("plane|" + (table*planes + p) + "|" + d))
+  // % 100000 / 1e5 - 0.5, the same uniform[-0.5, 0.5) lattice as the
+  // xxhash64 variant but reproducible by any engine with md5.
+  @transient private lazy val cache =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Array[Array[Double]])]
+
+  private def weights(dims: Int): Array[Array[Double]] = {
+    val cached = cache.get()
+    if (cached != null && cached._1 == dims) return cached._2
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val w = Array.tabulate(planes, dims) { (p, d) =>
+      val gp = table * planes + p
+      val digest = md.digest(s"plane|$gp|$d"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (digest(j) & 0xffL); j += 1 }
+      ((h >>> 4) % 100000L).toDouble / 100000.0 - 0.5
+    }
+    cache.set((dims, w))
+    w
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = VectorOps.toDoubles(input.asInstanceOf[ArrayData],
+      VectorOps.elemType(child))
+    val w = weights(v.length)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val wp = w(p)
+      var proj = 0.0
+      var d = 0
+      while (d < v.length) { proj += v(d) * wp(d); d += 1 }
+      if (proj >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(bucket)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CosineLshBucketMd5 =
     copy(child = c)
 }

@@ -86,27 +86,42 @@ object Similarity {
     * `dropDuplicates(qid, vec_id)` before the rerank pays for cosine.
     */
   def annTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      planes: Int = 8, tables: Int = 4, multiProbe: Boolean = true): DataFrame = {
+      planes: Int = 8, tables: Int = 4, multiProbe: Boolean = true): DataFrame =
+    annTopKImpl(queries, corpus, k, planes, tables, multiProbe,
+      graft.functions.VectorOps.cosineLshBucket(_, _, _))
+
+  /** [[annTopK]] on the md5-derived hyperplanes — the cross-engine twin:
+    * the DuckDB oracle recomputes every plane weight, bucket, probe key,
+    * candidate pair, and rounded rerank cosine, so the WHOLE ANN pipeline
+    * is hash-checked, not just recall-tested. xxhash64 [[annTopK]] stays
+    * the fast path.
+    */
+  def annTopKMd5(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int = 8, tables: Int = 4, multiProbe: Boolean = true): DataFrame =
+    annTopKImpl(queries, corpus, k, planes, tables, multiProbe,
+      graft.functions.VectorOps.cosineLshBucketMd5(_, _, _))
+
+  private def annTopKImpl(queries: DataFrame, corpus: DataFrame, k: Int,
+      planes: Int, tables: Int, multiProbe: Boolean,
+      bucketOf: (Column, Int, Int) => Column): DataFrame = {
     // (table, bucket) packed into one long join key: bucket < 2^planes.
     def key(t: Int, b: Column): Column = lit(t.toLong * (1L << planes)) + b
     val cb = corpus.withColumn("tb", explode(array(
-      (0 until tables).map(t => key(t, cosineLshBucket(col("vec"), planes, t))): _*)))
+      (0 until tables).map(t => key(t, bucketOf(col("vec"), planes, t))): _*)))
     val probeKeys = (0 until tables).flatMap { t =>
-      val b0 = cosineLshBucket(col("qvec"), planes, t)
+      val b0 = bucketOf(col("qvec"), planes, t)
       val base = key(t, b0)
       if (multiProbe)
         base +: (0 until planes).map(bit => key(t, b0.bitwiseXOR(lit(1L << bit))))
       else Seq(base)
     }
     val qb = queries.withColumn("tb", explode(array(probeKeys: _*)))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("vec_id"))
-    qb.join(cb, Seq("tb"))
-      .filter(col("qid") =!= col("vec_id"))
-      .dropDuplicates("qid", "vec_id")
-      .withColumn("sim", round(cosineSim(col("qvec"), col("vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(
+      qb.join(cb, Seq("tb"))
+        .filter(col("qid") =!= col("vec_id"))
+        .dropDuplicates("qid", "vec_id")
+        .withColumn("sim", round(cosineSim(col("qvec"), col("vec")), 6)),
+      k, "sim")
       .select("qid", "rank", "vec_id", "sim")
   }
 
@@ -376,9 +391,12 @@ object Similarity {
         zip_with(col("codes"), col("nlut"),
           (c, l) => element_at(l, c + 1)),
         lit(0.0), (acc, x) => acc + x))
+      // round-6 BEFORE ranking: rank must order the rounded value or a
+      // last-ulp divergence between engines reorders near-ties (the
+      // established cross-engine rank rule for transcendental chains)
       .withColumn("approx",
-        when(col("norm2") > 0, col("dotsum") / sqrt(col("norm2")))
-          .otherwise(lit(0.0)))
+        round(when(col("norm2") > 0, col("dotsum") / sqrt(col("norm2")))
+          .otherwise(lit(0.0)), 6))
 
   def pqAdcTopK(queries: DataFrame, codes: DataFrame, books: DataFrame,
       k: Int): DataFrame =
@@ -621,6 +639,17 @@ object Similarity {
       annTopK(probes, corpus, 5)
     }),
 
+    // L3b md5 twin (oracle hash-checked): the SAME multi-table multi-probe
+    // LSH ANN pipeline on md5-derived hyperplanes — buckets, probe keys,
+    // candidates, and the rounded rerank all re-derived by DuckDB.
+    "q_sim_ann_md5" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+      annTopKMd5(probes, corpus, 5)
+    }),
+
     // Embedding-cosine near-duplicate pairs among same-label vectors
     // (bounded candidate set → oracle-checked).
     "q_sim_neardup" -> ((s, dir) => {
@@ -685,6 +714,19 @@ object Similarity {
           round(col("approx"), 6).as("approx"))
     }),
 
+    // L3g' md5 twin (oracle hash-checked): ADC search over the HASH-INIT
+    // codebooks (the oracle-reproducible base — refinement rounds stay on
+    // the fast path in q_pq_adc). DuckDB re-derives codebooks, codes, the
+    // per-query LUTs, every ordered-sum score, and the rounded ranking —
+    // the ADC MATH is verified end to end, not just recall-bounded.
+    "q_pq_adc_hashinit" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val books = pqCodebookVectors(e)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      pqAdcTopK(probes, pqEncode(e, books), books, 10)
+    }),
+
     // L3h (no oracle — approximate by design; recall vs brute force is
     // asserted ≥ the exhaustive-ADC recall − ε in PipelineSpec): IVFADC —
     // the ADC scan restricted to each query's nprobe nearest coarse cells.
@@ -729,6 +771,44 @@ object Similarity {
       |r AS (SELECT *, (2 * abs(sv) + n) // (2 * n) AS rr FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_sim_ann_md5" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |tb AS (SELECT unnest(generate_series(0, 3)) AS t),
+         |buck AS (
+         |  SELECT e.vec_id, t.t,
+         |    CAST(list_sum(list_transform(generate_series(0, 7), p ->
+         |      CASE WHEN list_sum(list_transform(generate_series(1, 64), d ->
+         |          CAST(e.embedding[d] AS DOUBLE) *
+         |          (CAST(('0x' || substr(md5('plane|' || CAST(t.t * 8 + p AS VARCHAR) || '|' || CAST(d - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+         |            % 100000 / 100000.0 - 0.5))) >= 0
+         |        THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN tb t),
+         |qkeys AS (
+         |  SELECT vec_id AS qid, t * 256 + bucket AS tbk FROM buck WHERE vec_id < 5
+         |  UNION ALL
+         |  SELECT vec_id AS qid, t * 256 + xor(bucket, CAST(1 AS BIGINT) << f.b) AS tbk
+         |  FROM buck CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) f
+         |  WHERE vec_id < 5),
+         |ckeys AS (SELECT vec_id, t * 256 + bucket AS tbk FROM buck),
+         |cand AS (
+         |  SELECT DISTINCT q.qid, c.vec_id
+         |  FROM qkeys q JOIN ckeys c ON q.tbk = c.tbk
+         |  WHERE q.qid != c.vec_id),
+         |sims AS (
+         |  SELECT cand.qid, cand.vec_id,
+         |    round(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
+         |  FROM cand JOIN e a ON a.vec_id = cand.qid JOIN e b ON b.vec_id = cand.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT qid, rank, vec_id, sim FROM ranked WHERE rank <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_pq_codebooks" ->
       s"""WITH $pqBaseSql
          |SELECT CAST(sub AS INTEGER) AS sub, CAST(cell AS INTEGER) AS cell,
@@ -756,6 +836,54 @@ object Similarity {
          |  FROM scored)
          |SELECT vec_id, array_to_string(list(cell ORDER BY sub), '|') AS codes
          |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_pq_adc_hashinit" ->
+      s"""WITH $pqBaseSql,
+         |cb AS (
+         |  SELECT sub, cell,
+         |    list(CAST(CASE WHEN sv >= 0 THEN rr ELSE -rr END AS DOUBLE) / 1000000 ORDER BY dim) AS cvec
+         |  FROM r GROUP BY 1, 2),
+         |ascore AS (
+         |  SELECT s.vec_id, s.sub, c.cell,
+         |    round(list_sum(list_transform(generate_series(1, 8),
+         |        i -> CAST(s.svec[i] AS DOUBLE) * c.cvec[i])) /
+         |      (sqrt(list_sum(list_transform(generate_series(1, 8),
+         |        i -> CAST(s.svec[i] AS DOUBLE) * CAST(s.svec[i] AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(generate_series(1, 8),
+         |        i -> c.cvec[i] * c.cvec[i])))), 6) AS sim
+         |  FROM sv s JOIN cb c ON s.sub = c.sub),
+         |best AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sim DESC, cell) AS rn
+         |    FROM ascore) WHERE rn = 1),
+         |qsv AS (
+         |  SELECT vec_id AS qid, s.sub,
+         |    list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS qsvec
+         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |  WHERE vec_id < 5),
+         |lut AS (
+         |  SELECT q.qid, q.sub, c.cell,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> CAST(q.qsvec[i] AS DOUBLE) * c.cvec[i])) AS pdot,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> c.cvec[i] * c.cvec[i])) AS n2
+         |  FROM qsv q JOIN cb c ON q.sub = c.sub),
+         |cand AS (
+         |  SELECT l.qid, b.vec_id,
+         |    list_sum(list(l.pdot ORDER BY l.sub)) AS dotsum,
+         |    list_sum(list(l.n2 ORDER BY l.sub)) AS norm2
+         |  FROM best b JOIN lut l ON l.sub = b.sub AND l.cell = b.cell
+         |  WHERE l.qid != b.vec_id
+         |  GROUP BY 1, 2),
+         |scoredq AS (
+         |  SELECT qid, vec_id,
+         |    CASE WHEN norm2 > 0 THEN round(dotsum / sqrt(norm2), 6) ELSE 0.0 END AS approx
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT qid, vec_id, approx,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scoredq)
+         |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sim_classify" ->
       """WITH scored AS (
         |  SELECT vec_id,
