@@ -204,6 +204,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the cell-pruning equi-join:\n$p")
   }
 
+  test("md5 LSH pairs: banded candidate join is a hash join, never a cartesian") {
+    val p = plan("q_dedup_near_md5")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the LSH path:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on the band key:\n$p")
+    // the shuffle must carry band keys / doc ids, never raw document text
+    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(!exchangeLines.exists(_.contains("text#")),
+      s"document text must not be a shuffle key:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-filter-project pipeline") {
     // WSCG spans only appear in AQE's final plan — execute first.
     val df = SparkEntry.queries("q_filter_pred")(spark, sf)
