@@ -770,7 +770,183 @@ object Similarity {
       |  FROM ex GROUP BY 1, 2, 3),
       |r AS (SELECT *, (2 * abs(sv) + n) // (2 * n) AS rr FROM m)""".stripMargin
 
+  /** 8-dim rounded cosine between a subvector and a codebook entry —
+    * shared fragment of the refinement/encode oracle CTEs.
+    */
+  private def cos8Sql(sv: String, cv: String): String =
+    s"""round(list_sum(list_transform(generate_series(1, 8),
+       |        i -> CAST($sv[i] AS DOUBLE) * $cv[i])) /
+       |      (sqrt(list_sum(list_transform(generate_series(1, 8),
+       |        i -> CAST($sv[i] AS DOUBLE) * CAST($sv[i] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(generate_series(1, 8),
+       |        i -> $cv[i] * $cv[i])))), 6)""".stripMargin
+
+  /** Lloyd-refinement CTE chain mirroring [[pqCodebooksRefined]]: cb0 =
+    * hash-init exact-integer means (from pqBaseSql's `r`), then per round k
+    * an argmax assignment against cb(k-1) (rounded cosine, cell tie-break)
+    * and an exact-integer mean update — ending at cb`iters`. Every step is
+    * the proven q_pq_codes arithmetic, just iterated.
+    */
+  private def pqRefineSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """cb0 AS (
+        |  SELECT sub, cell,
+        |    list(CAST(CASE WHEN sv >= 0 THEN rr ELSE -rr END AS DOUBLE) / 1000000 ORDER BY dim) AS cvec
+        |  FROM r GROUP BY 1, 2)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb.append(s""",
+        |sc$k AS (
+        |  SELECT s.vec_id, s.sub, s.svec, c.cell,
+        |    ${cos8Sql("s.svec", "c.cvec")} AS sim
+        |  FROM sv s JOIN cb${k - 1} c ON s.sub = c.sub),
+        |asn$k AS (
+        |  SELECT vec_id, sub, svec, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sim DESC, cell) AS rn
+        |    FROM sc$k) WHERE rn = 1),
+        |ex$k AS (
+        |  SELECT sub, cell, unnest(svec) AS v, unnest(generate_series(1, 8)) AS dim FROM asn$k),
+        |m$k AS (
+        |  SELECT sub, cell, dim,
+        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv,
+        |    count(*) AS n
+        |  FROM ex$k GROUP BY 1, 2, 3),
+        |r$k AS (SELECT *, (2 * abs(sv) + n) // (2 * n) AS rr FROM m$k),
+        |cb$k AS (
+        |  SELECT sub, cell,
+        |    list(CAST(CASE WHEN sv >= 0 THEN rr ELSE -rr END AS DOUBLE) / 1000000 ORDER BY dim) AS cvec
+        |  FROM r$k GROUP BY 1, 2)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** 64-dim rounded cosine — shared fragment of the IVF probe/assign CTEs. */
+  private def cos64Sql(a: String, b: String): String =
+    s"""round(list_sum(list_transform(generate_series(1, 64),
+       |        i -> CAST($a[i] AS DOUBLE) * $b[i])) /
+       |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+       |        i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(generate_series(1, 64),
+       |        i -> $b[i] * $b[i])))), 6)""".stripMargin
+
+  /** Shared ADC-scoring tail (LUTs from `books`, candidate rows from
+    * `candSrc`, rounded-before-rank ordering) — the common suffix of the
+    * q_pq_adc / q_pq_adc_hashinit / q_pq_ivfadc oracles.
+    */
+  private def adcScoreSql(books: String, candSrc: String, k: Int): String =
+    s"""qsv AS (
+       |  SELECT vec_id AS qid, s.sub,
+       |    list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS qsvec
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+       |  WHERE vec_id < 5),
+       |lut AS (
+       |  SELECT q.qid, q.sub, c.cell,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      i -> CAST(q.qsvec[i] AS DOUBLE) * c.cvec[i])) AS pdot,
+       |    list_sum(list_transform(generate_series(1, 8),
+       |      i -> c.cvec[i] * c.cvec[i])) AS n2
+       |  FROM qsv q JOIN $books c ON q.sub = c.sub),
+       |cand AS ($candSrc),
+       |scoredq AS (
+       |  SELECT qid, vec_id,
+       |    CASE WHEN norm2 > 0 THEN round(dotsum / sqrt(norm2), 6) ELSE 0.0 END AS approx
+       |  FROM cand),
+       |ranked AS (
+       |  SELECT qid, vec_id, approx,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
+       |  FROM scoredq)
+       |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= $k
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // IVFADC fully re-derived: refined books + encode (as in q_pq_adc),
+    // PLUS label centroids, nearest-centroid corpus assignment, per-query
+    // nprobe=3 probe set, and the cell-pruned candidate join.
+    "q_pq_ivfadc" ->
+      s"""WITH $pqBaseSql,
+         |${pqRefineSql(2)},
+         |scE AS (
+         |  SELECT s.vec_id, s.sub, c.cell,
+         |    ${cos8Sql("s.svec", "c.cvec")} AS sim
+         |  FROM sv s JOIN cb2 c ON s.sub = c.sub),
+         |best AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sim DESC, cell) AS rn
+         |    FROM scE) WHERE rn = 1),
+         |exc AS (
+         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS ccell, list(c ORDER BY dim) AS ccvec FROM (
+         |    SELECT label, dim,
+         |      (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
+         |       CAST(count(*) AS DOUBLE)) / 1000000 AS c
+         |    FROM exc GROUP BY 1, 2) GROUP BY 1),
+         |acell AS (
+         |  SELECT vec_id, ccell FROM (
+         |    SELECT e.vec_id, c.ccell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, ccell FROM (
+         |    SELECT e.vec_id AS qid, c.ccell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE crn <= 3),
+         |${adcScoreSql("cb2",
+            """SELECT l.qid, b.vec_id,
+              |    list_sum(list(l.pdot ORDER BY l.sub)) AS dotsum,
+              |    list_sum(list(l.n2 ORDER BY l.sub)) AS norm2
+              |  FROM best b
+              |    JOIN acell a ON a.vec_id = b.vec_id
+              |    JOIN probes p ON p.ccell = a.ccell
+              |    JOIN lut l ON l.qid = p.qid AND l.sub = b.sub AND l.cell = b.cell
+              |  WHERE l.qid != b.vec_id
+              |  GROUP BY 1, 2""".stripMargin, 10)}""".stripMargin,
+    // The flagship ADC query over Lloyd-REFINED codebooks, fully re-derived:
+    // hash-init books, 2 assign/update rounds, a fresh encode assignment
+    // against the final books, per-query LUTs, ordered-sum scores, and the
+    // rounded-before-rank ordering.
+    "q_pq_adc" ->
+      s"""WITH $pqBaseSql,
+         |${pqRefineSql(2)},
+         |scE AS (
+         |  SELECT s.vec_id, s.sub, c.cell,
+         |    ${cos8Sql("s.svec", "c.cvec")} AS sim
+         |  FROM sv s JOIN cb2 c ON s.sub = c.sub),
+         |best AS (
+         |  SELECT vec_id, sub, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sim DESC, cell) AS rn
+         |    FROM scE) WHERE rn = 1),
+         |qsv AS (
+         |  SELECT vec_id AS qid, s.sub,
+         |    list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS qsvec
+         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS sub) s
+         |  WHERE vec_id < 5),
+         |lut AS (
+         |  SELECT q.qid, q.sub, c.cell,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> CAST(q.qsvec[i] AS DOUBLE) * c.cvec[i])) AS pdot,
+         |    list_sum(list_transform(generate_series(1, 8),
+         |      i -> c.cvec[i] * c.cvec[i])) AS n2
+         |  FROM qsv q JOIN cb2 c ON q.sub = c.sub),
+         |cand AS (
+         |  SELECT l.qid, b.vec_id,
+         |    list_sum(list(l.pdot ORDER BY l.sub)) AS dotsum,
+         |    list_sum(list(l.n2 ORDER BY l.sub)) AS norm2
+         |  FROM best b JOIN lut l ON l.sub = b.sub AND l.cell = b.cell
+         |  WHERE l.qid != b.vec_id
+         |  GROUP BY 1, 2),
+         |scoredq AS (
+         |  SELECT qid, vec_id,
+         |    CASE WHEN norm2 > 0 THEN round(dotsum / sqrt(norm2), 6) ELSE 0.0 END AS approx
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT qid, vec_id, approx,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
+         |  FROM scoredq)
+         |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sim_ann_md5" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |tb AS (SELECT unnest(generate_series(0, 3)) AS t),
