@@ -204,13 +204,11 @@ object Similarity {
       .withColumn("crn", row_number().over(cw))
       .filter(col("crn") <= nprobe)
       .select(col("qid"), col("qvec"), col("clabel").as("cell"))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("vec_id"))
-    probes.join(corpus, Seq("cell"))
-      .filter(col("qid") =!= col("vec_id"))
-      .withColumn("sim", round(cosineSim(col("qvec"), col("vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(
+      probes.join(corpus, Seq("cell"))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("sim", round(cosineSim(col("qvec"), col("vec")), 6)),
+      k, "sim")
       .select("qid", "rank", "vec_id", "sim")
   }
 
