@@ -142,6 +142,40 @@ object Multimodal {
       if (ts > 0 && dur >= 0) dur * 1000L / ts else -1L, w, h, tracks))
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Full-raster pixel statistics via the JDK's OWN ImageIO decoders
+    * (PNG/GIF/BMP/WBMP ship with the JDK — no external codecs): width,
+    * height, and per-channel (R, G, B) means in [0, 255]. None when no JDK
+    * reader accepts the payload. This is the expensive cousin of
+    * [[imageDims]] — at 100 TB run it AFTER the header-level filters have
+    * pruned the scan, never as the first pass. Codec-dependent formats
+    * (JPEG works in the JDK too; video frames do not) fall back to None and
+    * stay covered by the documented stubs.
+    */
+  def pixelStats(content: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sums(0) += (rgb >> 16) & 0xff
+            sums(1) += (rgb >> 8) & 0xff
+            sums(2) += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sums.map(_ / (w.toDouble * h))))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Documents → media table: payload = utf-8 bytes (deterministic fake
     * "image"), metadata struct alongside. The schema is the contract.
     */

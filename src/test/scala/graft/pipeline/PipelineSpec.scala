@@ -247,6 +247,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(feats(3L) === Multimodal.hashDims("plain bytes".getBytes)) // fallback
   }
 
+  test("multimodal: real full-raster pixel decode for JDK image formats") {
+    // a genuine 4x2 PNG: left half pure red, right half pure blue
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, means)) = Multimodal.pixelStats(bos.toByteArray)
+    assert((w, h) === ((4, 2)))
+    assert(means(0) === 127.5) // half the pixels are 255-red
+    assert(means(1) === 0.0)
+    assert(means(2) === 127.5)
+    assert(Multimodal.pixelStats("not an image".getBytes) === None)
+  }
+
   test("multimodal: WAV payloads decode real sample rate/channels/duration") {
     // generate a genuine 16-bit stereo 8 kHz WAV of 4000 frames (500 ms)
     import javax.sound.sampled._
