@@ -52,6 +52,17 @@ object VectorOps {
   def cosineLshBucketMd5(vec: Column, planes: Int = 8, table: Int = 0): Column =
     column(CosineLshBucketMd5(expression(vec), planes, table))
 
+  /** Asymmetric SQ8 cosine: exact double query vector vs a uint8-quantized
+    * corpus vector decoded on the fly as `mns[i] + codes[i]/255 * spans[i]`
+    * (the FAISS ScalarQuantizer QT_8bit distance) — one compiled loop per
+    * row instead of a decode `transform` + [[cosineSim]] pair of
+    * interpreted lambda chains. Index-order accumulation, so bit-identical
+    * to the sequential `list_sum` the DuckDB oracle evaluates.
+    */
+  def sq8AsymSim(qvec: Column, codes: Column, mns: Column, spans: Column): Column =
+    column(Sq8AsymSim(expression(qvec), expression(codes), expression(mns),
+      expression(spans)))
+
   private[functions] def toDoubles(ad: ArrayData, elem: DataType): Array[Double] =
     elem match {
       case DoubleType => ad.toDoubleArray()
@@ -115,6 +126,48 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+/** See [[VectorOps.sq8AsymSim]]. Children: (qvec float/double array,
+  * codes int array, mns double array, spans double array). Null if any
+  * input is null; 0.0 when either norm is zero (the [[CosineSim]] seam).
+  */
+case class Sq8AsymSim(qvec: Expression, codes: Expression, mns: Expression,
+    spans: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(qvec, codes, mns, spans)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq8_asym_sim"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val qv = qvec.eval(input); val cd = codes.eval(input)
+    val mn = mns.eval(input); val sp = spans.eval(input)
+    if (qv == null || cd == null || mn == null || sp == null) null
+    else {
+      val q = VectorOps.toDoubles(qv.asInstanceOf[ArrayData],
+        VectorOps.elemType(qvec))
+      val c = cd.asInstanceOf[ArrayData].toIntArray()
+      val m = mn.asInstanceOf[ArrayData].toDoubleArray()
+      val s = sp.asInstanceOf[ArrayData].toDoubleArray()
+      val n = math.min(q.length, math.min(c.length, math.min(m.length, s.length)))
+      var dot = 0.0; var nq = 0.0; var nd = 0.0
+      var i = 0
+      while (i < n) {
+        val dec = m(i) + c(i).toDouble / 255.0 * s(i)
+        dot += q(i) * dec
+        nq += q(i) * q(i)
+        nd += dec * dec
+        i += 1
+      }
+      if (nq == 0.0 || nd == 0.0) java.lang.Double.valueOf(0.0)
+      else java.lang.Double.valueOf(dot / (math.sqrt(nq) * math.sqrt(nd)))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Sq8AsymSim =
+    copy(qvec = newChildren(0), codes = newChildren(1), mns = newChildren(2),
+      spans = newChildren(3))
 }
 
 case class CosineLshBucket(child: Expression, planes: Int, table: Int)

@@ -563,6 +563,74 @@ object Similarity {
       .select("qid", "rank", "vec_id", "sim")
   }
 
+  // ---- SQ8 scalar quantization (FAISS ScalarQuantizer QT_8bit) ----------
+  //
+  // The OTHER production compression path next to PQ: each dimension is
+  // quantized independently to a uint8 against per-dimension [min, max]
+  // trained on the corpus — 4× smaller than float32 with near-exact recall
+  // (256 levels/dim vs PQ's 16 cells/subspace), the usual first step before
+  // PQ is worth its training cost. Search is asymmetric: the query stays
+  // exact, corpus codes decode on the fly inside one compiled loop
+  // ([[graft.functions.VectorOps.sq8AsymSim]]). Every stage is elementary
+  // arithmetic, so DuckDB re-derives stats, codes, and every ranked score.
+
+  /** Per-dimension corpus stats: (dim 0-based, mn, mx) as exact doubles —
+    * min/max need no rounding discipline (no accumulation order). The
+    * explode is narrow; partial min/max aggregation reduces each partition
+    * to 64 rows before the one tiny shuffle, so this scales as a pure scan.
+    */
+  def sq8Stats(e: DataFrame): DataFrame =
+    e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+
+  /** [[sq8Stats]] packed into ONE broadcastable row: (mns, spans) arrays in
+    * dim order — the trained quantizer (128 doubles, always broadcast).
+    */
+  def sq8StatsRow(e: DataFrame): DataFrame =
+    sq8Stats(e).agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+        x => x.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("dim"), col("mn"), col("mx")))),
+        x => x.getField("mx") - x.getField("mn")).as("spans"))
+
+  /** Encode the corpus: 64 floats → 64 uint8 codes (stored as ints),
+    * `code = round((v - mn) / span * 255)`, 0 on degenerate (span = 0)
+    * dimensions. Stats broadcast; no shuffle — a pure map over the scan,
+    * the index-time write pass.
+    */
+  def sq8Encode(e: DataFrame, statsRow: DataFrame): DataFrame =
+    e.crossJoin(broadcast(statsRow))
+      .select(col("vec_id"),
+        transform(col("embedding"), (v, i) => {
+          val span = element_at(col("spans"), i + 1)
+          when(span === 0.0, lit(0)).otherwise(
+            round((v.cast("double") - element_at(col("mns"), i + 1)) /
+              span * 255.0).cast("int"))
+        }).as("codes"))
+
+  /** Asymmetric SQ8 top-k: exact query vector vs decoded corpus codes,
+    * rounded-before-rank cosine, salted two-phase ranking. The code table
+    * (64 B/vector) is the only per-corpus-row data touched. This is the
+    * exhaustive-scan baseline — cell pruning composes exactly as in
+    * [[pqIvfAdcTopK]] (filter `codes` through an [[assignCells]] probe join
+    * first) since codes are keyed by vec_id like PQ codes.
+    */
+  def sq8TopK(queries: DataFrame, codes: DataFrame, statsRow: DataFrame,
+      k: Int): DataFrame = {
+    import graft.functions.VectorOps.sq8AsymSim
+    topKPerQuery(
+      codes.crossJoin(broadcast(queries))
+        .crossJoin(broadcast(statsRow))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("approx",
+          round(sq8AsymSim(col("qvec"), col("codes"), col("mns"),
+            col("spans")), 6)),
+      k, "approx")
+      .select("qid", "rank", "vec_id", "approx")
+  }
+
   /** Deterministic pseudo-random classifier weight for dimension `d`:
     * uniform in [-0.5, 0.5) from md5("w" + d) — reproducible in any engine
     * (stands in for trained weights; the pipeline shape is the point).
@@ -725,6 +793,27 @@ object Similarity {
       pqAdcTopK(probes, pqEncode(e, books), books, 10)
     }),
 
+    // L3i: SQ8 encode — every per-dimension uint8 code oracle-checked
+    // ('|'-joined; stats, spans, and the round all re-derived by DuckDB).
+    "q_sq8_codes" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      sq8Encode(e, sq8StatsRow(e))
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), "|").as("codes"))
+    }),
+
+    // L3j: asymmetric SQ8 search for 5 probes (oracle hash-checked end to
+    // end — the whole quantize→decode→score→rank chain is elementary
+    // arithmetic, so unlike ADC this approximate search needs no
+    // recall-bound fallback).
+    "q_sq8_topk" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val stats = sq8StatsRow(e)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      sq8TopK(probes, sq8Encode(e, stats), stats, 10)
+    }),
+
     // L3h (no oracle — approximate by design; recall vs brute force is
     // asserted ≥ the exhaustive-ADC recall − ε in PipelineSpec): IVFADC —
     // the ADC scan restricted to each query's nprobe nearest coarse cells.
@@ -855,7 +944,56 @@ object Similarity {
        |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= $k
        |ORDER BY ALL NULLS FIRST""".stripMargin
 
+  /** Shared SQ8 oracle CTE chain: per-dim min/max stats, the packed
+    * (mns, spans) row, and the uint8 encode — mirrors
+    * [[sq8Stats]]/[[sq8StatsRow]]/[[sq8Encode]] exactly.
+    */
+  private val sq8BaseSql =
+    """st AS (
+      |  SELECT dim, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+      |  FROM (SELECT unnest(embedding) AS v,
+      |          unnest(generate_series(1, 64)) AS dim FROM embeddings)
+      |  GROUP BY 1),
+      |sta AS (
+      |  SELECT list(mn ORDER BY dim) AS mns,
+      |    list(mx - mn ORDER BY dim) AS spans FROM st),
+      |sq AS (
+      |  SELECT vec_id, list_transform(generate_series(1, 64),
+      |    i -> CASE WHEN spans[i] = 0 THEN 0
+      |         ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) / spans[i] * 255, 0) AS INTEGER)
+      |         END) AS codes
+      |  FROM embeddings CROSS JOIN sta)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_sq8_codes" ->
+      s"""WITH $sq8BaseSql
+         |SELECT vec_id, array_to_string(codes, '|') AS codes
+         |FROM sq ORDER BY ALL NULLS FIRST""".stripMargin,
+    // Asymmetric SQ8 search fully re-derived: stats, codes, the on-the-fly
+    // decode (mns[i] + codes[i]/255 * spans[i]), every rounded cosine, and
+    // the rounded-before-rank ordering.
+    "q_sq8_topk" ->
+      s"""WITH $sq8BaseSql,
+         |dec AS (
+         |  SELECT vec_id, list_transform(generate_series(1, 64),
+         |    i -> mns[i] + CAST(codes[i] AS DOUBLE) / 255 * spans[i]) AS dvec
+         |  FROM sq CROSS JOIN sta),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT q.qid, d.vec_id,
+         |    round(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(q.qvec[i] AS DOUBLE) * d.dvec[i])) /
+         |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> d.dvec[i] * d.dvec[i])))), 6) AS approx
+         |  FROM q JOIN dec d ON q.qid != d.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, approx,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // IVFADC fully re-derived: refined books + encode (as in q_pq_adc),
     // PLUS label centroids, nearest-centroid corpus assignment, per-query
     // nprobe=3 probe set, and the cell-pruned candidate join.

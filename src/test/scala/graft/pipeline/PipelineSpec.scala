@@ -342,6 +342,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rRerank >= 0.4, s"ivf+shortlist+rerank recall floor: $rRerank")
   }
 
+  test("sq8: codes are valid uint8, asymmetric search recall@10 >= 0.9") {
+    val e = T.embeddings(spark, sf)
+    val stats = Similarity.sq8StatsRow(e)
+    val codes = Similarity.sq8Encode(e, stats)
+    // every vector gets exactly 64 codes in [0, 255]: 4x smaller than f32
+    val bad = codes.filter(size(col("codes")) =!= 64 ||
+      exists(col("codes"), c => c < 0 || c > 255)).count()
+    assert(bad === 0)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(probes, corpus, 10))
+    val sq8 = pairs(Similarity.sq8TopK(probes, codes, stats, 10))
+    // 256 levels/dim is near-exact — the quantization error per dim is
+    // <= span/510, so rankings barely move (unlike PQ's 16 cells/subspace)
+    val recall = (exact & sq8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"sq8 recall@10 = $recall")
+  }
+
   test("semantic dedup: hot-cell cap bounds the pairwise block, same removed-set") {
     import spark.implicits._
     // planted skew: ONE cell holds 50% of all rows (the near-duplicate-heavy
