@@ -176,6 +176,65 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Full PCM sample decode via the JDK's own javax.sound codecs (WAV/
+    * AIFF/AU with PCM payloads need no external codec — the audio cousin
+    * of [[pixelStats]]): (frames, channels, peak, rms) with samples
+    * normalized to [-1, 1]. Peak and RMS are THE gates of an audio
+    * curation pass (clipped/silent clip filters). Streams the payload in
+    * 64 KiB chunks — never materializes the decoded PCM. None for
+    * non-audio or compressed-codec payloads (same seam as [[imageDims]]);
+    * like pixelStats, run AFTER header-level filters have pruned the scan.
+    */
+  def audioStats(content: Array[Byte]): Option[(Long, Int, Double, Double)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val f = in.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding._
+        val bits = f.getSampleSizeInBits
+        val enc = f.getEncoding
+        if ((enc != PCM_SIGNED && enc != PCM_UNSIGNED) ||
+            (bits != 8 && bits != 16)) None
+        else {
+          val bytesPerSample = bits / 8
+          val full = (1L << (bits - 1)).toDouble // 128 / 32768
+          val buf = new Array[Byte](1 << 16)
+          var nSamples = 0L; var sumSq = 0.0; var peak = 0.0
+          var carry = 0; var carryByte = 0
+          var n = in.read(buf)
+          while (n > 0) {
+            var i = 0
+            while (i + (bytesPerSample - carry) <= n) {
+              val raw =
+                if (bytesPerSample == 1) buf(i) & 0xff
+                else {
+                  val b0 = if (carry == 1) carryByte else buf(i) & 0xff
+                  val b1 = buf(i + 1 - carry) & 0xff
+                  if (f.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                }
+              val v =
+                if (enc == PCM_UNSIGNED) raw - full
+                else if (bits == 8) buf(i).toDouble
+                else raw.toShort.toDouble
+              val s = v / full
+              sumSq += s * s
+              val a = math.abs(s); if (a > peak) peak = a
+              nSamples += 1
+              i += bytesPerSample - carry
+              carry = 0
+            }
+            // a 16-bit sample split across read() boundaries
+            if (i < n) { carry = 1; carryByte = buf(i) & 0xff }
+            n = in.read(buf)
+          }
+          if (nSamples == 0) None
+          else Some((nSamples / f.getChannels, f.getChannels, peak,
+            math.sqrt(sumSq / nSamples)))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Documents → media table: payload = utf-8 bytes (deterministic fake
     * "image"), metadata struct alongside. The schema is the contract.
     */

@@ -279,6 +279,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.imageDims(wav) === None) // seams don't cross-match
   }
 
+  test("multimodal: real PCM sample decode — sine RMS = A/sqrt(2), peak = A") {
+    import javax.sound.sampled._
+    def sineWav(amp: Double, hz: Double, frames: Int, stereo: Boolean,
+        bits: Int): Array[Byte] = {
+      val ch = if (stereo) 2 else 1
+      val fmt = new AudioFormat(8000f, bits, ch, bits == 16, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      for (i <- 0 until frames) {
+        val s = amp * math.sin(2 * math.Pi * hz * i / 8000.0)
+        for (c <- 0 until ch) {
+          if (bits == 16) {
+            val v = math.round(s * 32767).toInt
+            pcm((i * ch + c) * 2) = (v & 0xff).toByte
+            pcm((i * ch + c) * 2 + 1) = ((v >> 8) & 0xff).toByte
+          } else pcm(i * ch + c) = (math.round(s * 127) + 128).toByte // u8
+        }
+      }
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 16-bit stereo: a full-period-aligned sine has RMS = A/sqrt(2)
+    val Some((frames, ch, peak, rms)) =
+      Multimodal.audioStats(sineWav(0.5, 1000, 8000, stereo = true, bits = 16))
+    assert(frames === 8000L && ch === 2)
+    assert(math.abs(peak - 0.5) < 0.01, s"peak $peak")
+    assert(math.abs(rms - 0.5 / math.sqrt(2)) < 0.01, s"rms $rms")
+    // 8-bit unsigned mono takes the other decode branch
+    val Some((f8, c8, p8, r8)) =
+      Multimodal.audioStats(sineWav(0.5, 1000, 8000, stereo = false, bits = 8))
+    assert(f8 === 8000L && c8 === 1)
+    assert(math.abs(p8 - 0.5) < 0.02 && math.abs(r8 - 0.5 / math.sqrt(2)) < 0.02)
+    // silence: peak = rms = 0; non-audio: None (the seam)
+    val Some((_, _, ps, rs)) =
+      Multimodal.audioStats(sineWav(0.0, 1000, 100, stereo = false, bits = 16))
+    assert(ps === 0.0 && rs === 0.0)
+    assert(Multimodal.audioStats("not audio".getBytes) === None)
+  }
+
   test("pq: 32x code compression; ADC shortlist + exact rerank recall >= 0.7") {
     val e = T.embeddings(spark, sf)
     val books = Similarity.pqCodebooksRefined(e)
