@@ -75,6 +75,11 @@ object Bench {
       var broken = false
       var r = 0
       while (r < Runs && !broken) {
+        // Pay accumulated GC debt OUTSIDE the timed region: back-to-back
+        // runs otherwise bill one query for its predecessors' garbage —
+        // sf0.1 medians showed 14x intra-query spread (q_json_funcs
+        // 0.35..4.8s) on queries whose plans are trivially cheap.
+        System.gc()
         val t0 = System.nanoTime()
         try consume(fn(spark, sfDir))
         catch { case e: Throwable =>

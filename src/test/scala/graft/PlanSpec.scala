@@ -204,6 +204,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the cell-pruning equi-join:\n$p")
   }
 
+  test("sq8: encode is a broadcast map over the scan; search exchange is salted") {
+    // Encode: the trained stats row broadcasts (BroadcastNestedLoopJoin of a
+    // 1-row build side is the literal-attach shape); the corpus itself must
+    // not hash-shuffle — the only hashpartitioning allowed is the 64-row
+    // dim-stats aggregation.
+    val pe = plan("q_sq8_codes")
+    assert(pe.contains("BroadcastExchange"),
+      s"expected the stats row to broadcast:\n$pe")
+    val exchangeLines = pe.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.forall(_.contains("dim#")),
+      s"encode may shuffle only the 64-row dim stats, never the corpus:\n$pe")
+    // Search: the wide Q·N ranking exchange must carry the salted key.
+    val ps = plan("q_sq8_topk")
+    val searchExchanges = ps.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(searchExchanges.exists(l => l.contains("qid") && l.contains("_salt")),
+      s"expected the salted (qid, _salt) ranking exchange:\n$ps")
+  }
+
   test("md5 LSH pairs: banded candidate join is a hash join, never a cartesian") {
     val p = plan("q_dedup_near_md5")
     assert(!p.contains("CartesianProduct"), s"no cartesian in the LSH path:\n$p")
