@@ -90,6 +90,36 @@ object Joins {
       .drop("_bin")
   }
 
+  /** SymSpell-style fuzzy self-join over a string vocabulary: the scale
+    * answer for edit-distance matching, where the naive spelling is an
+    * O(n²) nested-loop `levenshtein(a, b) <= 1` theta join. Each distinct
+    * string emits its 1-deletion neighborhood (the string itself + every
+    * single-character deletion); two strings within edit distance 1 are
+    * GUARANTEED to share a variant (substitution: delete the differing
+    * position from both; insert/delete: the shorter string IS a variant of
+    * the longer), so an equi-join on the variant key finds every candidate
+    * and the exact levenshtein refine only pays for candidates. Cost:
+    * (len+1) replication per distinct string + one hash join — the
+    * dictionary side of spell correction at any scale. Dedupe to the
+    * vocabulary FIRST (as here): identical strings are exact-dedup's job
+    * (L1), and skipping them kills the quadratic duplicate-pair blowup.
+    */
+  def fuzzyPairsDeletes(names: DataFrame, nameCol: String): DataFrame = {
+    val name = col(nameCol)
+    val variants = names.select(name.as("name"))
+      .withColumn("variant", explode(array_distinct(concat(
+        array(col("name")),
+        transform(sequence(lit(1), length(col("name"))),
+          i => concat(col("name").substr(lit(1), i - 1),
+            col("name").substr(i + 1, length(col("name")) - i)))))))
+    variants.select(col("name").as("a"), col("variant"))
+      .join(variants.select(col("name").as("b"), col("variant")), Seq("variant"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+      .filter(levenshtein(col("a"), col("b")) <= 1)
+      .withColumn("d", levenshtein(col("a"), col("b")))
+  }
+
   val queries: Map[String, Q] = Map(
     // J1: inner equi-join fact⋈dim.
     "q_join_inner_equi" -> ((s, dir) => {
@@ -230,7 +260,14 @@ object Joins {
     // the unsalted join, which is therefore the oracle. shuffle_hash hint
     // pins the shuffled shape (a broadcast would hide the salted exchange
     // this query exists to demonstrate; at real scale neither side fits).
-    "q_join_salted" -> ((s, dir) => saltedStarJoin(s, dir))
+    "q_join_salted" -> ((s, dir) => saltedStarJoin(s, dir)),
+
+    // J12: SymSpell deletion-neighborhood fuzzy join over the part-name
+    // vocabulary — every (a, b) pair within edit distance 1 via one hash
+    // join on deletion variants (oracle re-derives variants, candidates,
+    // and every levenshtein).
+    "q_join_fuzzy" -> ((s, dir) =>
+      fuzzyPairsDeletes(T.part(s, dir).select("p_name").distinct(), "p_name"))
   )
 
   private val JoinSalts = 8
@@ -309,6 +346,20 @@ object Joins {
         |SELECT wid, count(*) AS n_events
         |FROM w JOIN ev ON ev.sec >= w.w_start AND ev.sec <= w.w_end
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+        |v AS (
+        |  SELECT name, unnest(list_distinct(list_append(
+        |    list_transform(generate_series(1, strlen(name)),
+        |      i -> substr(name, 1, i - 1) || substr(name, i + 1, strlen(name) - i)),
+        |    name))) AS variant
+        |  FROM n),
+        |p AS (
+        |  SELECT DISTINCT a.name AS a, b.name AS b
+        |  FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name)
+        |SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS d
+        |FROM p WHERE levenshtein(a, b) <= 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_asof_native" ->
       """SELECT event_id, user_id, o_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey,

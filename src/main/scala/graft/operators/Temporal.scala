@@ -75,6 +75,43 @@ object Temporal {
         .select(col("gsec"), coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // T7: time-bounded funnel / ordered-sequence match (MATCH_RECOGNIZE-
+    // lite, anchored at the first signup): per user, the furthest stage of
+    // signup → click → purchase reached where each next step lands STRICTLY
+    // after the previous one and within 1 day of it. One shuffle on
+    // user_id, then a single-pass walk over the time-sorted event list with
+    // one (stage, last_ts) pair of state — greedy earliest matching, which
+    // for the ANCHORED chain provably equals the oracle's conditional-min
+    // CTE chain (min click in (u1, u1+W], min purchase in (u2, u2+W]).
+    // Per-user event lists ride one collect_list — the sessionization
+    // memory contract (one user's events per task), never a global
+    // materialization.
+    "q_funnel" -> ((s, dir) => {
+      val W = 86400000000L // 1 day in µs
+      val seqCol = array_sort(collect_list(struct(
+        expr("unix_micros(ts)").as("us"), col("event_type").as("et"))))
+      val step = (acc: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column) => {
+        val inWindow = x.getField("us") > acc.getField("lastus") &&
+          x.getField("us") <= acc.getField("lastus") + W
+        when(acc.getField("st") === 0 && x.getField("et") === "signup",
+          struct(lit(1).as("st"), x.getField("us").as("lastus")))
+        .when(acc.getField("st") === 1 && x.getField("et") === "click" &&
+            inWindow,
+          struct(lit(2).as("st"), x.getField("us").as("lastus")))
+        .when(acc.getField("st") === 2 && x.getField("et") === "purchase" &&
+            inWindow,
+          struct(lit(3).as("st"), x.getField("us").as("lastus")))
+        .otherwise(acc)
+      }
+      T.events(s, dir)
+        .groupBy("user_id")
+        .agg(aggregate(seqCol,
+          struct(lit(0).as("st"), lit(-1L).as("lastus")), step)
+          .getField("st").as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("users"))
+    }),
+
     // T3b: the native session_window operator, oracle-checked at µs
     // precision against a gaps-and-islands rewrite (a session's window is
     // [start, last+gap), so an event exactly AT prev+gap starts a NEW
@@ -91,6 +128,35 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Funnel as the conditional-min chain: u1 = first signup, u2 = first
+    // click in (u1, u1 + 1 day], u3 = first purchase in (u2, u2 + 1 day] —
+    // the same anchored-greedy definition the Spark side's sorted walk
+    // computes, so they agree by construction.
+    "q_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS u1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS u2 FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > t1.u1
+        |    AND epoch_us(e.ts) <= t1.u1 + 86400000000 GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS u3 FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t2.u2
+        |    AND epoch_us(e.ts) <= t2.u2 + 86400000000 GROUP BY 1),
+        |st AS (
+        |  SELECT u.user_id,
+        |    CASE WHEN t3.user_id IS NOT NULL THEN 3
+        |         WHEN t2.user_id IS NOT NULL THEN 2
+        |         WHEN t1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  LEFT JOIN t1 ON u.user_id = t1.user_id
+        |  LEFT JOIN t2 ON u.user_id = t2.user_id
+        |  LEFT JOIN t3 ON u.user_id = t3.user_id)
+        |SELECT stage, count(*) AS users FROM st GROUP BY 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_stream_sliding" ->
       """SELECT wstart_s, CAST(count(*) AS BIGINT) AS n FROM (
         |  SELECT 900 * ((epoch_us(ts) // 1000000) // 900) - 900 * g.i AS wstart_s

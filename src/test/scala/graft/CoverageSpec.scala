@@ -16,6 +16,7 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -121,6 +122,32 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = Seq((2.7, -2.7)).toDF("a", "b")
       .select(col("a").cast("int"), col("b").cast("int")).collect()(0)
     assert(r.getInt(0) === 2 && r.getInt(1) === -2)
+  }
+
+  test("J12: deletion-neighborhood fuzzy join finds EVERY lev<=1 pair (vs naive n²)") {
+    // The SymSpell completeness guarantee under test: blocked pairs ==
+    // the exhaustive theta join on the same vocabulary.
+    val names = Tables.part(spark, "/root/testdata/sf0.001")
+      .select("p_name").distinct()
+    val blocked = operators.Joins.fuzzyPairsDeletes(names, "p_name")
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val x = names.select(col("p_name").as("a"))
+    val y = names.select(col("p_name").as("b"))
+    val naive = x.crossJoin(y)
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b")) <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked === naive, s"missed: ${naive -- blocked}; extra: ${blocked -- naive}")
+    assert(naive.nonEmpty) // the assertion above must not pass vacuously
+  }
+
+  test("T7: anchored funnel stages are monotone and cover every user") {
+    val df = SparkEntry.queries("q_funnel")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val users = Tables.events(spark, "/root/testdata/sf0.01")
+      .select("user_id").distinct().count()
+    assert(df.values.sum === users, s"stages must partition users: $df")
+    // anchored greedy: stages beyond 3 impossible, negatives impossible
+    assert(df.keySet.forall(s => s >= 0 && s <= 3), s"bad stages: $df")
   }
 
   test("SparkEntry contract: every oracle key has a query; entry returns rows") {

@@ -222,6 +222,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the salted (qid, _salt) ranking exchange:\n$ps")
   }
 
+  test("fuzzy join: candidates from a hash join on the deletion variant, no nested loop") {
+    // The naive lev<=1 spelling is a BroadcastNestedLoopJoin over n² pairs;
+    // the SymSpell rewrite must plan as an equi-join on the variant key.
+    val p = plan("q_join_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no n² pairing in the fuzzy join:\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("variant")),
+      s"expected the variant-key equi-join:\n$p")
+  }
+
   test("md5 LSH pairs: banded candidate join is a hash join, never a cartesian") {
     val p = plan("q_dedup_near_md5")
     assert(!p.contains("CartesianProduct"), s"no cartesian in the LSH path:\n$p")
