@@ -80,4 +80,71 @@ object StreamOps {
           (user, total)
       }
   }
+
+  /** One open session per user: [start, end] in event-time µs + count. */
+  case class SessionState(startUs: Long, endUs: Long, n: Long)
+  /** An emitted (closed) session. */
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Event-time sessionization with ARBITRARY state — the
+    * flatMapGroupsWithState shape that `session_window` compiles to under
+    * the hood, written out because it is the extension point for any
+    * custom per-key streaming state machine (the session is just the demo
+    * payload). Contract:
+    *  - within a batch, events extend the open session while the gap to
+    *    its end is <= `gap`; a larger gap CLOSES the session (emitted
+    *    immediately) and opens a new one;
+    *  - a session with no successor is closed by an EVENT-TIME TIMEOUT:
+    *    state carries a timeout at end + gap, and when the WATERMARK
+    *    passes it Spark calls back with `hasTimedOut` and the final
+    *    session is emitted — so state per user is one (start, end, n)
+    *    triple, expired by the watermark, never unbounded.
+    * Input: (user_id, ts) columns; the 10-minute watermark is attached
+    * here (EventTimeTimeout requires one). State times are ms-precision
+    * (GroupState's timeout clock) scaled to µs.
+    */
+  def sessionizeWithState(events: DataFrame,
+      gapMinutes: Int = 5): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startUs, s.endUs, s.n))
+          } else {
+            // micro-batch arrival order is arbitrary; sort within batch
+            // (the watermark bounds how far back an event can land)
+            val times = batch.map(_._2.getTime * 1000L).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur = cur match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  Some(SessionState(s.startUs, math.max(s.endUs, t), s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.startUs, s.endUs, s.n)
+                  Some(SessionState(t, t, 1))
+                case None => Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // EventTimeTimeout timestamps are epoch MILLIS
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapUs / 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

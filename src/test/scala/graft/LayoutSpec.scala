@@ -42,6 +42,38 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() === Tables.orders(spark, sf).count())
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-salt skew answer)") {
+    // The complement of the manual salted join: planted hot key, skew-join
+    // thresholds scaled to test size, and the FINAL adaptive plan must show
+    // the sort-merge join running in skew mode — at 100 TB this is what
+    // catches the hot keys nobody pre-salted.
+    import spark.implicits._
+    val s = spark.newSession() // isolated SQLConf; shared context
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    val pad = "x" * 64
+    // 50k rows on ONE key (plus a sprinkle of cold keys) vs a 40-row dim
+    val hot = s.range(50000).select(
+      when(c("id") % 1000 === 0, (c("id") % 8) + 1).otherwise(l(0L)).as("k"),
+      concat(c("id").cast("string"), l(pad)).as("payload"))
+    val dim = s.range(40).select((c("id") % 10).as("k"),
+      c("id").cast("string").as("dname"))
+    val joined = hot.join(dim, "k")
+    // execute `joined` itself so ITS adaptive plan finalizes (a derived
+    // consumer would leave this plan isFinalPlan=false; count() would prune
+    // the payload and deflate the skewed partition below the threshold)
+    assert(joined.collect().length === 50000 * 4) // every row matches 4 dim rows
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"expected AQE to mark the hot-key sort-merge join as skewed:\n$p")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val o = Tables.orders(spark, sf)
     val n = Tables.nation(spark, sf)

@@ -26,6 +26,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
   case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+  case class UEv(user_id: Long, ts: Timestamp)
 
   test("T4: watermarked tumbling window — late events beyond watermark dropped") {
     import spark.implicits._
@@ -180,5 +181,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1)))
     // user 7 reaches 3 across two batches; user 8 stays at 1
     assert(last.contains((7L, 3L)) && last.contains((8L, 1L)))
+  }
+
+  test("arbitrary state: sessionizer emits gap-closed and watermark-timeout sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def us(t: Timestamp): Long = t.getTime * 1000L
+    val input = MemoryStream[UEv]
+    val q = StreamOps.sessionizeWithState(input.toDF(), gapMinutes = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_state_out").start()
+    // batch 1: user 1 opens a session (2 events), user 2 opens a 1-event one
+    input.addData(UEv(1, ts(0)), UEv(1, ts(2)), UEv(2, ts(1)))
+    q.processAllAvailable()
+    // batch 2: user 1 at 10:20 — 18-min gap closes [10:00, 10:02] in-batch,
+    // and advances the watermark to 10:10, past user 2's 10:06 timeout
+    input.addData(UEv(1, ts(20)))
+    q.processAllAvailable()
+    // batches 3-4: watermark sweeps past every remaining timeout
+    input.addData(UEv(3, ts(40)))
+    q.processAllAvailable()
+    input.addData(UEv(3, Timestamp.valueOf("2024-01-01 11:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM sess_state_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // gap-closed in-batch:
+    assert(rows.contains((1L, us(ts(0)), us(ts(2)), 2L)), rows.toString)
+    // closed by event-time timeout once the watermark passed end + gap:
+    assert(rows.contains((2L, us(ts(1)), us(ts(1)), 1L)), rows.toString)
+    assert(rows.contains((1L, us(ts(20)), us(ts(20)), 1L)), rows.toString)
   }
 }
