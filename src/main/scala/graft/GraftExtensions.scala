@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, DotProduct, JaccardLong, Md5Hash60Array, MinHashSig, MinHashSigMd5, ShingleHashes, ShingleStrings, SimHash64, SimHashMd5, WordChunksMd5}
+import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, DotProduct, JaccardLong, Md5Hash60Array, MinHashSig, MinHashSigMd5, ShingleHashes, ShingleStrings, SimHash64, SimHashMd5, Sq8AsymSim, WordChunksMd5}
 
 /** SparkSessionExtensions registration (SURVEY.md §4.2 / the custom-operator
   * ladder): exposes the native dedup expressions to SQL, so
@@ -88,6 +88,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("md5_hash60_array",
         "_FUNC_(strings) - element-wise 60-bit md5 hashes (engine-portable)"),
       (args: Seq[Expression]) => Md5Hash60Array(args.head)))
+    ext.injectFunction((FunctionIdentifier("sq8_asym_sim"),
+      info("sq8_asym_sim",
+        "_FUNC_(qvec, codes, mns, spans) - asymmetric SQ8 cosine (exact query vs uint8-decoded corpus)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(q, c, m, s) => Sq8AsymSim(q, c, m, s)
+        case _ => throw new IllegalArgumentException(
+          "sq8_asym_sim(qvec, codes, mns, spans)")
+      }))
     ext.injectFunction((FunctionIdentifier("cosine_lsh_bucket"),
       info("cosine_lsh_bucket",
         "_FUNC_(vec[, planes[, table]]) - sign-pattern LSH bucket id"),

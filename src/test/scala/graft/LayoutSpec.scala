@@ -182,5 +182,15 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.forall(x => math.abs(x.getDouble(1) - 1.0) < 1e-12))
     assert(r.forall(x => x.getLong(2) >= 0 && x.getLong(2) < 256))
     assert(r.forall(x => x.getLong(3) >= 0 && x.getLong(3) < 16))
+    // sq8_asym_sim: a self-comparison through an exact (span-0) "decode" —
+    // codes all 0, mns = the vector itself — must give cosine 1
+    val r2 = spark.sql(
+      """SELECT vec_id, sq8_asym_sim(embedding,
+        |  array_repeat(0, size(embedding)),
+        |  transform(embedding, v -> CAST(v AS DOUBLE)),
+        |  array_repeat(0D, size(embedding))) AS self_sim
+        |FROM emb_ext LIMIT 5""".stripMargin).collect()
+    assert(r2.length === 5)
+    assert(r2.forall(x => math.abs(x.getDouble(1) - 1.0) < 1e-12))
   }
 }
