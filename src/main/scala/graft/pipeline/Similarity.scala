@@ -631,6 +631,37 @@ object Similarity {
       .select("qid", "rank", "vec_id", "approx")
   }
 
+  /** IVF×SQ8 (the ScalarQuantizer twin of [[pqIvfAdcTopK]]): probe the
+    * nprobe nearest coarse cells per query (broadcast centroids), then run
+    * the asymmetric SQ8 scan ONLY over codes whose vectors sit in probed
+    * cells — one hash join on cell, ~nprobe/k of the code table touched,
+    * salted two-phase ranking. Index-time inputs (codes, cell assignment)
+    * are built once and reused, exactly as in IVFADC.
+    */
+  def sq8IvfTopK(queries: DataFrame, codes: DataFrame, statsRow: DataFrame,
+      assigned: DataFrame, centroids: DataFrame, k: Int,
+      nprobe: Int = 3): DataFrame = {
+    import graft.functions.VectorOps.sq8AsymSim
+    val cw = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("cell"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosineSim(col("qvec"), col("cvec")), 6))
+      .withColumn("crn", row_number().over(cw))
+      .filter(col("crn") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val cellCodes = codes.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
+    topKPerQuery(
+      probes.join(cellCodes, Seq("cell"))
+        .join(broadcast(queries), Seq("qid"))
+        .crossJoin(broadcast(statsRow))
+        .filter(col("qid") =!= col("vec_id"))
+        .withColumn("approx",
+          round(sq8AsymSim(col("qvec"), col("codes"), col("mns"),
+            col("spans")), 6)),
+      k, "approx")
+      .select("qid", "rank", "vec_id", "approx")
+  }
+
   /** Deterministic pseudo-random classifier weight for dimension `d`:
     * uniform in [-0.5, 0.5) from md5("w" + d) — reproducible in any engine
     * (stands in for trained weights; the pipeline shape is the point).
@@ -814,6 +845,21 @@ object Similarity {
       sq8TopK(probes, sq8Encode(e, stats), stats, 10)
     }),
 
+    // L3k: IVF×SQ8 — the cell-pruned asymmetric SQ8 search, oracle
+    // hash-checked end to end (stats, codes, centroids, cell assignment,
+    // probe sets, every ranked score — the full production composition with
+    // nothing recall-bounded, since every stage is elementary arithmetic).
+    "q_sq8_ivf" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val stats = sq8StatsRow(e)
+      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+      val cent = centroidVectors(e).select(col("clabel").as("cell"), col("cvec"))
+      val assigned = assignCells(corpus, cent)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      sq8IvfTopK(probes, sq8Encode(e, stats), stats, assigned, cent, 10)
+    }),
+
     // L3h (no oracle — approximate by design; recall vs brute force is
     // asserted ≥ the exhaustive-ADC recall − ε in PipelineSpec): IVFADC —
     // the ADC scan restricted to each query's nprobe nearest coarse cells.
@@ -965,6 +1011,57 @@ object Similarity {
       |  FROM embeddings CROSS JOIN sta)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // IVF×SQ8 fully re-derived: SQ8 stats/codes/decode PLUS label
+    // centroids, nearest-centroid corpus assignment, per-query nprobe=3
+    // probe set, and the cell-pruned candidate join (each vector sits in
+    // exactly one cell, so candidates join without a dedup step).
+    "q_sq8_ivf" ->
+      s"""WITH $sq8BaseSql,
+         |dec AS (
+         |  SELECT vec_id, list_transform(generate_series(1, 64),
+         |    i -> mns[i] + CAST(codes[i] AS DOUBLE) / 255 * spans[i]) AS dvec
+         |  FROM sq CROSS JOIN sta),
+         |exc AS (
+         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT label AS ccell, list(c ORDER BY dim) AS ccvec FROM (
+         |    SELECT label, dim,
+         |      (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
+         |       CAST(count(*) AS DOUBLE)) / 1000000 AS c
+         |    FROM exc GROUP BY 1, 2) GROUP BY 1),
+         |acell AS (
+         |  SELECT vec_id, ccell FROM (
+         |    SELECT e.vec_id, c.ccell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS rn
+         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, ccell FROM (
+         |    SELECT e.vec_id AS qid, c.ccell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS crn
+         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE crn <= 3),
+         |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT qv.qid, d.vec_id,
+         |    round(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(qv.qvec[i] AS DOUBLE) * d.dvec[i])) /
+         |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> d.dvec[i] * d.dvec[i])))), 6) AS approx
+         |  FROM qv
+         |    JOIN probes p ON p.qid = qv.qid
+         |    JOIN acell a ON a.ccell = p.ccell
+         |    JOIN dec d ON d.vec_id = a.vec_id
+         |  WHERE qv.qid != d.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, approx,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sq8_codes" ->
       s"""WITH $sq8BaseSql
          |SELECT vec_id, array_to_string(codes, '|') AS codes

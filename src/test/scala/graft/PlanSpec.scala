@@ -222,6 +222,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the salted (qid, _salt) ranking exchange:\n$ps")
   }
 
+  test("funnel: one exchange on user_id feeds the walk; no other data shuffle") {
+    // The sequence walk must ride a single user_id shuffle — every
+    // hash exchange in the plan carries user_id or the 4-row stage agg key.
+    val p = plan("q_funnel")
+    val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty &&
+      exchangeLines.forall(l => l.contains("user_id#") || l.contains("stage#")),
+      s"expected only user_id/stage exchanges in the funnel:\n$p")
+  }
+
+  test("sq8-ivf: candidates from a hash join on cell, never a cartesian over codes") {
+    val p = plan("q_sq8_ivf")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in IVF-SQ8:\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("cell")),
+      s"expected the cell-pruning equi-join:\n$p")
+  }
+
   test("fuzzy join: candidates from a hash join on the deletion variant, no nested loop") {
     // The naive lev<=1 spelling is a BroadcastNestedLoopJoin over n² pairs;
     // the SymSpell rewrite must plan as an equi-join on the variant key.

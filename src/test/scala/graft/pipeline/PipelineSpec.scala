@@ -403,6 +403,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // <= span/510, so rankings barely move (unlike PQ's 16 cells/subspace)
     val recall = (exact & sq8).size.toDouble / exact.size
     assert(recall >= 0.9, s"sq8 recall@10 = $recall")
+    // IVF composition: cell pruning costs only the IVF epsilon (same claim
+    // as the IVFADC test, on the SQ8 scan)
+    val cent = Similarity.centroidVectors(e)
+      .select(col("clabel").as("cell"), col("cvec"))
+    val assigned = Similarity.assignCells(corpus, cent)
+    val ivfSq8 = pairs(Similarity.sq8IvfTopK(
+      probes, codes, stats, assigned, cent, 10, nprobe = 3))
+    val rIvf = (exact & ivfSq8).size.toDouble / exact.size
+    assert(rIvf >= 0.2, s"ivf-sq8 recall floor: $rIvf (sq8: $recall)")
+    assert(ivfSq8.subsetOf(sq8) || rIvf <= recall,
+      "cell pruning must never beat the exhaustive scan it prunes")
   }
 
   test("semantic dedup: hot-cell cap bounds the pairwise block, same removed-set") {
