@@ -20,6 +20,7 @@ object SparkEntry {
     (operators.SortSetOps.queries, operators.SortSetOps.oracles),
     (operators.Functions.queries, operators.Functions.oracles),
     (operators.Temporal.queries, operators.Temporal.oracles),
+    (operators.Lake.queries, operators.Lake.oracles),
     (operators.Subqueries.queries, operators.Subqueries.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),
     (pipeline.Sampling.queries, pipeline.Sampling.oracles),

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lake-maintenance DML shapes (SURVEY.md §2 extension rows): MERGE/upsert
+  * and snapshot diff — the two operations every incremental table pipeline
+  * runs daily, spelled as plain joins so they work on any parquet directory
+  * (no table-format dependency) and Catalyst picks the physical join.
+  *
+  * Scale shapes: both ops are ONE full outer join keyed on the primary key —
+  * one shuffle per side (or co-located via bucketing, see
+  * [[Layout.writeBucketed]]); a small delta side broadcasts under AQE. No
+  * driver-side state, no collect.
+  */
+object Lake {
+
+  /** MERGE INTO (upsert): `updates` rows replace same-key `target` rows,
+    * new-key rows append. Column lists must match. Row count =
+    * |target keys ∪ update keys|.
+    */
+  def mergeUpsert(target: DataFrame, updates: DataFrame,
+      key: String): DataFrame = {
+    val cols = target.columns
+    val t = target.select(cols.map(c => col(c).as("t_" + c)): _*)
+    val u = updates.select(cols.map(c => col(c).as("u_" + c)): _*)
+    // WHEN MATCHED (or insert-only) take the update row WHOLE — keyed on
+    // the update key's presence, not per-column coalesce, so an update may
+    // legitimately set a column to null.
+    t.join(u, t("t_" + key) === u("u_" + key), "full")
+      .select(cols.map(c =>
+        when(col("u_" + key).isNotNull, col("u_" + c))
+          .otherwise(col("t_" + c)).as(c)): _*)
+  }
+
+  /** Snapshot diff (CDC between two table versions): one row per key whose
+    * state changed, classified `added` / `removed` / `changed` by a full
+    * outer join on the key and a whole-row comparison over `compareCols`.
+    * Unchanged keys are filtered out BEFORE any downstream consumer — at
+    * 100 TB the diff is small even when the snapshots are not.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      compareCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select((key +: compareCols).map(c => col(c).as("o_" + c)): _*)
+    val n = newSnap.select((key +: compareCols).map(c => col(c).as("n_" + c)): _*)
+    val changed: Column = compareCols
+      .map(c => !(col("o_" + c) <=> col("n_" + c)))
+      .reduce(_ || _)
+    o.join(n, o("o_" + key) === n("n_" + key), "full")
+      .withColumn("change_type",
+        when(col("o_" + key).isNull, lit("added"))
+          .when(col("n_" + key).isNull, lit("removed"))
+          .when(changed, lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(coalesce(col("o_" + key), col("n_" + key)).as(key)
+        +: col("change_type")
+        +: compareCols.flatMap(c => Seq(col("o_" + c), col("n_" + c))): _*)
+  }
+
+  /** The deterministic delta used by both queries: same-key balance bumps
+    * for custkey % 7 = 0, brand-new keys (custkey + 1000000) for
+    * custkey % 31 = 0. Derived from the customer table itself so the oracle
+    * can re-derive it.
+    */
+  private def customerDelta(c: DataFrame): DataFrame =
+    c.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      .unionAll(
+        c.filter(col("c_custkey") % 31 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("c_name", concat(lit("New "), col("c_name"))))
+
+  val queries: Map[String, Q] = Map(
+    // LK1: MERGE/upsert — every updated, inserted, and untouched row
+    // oracle-checked (balances compared in exact cents).
+    "q_merge_upsert" -> ((s, dir) => {
+      val c = T.customer(s, dir)
+      mergeUpsert(c, customerDelta(c), "c_custkey")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
+    // LK2: snapshot diff — old vs merged-new snapshot, minus keys dropped
+    // in the new version (custkey % 13 = 0): added/removed/changed rows
+    // only, classified and oracle-checked.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val c = T.customer(s, dir)
+      val newSnap = mergeUpsert(c, customerDelta(c), "c_custkey")
+        .filter(col("c_custkey") % 13 =!= 0)
+      snapshotDiff(
+        c.withColumn("acctbal_c", floor(col("c_acctbal") * 100).cast("long")),
+        newSnap.withColumn("acctbal_c",
+          floor(col("c_acctbal") * 100).cast("long")),
+        "c_custkey", Seq("c_name", "acctbal_c"))
+        .select(col("c_custkey"), col("change_type"),
+          col("o_c_name"), col("n_c_name"),
+          col("o_acctbal_c"), col("n_acctbal_c"))
+    })
+  )
+
+  /** Shared oracle CTE: the same deterministic delta + merged snapshot. */
+  private val mergeBaseSql =
+    """delta AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'New ' || c_name, c_nationkey,
+      |    c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 31 = 0),
+      |merged AS (
+      |  SELECT
+      |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_custkey ELSE t.c_custkey END AS c_custkey,
+      |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+      |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+      |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+      |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+      |  FROM customer t FULL OUTER JOIN delta u ON t.c_custkey = u.c_custkey)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_merge_upsert" ->
+      s"""WITH $mergeBaseSql
+         |SELECT c_custkey, c_name, c_nationkey,
+         |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+         |FROM merged ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_snapshot_diff" ->
+      s"""WITH $mergeBaseSql,
+         |oldsnap AS (
+         |  SELECT c_custkey, c_name,
+         |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c FROM customer),
+         |newsnap AS (
+         |  SELECT c_custkey, c_name,
+         |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c
+         |  FROM merged WHERE c_custkey % 13 != 0),
+         |d AS (
+         |  SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+         |    CASE WHEN o.c_custkey IS NULL THEN 'added'
+         |         WHEN n.c_custkey IS NULL THEN 'removed'
+         |         WHEN o.c_name IS DISTINCT FROM n.c_name
+         |           OR o.acctbal_c IS DISTINCT FROM n.acctbal_c THEN 'changed'
+         |    END AS change_type,
+         |    o.c_name AS o_c_name, n.c_name AS n_c_name,
+         |    o.acctbal_c AS o_acctbal_c, n.acctbal_c AS n_acctbal_c
+         |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey)
+         |SELECT * FROM d WHERE change_type IS NOT NULL
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

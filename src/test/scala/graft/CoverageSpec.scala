@@ -150,6 +150,23 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.keySet.forall(s => s >= 0 && s <= 3), s"bad stages: $df")
   }
 
+  test("LK: mergeUpsert takes the update row whole (explicit nulls win); diff classifies") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "bal")
+    val u = Seq((2L, null.asInstanceOf[String], 25L), (3L, "c", 30L))
+      .toDF("k", "name", "bal")
+    val m = operators.Lake.mergeUpsert(t, u, "k").collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) null else r.getString(1)),
+        r.getLong(2))).toMap
+    assert(m === Map(1L -> ("a", 10L), 2L -> ((null, 25L)), 3L -> ("c", 30L)))
+    // diff: k=2 changed, k=3 added, k=1 removed when dropped from new snap
+    val newSnap = operators.Lake.mergeUpsert(t, u, "k").filter(col("k") =!= 1)
+    val d = operators.Lake.snapshotDiff(t, newSnap, "k", Seq("name", "bal"))
+      .select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "removed", 2L -> "changed", 3L -> "added"))
+  }
+
   test("SparkEntry contract: every oracle key has a query; entry returns rows") {
     val qs = SparkEntry.queries.keySet
     val orphan = SparkEntry.oracleSql.keySet.diff(qs)
