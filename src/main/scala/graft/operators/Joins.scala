@@ -267,7 +267,22 @@ object Joins {
     // join on deletion variants (oracle re-derives variants, candidates,
     // and every levenshtein).
     "q_join_fuzzy" -> ((s, dir) =>
-      fuzzyPairsDeletes(T.part(s, dir).select("p_name").distinct(), "p_name"))
+      fuzzyPairsDeletes(T.part(s, dir).select("p_name").distinct(), "p_name")),
+
+    // J13: Bloom-pruned semi-join — the explicit runtime-filter shape
+    // (Layout.bloomPrunedSemiJoin): big side pre-filtered by a broadcast
+    // Bloom filter BEFORE the shuffle, exact semi-join after. The refine
+    // makes the result identical to a plain semi-join, so the oracle is
+    // simply that semi-join — hash equality proves the pruning lost
+    // nothing.
+    "q_join_bloom" -> ((s, dir) => {
+      val sel = T.customer(s, dir).filter(col("c_custkey") % 97 === 0)
+        .select("c_custkey")
+      Layout.bloomPrunedSemiJoin(
+        T.orders(s, dir).withColumn("c_custkey", col("o_custkey")),
+        sel, "c_custkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    })
   )
 
   private val JoinSalts = 8
@@ -346,6 +361,11 @@ object Joins {
         |SELECT wid, count(*) AS n_events
         |FROM w JOIN ev ON ev.sec >= w.w_start AND ev.sec <= w.w_end
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_custkey % 97 = 0)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_fuzzy" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
         |v AS (
