@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.Det
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface (SURVEY.md §2.9 T1–T5): the same event
   * transformations as `operators.Temporal`, usable on `readStream` inputs.
@@ -79,6 +79,36 @@ object StreamOps {
           state.update(total)
           (user, total)
       }
+  }
+
+  /** [[runningCountsPerUser]] rewritten on Spark 4's `transformWithState` —
+    * the REPLACEMENT arbitrary-state API (SPARK-46815): named typed state
+    * slots (`ValueState`/`ListState`/`MapState`) with per-state TTL,
+    * timers decoupled from state, and schema-evolvable RocksDB-backed
+    * storage. Requires the RocksDB state store provider. Kept alongside
+    * the mapGroupsWithState spelling so both extension points stay
+    * exercised.
+    */
+  class RunningCountProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      val total = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(total)
+      Iterator.single((user, total))
+    }
+  }
+
+  /** [[runningCountsPerUser]] via [[RunningCountProcessor]]. */
+  def runningCountsTws(events: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** One open session per user: [start, end] in event-time µs + count. */

@@ -183,6 +183,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last.contains((7L, 3L)) && last.contains((8L, 1L)))
   }
 
+  test("transformWithState: running counts via the Spark 4 state API (RocksDB)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val q = StreamOps.runningCountsTws(input.toDS())
+        .writeStream.outputMode("update").format("memory")
+        .queryName("tws_out").start()
+      input.addData((7L, 1L), (7L, 2L), (8L, 1L))
+      q.processAllAvailable()
+      input.addData((7L, 3L))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.sql("SELECT * FROM tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // same contract as the mapGroupsWithState spelling
+      assert(rows.contains((7L, 3L)) && rows.contains((8L, 1L)), rows.mkString(","))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("arbitrary state: sessionizer emits gap-closed and watermark-timeout sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
