@@ -150,6 +150,23 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.keySet.forall(s => s >= 0 && s <= 3), s"bad stages: $df")
   }
 
+  test("A10b: HLL sketches are mergeable — union of partial sketches ≈ exact distinct") {
+    // THE 100 TB rollup pattern: per-shard sketches stored, merged at query
+    // time — no re-scan of raw data. Spark 4 ships DataSketches HLL.
+    val o = Tables.orders(spark, "/root/testdata/sf0.001")
+    o.filter(col("o_orderkey") % 2 === 0).createOrReplaceTempView("shard_a")
+    o.filter(col("o_orderkey") % 2 =!= 0).createOrReplaceTempView("shard_b")
+    val merged = spark.sql(
+      """SELECT hll_sketch_estimate(hll_union_agg(s)) AS est FROM (
+        |  SELECT hll_sketch_agg(o_custkey) AS s FROM shard_a
+        |  UNION ALL
+        |  SELECT hll_sketch_agg(o_custkey) AS s FROM shard_b)""".stripMargin)
+      .collect()(0).getLong(0)
+    val exact = o.select(countDistinct("o_custkey")).collect()(0).getLong(0)
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"HLL union estimate $merged vs exact $exact")
+  }
+
   test("LK: mergeUpsert takes the update row whole (explicit nulls win); diff classifies") {
     import spark.implicits._
     val t = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "bal")
