@@ -160,11 +160,16 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val sums = new Array[Double](3)
+        // bulk row reads: one color-model conversion call per row instead
+        // of one per pixel (per-pixel getRGB is the classic decode-pass
+        // bottleneck)
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             sums(0) += (rgb >> 16) & 0xff
             sums(1) += (rgb >> 8) & 0xff
             sums(2) += rgb & 0xff
