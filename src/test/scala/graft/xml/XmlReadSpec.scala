@@ -28,6 +28,24 @@ class XmlReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     .option("xml.separator.tag.type.ns", "")
     .load(s"$base/library/data")
 
+  test("S7: the reference's XML→Avro pipeline — read XML, sink Avro, round-trip") {
+    // The reference's whole purpose (AvroFromXmlSerde: XML in, Avro records
+    // out), end to end on the Spark-native stack: graft.xml read → the
+    // built-in avro sink (bundled in Spark 4's spark-sql) → re-read, full
+    // row equality including nested structs and arrays.
+    val dir = java.nio.file.Files.createTempDirectory("xml2avro").toString
+    val xml = readLibrary
+    // Spark 4 bundles the avro classes in spark-sql but not the "avro"
+    // DataSourceRegister alias — address the FileFormat by class name.
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    xml.write.mode("overwrite").format(avro).save(s"$dir/library_avro")
+    val back = spark.read.format(avro).load(s"$dir/library_avro")
+    assert(back.schema === xml.schema)
+    val a = xml.orderBy("sku").collect().map(_.toString).toSeq
+    val b = back.orderBy("sku").collect().map(_.toString).toSeq
+    assert(a === b && a.length === 4)
+  }
+
   test("library: full records — nested structs, arrays, trim, coercions") {
     val rows = readLibrary.orderBy("sku").collect()
     // 4 records: the junk:item element counts too — data-side tag matching is
