@@ -115,6 +115,10 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     val jsonBack = spark.read.json(s"$dir/nation_json")
     assert(csvBack.count() === 25 && jsonBack.count() === 25)
     assert(jsonBack.select("n_name").distinct().count() === 25)
+    // orc: the other columnar format, registered out of the box
+    df.write.mode("overwrite").orc(s"$dir/nation_orc")
+    val orcBack = spark.read.orc(s"$dir/nation_orc")
+    assert(orcBack.count() === 25 && orcBack.schema === df.schema)
   }
 
   test("§1.4 cast semantics: double→int truncates toward zero, bad strings fail per mode") {

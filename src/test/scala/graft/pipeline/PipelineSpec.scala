@@ -279,6 +279,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.imageDims(wav) === None) // seams don't cross-match
   }
 
+  test("multimodal: binaryFile source ingests real media files into the decode seams") {
+    // The actual 100 TB media-ingest path: a directory of raw files read as
+    // (path, modificationTime, length, content) rows via Spark's built-in
+    // binaryFile source, flowing straight into the header/sample decoders.
+    val dir = java.nio.file.Files.createTempDirectory("media-ingest")
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("a.png").toFile)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](1600)), fmt, 800L)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, dir.resolve("b.wav").toFile)
+    val files = spark.read.format("binaryFile").load(dir.toString)
+      .select("path", "content").collect()
+      .map(r => (r.getString(0).split('/').last, r.getAs[Array[Byte]](1))).toMap
+    assert(files.keySet === Set("a.png", "b.wav"))
+    assert(Multimodal.imageDims(files("a.png")) === Some((7, 5, 3)))
+    val Some((frames, ch, _, _)) = Multimodal.audioStats(files("b.wav"))
+    assert(frames === 800L && ch === 1)
+  }
+
   test("multimodal: real PCM sample decode — sine RMS = A/sqrt(2), peak = A") {
     import javax.sound.sampled._
     def sineWav(amp: Double, hz: Double, frames: Int, stereo: Boolean,
