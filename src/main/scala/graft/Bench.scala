@@ -67,7 +67,11 @@ object Bench {
     // was still absorbing ~1.5s of first-query setup.
     try consume(SparkEntry.queries("q_agg_global")(spark, sfDir))
     catch { case _: Throwable => () }
-    val Runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case None => 3
+      case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
+        sys.error(s"SPARK_GRAFT_BENCH_RUNS must be a positive int, got '$v'"))
+    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // results: name -> (median, min, max) over Runs timings (a query that
     // throws counts as failed once and keeps its single time-to-fail).
@@ -91,8 +95,13 @@ object Bench {
         times += (System.nanoTime() - t0) / 1e9
         r += 1
       }
-      val sorted = times.sorted
-      name -> ((sorted(sorted.size / 2), sorted.head, sorted.last))
+      // a broken query reports ONLY its time-to-fail (the last attempt) —
+      // mixing it into a median with earlier successful runs would make
+      // cross-round comparisons of a flaky query meaningless
+      val stats =
+        if (broken) (times.last, times.last, times.last)
+        else { val s = times.sorted; (s(s.size / 2), s.head, s.last) }
+      name -> stats
     }
     val perQuery = results
       .map { case (k, (med, mn, mx)) =>

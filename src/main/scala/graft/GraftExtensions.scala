@@ -53,21 +53,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c, k) => MinHashSigMd5(c, k.eval().asInstanceOf[Int])
         case _ => throw new IllegalArgumentException("minhash_sig_md5(shingles[, k])")
       }))
+    def unary(usage: String, mk: Expression => Expression):
+        Seq[Expression] => Expression = {
+      case Seq(c) => mk(c)
+      case _ => throw new IllegalArgumentException(usage)
+    }
+    def binary(usage: String, mk: (Expression, Expression) => Expression):
+        Seq[Expression] => Expression = {
+      case Seq(a, b) => mk(a, b)
+      case _ => throw new IllegalArgumentException(usage)
+    }
     ext.injectFunction((FunctionIdentifier("simhash_md5"),
       info("simhash_md5", "_FUNC_(text) - 60-bit md5-based SimHash fingerprint"),
-      (args: Seq[Expression]) => SimHashMd5(args.head)))
+      unary("simhash_md5(text)", SimHashMd5)))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "_FUNC_(text) - 64-bit SimHash fingerprint"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      unary("simhash64(text)", SimHash64)))
     ext.injectFunction((FunctionIdentifier("jaccard_long"),
       info("jaccard_long", "_FUNC_(a, b) - Jaccard similarity of long arrays"),
-      (args: Seq[Expression]) => JaccardLong(args(0), args(1))))
+      binary("jaccard_long(a, b)", JaccardLong)))
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "_FUNC_(a, b) - cosine similarity of float/double arrays"),
-      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+      binary("cosine_sim(a, b)", CosineSim)))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "_FUNC_(a, b) - dot product of float/double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+      binary("dot_product(a, b)", DotProduct)))
     ext.injectFunction((FunctionIdentifier("content_chunks"),
       info("content_chunks",
         "_FUNC_(text[, avgBits]) - Rabin-Karp content-defined chunk hashes"),
@@ -87,7 +97,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("md5_hash60_array"),
       info("md5_hash60_array",
         "_FUNC_(strings) - element-wise 60-bit md5 hashes (engine-portable)"),
-      (args: Seq[Expression]) => Md5Hash60Array(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => Md5Hash60Array(c)
+        case _ => throw new IllegalArgumentException("md5_hash60_array(strings)")
+      }))
     ext.injectFunction((FunctionIdentifier("sq8_asym_sim"),
       info("sq8_asym_sim",
         "_FUNC_(qvec, codes, mns, spans) - asymmetric SQ8 cosine (exact query vs uint8-decoded corpus)"),

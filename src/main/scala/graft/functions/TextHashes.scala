@@ -440,9 +440,13 @@ case class Md5Hash60Array(child: Expression)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      val s = arr.getUTF8String(i)
+      // SQL-exposed: a null ELEMENT must not NPE the task — hash it as the
+      // empty string (internal callers never produce null elements)
+      val bytes = if (s == null) Array.emptyByteArray
+        else s.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       md.reset()
-      val d = md.digest(arr.getUTF8String(i).toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest(bytes)
       var h = 0L
       var j = 0
       while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }

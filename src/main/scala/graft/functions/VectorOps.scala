@@ -149,7 +149,14 @@ case class Sq8AsymSim(qvec: Expression, codes: Expression, mns: Expression,
       val c = cd.asInstanceOf[ArrayData].toIntArray()
       val m = mn.asInstanceOf[ArrayData].toDoubleArray()
       val s = sp.asInstanceOf[ArrayData].toDoubleArray()
-      val n = math.min(q.length, math.min(c.length, math.min(m.length, s.length)))
+      // a stats row trained on a different corpus (wrong dims) must fail
+      // loudly — silently truncating to the shortest array would return
+      // plausible-looking but wrong rankings
+      if (q.length != c.length || c.length != m.length || m.length != s.length)
+        throw new IllegalArgumentException(
+          s"sq8_asym_sim dimension mismatch: qvec=${q.length} codes=${c.length} " +
+            s"mns=${m.length} spans=${s.length}")
+      val n = q.length
       var dot = 0.0; var nq = 0.0; var nd = 0.0
       var i = 0
       while (i < n) {

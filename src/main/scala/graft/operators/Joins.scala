@@ -116,8 +116,9 @@ object Joins {
       .join(variants.select(col("name").as("b"), col("variant")), Seq("variant"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-      .filter(levenshtein(col("a"), col("b")) <= 1)
+      // compute the O(len²) distance once, filter on the materialized column
       .withColumn("d", levenshtein(col("a"), col("b")))
+      .filter(col("d") <= 1)
   }
 
   val queries: Map[String, Q] = Map(

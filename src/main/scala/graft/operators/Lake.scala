@@ -25,12 +25,15 @@ object Lake {
     val cols = target.columns
     val t = target.select(cols.map(c => col(c).as("t_" + c)): _*)
     val u = updates.select(cols.map(c => col(c).as("u_" + c)): _*)
-    // WHEN MATCHED (or insert-only) take the update row WHOLE — keyed on
-    // the update key's presence, not per-column coalesce, so an update may
-    // legitimately set a column to null.
+      // side-presence FLAG, not a key-null test: a null-KEY update row
+      // never equi-joins (SQL null semantics) and must surface as its own
+      // inserted row, not collapse into an all-null one
+      .withColumn("_u_present", lit(true))
+    // WHEN MATCHED (or insert-only) take the update row WHOLE — so an
+    // update may legitimately set a column (even the key) to null.
     t.join(u, t("t_" + key) === u("u_" + key), "full")
       .select(cols.map(c =>
-        when(col("u_" + key).isNotNull, col("u_" + c))
+        when(col("_u_present"), col("u_" + c))
           .otherwise(col("t_" + c)).as(c)): _*)
   }
 
@@ -42,15 +45,20 @@ object Lake {
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
       compareCols: Seq[String]): DataFrame = {
+    // side-presence FLAGS, not key-null tests: a null-key row in either
+    // snapshot never equi-joins and classifies as removed/added (it IS
+    // unmatched), never as the other side's phantom
     val o = oldSnap.select((key +: compareCols).map(c => col(c).as("o_" + c)): _*)
+      .withColumn("_o_present", lit(true))
     val n = newSnap.select((key +: compareCols).map(c => col(c).as("n_" + c)): _*)
+      .withColumn("_n_present", lit(true))
     val changed: Column = compareCols
       .map(c => !(col("o_" + c) <=> col("n_" + c)))
       .reduce(_ || _)
     o.join(n, o("o_" + key) === n("n_" + key), "full")
       .withColumn("change_type",
-        when(col("o_" + key).isNull, lit("added"))
-          .when(col("n_" + key).isNull, lit("removed"))
+        when(col("_o_present").isNull, lit("added"))
+          .when(col("_n_present").isNull, lit("removed"))
           .when(changed, lit("changed")))
       .filter(col("change_type").isNotNull)
       .select(coalesce(col("o_" + key), col("n_" + key)).as(key)

@@ -187,6 +187,13 @@ object Dedup {
       labels = updated.select("id", "label")
       iter += 1
     }
+    // A capped exit would return SPLIT components that downstream dedup
+    // (and the exact recursive-CTE oracle) would silently disagree with —
+    // fail loudly and name the fix instead.
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIters rounds — component " +
+        "diameter exceeds the cap; raise maxIters or use " +
+        "duplicateClustersLogStar (O(log n) rounds)")
     labels
   }
 
@@ -263,6 +270,9 @@ object Dedup {
       sig = usig
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"log-star components did not converge in $maxIters rounds (log* n " +
+        "should need <= ~6) — raise maxIters")
     // converged edges are stars: u = component min, v = member
     val labels = edges.select(col("v").as("id"), col("u").as("label"))
       .groupBy("id").agg(min("label").as("label"))

@@ -195,15 +195,29 @@ object Similarity {
     * on candidates only. Centroids broadcast (they are tiny by construction);
     * the corpus shuffles once on cell — the standard IVF scale shape.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      k: Int, nprobe: Int = 3): DataFrame = {
+  /** The nprobe nearest coarse cells per query: broadcast centroids,
+    * rounded-cosine argsort, (csim desc, cell) tie-break. ONE definition
+    * shared by every IVF-pruned search path (IVF, IVFADC, IVF×SQ8) so the
+    * probe rounding/tie-break — which all three DuckDB oracles re-derive —
+    * can never drift between paths. `centroids` must carry (cell, cvec);
+    * `carry` names query-side columns to keep on the probe rows.
+    */
+  private def probeCells(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, carry: Seq[String] = Nil): DataFrame = {
     val cw = Window.partitionBy("qid")
-      .orderBy(col("csim").desc, col("clabel"))
-    val probes = queries.crossJoin(broadcast(centroids))
+      .orderBy(col("csim").desc, col("cell"))
+    queries.crossJoin(broadcast(centroids))
       .withColumn("csim", round(cosineSim(col("qvec"), col("cvec")), 6))
       .withColumn("crn", row_number().over(cw))
       .filter(col("crn") <= nprobe)
-      .select(col("qid"), col("qvec"), col("clabel").as("cell"))
+      .select((Seq("qid") ++ carry ++ Seq("cell")).map(col): _*)
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int = 3): DataFrame = {
+    val probes = probeCells(queries,
+      centroids.select(col("clabel").as("cell"), col("cvec")), nprobe,
+      carry = Seq("qvec"))
     topKPerQuery(
       probes.join(corpus, Seq("cell"))
         .filter(col("qid") =!= col("vec_id"))
@@ -419,13 +433,7 @@ object Similarity {
   def pqIvfAdcTopK(queries: DataFrame, codes: DataFrame, books: DataFrame,
       assigned: DataFrame, centroids: DataFrame, k: Int,
       nprobe: Int = 3): DataFrame = {
-    val cw = Window.partitionBy("qid")
-      .orderBy(col("csim").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", round(cosineSim(col("qvec"), col("cvec")), 6))
-      .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= nprobe)
-      .select(col("qid"), col("cell"))
+    val probes = probeCells(queries, centroids, nprobe)
     val cellCodes = codes.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
     topKPerQuery(
       adcScored(probes.join(cellCodes, Seq("cell"))
@@ -642,13 +650,7 @@ object Similarity {
       assigned: DataFrame, centroids: DataFrame, k: Int,
       nprobe: Int = 3): DataFrame = {
     import graft.functions.VectorOps.sq8AsymSim
-    val cw = Window.partitionBy("qid")
-      .orderBy(col("csim").desc, col("cell"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", round(cosineSim(col("qvec"), col("cvec")), 6))
-      .withColumn("crn", row_number().over(cw))
-      .filter(col("crn") <= nprobe)
-      .select(col("qid"), col("cell"))
+    val probes = probeCells(queries, centroids, nprobe)
     val cellCodes = codes.join(assigned.select("vec_id", "cell"), Seq("vec_id"))
     topKPerQuery(
       probes.join(cellCodes, Seq("cell"))
@@ -860,9 +862,11 @@ object Similarity {
       sq8IvfTopK(probes, sq8Encode(e, stats), stats, assigned, cent, 10)
     }),
 
-    // L3h (no oracle — approximate by design; recall vs brute force is
-    // asserted ≥ the exhaustive-ADC recall − ε in PipelineSpec): IVFADC —
-    // the ADC scan restricted to each query's nprobe nearest coarse cells.
+    // L3h: IVFADC — the ADC scan restricted to each query's nprobe nearest
+    // coarse cells. Oracle hash-checked end to end (the refinement rounds,
+    // encode, centroids, cell assignment, probe sets, and every ranked
+    // score are re-derived as a generated CTE chain); recall vs brute
+    // force is ADDITIONALLY bounded in PipelineSpec.
     "q_pq_ivfadc" -> ((s, dir) => {
       val e = T.embeddings(s, dir)
       val books = pqCodebooksRefined(e)
