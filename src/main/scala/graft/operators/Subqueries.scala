@@ -44,6 +44,23 @@ object Subqueries {
           |""".stripMargin)
     }),
 
+    // Recursive CTE (Spark 4 / SPARK-24497; UNION ALL recursion — Spark
+    // rejects UNION-distinct recursion, so this stays acyclic): walk the
+    // halving-ancestor chain of every customer key (a derived binary-tree
+    // hierarchy) and report each node's depth. DuckDB runs the same
+    // recursion (its integer division is `//` where Spark's is `DIV`).
+    "q_sql_recursive" -> ((s, dir) => {
+      T.customer(s, dir).createOrReplaceTempView("rec_customer")
+      s.sql(
+        """WITH RECURSIVE chain(id, anc, depth) AS (
+          |  SELECT c_custkey, c_custkey DIV 2, 1 FROM rec_customer
+          |  WHERE c_custkey > 0
+          |  UNION ALL
+          |  SELECT id, anc DIV 2, depth + 1 FROM chain WHERE anc > 0)
+          |SELECT id, max(depth) AS depth FROM chain GROUP BY id
+          |""".stripMargin)
+    }),
+
     // Typed Dataset path: encoders + groupByKey/mapGroups (exact cents).
     "q_typed_groups" -> ((s, dir) => {
       import s.implicits._
@@ -62,6 +79,14 @@ object Subqueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_recursive" ->
+      """WITH RECURSIVE chain(id, anc, depth) AS (
+        |  SELECT c_custkey, c_custkey // 2, 1 FROM customer
+        |  WHERE c_custkey > 0
+        |  UNION ALL
+        |  SELECT id, anc // 2, depth + 1 FROM chain WHERE anc > 0)
+        |SELECT id, max(depth) AS depth FROM chain GROUP BY id
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_subquery_scalar" ->
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE CAST(FLOOR(o_totalprice * 100) AS BIGINT) * (SELECT count(*) FROM orders)
