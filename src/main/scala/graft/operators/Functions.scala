@@ -89,6 +89,19 @@ object Functions {
         get_json_object(col("props"), "$.k").cast("int").as("k_int"))
     }),
 
+    // F7b: the same extractions through Spark 4's VARIANT type — parse the
+    // JSON text ONCE into the binary variant encoding, then typed
+    // variant_get paths. At 100 TB the parse-once + shredded-binary layout
+    // is the semi-structured scale path (vs re-parsing text per extraction,
+    // as get_json_object does).
+    "q_variant" -> ((s, dir) => {
+      T.events(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          expr("variant_get(v, '$.k', 'int')").as("k_int"),
+          expr("variant_get(v, '$.k', 'string')").as("k_str"))
+    }),
+
     // F9: cryptographic/hash functions (md5/sha2 shared with DuckDB).
     "q_hash_funcs" -> ((s, dir) => {
       T.customer(s, dir).select(
@@ -173,6 +186,11 @@ object Functions {
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+        |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_variant" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  json_extract_string(props, '$.k') AS k_str
         |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_hash_funcs" ->
       """SELECT c_custkey, md5(c_name) AS md5_name, sha256(c_name) AS sha256_name
