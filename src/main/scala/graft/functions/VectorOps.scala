@@ -63,10 +63,30 @@ object VectorOps {
     column(Sq8AsymSim(expression(qvec), expression(codes), expression(mns),
       expression(spans)))
 
+  /** Reject null elements BEFORE the primitive bulk copy: toDoubleArray/
+    * toFloatArray on an array carrying nulls either NPEs (GenericArrayData)
+    * or silently copies garbage at the null slots (UnsafeArrayData) — a
+    * vector with a null component has no meaningful similarity and must
+    * fail loudly, not rank plausibly.
+    */
+  private def checkNoNullElements(ad: ArrayData, fn: String): Unit = {
+    var i = 0
+    val n = ad.numElements()
+    while (i < n) {
+      if (ad.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$fn: null element at index $i — vector arrays must be dense")
+      i += 1
+    }
+  }
+
   private[functions] def toDoubles(ad: ArrayData, elem: DataType): Array[Double] =
     elem match {
-      case DoubleType => ad.toDoubleArray()
+      case DoubleType =>
+        checkNoNullElements(ad, "toDoubles")
+        ad.toDoubleArray()
       case FloatType =>
+        checkNoNullElements(ad, "toDoubles")
         val f = ad.toFloatArray()
         val out = new Array[Double](f.length)
         var i = 0
@@ -75,6 +95,40 @@ object VectorOps {
       case other =>
         throw new IllegalArgumentException(
           s"vector element type must be float or double, got $other")
+    }
+
+  /** Code arrays must be integral — a float/double codes column blind-cast
+    * through toIntArray() would stride-copy garbage. Longs are accepted
+    * (range-checked) since parquet round-trips may widen.
+    */
+  private[functions] def toInts(ad: ArrayData, elem: DataType): Array[Int] =
+    elem match {
+      case IntegerType =>
+        checkNoNullElements(ad, "toInts")
+        ad.toIntArray()
+      case ShortType =>
+        checkNoNullElements(ad, "toInts")
+        val s = ad.toShortArray()
+        val out = new Array[Int](s.length)
+        var i = 0
+        while (i < s.length) { out(i) = s(i).toInt; i += 1 }
+        out
+      case LongType =>
+        checkNoNullElements(ad, "toInts")
+        val l = ad.toLongArray()
+        val out = new Array[Int](l.length)
+        var i = 0
+        while (i < l.length) {
+          if (l(i) < Int.MinValue || l(i) > Int.MaxValue)
+            throw new IllegalArgumentException(
+              s"code value ${l(i)} out of int range at index $i")
+          out(i) = l(i).toInt
+          i += 1
+        }
+        out
+      case other =>
+        throw new IllegalArgumentException(
+          s"code element type must be integral, got $other")
     }
 
   private[functions] def elemType(e: Expression): DataType = e.dataType match {
@@ -144,11 +198,18 @@ case class Sq8AsymSim(qvec: Expression, codes: Expression, mns: Expression,
     val mn = mns.eval(input); val sp = spans.eval(input)
     if (qv == null || cd == null || mn == null || sp == null) null
     else {
+      // every child is type-validated (not just qvec): an array<float>
+      // stats column or array<bigint> codes column must convert or fail
+      // loudly — a blind primitive copy with the wrong stride returns
+      // plausible-looking garbage scores
       val q = VectorOps.toDoubles(qv.asInstanceOf[ArrayData],
         VectorOps.elemType(qvec))
-      val c = cd.asInstanceOf[ArrayData].toIntArray()
-      val m = mn.asInstanceOf[ArrayData].toDoubleArray()
-      val s = sp.asInstanceOf[ArrayData].toDoubleArray()
+      val c = VectorOps.toInts(cd.asInstanceOf[ArrayData],
+        VectorOps.elemType(codes))
+      val m = VectorOps.toDoubles(mn.asInstanceOf[ArrayData],
+        VectorOps.elemType(mns))
+      val s = VectorOps.toDoubles(sp.asInstanceOf[ArrayData],
+        VectorOps.elemType(spans))
       // a stats row trained on a different corpus (wrong dims) must fail
       // loudly — silently truncating to the shortest array would return
       // plausible-looking but wrong rankings

@@ -19,16 +19,29 @@ object Lake {
   /** MERGE INTO (upsert): `updates` rows replace same-key `target` rows,
     * new-key rows append. Column lists must match. Row count =
     * |target keys ∪ update keys|.
+    *
+    * PRECONDITION: non-null `updates` keys must be unique — like SQL
+    * `MERGE INTO`, which raises when a target row matches multiple source
+    * rows. Enforced in-plan (a per-key count over the updates side feeds a
+    * `raise_error` guard), so a duplicate-keyed delta fails loudly instead
+    * of silently fanning each matched target row out once per same-key
+    * update. Null-key rows are exempt: they never equi-join and each
+    * surfaces as its own insert by design.
     */
   def mergeUpsert(target: DataFrame, updates: DataFrame,
       key: String): DataFrame = {
     val cols = target.columns
+    val kcnt = org.apache.spark.sql.expressions.Window.partitionBy(col("u_" + key))
     val t = target.select(cols.map(c => col(c).as("t_" + c)): _*)
     val u = updates.select(cols.map(c => col(c).as("u_" + c)): _*)
       // side-presence FLAG, not a key-null test: a null-KEY update row
       // never equi-joins (SQL null semantics) and must surface as its own
       // inserted row, not collapse into an all-null one
-      .withColumn("_u_present", lit(true))
+      .withColumn("_u_present",
+        when(col("u_" + key).isNotNull && count(lit(1)).over(kcnt) > 1,
+          raise_error(concat(lit(s"mergeUpsert: duplicate update key $key="),
+            col("u_" + key).cast("string"))).isNull)
+          .otherwise(lit(true)))
     // WHEN MATCHED (or insert-only) take the update row WHOLE — so an
     // update may legitimately set a column (even the key) to null.
     t.join(u, t("t_" + key) === u("u_" + key), "full")

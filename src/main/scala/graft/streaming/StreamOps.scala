@@ -160,7 +160,11 @@ object StreamOps {
             var cur = state.getOption
             times.foreach { t =>
               cur = cur match {
-                case Some(s) if t - s.endUs <= gapUs =>
+                // strict <: the session window is [start, last + gap) — an
+                // event exactly AT prev + gap starts a NEW session, matching
+                // the Temporal T3b session_window contract (the two paths
+                // are cross-checked, so the boundary must not diverge)
+                case Some(s) if t - s.endUs < gapUs =>
                   Some(SessionState(s.startUs, math.max(s.endUs, t), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.startUs, s.endUs, s.n)

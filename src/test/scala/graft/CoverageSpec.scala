@@ -188,6 +188,54 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d === Map(1L -> "removed", 2L -> "changed", 3L -> "added"))
   }
 
+  test("LK: mergeUpsert fails loudly on duplicate update keys (MERGE semantics)") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "bal")
+    // two updates on key 2: a real MERGE raises; silent fan-out would
+    // return 2 rows for the key and violate the row-count contract
+    val dup = Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("k", "name", "bal")
+    val e = intercept[Exception] {
+      operators.Lake.mergeUpsert(t, dup, "k").collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("duplicate update key")), e.toString)
+    // null-key rows are exempt: each is its own insert, never a "duplicate"
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], "p", 1L),
+      (null.asInstanceOf[java.lang.Long], "q", 2L))
+      .toDF("k", "name", "bal")
+    assert(operators.Lake.mergeUpsert(t, nulls, "k").count() === 4)
+  }
+
+  test("VO: sq8_asym_sim validates ALL children types and rejects null elements") {
+    import functions.VectorOps.sq8AsymSim
+    import spark.implicits._
+    val q = Seq(1.0f, 0.0f); val codes = Seq(255, 0)
+    val mns = Seq(0.0, 0.0); val spans = Seq(1.0, 1.0)
+    def run(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(sq8AsymSim(col("q"), col("c"), col("m"), col("s")).as("v"))
+        .collect()(0).getDouble(0)
+    // float stats arrays + bigint codes must CONVERT (not stride-copy garbage)
+    val widened = Seq((q, codes.map(_.toLong), mns.map(_.toFloat), spans.map(_.toFloat)))
+      .toDF("q", "c", "m", "s")
+    val exact = Seq((q, codes, mns, spans)).toDF("q", "c", "m", "s")
+    assert(math.abs(run(widened) - run(exact)) < 1e-12)
+    // decoded corpus vector = (1, 0) → cosine vs q = 1
+    assert(math.abs(run(exact) - 1.0) < 1e-12)
+    // a float codes column must fail loudly, not rank plausibly
+    val badCodes = Seq((q, codes.map(_.toDouble), mns, spans))
+      .toDF("q", "c", "m", "s")
+    val e1 = intercept[Exception](run(badCodes))
+    assert(e1.toString.contains("integral") ||
+      Option(e1.getCause).exists(_.getMessage.contains("integral")), e1.toString)
+    // null elements in any vector array must fail loudly
+    val nullElem = Seq((Seq[java.lang.Float](1.0f, null), codes, mns, spans))
+      .toDF("q", "c", "m", "s")
+    val e2 = intercept[Exception](run(nullElem))
+    assert(e2.toString.contains("dense") ||
+      Option(e2.getCause).exists(_.getMessage.contains("dense")), e2.toString)
+  }
+
   test("SparkEntry contract: every oracle key has a query; entry returns rows") {
     val qs = SparkEntry.queries.keySet
     val orphan = SparkEntry.oracleSql.keySet.diff(qs)

@@ -240,4 +240,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((2L, us(ts(1)), us(ts(1)), 1L)), rows.toString)
     assert(rows.contains((1L, us(ts(20)), us(ts(20)), 1L)), rows.toString)
   }
+
+  test("sessionizer boundary: an event exactly AT prev + gap starts a NEW session") {
+    // The session window is [start, last + gap) — same contract as the
+    // Temporal T3b session_window path, so an event landing exactly on the
+    // boundary must NOT extend the session.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def us(t: Timestamp): Long = t.getTime * 1000L
+    val input = MemoryStream[UEv]
+    val q = StreamOps.sessionizeWithState(input.toDF(), gapMinutes = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_boundary_out").start()
+    // both events in one batch: the in-batch walk hits the boundary directly
+    input.addData(UEv(9, ts(0)), UEv(9, ts(5)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT * FROM sess_boundary_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the first session closes as a singleton — NOT extended to [0, 5]
+    assert(rows.contains((9L, us(ts(0)), us(ts(0)), 1L)), rows.toString)
+  }
 }
