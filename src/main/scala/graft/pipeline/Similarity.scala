@@ -800,17 +800,32 @@ object Similarity {
           array_join(col("codes").cast("array<string>"), "|").as("codes"))
     }),
 
-    // L3g (no oracle — ADC is an approximation; recall vs the exact top-k
-    // is asserted in PipelineSpec): ADC search over codes for 5 probes,
-    // using Lloyd-refined codebooks (the production path).
+    // L3g: ADC search over the PERSISTED index (books + codes built once by
+    // VectorIndex, reused across queries — the production lifecycle; the
+    // oracle re-derives the refinement + encode from raw embeddings, so a
+    // hash match proves the persisted index byte-equivalent to a fresh
+    // build). Recall vs the exact top-k is additionally asserted in
+    // PipelineSpec.
     "q_pq_adc" -> ((s, dir) => {
       val e = T.embeddings(s, dir)
-      val books = pqCodebooksRefined(e)
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      pqAdcTopK(probes, pqEncode(e, books), books, 10)
+      pqAdcTopK(probes, VectorIndex.pqCodes(s, dir),
+          VectorIndex.pqBooks(s, dir), 10)
         .select(col("qid"), col("rank"), col("vec_id"),
           round(col("approx"), 6).as("approx"))
+    }),
+
+    // L3g'': the index-time write pass — build + persist every component
+    // (PQ books/codes, IVF cells/assignment, SQ8 stats/codes) uncondition-
+    // ally, then return the refined codebooks for the oracle hash check.
+    // This is the entry that carries the BUILD cost in the bench, so the
+    // search queries above/below reflect search.
+    "q_pq_build" -> ((s, dir) => {
+      val d = VectorIndex.rebuild(s, dir)
+      s.read.parquet(s"$d/pq_books")
+        .select(col("sub"), col("cell"),
+          posexplode(col("cvec")).as(Seq("dim", "c")))
     }),
 
     // L3g' md5 twin (oracle hash-checked): ADC search over the HASH-INIT
@@ -853,13 +868,36 @@ object Similarity {
     // nothing recall-bounded, since every stage is elementary arithmetic).
     "q_sq8_ivf" -> ((s, dir) => {
       val e = T.embeddings(s, dir)
-      val stats = sq8StatsRow(e)
-      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
-      val cent = centroidVectors(e).select(col("clabel").as("cell"), col("cvec"))
-      val assigned = assignCells(corpus, cent)
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      sq8IvfTopK(probes, sq8Encode(e, stats), stats, assigned, cent, 10)
+      // every index-time input (stats, codes, cells, assignment) comes from
+      // the persisted index; the oracle re-derives them all from raw
+      // embeddings, hash-proving the persisted form lossless
+      sq8IvfTopK(probes, VectorIndex.sq8Codes(s, dir),
+        VectorIndex.sq8Stats(s, dir), VectorIndex.cellAssign(s, dir),
+        VectorIndex.cells(s, dir), 10)
+    }),
+
+    // L3k': incremental index maintenance — the SAME search as q_sq8_ivf,
+    // but the codes/assignment are (persisted half-index for vec_id < 250)
+    // ∪ appendBatch(the rest) under the frozen quantizer. The oracle is
+    // byte-identical to q_sq8_ivf's: a hash match proves append ∪ old ≡
+    // full re-encode — the Lake.mergeUpsert pattern applied to the vector
+    // index.
+    "q_sq8_ivf_append" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val half = VectorIndex.Components(
+        VectorIndex.pqCodes(s, dir).filter(col("vec_id") < 250),
+        VectorIndex.cellAssign(s, dir).filter(col("vec_id") < 250),
+        VectorIndex.sq8Codes(s, dir).filter(col("vec_id") < 250))
+      val merged = VectorIndex.appendBatch(half,
+        e.filter(col("vec_id") >= 250).select("vec_id", "embedding"),
+        VectorIndex.pqBooks(s, dir), VectorIndex.cells(s, dir),
+        VectorIndex.sq8Stats(s, dir))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      sq8IvfTopK(probes, merged.sq8Codes, VectorIndex.sq8Stats(s, dir),
+        merged.cellAssign, VectorIndex.cells(s, dir), 10)
     }),
 
     // L3h: IVFADC — the ADC scan restricted to each query's nprobe nearest
@@ -869,13 +907,13 @@ object Similarity {
     // force is ADDITIONALLY bounded in PipelineSpec.
     "q_pq_ivfadc" -> ((s, dir) => {
       val e = T.embeddings(s, dir)
-      val books = pqCodebooksRefined(e)
-      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
-      val cent = centroidVectors(e).select(col("clabel").as("cell"), col("cvec"))
-      val assigned = assignCells(corpus, cent)
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      pqIvfAdcTopK(probes, pqEncode(e, books), books, assigned, cent, 10)
+      // books/codes/cells/assignment all from the persisted index — the
+      // query is pure SEARCH; q_pq_build carries the build cost
+      pqIvfAdcTopK(probes, VectorIndex.pqCodes(s, dir),
+          VectorIndex.pqBooks(s, dir), VectorIndex.cellAssign(s, dir),
+          VectorIndex.cells(s, dir), 10)
         .select(col("qid"), col("rank"), col("vec_id"),
           round(col("approx"), 6).as("approx"))
     })
@@ -1015,61 +1053,30 @@ object Similarity {
       |  FROM embeddings CROSS JOIN sta)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Incremental append: half persisted index ∪ appendBatch of the rest
+    // under the frozen quantizer MUST equal the full index — so the oracle
+    // is byte-identical to q_sq8_ivf's (defined right below via sq8IvfSql).
+    "q_sq8_ivf_append" -> sq8IvfSql,
     // IVF×SQ8 fully re-derived: SQ8 stats/codes/decode PLUS label
     // centroids, nearest-centroid corpus assignment, per-query nprobe=3
     // probe set, and the cell-pruned candidate join (each vector sits in
     // exactly one cell, so candidates join without a dedup step).
-    "q_sq8_ivf" ->
-      s"""WITH $sq8BaseSql,
-         |dec AS (
-         |  SELECT vec_id, list_transform(generate_series(1, 64),
-         |    i -> mns[i] + CAST(codes[i] AS DOUBLE) / 255 * spans[i]) AS dvec
-         |  FROM sq CROSS JOIN sta),
-         |exc AS (
-         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
-         |  FROM embeddings),
-         |cent AS (
-         |  SELECT label AS ccell, list(c ORDER BY dim) AS ccvec FROM (
-         |    SELECT label, dim,
-         |      (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
-         |       CAST(count(*) AS DOUBLE)) / 1000000 AS c
-         |    FROM exc GROUP BY 1, 2) GROUP BY 1),
-         |acell AS (
-         |  SELECT vec_id, ccell FROM (
-         |    SELECT e.vec_id, c.ccell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS rn
-         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-         |probes AS (
-         |  SELECT qid, ccell FROM (
-         |    SELECT e.vec_id AS qid, c.ccell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS crn
-         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE crn <= 3),
-         |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         |sims AS (
-         |  SELECT qv.qid, d.vec_id,
-         |    round(list_sum(list_transform(generate_series(1, 64),
-         |        i -> CAST(qv.qvec[i] AS DOUBLE) * d.dvec[i])) /
-         |      (sqrt(list_sum(list_transform(generate_series(1, 64),
-         |        i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)))) *
-         |       sqrt(list_sum(list_transform(generate_series(1, 64),
-         |        i -> d.dvec[i] * d.dvec[i])))), 6) AS approx
-         |  FROM qv
-         |    JOIN probes p ON p.qid = qv.qid
-         |    JOIN acell a ON a.ccell = p.ccell
-         |    JOIN dec d ON d.vec_id = a.vec_id
-         |  WHERE qv.qid != d.vec_id),
-         |ranked AS (
-         |  SELECT qid, vec_id, approx,
-         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
-         |  FROM sims)
-         |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
-         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sq8_ivf" -> sq8IvfSql,
     "q_sq8_codes" ->
       s"""WITH $sq8BaseSql
          |SELECT vec_id, array_to_string(codes, '|') AS codes
          |FROM sq ORDER BY ALL NULLS FIRST""".stripMargin,
+    // The persisted-index BUILD: the refined codebooks the index writes,
+    // re-derived from raw embeddings (hash-init + 2 Lloyd rounds) — a hash
+    // match proves the parquet-persisted books byte-equivalent to a fresh
+    // in-memory build.
+    "q_pq_build" ->
+      s"""WITH $pqBaseSql,
+         |${pqRefineSql(2)}
+         |SELECT CAST(sub AS INTEGER) AS sub, CAST(cell AS INTEGER) AS cell,
+         |  CAST(dim - 1 AS INTEGER) AS dim,
+         |  CAST(CASE WHEN sv >= 0 THEN rr ELSE -rr END AS DOUBLE) / 1000000 AS c
+         |FROM r2 ORDER BY ALL NULLS FIRST""".stripMargin,
     // Asymmetric SQ8 search fully re-derived: stats, codes, the on-the-fly
     // decode (mns[i] + codes[i]/255 * spans[i]), every rounded cosine, and
     // the rounded-before-rank ordering.
@@ -1379,6 +1386,60 @@ object Similarity {
         |FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
   )
+
+  /** IVF×SQ8 fully re-derived from raw embeddings: stats, codes, decode,
+    * label centroids, nearest-centroid corpus assignment, per-query
+    * nprobe=3 probe set, the cell-pruned candidate join, and every rounded
+    * ranked score. Shared verbatim by `q_sq8_ivf` (persisted index) and
+    * `q_sq8_ivf_append` (half index ∪ appendBatch) — both must hash to it.
+    */
+  private lazy val sq8IvfSql: String =
+    s"""WITH $sq8BaseSql,
+       |dec AS (
+       |  SELECT vec_id, list_transform(generate_series(1, 64),
+       |    i -> mns[i] + CAST(codes[i] AS DOUBLE) / 255 * spans[i]) AS dvec
+       |  FROM sq CROSS JOIN sta),
+       |exc AS (
+       |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label AS ccell, list(c ORDER BY dim) AS ccvec FROM (
+       |    SELECT label, dim,
+       |      (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
+       |       CAST(count(*) AS DOUBLE)) / 1000000 AS c
+       |    FROM exc GROUP BY 1, 2) GROUP BY 1),
+       |acell AS (
+       |  SELECT vec_id, ccell FROM (
+       |    SELECT e.vec_id, c.ccell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, ccell FROM (
+       |    SELECT e.vec_id AS qid, c.ccell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS crn
+       |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE crn <= 3),
+       |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+       |sims AS (
+       |  SELECT qv.qid, d.vec_id,
+       |    round(list_sum(list_transform(generate_series(1, 64),
+       |        i -> CAST(qv.qvec[i] AS DOUBLE) * d.dvec[i])) /
+       |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+       |        i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)))) *
+       |       sqrt(list_sum(list_transform(generate_series(1, 64),
+       |        i -> d.dvec[i] * d.dvec[i])))), 6) AS approx
+       |  FROM qv
+       |    JOIN probes p ON p.qid = qv.qid
+       |    JOIN acell a ON a.ccell = p.ccell
+       |    JOIN dec d ON d.vec_id = a.vec_id
+       |  WHERE qv.qid != d.vec_id),
+       |ranked AS (
+       |  SELECT qid, vec_id, approx,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
+       |  FROM sims)
+       |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
+       |ORDER BY ALL NULLS FIRST""".stripMargin
 
   private lazy val semanticDedupSql: String =
       """WITH ex AS (

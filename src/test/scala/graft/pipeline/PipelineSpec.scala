@@ -438,6 +438,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "cell pruning must never beat the exhaustive scan it prunes")
   }
 
+  test("vector index: persisted components match a fresh build; appendBatch under a frozen quantizer equals the full encode") {
+    val e = T.embeddings(spark, sf)
+    val comp = VectorIndex.components(spark, sf) // builds on first access
+    val books = VectorIndex.pqBooks(spark, sf)
+    val cells = VectorIndex.cells(spark, sf)
+    val stats = VectorIndex.sq8Stats(spark, sf)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // the parquet round trip is lossless: persisted books == fresh refine
+    assert(rows(books.select("sub", "cell", "cvec")) ===
+      rows(Similarity.pqCodebooksRefined(e).select("sub", "cell", "cvec")))
+    // incremental maintenance: (half index) ∪ appendBatch(rest) must be
+    // row-identical to the full build — encode/assignment are per-row maps
+    // under a frozen quantizer, so the merge loses nothing
+    val half = VectorIndex.Components(
+      comp.pqCodes.filter(col("vec_id") < 250),
+      comp.cellAssign.filter(col("vec_id") < 250),
+      comp.sq8Codes.filter(col("vec_id") < 250))
+    val merged = VectorIndex.appendBatch(half,
+      e.filter(col("vec_id") >= 250).select("vec_id", "embedding"),
+      books, cells, stats)
+    assert(rows(merged.pqCodes) === rows(comp.pqCodes))
+    assert(rows(merged.cellAssign) === rows(comp.cellAssign))
+    assert(rows(merged.sq8Codes) === rows(comp.sq8Codes))
+    // and the search over the merged index equals the search over the full
+    // one (the property q_sq8_ivf_append's unchanged oracle hash-proves)
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    assert(
+      rows(Similarity.sq8IvfTopK(probes, merged.sq8Codes, stats,
+        merged.cellAssign, cells, 10)) ===
+      rows(Similarity.sq8IvfTopK(probes, comp.sq8Codes, stats,
+        comp.cellAssign, cells, 10)))
+  }
+
   test("semantic dedup: hot-cell cap bounds the pairwise block, same removed-set") {
     import spark.implicits._
     // planted skew: ONE cell holds 50% of all rows (the near-duplicate-heavy
