@@ -102,6 +102,34 @@ object Functions {
           expr("variant_get(v, '$.k', 'string')").as("k_str"))
     }),
 
+    // F6: map functions, oracle-checked — the map is DERIVED in-query from
+    // document columns (testdata carries no map column), then every major
+    // map op (map_keys, element_at, map_contains_key, size, map_concat,
+    // map_filter, transform_values, map_entries) lands in a deterministic
+    // scalar that DuckDB re-derives with ITS map type. Per-row codegen'd
+    // expressions, zero shuffle.
+    "q_map_funcs" -> ((s, dir) => {
+      val m = map(
+        lit("lang"), col("lang"),
+        lit("src"), col("source"),
+        lit("n"), col("n_chars").cast("string"))
+      T.documents(s, dir).select(
+        col("doc_id"),
+        array_join(array_sort(map_keys(m)), ",").as("keys"),
+        element_at(m, "lang").as("lang_v"),
+        map_contains_key(m, "src").cast("int").as("has_src"),
+        size(m).cast("int").as("n_keys"),
+        element_at(transform_values(m, (_, v) => upper(v)), "src")
+          .as("upper_src"),
+        array_join(array_sort(
+          map_keys(map_filter(m, (k, _) => k =!= "n"))), ",").as("keep_keys"),
+        element_at(map_concat(m, map(lit("extra"), lit("x"))), "extra")
+          .as("merged"),
+        array_join(array_sort(transform(map_entries(m),
+          e => concat(e.getField("key"), lit(":"), e.getField("value")))),
+          "|").as("entries"))
+    }),
+
     // F9: cryptographic/hash functions (md5/sha2 shared with DuckDB).
     "q_hash_funcs" -> ((s, dir) => {
       T.customer(s, dir).select(
@@ -192,6 +220,23 @@ object Functions {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
         |  json_extract_string(props, '$.k') AS k_str
         |FROM events ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_map_funcs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    MAP(['lang', 'src', 'n'],
+        |        [lang, source, CAST(n_chars AS VARCHAR)]) AS m
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_sort(map_keys(m)), ',') AS keys,
+        |  m['lang'][1] AS lang_v,
+        |  CAST(CASE WHEN len(map_extract(m, 'src')) > 0 THEN 1 ELSE 0 END AS INTEGER) AS has_src,
+        |  CAST(cardinality(m) AS INTEGER) AS n_keys,
+        |  upper(m['src'][1]) AS upper_src,
+        |  array_to_string(list_sort(list_filter(map_keys(m), k -> k != 'n')), ',') AS keep_keys,
+        |  map_concat(m, MAP(['extra'], ['x']))['extra'][1] AS merged,
+        |  array_to_string(list_sort(list_transform(map_entries(m),
+        |    e -> e.key || ':' || e.value)), '|') AS entries
+        |FROM d ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_hash_funcs" ->
       """SELECT c_custkey, md5(c_name) AS md5_name, sha256(c_name) AS sha256_name
         |FROM customer ORDER BY ALL NULLS FIRST""".stripMargin,

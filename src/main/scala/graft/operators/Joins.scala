@@ -121,6 +121,41 @@ object Joins {
       .filter(col("d") <= 1)
   }
 
+  /** [[fuzzyPairsDeletes]] extended to edit distance ≤ 2: the delete-2
+    * neighborhood. SymSpell's intersection property generalizes — if
+    * levenshtein(a, b) ≤ d then the d-deletion neighborhoods of a and b
+    * intersect (each edit is covered by deleting the touched position from
+    * one or both sides) — so the equi-join on ≤2-delete variants finds
+    * EVERY candidate and the exact levenshtein refine keeps d ≤ 2 only.
+    * Cost: ~1 + L + L(L-1)/2 variants per distinct string (L = length) —
+    * quadratic in the STRING length, never in the corpus; one hash join.
+    * Two strings sharing a ≤2-delete variant differ in length by ≤ 2, but
+    * the explicit length-difference prune is kept cheap and BEFORE the
+    * O(L²) levenshtein so the refine pays only for plausible pairs.
+    */
+  def fuzzyPairsDeletes2(names: DataFrame, nameCol: String): DataFrame = {
+    // {s} ∪ single-deletions of s; empty strings map to {""} (Spark's
+    // sequence(1, 0) would count DOWN — DuckDB's generate_series returns
+    // empty — so the guard also keeps the oracle arithmetic aligned)
+    def dels(c: Column): Column = when(length(c) >= 1,
+      array_distinct(concat(
+        array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1),
+            c.substr(i + 1, length(c) - i))))))
+      .otherwise(array(c))
+    val variants = names.select(col(nameCol).as("name"))
+      .withColumn("variant", explode(
+        array_distinct(flatten(transform(dels(col("name")), v => dels(v))))))
+    variants.select(col("name").as("a"), col("variant"))
+      .join(variants.select(col("name").as("b"), col("variant")), Seq("variant"))
+      .filter(col("a") < col("b"))
+      .filter(abs(length(col("a")) - length(col("b"))) <= 2)
+      .select("a", "b").distinct()
+      .withColumn("d", levenshtein(col("a"), col("b")))
+      .filter(col("d") <= 2)
+  }
+
   val queries: Map[String, Q] = Map(
     // J1: inner equi-join fact⋈dim.
     "q_join_inner_equi" -> ((s, dir) => {
@@ -270,6 +305,13 @@ object Joins {
     "q_join_fuzzy" -> ((s, dir) =>
       fuzzyPairsDeletes(T.part(s, dir).select("p_name").distinct(), "p_name")),
 
+    // J12b: the d ≤ 2 neighborhood — same SymSpell construction, two
+    // deletion levels (oracle re-derives both variant levels, candidates,
+    // and every levenshtein; completeness vs the naive n² is additionally
+    // unit-asserted in CoverageSpec).
+    "q_join_fuzzy2" -> ((s, dir) =>
+      fuzzyPairsDeletes2(T.part(s, dir).select("p_name").distinct(), "p_name")),
+
     // J13: Bloom-pruned semi-join — the explicit runtime-filter shape
     // (Layout.bloomPrunedSemiJoin): big side pre-filtered by a broadcast
     // Bloom filter BEFORE the shuffle, exact semi-join after. The refine
@@ -380,6 +422,28 @@ object Joins {
         |  FROM v a JOIN v b ON a.variant = b.variant AND a.name < b.name)
         |SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS d
         |FROM p WHERE levenshtein(a, b) <= 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_join_fuzzy2" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+        |v1 AS (
+        |  SELECT name, unnest(list_distinct(list_append(
+        |    list_transform(generate_series(1, strlen(name)),
+        |      i -> substr(name, 1, i - 1) || substr(name, i + 1, strlen(name) - i)),
+        |    name))) AS v
+        |  FROM n),
+        |v2 AS (
+        |  SELECT DISTINCT name, variant FROM (
+        |    SELECT name, unnest(list_distinct(list_append(
+        |      list_transform(generate_series(1, strlen(v)),
+        |        i -> substr(v, 1, i - 1) || substr(v, i + 1, strlen(v) - i)),
+        |      v))) AS variant
+        |    FROM v1)),
+        |p AS (
+        |  SELECT DISTINCT a.name AS a, b.name AS b
+        |  FROM v2 a JOIN v2 b ON a.variant = b.variant AND a.name < b.name
+        |  WHERE abs(strlen(a.name) - strlen(b.name)) <= 2)
+        |SELECT a, b, CAST(levenshtein(a, b) AS INTEGER) AS d
+        |FROM p WHERE levenshtein(a, b) <= 2
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_asof_native" ->
       """SELECT event_id, user_id, o_orderkey FROM (

@@ -407,6 +407,17 @@ object Dedup {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
+    // L2e'' — the log-star path against the SAME recursive-CTE oracle as
+    // q_dedup_clusters_md5: both component algorithms (O(diameter)
+    // min-label and O(log n) large/small-star) are hash-proved equivalent
+    // end to end every round, not just unit-tested on planted chains.
+    "q_dedup_clusters_logstar" -> ((s, dir) => {
+      duplicateClustersLogStar(
+        nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id"))
+        .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    }),
+
     // L2b (no oracle): SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>
       T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
@@ -522,6 +533,27 @@ object Dedup {
       |  WHERE round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
       |        CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) >= 0.5)""".stripMargin
 
+  /** Connected components over the md5 LSH pairs, resolved exactly by a
+    * recursive CTE — shared verbatim by `q_dedup_clusters_md5` (min-label)
+    * and `q_dedup_clusters_logstar` (large/small-star): both paths must
+    * hash to the same components.
+    */
+  private lazy val clustersMd5Sql: String =
+    s"""WITH RECURSIVE $lshPairsMd5Sql,
+       |edges AS (
+       |  SELECT doc_a AS x, doc_b AS y FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(x, label) AS (
+       |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+       |  UNION
+       |  SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.x),
+       |labels AS (SELECT x AS id, min(label) AS label FROM reach GROUP BY 1),
+       |csize AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM labels GROUP BY 1)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |FROM csize GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_dedup_contamination" ->
       """WITH t AS (
@@ -584,21 +616,9 @@ object Dedup {
       s"""WITH $lshPairsMd5Sql
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY ALL NULLS FIRST""".stripMargin,
-    "q_dedup_clusters_md5" ->
-      s"""WITH RECURSIVE $lshPairsMd5Sql,
-         |edges AS (
-         |  SELECT doc_a AS x, doc_b AS y FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(x, label) AS (
-         |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
-         |  UNION
-         |  SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.x),
-         |labels AS (SELECT x AS id, min(label) AS label FROM reach GROUP BY 1),
-         |csize AS (
-         |  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
-         |  FROM labels GROUP BY 1)
-         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
-         |FROM csize GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_clusters_md5" -> clustersMd5Sql,
+    // the log-star twin must land on the SAME exact components
+    "q_dedup_clusters_logstar" -> clustersMd5Sql,
     "q_dedup_chunks_md5" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -143,13 +143,14 @@ object Multimodal {
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Full-raster pixel statistics via the JDK's OWN ImageIO decoders
-    * (PNG/GIF/BMP/WBMP ship with the JDK — no external codecs): width,
-    * height, and per-channel (R, G, B) means in [0, 255]. None when no JDK
-    * reader accepts the payload. This is the expensive cousin of
-    * [[imageDims]] — at 100 TB run it AFTER the header-level filters have
-    * pruned the scan, never as the first pass. Codec-dependent formats
-    * (JPEG works in the JDK too; video frames do not) fall back to None and
-    * stay covered by the documented stubs.
+    * (PNG/JPEG/GIF/BMP/WBMP all ship with the JDK — JPEG through its
+    * baseline codec, golden-tested within lossy tolerance): width, height,
+    * and per-channel (R, G, B) means in [0, 255]. None when no JDK reader
+    * accepts the payload. This is the expensive cousin of [[imageDims]] —
+    * at 100 TB run it AFTER the header-level filters have pruned the scan,
+    * never as the first pass. Only formats with no JDK codec (video
+    * frames, WebP/AVIF) fall back to None and stay covered by the
+    * documented stubs.
     */
   def pixelStats(content: Array[Byte]): Option[(Int, Int, Array[Double])] =
     try {

@@ -144,6 +144,28 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(naive.nonEmpty) // the assertion above must not pass vacuously
   }
 
+  test("J12b: delete-2 neighborhood fuzzy join finds EVERY lev<=2 pair (vs naive n²)") {
+    // SymSpell completeness at d=2: strings within levenshtein 2 always
+    // share a <=2-delete variant, so the blocked join equals the exhaustive
+    // theta join — including pairs at exactly distance 2, which the d=1
+    // neighborhood misses by construction.
+    val names = Tables.part(spark, "/root/testdata/sf0.001")
+      .select("p_name").distinct()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val blocked = pairs(operators.Joins.fuzzyPairsDeletes2(names, "p_name"))
+    val x = names.select(col("p_name").as("a"))
+    val y = names.select(col("p_name").as("b"))
+    val naive = x.crossJoin(y)
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b")) <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked === naive, s"missed: ${naive -- blocked}; extra: ${blocked -- naive}")
+    val d1 = pairs(operators.Joins.fuzzyPairsDeletes(names, "p_name"))
+    assert(d1.subsetOf(blocked))
+    assert(naive.nonEmpty) // must not pass vacuously
+  }
+
   test("T7: anchored funnel stages are monotone and cover every user") {
     val df = SparkEntry.queries("q_funnel")(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -251,6 +251,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected the variant-key equi-join:\n$p")
   }
 
+  test("fuzzy join d<=2: variant-key equi-join, no nested loop") {
+    val p = plan("q_join_fuzzy2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no n² pairing in the d<=2 fuzzy join:\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("HashJoin") || l.contains("SortMergeJoin")) && l.contains("variant")),
+      s"expected the variant-key equi-join:\n$p")
+  }
+
   test("md5 LSH pairs: banded candidate join is a hash join, never a cartesian") {
     val p = plan("q_dedup_near_md5")
     assert(!p.contains("CartesianProduct"), s"no cartesian in the LSH path:\n$p")
@@ -260,6 +269,45 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val exchangeLines = p.linesIterator.filter(_.contains("hashpartitioning")).toSeq
     assert(!exchangeLines.exists(_.contains("text#")),
       s"document text must not be a shuffle key:\n$p")
+  }
+
+  test("guardrail: no declared query plans a cartesian/nested-loop join unless whitelisted") {
+    // The regression this protects against: a refactor silently turning an
+    // equi-join into an n² pairing. Every declared query's physical plan is
+    // swept; the EXACT offender sets are pinned both ways, so a new
+    // cartesian fails the build AND a stale whitelist entry does too.
+    // No declared query plans an unbroadcast CartesianProduct — the only
+    // quadratic demos (q_sim_topk, q_join_cross) ride a broadcast of their
+    // deliberately tiny side instead.
+    val cartesianOk = Set[String]()
+    // Every BroadcastNestedLoopJoin below is a provably small build side:
+    //  - q_join_cross: the declared J7 cross-join surface (5×25 dims)
+    //  - q_sim_topk: the declared brute-force baseline (5 probes broadcast)
+    //  - q_pq_adc / q_pq_adc_hashinit / q_pq_ivfadc: 1-row ADC LUT attach
+    //  - q_sq8_codes / q_sq8_topk / q_sq8_ivf / q_sq8_ivf_append: 1-row
+    //    trained-stats attach (the SQ8 quantizer row)
+    //  - q_sim_ivf_assign / q_dedup_semantic(_capped): <=10-row centroid
+    //    argmax broadcast
+    //  - q_text_tfidf: 1-row corpus doc-count attach
+    val bnljOk = Set(
+      "q_dedup_semantic", "q_dedup_semantic_capped", "q_join_cross",
+      "q_pq_adc", "q_pq_adc_hashinit", "q_pq_ivfadc", "q_sim_ivf_assign",
+      "q_sim_topk", "q_sq8_codes", "q_sq8_ivf", "q_sq8_ivf_append",
+      "q_sq8_topk", "q_text_tfidf")
+    val cart = scala.collection.mutable.SortedSet.empty[String]
+    val bnlj = scala.collection.mutable.SortedSet.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // sparkPlan = the planned physical tree, no execution (and no AQE
+      // re-plan — the guardrail pins what the optimizer CHOSE, which is
+      // what survives a scale-up)
+      val p = fn(spark, sf).queryExecution.sparkPlan.toString
+      if (p.contains("CartesianProduct")) cart += name
+      if (p.contains("BroadcastNestedLoopJoin")) bnlj += name
+    }
+    assert(cart.toSet === cartesianOk,
+      s"cartesian set drifted: got $cart, pinned $cartesianOk")
+    assert(bnlj.toSet === bnljOk,
+      s"nested-loop set drifted: got $bnlj, pinned $bnljOk")
   }
 
   test("whole-stage codegen covers the scan-filter-project pipeline") {

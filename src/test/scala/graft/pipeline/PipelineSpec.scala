@@ -263,6 +263,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.pixelStats("not an image".getBytes) === None)
   }
 
+  test("multimodal: real JPEG pixel decode via the JDK's baseline reader") {
+    // JPEG is the dominant web-corpus image format and the JDK ships its
+    // own baseline codec — so the decode is REAL here, not the hash stub.
+    // A solid color survives lossy 4:2:0 coding nearly exactly; golden
+    // tolerance covers the DCT/quantization error.
+    val img = new java.awt.image.BufferedImage(16, 12,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, 0x60a0d0)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpeg = bos.toByteArray
+    // header magic: a real JFIF/EXIF payload, not a re-encoded PNG
+    assert((jpeg(0) & 0xff) === 0xff && (jpeg(1) & 0xff) === 0xd8)
+    // header-only dims route through the real reader (not hashDims)
+    val Some((hw, hh, _)) = Multimodal.imageDims(jpeg)
+    assert((hw, hh) === ((16, 12)))
+    // full-raster decode: means within a lossy tolerance of the source
+    val Some((w, h, means)) = Multimodal.pixelStats(jpeg)
+    assert((w, h) === ((16, 12)))
+    assert(math.abs(means(0) - 0x60) <= 3.0, s"R mean ${means(0)}")
+    assert(math.abs(means(1) - 0xa0) <= 3.0, s"G mean ${means(1)}")
+    assert(math.abs(means(2) - 0xd0) <= 3.0, s"B mean ${means(2)}")
+  }
+
   test("multimodal: WAV payloads decode real sample rate/channels/duration") {
     // generate a genuine 16-bit stereo 8 kHz WAV of 4000 frames (500 ms)
     import javax.sound.sampled._
@@ -287,6 +311,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val img = new java.awt.image.BufferedImage(7, 5,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     javax.imageio.ImageIO.write(img, "png", dir.resolve("a.png").toFile)
+    javax.imageio.ImageIO.write(img, "jpg", dir.resolve("c.jpg").toFile)
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(new Array[Byte](1600)), fmt, 800L)
@@ -295,8 +320,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val files = spark.read.format("binaryFile").load(dir.toString)
       .select("path", "content").collect()
       .map(r => (r.getString(0).split('/').last, r.getAs[Array[Byte]](1))).toMap
-    assert(files.keySet === Set("a.png", "b.wav"))
+    assert(files.keySet === Set("a.png", "b.wav", "c.jpg"))
     assert(Multimodal.imageDims(files("a.png")) === Some((7, 5, 3)))
+    assert(Multimodal.imageDims(files("c.jpg")) === Some((7, 5, 3)))
+    assert(Multimodal.pixelStats(files("c.jpg")).exists(_._1 === 7))
     val Some((frames, ch, _, _)) = Multimodal.audioStats(files("b.wav"))
     assert(frames === 800L && ch === 1)
   }
