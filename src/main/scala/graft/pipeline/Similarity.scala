@@ -916,6 +916,21 @@ object Similarity {
           VectorIndex.cells(s, dir), 10)
         .select(col("qid"), col("rank"), col("vec_id"),
           round(col("approx"), 6).as("approx"))
+    }),
+
+    // L3h': the FULL production search composition over the persisted
+    // index — IVF cell pruning → ADC top-30 shortlist → exact cosine
+    // rerank of only the shortlist's full vectors (oracle re-derives every
+    // stage; the code table is the only per-corpus-row data the scan
+    // touches, exact vectors load for 30·|Q| rows total).
+    "q_pq_rerank" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      pqIvfShortlistTopK(probes, corpus, VectorIndex.pqCodes(s, dir),
+        VectorIndex.pqBooks(s, dir), VectorIndex.cellAssign(s, dir),
+        VectorIndex.cells(s, dir), 5, shortlist = 30, nprobe = 3)
     })
   )
 
@@ -1003,11 +1018,10 @@ object Similarity {
        |       sqrt(list_sum(list_transform(generate_series(1, 64),
        |        i -> $b[i] * $b[i])))), 6)""".stripMargin
 
-  /** Shared ADC-scoring tail (LUTs from `books`, candidate rows from
-    * `candSrc`, rounded-before-rank ordering) — the common suffix of the
-    * q_pq_adc / q_pq_adc_hashinit / q_pq_ivfadc oracles.
+  /** [[adcScoreSql]] minus the final SELECT — the CTE chain up to `ranked`,
+    * composable by oracles that keep refining (the shortlist-rerank chain).
     */
-  private def adcScoreSql(books: String, candSrc: String, k: Int): String =
+  private def adcRankSql(books: String, candSrc: String): String =
     s"""qsv AS (
        |  SELECT vec_id AS qid, s.sub,
        |    list_slice(embedding, s.sub * 8 + 1, s.sub * 8 + 8) AS qsvec
@@ -1028,9 +1042,64 @@ object Similarity {
        |ranked AS (
        |  SELECT qid, vec_id, approx,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
-       |  FROM scoredq)
+       |  FROM scoredq)""".stripMargin
+
+  /** Shared ADC-scoring tail (LUTs from `books`, candidate rows from
+    * `candSrc`, rounded-before-rank ordering) — the common suffix of the
+    * q_pq_adc / q_pq_adc_hashinit / q_pq_ivfadc oracles.
+    */
+  private def adcScoreSql(books: String, candSrc: String, k: Int): String =
+    s"""${adcRankSql(books, candSrc)}
        |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= $k
        |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  /** The IVFADC oracle chain up to `ranked` (refined books, encode, label
+    * centroids, cell assignment, nprobe=3 probes, cell-pruned ADC scoring)
+    * — shared by `q_pq_ivfadc` (top-10 cut) and `q_pq_rerank` (top-30
+    * shortlist + exact rerank).
+    */
+  private lazy val ivfadcRankedSql: String =
+    s"""$pqBaseSql,
+       |${pqRefineSql(2)},
+       |scE AS (
+       |  SELECT s.vec_id, s.sub, c.cell,
+       |    ${cos8Sql("s.svec", "c.cvec")} AS sim
+       |  FROM sv s JOIN cb2 c ON s.sub = c.sub),
+       |best AS (
+       |  SELECT vec_id, sub, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sim DESC, cell) AS rn
+       |    FROM scE) WHERE rn = 1),
+       |exc AS (
+       |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label AS ccell, list(c ORDER BY dim) AS ccvec FROM (
+       |    SELECT label, dim,
+       |      (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
+       |       CAST(count(*) AS DOUBLE)) / 1000000 AS c
+       |    FROM exc GROUP BY 1, 2) GROUP BY 1),
+       |acell AS (
+       |  SELECT vec_id, ccell FROM (
+       |    SELECT e.vec_id, c.ccell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS rn
+       |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, ccell FROM (
+       |    SELECT e.vec_id AS qid, c.ccell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS crn
+       |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE crn <= 3),
+       |${adcRankSql("cb2",
+          """SELECT l.qid, b.vec_id,
+            |    list_sum(list(l.pdot ORDER BY l.sub)) AS dotsum,
+            |    list_sum(list(l.n2 ORDER BY l.sub)) AS norm2
+            |  FROM best b
+            |    JOIN acell a ON a.vec_id = b.vec_id
+            |    JOIN probes p ON p.ccell = a.ccell
+            |    JOIN lut l ON l.qid = p.qid AND l.sub = b.sub AND l.cell = b.cell
+            |  WHERE l.qid != b.vec_id
+            |  GROUP BY 1, 2""".stripMargin)}""".stripMargin
 
   /** Shared SQ8 oracle CTE chain: per-dim min/max stats, the packed
     * (mns, spans) row, and the uint8 encode — mirrors
@@ -1106,47 +1175,28 @@ object Similarity {
     // PLUS label centroids, nearest-centroid corpus assignment, per-query
     // nprobe=3 probe set, and the cell-pruned candidate join.
     "q_pq_ivfadc" ->
-      s"""WITH $pqBaseSql,
-         |${pqRefineSql(2)},
-         |scE AS (
-         |  SELECT s.vec_id, s.sub, c.cell,
-         |    ${cos8Sql("s.svec", "c.cvec")} AS sim
-         |  FROM sv s JOIN cb2 c ON s.sub = c.sub),
-         |best AS (
-         |  SELECT vec_id, sub, cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY sim DESC, cell) AS rn
-         |    FROM scE) WHERE rn = 1),
-         |exc AS (
-         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
-         |  FROM embeddings),
-         |cent AS (
-         |  SELECT label AS ccell, list(c ORDER BY dim) AS ccvec FROM (
-         |    SELECT label, dim,
-         |      (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
-         |       CAST(count(*) AS DOUBLE)) / 1000000 AS c
-         |    FROM exc GROUP BY 1, 2) GROUP BY 1),
-         |acell AS (
-         |  SELECT vec_id, ccell FROM (
-         |    SELECT e.vec_id, c.ccell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS rn
-         |    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
-         |probes AS (
-         |  SELECT qid, ccell FROM (
-         |    SELECT e.vec_id AS qid, c.ccell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${cos64Sql("e.embedding", "c.ccvec")} DESC, c.ccell) AS crn
-         |    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5) WHERE crn <= 3),
-         |${adcScoreSql("cb2",
-            """SELECT l.qid, b.vec_id,
-              |    list_sum(list(l.pdot ORDER BY l.sub)) AS dotsum,
-              |    list_sum(list(l.n2 ORDER BY l.sub)) AS norm2
-              |  FROM best b
-              |    JOIN acell a ON a.vec_id = b.vec_id
-              |    JOIN probes p ON p.ccell = a.ccell
-              |    JOIN lut l ON l.qid = p.qid AND l.sub = b.sub AND l.cell = b.cell
-              |  WHERE l.qid != b.vec_id
-              |  GROUP BY 1, 2""".stripMargin, 10)}""".stripMargin,
+      s"""WITH $ivfadcRankedSql
+         |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // The full production composition: the IVFADC chain's top-30 shortlist,
+    // then EXACT cosine rerank of only those candidates' full vectors —
+    // every stage (index build, cell pruning, ADC scoring, shortlist cut,
+    // exact rerank) re-derived and hash-checked.
+    "q_pq_rerank" ->
+      s"""WITH $ivfadcRankedSql,
+         |short AS (SELECT qid, vec_id FROM ranked WHERE rank <= 30),
+         |rr AS (
+         |  SELECT s.qid, s.vec_id,
+         |    ${cos64Sql("qv.embedding", "CAST(cv.embedding AS DOUBLE[])")} AS sim
+         |  FROM short s
+         |    JOIN embeddings qv ON qv.vec_id = s.qid
+         |    JOIN embeddings cv ON cv.vec_id = s.vec_id),
+         |rranked AS (
+         |  SELECT qid, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM rr)
+         |SELECT qid, rank, vec_id, sim FROM rranked WHERE rank <= 5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // The flagship ADC query over Lloyd-REFINED codebooks, fully re-derived:
     // hash-init books, 2 assign/update rounds, a fresh encode assignment
     // against the final books, per-query LUTs, ordered-sum scores, and the
