@@ -172,13 +172,30 @@ object Similarity {
     * driver-side loop state. Replaces the label column as the quantizer
     * when no natural partitioning exists.
     */
-  def kmeansQuantizer(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+  def kmeansQuantizer(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame =
+    kmeansQuantizerImpl(corpus, k, iters,
+      pmod(xxhash64(col("vec_id")), lit(k.toLong)).cast("int"))
+
+  /** [[kmeansQuantizer]] on md5-derived seed cells — the cross-engine twin
+    * (xxhash64 is Spark-private; md5 both engines share): DuckDB re-derives
+    * the seed assignment, every Lloyd round's rounded-cosine argmax, and
+    * every exact-integer centroid coordinate, so the UNLABELED-corpus IVF
+    * quantizer build is hash-checked end to end, not just unit-tested.
+    * The xxhash64 variant stays the fast path.
+    */
+  def kmeansQuantizerMd5(corpus: DataFrame, k: Int, iters: Int = 2): DataFrame =
+    kmeansQuantizerImpl(corpus, k, iters,
+      (conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % k).cast("int"))
+
+  private def kmeansQuantizerImpl(corpus: DataFrame, k: Int, iters: Int,
+      seedCell: Column): DataFrame = {
     def centroidsOf(assigned: DataFrame): DataFrame =
       centroidVectors(assigned.select(col("cell").as("label"),
         col("vec").as("embedding")))
         .select(col("clabel").as("cell"), col("cvec"))
     var assigned = corpus.select(col("vec_id"), col("vec"),
-      pmod(xxhash64(col("vec_id")), lit(k.toLong)).cast("int").as("cell"))
+      seedCell.as("cell"))
     var centroids = centroidsOf(assigned)
     var i = 0
     while (i < iters) {
@@ -717,6 +734,18 @@ object Similarity {
         .filter(col("rn") === 1)
         .groupBy("label", "clabel").agg(count(lit(1)).as("n"))
         .select(col("label"), col("clabel").as("assigned"), col("n"))
+    }),
+
+    // IVF quantizer for an UNLABELED corpus: deterministic k-means (md5
+    // seed cells, 2 Lloyd rounds of rounded-cosine argmax + exact-integer
+    // means) — the oracle re-derives every round, so the quantizer BUILD
+    // for corpora without a natural partitioning is hash-checked, not just
+    // unit-tested. Output = every centroid coordinate.
+    "q_sim_kmeans" -> ((s, dir) => {
+      val corpus = T.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").as("vec"))
+      kmeansQuantizerMd5(corpus, 8, 2)
+        .select(col("cell"), posexplode(col("cvec")).as(Seq("dim", "c")))
     }),
 
     // L3: exact cosine top-5 for 5 probe vectors (oracle-checked).
@@ -1365,6 +1394,10 @@ object Similarity {
         |SELECT vec_id, score,
         |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM scored ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sim_kmeans" ->
+      s"""WITH ${kmeansMd5Sql(8, 2)}
+         |SELECT cell, CAST(dim - 1 AS INTEGER) AS dim, c
+         |FROM m2 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sim_centroids" ->
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
@@ -1436,6 +1469,44 @@ object Similarity {
         |FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
   )
+
+  /** Deterministic-k-means CTE chain mirroring [[kmeansQuantizerMd5]]:
+    * seed cells from md5(vec_id) % k, then per round an argmax assignment
+    * (rounded 64-dim cosine, cell tie-break) and an exact-integer-mean
+    * update — the q_sim_centroids arithmetic iterated with the pqRefineSql
+    * generation pattern. Ends at moment table m`iters` (cell, dim, c).
+    */
+  private def kmeansMd5Sql(k: Int, iters: Int): String = {
+    def moments(src: String, idx: Int): String =
+      s"""ex$idx AS (
+         |  SELECT cell, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
+         |  FROM $src),
+         |m$idx AS (
+         |  SELECT cell, dim,
+         |    (CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) /
+         |     CAST(count(*) AS DOUBLE)) / 1000000 AS c
+         |  FROM ex$idx GROUP BY 1, 2),
+         |c$idx AS (SELECT cell, list(c ORDER BY dim) AS cvec FROM m$idx GROUP BY 1)""".stripMargin
+    val sb = new StringBuilder(
+      s"""a0 AS (
+         |  SELECT vec_id, embedding,
+         |    CAST((CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % $k) AS INTEGER) AS cell
+         |  FROM embeddings),
+         |${moments("a0", 0)}""".stripMargin)
+    for (r <- 1 to iters) {
+      sb.append(s""",
+        |s$r AS (
+        |  SELECT e.vec_id, e.embedding, c.cell,
+        |    ${cos64Sql("e.embedding", "c.cvec")} AS sim
+        |  FROM embeddings e CROSS JOIN c${r - 1} c),
+        |a$r AS (
+        |  SELECT vec_id, embedding, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+        |    FROM s$r) WHERE rn = 1),
+        |${moments(s"a$r", r)}""".stripMargin)
+    }
+    sb.toString
+  }
 
   /** IVF×SQ8 fully re-derived from raw embeddings: stats, codes, decode,
     * label centroids, nearest-centroid corpus assignment, per-query
