@@ -748,6 +748,20 @@ object Similarity {
         .select(col("cell"), posexplode(col("cvec")).as(Seq("dim", "c")))
     }),
 
+    // The unlabeled-corpus IVF SEARCH over that quantizer: assign the
+    // corpus to the k-means cells, probe each query's nprobe nearest
+    // cells, exact cosine rerank on candidates only — with q_sim_kmeans
+    // this hash-checks the whole no-labels IVF lifecycle (build + search).
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+      val cent = kmeansQuantizerMd5(corpus, 8, 2)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      ivfTopK(probes, assignCells(corpus, cent).drop("sim"),
+        cent.select(col("cell").as("clabel"), col("cvec")), 10, nprobe = 3)
+    }),
+
     // L3: exact cosine top-5 for 5 probe vectors (oracle-checked).
     "q_sim_topk" -> ((s, dir) => {
       val e = T.embeddings(s, dir)
@@ -1398,6 +1412,43 @@ object Similarity {
       s"""WITH ${kmeansMd5Sql(8, 2)}
          |SELECT cell, CAST(dim - 1 AS INTEGER) AS dim, c
          |FROM m2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // Unlabeled IVF search fully re-derived: the k-means chain above, the
+    // corpus cell assignment against its final centroids, per-query
+    // nprobe=3 probe set, and the exact cosine rerank within probed cells.
+    "q_sim_ivf" ->
+      s"""WITH ${kmeansMd5Sql(8, 2)},
+         |acell AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos64Sql("e.embedding", "c.cvec")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT e.vec_id AS qid, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cos64Sql("e.embedding", "c.cvec")} DESC, c.cell) AS crn
+         |    FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 5) WHERE crn <= 3),
+         |qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         |sims AS (
+         |  SELECT qv.qid, b.vec_id,
+         |    round(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+         |      (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(qv.qvec[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)))) *
+         |       sqrt(list_sum(list_transform(generate_series(1, 64),
+         |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 6) AS sim
+         |  FROM qv
+         |    JOIN probes p ON p.qid = qv.qid
+         |    JOIN acell a ON a.cell = p.cell
+         |    JOIN embeddings b ON b.vec_id = a.vec_id
+         |  WHERE qv.qid != b.vec_id),
+         |ranked AS (
+         |  SELECT qid, vec_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS INTEGER) AS rank
+         |  FROM sims)
+         |SELECT qid, rank, vec_id, sim FROM ranked WHERE rank <= 10
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sim_centroids" ->
       """WITH ex AS (
         |  SELECT label, unnest(embedding) AS v, unnest(generate_series(1, 64)) AS dim
