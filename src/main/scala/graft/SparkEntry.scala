@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.Lake.queries, operators.Lake.oracles),
     (operators.Subqueries.queries, operators.Subqueries.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),
+    (pipeline.Curation.queries, pipeline.Curation.oracles),
     (pipeline.Sampling.queries, pipeline.Sampling.oracles),
     (pipeline.Similarity.queries, pipeline.Similarity.oracles),
     (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),

@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composition a real training-data
+  * pipeline runs over raw crawl text, assembled from the operators this
+  * library already ships one-by-one (SURVEY.md §2.10 north star; the
+  * reference's per-operator surface stops at single passes, so the chain
+  * itself is the extension):
+  *
+  *   1. language filter    — predicted language (TextAnalysis.langId) = 'en'
+  *   2. quality gate       — ≥ 5 tokens and distinct-unigram ratio ≥ 0.3
+  *                           (the Gopher-style repetition screen)
+  *   3. exact dedup        — keep the smallest doc_id per md5(normalized text)
+  *   4. near-dup removal   — MinHash-LSH verified pairs over the survivors
+  *                           (Dedup.nearDuplicatePairsMd5); greedily drop the
+  *                           LARGER id of every pair, i.e. first-seen wins
+  *   5. reproducible sample — md5 hash-bucket of doc_id < 50%
+  *
+  * Every stage is deterministic and engine-portable (md5 keys, integer
+  * ratios rounded before compare), so the WHOLE chain — not just each
+  * operator — is hash-checked against a single DuckDB CTE chain
+  * (`q_pipeline_curate`), and the per-stage survivor funnel is checked by
+  * `q_pipeline_funnel`.
+  *
+  * Scale shape (100 TB): stages 1–2 and 5 are per-row expressions — no
+  * shuffle, applied BEFORE anything wide so the expensive stages see only
+  * survivors. Stage 3 is one hash-shuffle on a 128-bit key with map-side
+  * combine. Stage 4 is the banded-LSH pipeline (one exchange on the small
+  * band key, candidates ~n·bands — never n²) plus a half-width anti-join on
+  * doc_id. Total: three narrow shuffles over ever-shrinking survivor sets.
+  *
+  * Near-dup drop rule: "larger id of any verified pair" is the greedy
+  * first-seen-wins rule (Lee et al.-style). On a pair chain a–b, b–c it can
+  * drop BOTH b and c even when (a,c) was never verified — acceptable for
+  * curation (recall over precision); cluster-canonical selection is the
+  * [[Dedup.duplicateClusters]] path.
+  */
+object Curation {
+
+  /** Stage 1: keep docs whose PREDICTED language (stopword-hits argmax over
+    * the tiny built-in lists) is `keep` — the labeled `lang` column is not
+    * consulted, mirroring a real crawl where labels don't exist.
+    */
+  def stageLang(docs: DataFrame, keep: String = "en"): DataFrame =
+    docs.filter(TextAnalysis.langId(col("text")) === keep)
+
+  /** Stage 2: Gopher-style repetition/length gate on normalized whitespace
+    * tokens. The ratio is rounded to 6 places BEFORE the threshold compare
+    * so the oracle's double arithmetic can't flip a boundary doc.
+    */
+  def stageQuality(docs: DataFrame, minTokens: Int = 5,
+      minUniqRatio: Double = 0.3): DataFrame = {
+    val toks = split(Dedup.normText(col("text")), " ")
+    docs.filter(size(toks) >= minTokens &&
+      round(size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double"), 6) >= minUniqRatio)
+  }
+
+  /** Stage 3: exact dedup keyed on md5(normalized text) — fixed-width
+    * shuffle key, min_by keeps the smallest doc_id's whole row (hash agg
+    * with map-side partial combine; no per-group sort).
+    */
+  def stageExact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(Dedup.normText(col("text"))))
+      .groupBy("h")
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
+        col("text")), col("doc_id")).as("r"))
+      .select("r.doc_id", "r.lang", "r.source", "r.text")
+
+  /** Stage 4: drop the larger id of every LSH-verified near-dup pair among
+    * the survivors. The anti-join key is the bare doc_id — document text
+    * never rides this exchange.
+    */
+  def stageNear(docs: DataFrame): DataFrame = {
+    val drop = Dedup.nearDuplicatePairsMd5(docs, "text", "doc_id")
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drop, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 5: reproducible hash-bucket sample (see [[Sampling.hashBucket]]). */
+  def stageSample(docs: DataFrame, pct: Int = 50): DataFrame =
+    docs.filter(Sampling.hashBucket(col("doc_id")) < pct)
+
+  /** The full chain; emits the curated (doc_id, lang, source). */
+  def curate(docs: DataFrame): DataFrame =
+    stageSample(stageNear(stageExact(stageQuality(stageLang(docs)))))
+      .select("doc_id", "lang", "source")
+
+  /** Per-stage survivor counts (stage 1 = raw input … 6 = sampled), the
+    * monitoring row every curation run logs. Each stage's count is its own
+    * aggregation over the shared lazy chain — the near-dup subtree is
+    * evaluated twice (stages 5 and 6); a production run would checkpoint
+    * between stages, but a diagnostic query keeps the plan pure.
+    */
+  def funnel(docs: DataFrame): DataFrame = {
+    val s1 = docs.select("doc_id", "lang", "source", "text")
+    val s2 = stageLang(s1)
+    val s3 = stageQuality(s2)
+    val s4 = stageExact(s3)
+    val s5 = stageNear(s4)
+    val s6 = stageSample(s5)
+    Seq(s1, s2, s3, s4, s5, s6).zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i + 1).as("stage"), col("n_docs"))
+    }.reduce(_.union(_))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // North-star composition: the whole 5-stage curation chain, hash-checked
+    // end to end (oracle re-derives every stage including the full LSH pair
+    // pipeline over the stage-3 survivors).
+    "q_pipeline_curate" -> ((s, dir) =>
+      curate(T.documents(s, dir).select("doc_id", "lang", "source", "text"))),
+
+    // Survivor funnel: one row per stage with the count entering/leaving it.
+    "q_pipeline_funnel" -> ((s, dir) =>
+      funnel(T.documents(s, dir)))
+  )
+
+  /** Shared oracle CTE chain re-deriving every stage. `lang_ok`/`qual`/
+    * `exact` mirror stages 1–3; [[Dedup.lshPairsMd5Sql]] (pointed at the
+    * `exact` survivor set) re-derives stage 4's pair pipeline; `near`/`samp`
+    * apply the drop rule and the hash-bucket sample.
+    */
+  private val curateCtesSql: String =
+    s"""base AS (
+       |  SELECT doc_id, lang, source, text,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+       |  FROM documents),
+       |lscore AS (
+       |  SELECT doc_id, lang, source, text, toks,
+       |    len(list_filter(toks, x -> list_contains(
+       |      ['the','a','of','and','to','in','is','it','on','for'], x))) AS s_en,
+       |    len(list_filter(toks, x -> list_contains(
+       |      ['der','die','das','und','ist','nicht','ein','mit','zu','auf'], x))) AS s_de,
+       |    len(list_filter(toks, x -> list_contains(
+       |      ['le','la','les','et','est','un','une','dans','pour','que'], x))) AS s_fr
+       |  FROM base),
+       |lang_ok AS (
+       |  SELECT doc_id, lang, source, text, toks FROM lscore
+       |  WHERE (CASE WHEN s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+       |              WHEN s_en >= s_de THEN 'en' ELSE 'de' END) = 'en'),
+       |qual AS (
+       |  SELECT doc_id, lang, source, text, toks FROM lang_ok
+       |  WHERE len(toks) >= 5
+       |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) /
+       |              CAST(len(toks) AS DOUBLE), 6) >= 0.3),
+       |exact AS (
+       |  SELECT doc_id, lang, source, text FROM (
+       |    SELECT doc_id, lang, source, text,
+       |      row_number() OVER (
+       |        PARTITION BY md5(array_to_string(toks, ' '))
+       |        ORDER BY doc_id) AS rn
+       |    FROM qual) WHERE rn = 1),
+       |${Dedup.lshPairsMd5Sql("exact")},
+       |near AS (
+       |  SELECT e.doc_id, e.lang, e.source FROM exact e
+       |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = e.doc_id)),
+       |samp AS (
+       |  SELECT doc_id, lang, source FROM near
+       |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_pipeline_curate" ->
+      s"""WITH $curateCtesSql
+         |SELECT doc_id, lang, source FROM samp
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_pipeline_funnel" ->
+      s"""WITH $curateCtesSql
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INTEGER) AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM base
+         |  UNION ALL SELECT 2, count(*) FROM lang_ok
+         |  UNION ALL SELECT 3, count(*) FROM qual
+         |  UNION ALL SELECT 4, count(*) FROM exact
+         |  UNION ALL SELECT 5, count(*) FROM near
+         |  UNION ALL SELECT 6, count(*) FROM samp)
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

@@ -493,12 +493,15 @@ object Dedup {
     * normalized 3-gram shingles → 60-bit md5 hashes → k=8 XOR-permutation
     * MinHash signature → 4 bands of 2 rows (','-joined slice as band key)
     * → distinct candidate pairs → Jaccard ≥ 0.5 verify on the hash sets.
+    *
+    * `src` is the relation the pipeline reads (any CTE/table with doc_id +
+    * text) — [[Curation]] points it at its filtered survivor set.
     */
-  private val lshPairsMd5Sql: String =
-    """t AS (
+  private[pipeline] def lshPairsMd5Sql(src: String = "documents"): String =
+    s"""t AS (
       |  SELECT doc_id,
-      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-      |  FROM documents),
+      |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      |  FROM $src),
       |shx AS (
       |  SELECT doc_id,
       |    CASE WHEN len(toks) < 3 THEN []
@@ -539,7 +542,7 @@ object Dedup {
     * hash to the same components.
     */
   private lazy val clustersMd5Sql: String =
-    s"""WITH RECURSIVE $lshPairsMd5Sql,
+    s"""WITH RECURSIVE ${lshPairsMd5Sql()},
        |edges AS (
        |  SELECT doc_a AS x, doc_b AS y FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -613,7 +616,7 @@ object Dedup {
         |    '|') AS sig
         |FROM hs ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_near_md5" ->
-      s"""WITH $lshPairsMd5Sql
+      s"""WITH ${lshPairsMd5Sql()}
          |SELECT doc_a, doc_b, jaccard FROM pairs
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_clusters_md5" -> clustersMd5Sql,

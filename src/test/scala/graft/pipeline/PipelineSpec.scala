@@ -691,4 +691,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
+
+  test("curation chain: each stage drops exactly its planted offender") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and runs far into " +
+      "the deep green forest of tall old trees on it"
+    val docs = Seq(
+      // id 2: clean English, md5-bucket(2)=5 < 50 — survives every stage
+      (2L, "en", "src0", base),
+      // id 3: German — langId predicts 'de', dropped at stage 2
+      (3L, "de", "src0", "der hund und die katze ist nicht mit auf das haus"),
+      // id 4: repetitive (uniq ratio 2/8 = 0.25 < 0.3), dropped at stage 3
+      (4L, "en", "src0", "the spam spam spam spam spam spam spam"),
+      // id 5: exact dup of id 2 modulo case/whitespace — larger id, stage 4
+      (5L, "en", "src1", base.toUpperCase + "   "),
+      // id 6: near-dup of id 2 (one word edit) — LSH pair (2,6), stage 5
+      (6L, "en", "src1", base.replace("forest", "jungle")),
+      // id 7: clean unrelated English, md5-bucket(7)=71 >= 50 — stage 6
+      (7L, "en", "src2", "a bright sun rises over the calm blue sea and warm " +
+        "sand while gulls glide past small white boats in the bay")
+    ).toDF("doc_id", "lang", "source", "text")
+
+    val fun = Curation.funnel(docs).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fun === Map(1 -> 6L, 2 -> 5L, 3 -> 4L, 4 -> 3L, 5 -> 2L, 6 -> 1L),
+      s"funnel was $fun")
+
+    val kept = Curation.curate(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(kept.toSeq === Seq((2L, "en", "src0")))
+  }
 }
