@@ -46,6 +46,107 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Streaming NEAR-dup dedup, inline half: drop records whose full MinHash
+    * SIGNATURE was already seen within the watermark horizon. Catches
+    * everything content dedup does (normalization folds case/whitespace)
+    * plus docs whose shingle sets collide on all k minima — jaccard ≈ 1
+    * near-dups — while keeping the state entry a single short string per
+    * distinct signature. Docs too short to shingle fall back to the
+    * content hash (a degenerate all-equal signature would otherwise glue
+    * every short doc together).
+    *
+    * This is deliberately only HALF of near-dedup: verified-pair removal
+    * needs a candidate join no single-key state store expresses — that
+    * half is [[nearDupCandidatesStream]] + the batch Jaccard verify.
+    */
+  def signatureDedupWithinWatermark(docs: DataFrame, textCol: String,
+      tsCol: String, k: Int = 8): DataFrame = {
+    val sh = graft.functions.TextHashes.shingleHashes(col(textCol))
+    val key = when(size(sh) > 0,
+        concat_ws(",", graft.functions.TextHashes.minHashSig(sh, k)))
+      .otherwise(concat(lit("short:"),
+        md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")))))
+    docs
+      .withColumn("__sig", key)
+      .withWatermark(tsCol, "10 minutes")
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+  }
+
+  /** One emitted LSH band-bucket collision: `doc_b` landed in a bucket
+    * `doc_a` (the bucket's first-seen anchor) already occupies.
+    */
+  case class BandHit(doc_a: Long, doc_b: Long, band: Int)
+
+  /** Streaming NEAR-dup dedup, candidate half: the banded-LSH candidate
+    * generator of [[graft.pipeline.Dedup.nearDuplicatePairs]] as an
+    * incremental stream. Each doc's k-minima signature splits into `bands`
+    * band keys; per (band, bandSig) bucket the state store keeps ONE long —
+    * the first doc_id ever seen there — and every later arrival emits a
+    * (anchor, newcomer, band) candidate. The expensive exchange of batch
+    * LSH becomes a keyed state lookup; the exact Jaccard verify stays a
+    * periodic batch job over the emitted candidates (collision ≠ duplicate).
+    *
+    * Contract notes: candidates are at-least-once (a doc re-sent after its
+    * first batch re-emits against the anchor; a pair colliding in two bands
+    * emits once per band) — the batch verifier dedups pairs anyway. Within
+    * a bucket only anchor↔newcomer pairs emit, not newcomer↔newcomer:
+    * transitive candidates surface through the anchor exactly like the
+    * batch generator's greedy clustering. Bucket state expires by
+    * event-time timeout `horizonMinutes` past the watermark — bounded
+    * state on an unbounded feed.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", k: Int = 8, bands: Int = 4,
+      horizonMinutes: Int = 10): Dataset[BandHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val r = k / bands
+    val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))))
+    docs
+      .withWatermark(tsCol, "10 minutes")
+      .withColumn("__sh", graft.functions.TextHashes.shingleHashes(col(textCol)))
+      .filter(size(col("__sh")) > 0)
+      .withColumn("__sig", graft.functions.TextHashes.minHashSig(col("__sh"), k))
+      .select(col("doc_id").cast("long"), col(tsCol),
+        posexplode(bandSigs).as(Seq("__band", "__bsig")))
+      .as[(Long, java.sql.Timestamp, Int, String)]
+      .groupByKey(x => (x._3, x._4))
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String),
+            rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
+            state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // micro-batch arrival order is arbitrary: anchor-election must
+            // be deterministic, so order by (event time, doc_id)
+            val arrivals = rows.map(x => (x._2.getTime, x._1)).toArray.sorted
+            var anchor = state.getOption
+            val out = Array.newBuilder[BandHit]
+            arrivals.foreach { case (_, id) =>
+              anchor match {
+                case Some(a) => if (a != id) out += BandHit(a, id, key._1)
+                case None => anchor = Some(id)
+              }
+            }
+            anchor.foreach { a =>
+              state.update(a)
+              // expire relative to EVENT time (like sessionizeWithState) —
+              // the current watermark is still 0 during the first batch, so
+              // a watermark-relative timeout would land in 1970 and evict
+              // every anchor as soon as the watermark advances
+              state.setTimeoutTimestamp(
+                arrivals.last._1 + horizonMinutes * 60L * 1000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream interval join — the canonical click↔impression
     * attribution shape: a click joins the impression it followed within
     * `horizon`. Both sides carry watermarks and the join condition bounds

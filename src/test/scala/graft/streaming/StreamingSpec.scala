@@ -261,4 +261,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the first session closes as a singleton — NOT extended to [0, 5]
     assert(rows.contains((9L, us(ts(0)), us(ts(0)), 1L)), rows.toString)
   }
+
+  private val curBase = "the quick brown fox jumps over a lazy dog and runs " +
+    "far into the deep green forest of tall old trees on it"
+
+  case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  test("streaming signature dedup: normalization twins dropped, near-dups kept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamOps.signatureDedupWithinWatermark(input.toDF(), "text", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sigdedup_out").start()
+    input.addData(Doc(1, ts(0), curBase), Doc(4, ts(1), "tiny doc"))
+    q.processAllAvailable()
+    // 2 = case/whitespace twin of 1 (same signature: dropped);
+    // 5 = one-word edit (signature differs: kept — that near-dup is the
+    //     candidate stream's job); 6 = different short doc (content-hash
+    //     fallback key: kept, NOT glued to doc 4)
+    input.addData(Doc(2, ts(2), curBase.toUpperCase + "  "),
+      Doc(5, ts(3), curBase.replace("forest", "jungle")),
+      Doc(6, ts(4), "other tiny"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT doc_id FROM sigdedup_out").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L, 5L, 6L), ids.toString)
+  }
+
+  test("streaming LSH candidates: band collision emits anchor pair incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    // same narrow-band geometry as the batch LSH planted-pair test: r=2
+    // keeps per-band hit probability s² and 16 bands make a one-word-edit
+    // miss vanishingly rare (and deterministic for this fixed text pair)
+    val q = StreamOps.nearDupCandidatesStream(input.toDF(), k = 32, bands = 16)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lshcand_out").start()
+    val base = "spark shuffles partition data across the cluster for joins " +
+      "and aggregations while the optimizer prunes columns and pushes filters"
+    val unrelated = "a bright sun rises over the calm blue sea and warm " +
+      "sand while gulls glide past small white boats in the bay"
+    input.addData(Doc(1, ts(0), base), Doc(3, ts(1), unrelated))
+    q.processAllAvailable()
+    // near-dup of doc 1 arrives a batch LATER: the bucket anchor persisted
+    // in the state store still pairs it up
+    input.addData(Doc(2, ts(2), base.replace("cluster", "fleet")))
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.sql("SELECT doc_a, doc_b, band FROM lshcand_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (1,2) collides in at least one band; the unrelated doc pairs with nobody
+    assert(hits === Set((1L, 2L)), hits.toString)
+  }
 }
