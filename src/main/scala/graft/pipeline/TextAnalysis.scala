@@ -229,6 +229,25 @@ object TextAnalysis {
         .limit(20)
     }),
 
+    // Scale twin of q_text_topwords (no oracle — sketch state; exactness
+    // vs the exact top-20 is unit-asserted): top words via Spark 4's
+    // mergeable ApproxTopK (DataSketches frequent-items) — per-source
+    // PARTIAL sketches combined at read time, the same pre-aggregated
+    // rollup shape as the E61 HLL pattern. At 100 TB the per-shard
+    // sketches are tiny and materializable; re-ranking the vocabulary
+    // never re-scans raw text, and the exact path's full (word, n)
+    // aggregate is replaced by fixed-size sketch state per shard.
+    "q_text_topwords_sketch" -> ((s, dir) => {
+      val words = T.documents(s, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("word"))
+      words
+        .groupBy("source")
+        .agg(expr("approx_top_k_accumulate(word, 1024)").as("sk"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 20)").as("est"))
+        .select(explode(col("est")).as("e"))
+        .select(col("e.item").as("word"), col("e.count").as("n"))
+    }),
+
     // Data-profiling / quality-gate stats over the corpus: null rates,
     // domain sizes, length bounds — the validation step of a training
     // pipeline (one pass, all exact values).

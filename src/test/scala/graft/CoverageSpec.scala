@@ -193,6 +193,21 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"HLL union estimate $merged vs exact $exact")
   }
 
+  test("A10c: ApproxTopK partial sketches merge to the exact top words") {
+    // Same rollup pattern for frequent items: per-source partial sketches,
+    // combined + estimated at read time. The synthetic vocabulary (~31
+    // distinct words) sits far below the 1024-item sketch capacity, so the
+    // DataSketches frequent-items estimate is provably EXACT here — the
+    // sketch query must reproduce the exact top-20 (word, n) rows.
+    val dir = "/root/testdata/sf0.001"
+    val sketch = SparkEntry.queries("q_text_topwords_sketch")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("q_text_topwords")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sketch === exact,
+      s"missed: ${exact -- sketch}; extra: ${sketch -- exact}")
+  }
+
   test("LK: mergeUpsert takes the update row whole (explicit nulls win); diff classifies") {
     import spark.implicits._
     val t = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "bal")
