@@ -281,6 +281,48 @@ object Dedup {
     (labels, iter)
   }
 
+  /** Deterministic integer PageRank over the undirected near-dup pair graph
+    * — CENTRALITY-based canonical selection within duplicate components:
+    * where min-label keeps the smallest id, the highest-rank member is the
+    * version most connected to the rest of its component (the hub of a
+    * boilerplate drift cluster), and `argmax(rank) per label` picks it.
+    *
+    * All arithmetic is exact-integer in micro-units so every engine lands
+    * on identical ranks (double PageRank is summation-order-dependent and
+    * would never hash-match): rank₀ = 10⁶; per round each node sends
+    * `rank DIV degree` to each neighbor and collects
+    * `(100-d)% · 10⁶ + (d% · Σ contribs) DIV 100` with d = 85. Fixed
+    * `iters` rounds, no convergence test — the oracle unrolls the same
+    * rounds as a CTE chain.
+    *
+    * Scale shape: one narrow (src) join + one (dst) aggregation per round
+    * over a checkpointed edge list — the alternating-exchange pattern of
+    * [[duplicateClusters]]; state is one long per node.
+    */
+  def pageRank(pairs: DataFrame, iters: Int = 5, scale: Long = 1000000L,
+      dampingPct: Int = 85): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
+    val base = scale * (100 - dampingPct) / 100
+    var ranks = deg.select(col("src").as("id"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      // every pair-graph node has degree >= 1 and an inbound neighbor
+      // (edges are symmetric), so the aggregation re-covers every node —
+      // no dangling-mass term needed
+      ranks = ed
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("id"), expr("rank div deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+        .select(col("id"),
+          (lit(base) + expr(s"($dampingPct * s) div 100")).as("rank"))
+    }
+    ranks.select(col("id").as("doc_id"), col("rank").as("rank_micro"))
+  }
+
   /** Per-document duplicated-span profile: which fraction of a document's
     * L-token windows also appear in OTHER documents (the exact-substring
     * dedup signal of Lee et al., "Deduplicating Training Data Makes
@@ -417,6 +459,13 @@ object Dedup {
         .groupBy("label").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
+
+    // L2e''' — centrality within duplicate components (oracle hash-checked):
+    // 5 rounds of exact-integer PageRank over the md5 LSH pair graph; the
+    // oracle unrolls the identical rounds as a CTE chain, so every rank in
+    // the final state matches bit-for-bit.
+    "q_dedup_pagerank" -> ((s, dir) =>
+      pageRank(nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id"))),
 
     // L2b (no oracle): SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>
@@ -557,7 +606,33 @@ object Dedup {
        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
        |FROM csize GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
 
+  /** [[pageRank]]'s 5 rounds unrolled as a CTE chain over the same md5 LSH
+    * pair graph — integer arithmetic makes the per-round state identical in
+    * any engine (`//` and `div` agree on non-negative operands).
+    */
+  private lazy val pagerankSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS id,
+         |    150000 + (85 * SUM(r.rank // d.deg)) // 100 AS rank
+         |  FROM pedges e
+         |    JOIN r${i - 1} r ON e.src = r.id
+         |    JOIN pdeg d ON e.src = d.src
+         |  GROUP BY 1)"""
+    }.mkString(",\n")
+    s"""WITH ${lshPairsMd5Sql()},
+       |pedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |pdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pedges GROUP BY 1),
+       |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM pdeg),
+       |$rounds
+       |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_micro FROM r5
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_pagerank" -> pagerankSql,
     "q_dedup_contamination" ->
       """WITH t AS (
         |  SELECT doc_id,

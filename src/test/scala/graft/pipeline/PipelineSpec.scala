@@ -692,6 +692,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("pagerank: centers outrank leaves, symmetric nodes tie exactly") {
+    import spark.implicits._
+    // path 1–2–3: node 2 is the hub; 1 and 3 are symmetric → identical rank
+    val path = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val pr = Dedup.pageRank(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr(2L) > pr(1L), s"hub must outrank leaf: $pr")
+    assert(pr(1L) === pr(3L), s"symmetric leaves must tie exactly: $pr")
+    // triangle: full symmetry → all three ranks identical
+    val tri = Seq((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val pt = Dedup.pageRank(tri).collect().map(_.getLong(1)).distinct
+    assert(pt.length === 1, s"triangle ranks must all equal: ${pt.toSeq}")
+  }
+
   test("curation chain: each stage drops exactly its planted offender") {
     import spark.implicits._
     val base = "the quick brown fox jumps over a lazy dog and runs far into " +
