@@ -323,6 +323,28 @@ object Dedup {
     ranks.select(col("id").as("doc_id"), col("rank").as("rank_micro"))
   }
 
+  /** Canonical-per-component selection by CENTRALITY: joins
+    * [[duplicateClusters]] labels with [[pageRank]] ranks and keeps, per
+    * component, the member with the highest rank (ties break to the
+    * smallest id). The "keep the best version" policy for boilerplate-drift
+    * clusters, where min-id keeps whichever copy happened to be crawled
+    * first. One extra narrow join + one (label) aggregation on top of the
+    * two iterative passes; `pairs` should be checkpointed by the caller if
+    * it tails an expensive pipeline (both consumers traverse it).
+    */
+  def canonicalByRank(pairs: DataFrame): DataFrame = {
+    val labels = duplicateClusters(pairs)
+    val ranks = pageRank(pairs)
+    labels.join(ranks, labels("id") === ranks("doc_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min_by(struct(col("doc_id"), col("rank_micro")),
+          struct((-col("rank_micro")).as("nr"), col("doc_id"))).as("c"))
+      .select(col("label"), col("c.doc_id").as("canonical_id"),
+        col("c.rank_micro").as("canonical_rank"),
+        col("cluster_size").cast("long").as("cluster_size"))
+  }
+
   /** Per-document duplicated-span profile: which fraction of a document's
     * L-token windows also appear in OTHER documents (the exact-substring
     * dedup signal of Lee et al., "Deduplicating Training Data Makes
@@ -467,6 +489,15 @@ object Dedup {
     "q_dedup_pagerank" -> ((s, dir) =>
       pageRank(nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id"))),
 
+    // L2e'''' — canonical-by-centrality (oracle hash-checked): components
+    // from the recursive-CTE-verified min-label path, canonical member from
+    // the round-unrolled PageRank — the two verified iterative algorithms
+    // composed and hash-checked TOGETHER.
+    "q_dedup_canonical" -> ((s, dir) =>
+      canonicalByRank(
+        nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id")
+          .localCheckpoint(true))),
+
     // L2b (no oracle): SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>
       T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
@@ -585,6 +616,20 @@ object Dedup {
       |  WHERE round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
       |        CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) >= 0.5)""".stripMargin
 
+  /** Exact component labels over the md5 LSH pairs via a recursive CTE:
+    * defines `edges`, `reach`, `labels` (id → component-min label). Callers
+    * must open with WITH RECURSIVE.
+    */
+  private val clusterLabelCtesSql: String =
+    """edges AS (
+      |  SELECT doc_a AS x, doc_b AS y FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(x, label) AS (
+      |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      |  UNION
+      |  SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.x),
+      |labels AS (SELECT x AS id, min(label) AS label FROM reach GROUP BY 1)""".stripMargin
+
   /** Connected components over the md5 LSH pairs, resolved exactly by a
     * recursive CTE — shared verbatim by `q_dedup_clusters_md5` (min-label)
     * and `q_dedup_clusters_logstar` (large/small-star): both paths must
@@ -592,25 +637,19 @@ object Dedup {
     */
   private lazy val clustersMd5Sql: String =
     s"""WITH RECURSIVE ${lshPairsMd5Sql()},
-       |edges AS (
-       |  SELECT doc_a AS x, doc_b AS y FROM pairs
-       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(x, label) AS (
-       |  SELECT x, x FROM (SELECT DISTINCT x FROM edges)
-       |  UNION
-       |  SELECT e.x, r.label FROM edges e JOIN reach r ON e.y = r.x),
-       |labels AS (SELECT x AS id, min(label) AS label FROM reach GROUP BY 1),
+       |$clusterLabelCtesSql,
        |csize AS (
        |  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
        |  FROM labels GROUP BY 1)
        |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
        |FROM csize GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
 
-  /** [[pageRank]]'s 5 rounds unrolled as a CTE chain over the same md5 LSH
-    * pair graph — integer arithmetic makes the per-round state identical in
-    * any engine (`//` and `div` agree on non-negative operands).
+  /** [[pageRank]]'s 5 rounds unrolled as CTEs (`pedges`, `pdeg`, `r0`…`r5`)
+    * over the shared `pairs` CTE — integer arithmetic makes the per-round
+    * state identical in any engine (`//` and `div` agree on non-negative
+    * operands).
     */
-  private lazy val pagerankSql: String = {
+  private lazy val pagerankRoundCtesSql: String = {
     val rounds = (1 to 5).map { i =>
       s"""r$i AS (
          |  SELECT e.dst AS id,
@@ -620,19 +659,40 @@ object Dedup {
          |    JOIN pdeg d ON e.src = d.src
          |  GROUP BY 1)"""
     }.mkString(",\n")
-    s"""WITH ${lshPairsMd5Sql()},
-       |pedges AS (
+    s"""pedges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
        |pdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM pedges GROUP BY 1),
        |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM pdeg),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val pagerankSql: String =
+    s"""WITH ${lshPairsMd5Sql()},
+       |$pagerankRoundCtesSql
        |SELECT id AS doc_id, CAST(rank AS BIGINT) AS rank_micro FROM r5
        |ORDER BY ALL NULLS FIRST""".stripMargin
-  }
+
+  /** [[canonicalByRank]]: the recursive-CTE labels joined with the unrolled
+    * PageRank state; rn = 1 under (rank DESC, id) reproduces the
+    * (max rank, min id) pick exactly.
+    */
+  private lazy val canonicalSql: String =
+    s"""WITH RECURSIVE ${lshPairsMd5Sql()},
+       |$clusterLabelCtesSql,
+       |$pagerankRoundCtesSql,
+       |ranked AS (
+       |  SELECT l.label, r.id, r.rank,
+       |    row_number() OVER (PARTITION BY l.label ORDER BY r.rank DESC, r.id) AS rn,
+       |    count(*) OVER (PARTITION BY l.label) AS cluster_size
+       |  FROM labels l JOIN r5 r ON l.id = r.id)
+       |SELECT label, id AS canonical_id, CAST(rank AS BIGINT) AS canonical_rank,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size
+       |FROM ranked WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_pagerank" -> pagerankSql,
+    "q_dedup_canonical" -> canonicalSql,
     "q_dedup_contamination" ->
       """WITH t AS (
         |  SELECT doc_id,

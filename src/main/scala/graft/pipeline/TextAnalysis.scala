@@ -81,9 +81,69 @@ object TextAnalysis {
         when(col("s") >= 0, col("rr")).otherwise(-col("rr")).as("avg_lp_micro"))
   }
 
+  /** Context-window chunking — the tokenize-and-window step before training
+    * on fixed context lengths: overlapping token windows of `maxTokens`
+    * with `overlap` tokens carried across boundaries (stride =
+    * maxTokens − overlap). Docs at or under `maxTokens` yield one window.
+    * Emits (doc_id, chunk_idx, chunk_tokens, chunk_md5) — the md5 proves
+    * byte-exact window extraction without shipping window text.
+    *
+    * Scale shape: per-row `explode(sequence)` over integer window math —
+    * no shuffle at all; a 100 TB corpus chunks in a single map stage.
+    */
+  def splitIntoWindows(docs: DataFrame, maxTokens: Int = 64,
+      overlap: Int = 8): DataFrame = {
+    require(overlap < maxTokens, "overlap must be smaller than the window")
+    val stride = maxTokens - overlap
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // windows beyond the first only if tokens remain past the first window:
+    // 1 + ceil((n - maxTokens) / stride) via (a + stride - 1) div stride
+    val extra = greatest(lit(0),
+      expr(s"(size(__toks) - $maxTokens + $stride - 1) div $stride"))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__n", n)
+      .withColumn("chunk_idx", explode(sequence(lit(0), extra)))
+      .withColumn("__w", slice(col("__toks"),
+        col("chunk_idx") * stride + 1, lit(maxTokens)))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("__w")).as("chunk_tokens"),
+        md5(concat_ws(" ", col("__w"))).as("chunk_md5"))
+  }
+
   val queries: Map[String, Q] = Map(
     // L4e: bigram-LM quality score (oracle hash-checked — integer-exact).
     "q_text_lm" -> ((s, dir) => lmScore(T.documents(s, dir))),
+
+    // Context-window chunking (oracle hash-checked): 64-token windows with
+    // 8-token overlap; every window md5 re-derived by DuckDB.
+    "q_text_windows" -> ((s, dir) =>
+      splitIntoWindows(T.documents(s, dir))),
+
+    // Token-entropy quality signal (oracle hash-checked): Shannon entropy
+    // of each doc's token distribution, H = ln(n) − (Σ c·ln c)/n, in
+    // integer MICRO-nats — gibberish scores high, boilerplate scores low; a
+    // third quality axis next to the repetition ratios and the bigram LM.
+    // Engine-portable by the lmScore recipe: each ln is rounded to
+    // micro-units BEFORE summation (integer sums are order-independent;
+    // a double Σ c·ln c would drift by summation order and never
+    // hash-match). Shape: one explode + (doc, word) count + per-doc agg —
+    // two narrow shuffles, the same layout as tf-idf (per-row HOF counting
+    // would be O(len²) per doc).
+    "q_text_entropy" -> ((s, dir) => {
+      val tf = T.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      tf.withColumn("wlu",
+          round(log(col("c").cast("double")) * 1e6, 0).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+          sum(col("c") * col("wlu")).as("s"))
+        .select(col("doc_id"), col("n_distinct").cast("long").as("n_distinct"),
+          (round(log(col("n").cast("double")) * 1e6, 0).cast("long") -
+            expr("s div n")).as("entropy_micronats"))
+    }),
 
     // L4: corpus stats by (lang, source) — exact ratios via int sums.
     "q_text_stats" -> ((s, dir) => {
@@ -364,6 +424,35 @@ object TextAnalysis {
         |  uniq_unigram_ratio, uniq_bigram_ratio,
         |  CAST(CASE WHEN uniq_unigram_ratio >= 0.3 THEN 1 ELSE 0 END AS INTEGER) AS keep
         |FROM m ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_windows" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      greatest(0, (len(toks) - 64 + 56 - 1) // 56))) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, chunk_idx * 56 + 1, chunk_idx * 56 + 64)) AS INTEGER) AS chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, chunk_idx * 56 + 1, chunk_idx * 56 + 64), ' ')) AS chunk_md5
+        |FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+        |wl AS (SELECT doc_id, c,
+        |         CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS wlu
+        |       FROM tf),
+        |d AS (SELECT doc_id, SUM(c) AS n, CAST(count(*) AS BIGINT) AS n_distinct,
+        |        SUM(c * wlu) AS s
+        |      FROM wl GROUP BY 1)
+        |SELECT doc_id, n_distinct,
+        |  CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) - (s // n) AS BIGINT) AS entropy_micronats
+        |FROM d ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -707,6 +707,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pt.length === 1, s"triangle ranks must all equal: ${pt.toSeq}")
   }
 
+  test("canonicalByRank: hub wins its component; exact ties fall to min id") {
+    import spark.implicits._
+    // component A: star around 5 (5 is NOT the min id — rank must beat
+    // min-label's pick); component B: symmetric pair → tie → min id 10
+    val pairs = Seq((1L, 5L, 1.0), (2L, 5L, 1.0), (5L, 6L, 1.0),
+      (10L, 11L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.canonicalByRank(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(got === Map(1L -> ((5L, 4L)), 10L -> ((10L, 2L))), got.toString)
+  }
+
   test("curation chain: each stage drops exactly its planted offender") {
     import spark.implicits._
     val base = "the quick brown fox jumps over a lazy dog and runs far into " +
