@@ -67,6 +67,14 @@ object Bench {
     // was still absorbing ~1.5s of first-query setup.
     try consume(SparkEntry.queries("q_agg_global")(spark, sfDir))
     catch { case _: Throwable => () }
+    // The persisted vector index is build-on-first-use: warm it OUTSIDE the
+    // timed region, or on a clean box the alphabetically-FIRST consumer
+    // (q_pq_adc, which sorts before q_pq_build) absorbs the whole ~4s build
+    // into its first timed run — fatal under SPARK_GRAFT_BENCH_RUNS=1 and
+    // still skews the min/max spread at 3. q_pq_build stays an unconditional
+    // rebuild, so the build cost is measured exactly once, in its own entry.
+    try pipeline.VectorIndex.ensure(spark, sfDir)
+    catch { case _: Throwable => () }
     val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
       case None => 3
       case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(

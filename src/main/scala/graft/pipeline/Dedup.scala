@@ -166,23 +166,23 @@ object Dedup {
     // expensive pipeline (LSH candidate generation + verify), and the loop
     // below would otherwise re-execute it on every round AND every
     // convergence check.
-    val edges = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
-      .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("x").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val edges = graft.Ckpt(
+      pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+        .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y"))))
+    var labels = graft.Ckpt(
+      edges.select(col("x").as("id")).distinct()
+        .withColumn("label", col("id")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = edges
         .join(labels.select(col("id").as("y"), col("label").as("ylabel")), Seq("y"))
         .groupBy(col("x").as("id")).agg(min(col("ylabel")).as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel") < col("label")).as("changed"))
-        .localCheckpoint(true)
+      val updated = graft.Ckpt(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            (col("nlabel") < col("label")).as("changed")))
       converged = updated.filter(col("changed")).limit(1).count() == 0
       labels = updated.select("id", "label")
       iter += 1
@@ -219,11 +219,10 @@ object Dedup {
   def logStarWithRounds(pairs: DataFrame, maxIters: Int = 25):
       (DataFrame, Int) = {
     // canonical undirected edges (u < v), no self-loops
-    var edges = pairs
+    var edges = graft.Ckpt(pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct())
 
     // (count, bit_xor of row hashes): O(1)-row equality signature
     def signature(e: DataFrame): (Long, Long) = {
@@ -263,7 +262,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val updated = smallStar(largeStar(edges)).localCheckpoint(true)
+      val updated = graft.Ckpt(smallStar(largeStar(edges)))
       val usig = signature(updated)
       converged = usig == sig
       edges = updated
@@ -301,12 +300,11 @@ object Dedup {
     */
   def pageRank(pairs: DataFrame, iters: Int = 5, scale: Long = 1000000L,
       dampingPct: Int = 85): DataFrame = {
-    val edges = pairs
+    val edges = graft.Ckpt(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
+    val ed = graft.Ckpt(edges.join(deg, Seq("src")))
     val base = scale * (100 - dampingPct) / 100
     var ranks = deg.select(col("src").as("id"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
@@ -494,9 +492,8 @@ object Dedup {
     // the round-unrolled PageRank — the two verified iterative algorithms
     // composed and hash-checked TOGETHER.
     "q_dedup_canonical" -> ((s, dir) =>
-      canonicalByRank(
-        nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id")
-          .localCheckpoint(true))),
+      canonicalByRank(graft.Ckpt(
+        nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id")))),
 
     // L2b (no oracle): SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>

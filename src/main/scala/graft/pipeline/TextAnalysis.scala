@@ -95,15 +95,12 @@ object TextAnalysis {
       overlap: Int = 8): DataFrame = {
     require(overlap < maxTokens, "overlap must be smaller than the window")
     val stride = maxTokens - overlap
-    val toks = tokens(col("text"))
-    val n = size(toks)
     // windows beyond the first only if tokens remain past the first window:
     // 1 + ceil((n - maxTokens) / stride) via (a + stride - 1) div stride
     val extra = greatest(lit(0),
       expr(s"(size(__toks) - $maxTokens + $stride - 1) div $stride"))
     docs
-      .withColumn("__toks", toks)
-      .withColumn("__n", n)
+      .withColumn("__toks", tokens(col("text")))
       .withColumn("chunk_idx", explode(sequence(lit(0), extra)))
       .withColumn("__w", slice(col("__toks"),
         col("chunk_idx") * stride + 1, lit(maxTokens)))

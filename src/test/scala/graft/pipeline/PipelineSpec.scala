@@ -692,6 +692,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("vector index: rebuilds are immutable versions behind an atomic marker") {
+    val d1 = VectorIndex.rebuild(spark, sf)
+    val d2 = VectorIndex.rebuild(spark, sf)
+    assert(d1 !== d2, "each rebuild must write a fresh version dir")
+    // the marker points at the newest complete version, and ensure() is a
+    // metadata-only read of it
+    assert(VectorIndex.ensure(spark, sf) === d2)
+    // the sweep keeps the current version plus at most one predecessor
+    // (readers in another process may be mid-scan on it)
+    val vs = Option(new java.io.File(d2).getParentFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+    assert(vs.length <= 2, s"stale versions not swept: ${vs.map(_.getName).toSeq}")
+    assert(vs.map(_.getAbsolutePath).contains(d2))
+  }
+
   test("pagerank: centers outrank leaves, symmetric nodes tie exactly") {
     import spark.implicits._
     // path 1–2–3: node 2 is the hub; 1 and 3 are symmetric → identical rank
