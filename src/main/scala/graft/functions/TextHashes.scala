@@ -41,6 +41,16 @@ object TextHashes {
   def shingleStrings(c: Column, n: Int = 3): Column =
     column(ShingleStrings(expression(c), n))
 
+  /** POSITIONAL md5 15-hex-char hashes of every n-word gram of normalized
+    * text, in start order and NOT distinct — `posexplode` recovers (start,
+    * hash). Where [[shingleStrings]] feeds set-semantics ops (MinHash),
+    * this feeds span REMOVAL, which must know every occurrence's position.
+    * Cross-engine twin of the oracle's
+    * `substr(md5(array_to_string(list_slice(toks, p, p+n-1), ' ')), 1, 15)`.
+    */
+  def spanMd5Hashes(c: Column, n: Int = 8): Column =
+    column(SpanMd5Hashes(expression(c), n))
+
   /** k-permutation MinHash signature of a hashed-shingle array: sig(p) =
     * min over h of xxhash64(h, seed = p).
     */
@@ -152,6 +162,52 @@ case class ShingleStrings(child: Expression, n: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): ShingleStrings =
+    copy(child = c)
+}
+
+/** md5 hex-15 hash of the n-word gram starting at each position (0-based,
+  * in order, one per start — no distinct): the positional gram index for
+  * span removal. Same normalization as [[ShingleStrings]]; texts shorter
+  * than n words yield an empty array.
+  */
+case class SpanMd5Hashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"span width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "span_md5_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+      .toLowerCase(Locale.ROOT).trim
+    val words = text.split("\\s+")
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](words.length - n + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j)); j += 1
+      }
+      md.reset()
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hx = new java.lang.StringBuilder(16)
+      var b = 0
+      while (b < 8) {
+        hx.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
+        hx.append(Character.forDigit(d(b) & 0xf, 16))
+        b += 1
+      }
+      out(i) = UTF8String.fromString(hx.substring(0, 15))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SpanMd5Hashes =
     copy(child = c)
 }
 

@@ -368,6 +368,47 @@ object Dedup {
         coalesce(sum(col("dup")), lit(0)).cast("long").as("n_dup_spans"))
   }
 
+  /** Exact-substring dedup APPLIED, not just counted (the removal step of
+    * Lee et al.'s dedup): a word is dropped iff it sits inside any l-gram
+    * whose hash appears in >= minDocs distinct documents; survivors are
+    * reassembled in order. Returns per doc (n_words, n_removed, clean_md5)
+    * — the md5 of the reassembled text hash-proves byte-exact removal
+    * without shipping document bodies through the result.
+    *
+    * Scale shape: all narrow keys — positional gram hashes explode per row
+    * (native one-pass [[graft.functions.TextHashes.spanMd5Hashes]]), the
+    * shared-gram set is one (hash) aggregation, dup starts come back on the
+    * same hash key, and coverage is a per-doc window: a word at position q
+    * is covered iff some duplicated gram STARTS in [q-l+1, q], which over
+    * dense positions is `max(flag) OVER (ROWS l-1 PRECEDING..CURRENT)` —
+    * linear in corpus size, never O(words x starts). Reassembly sorts only
+    * each doc's own kept words (bounded by doc length, no global sort).
+    */
+  def removeDuplicatedSpans(docs: DataFrame, l: Int = 8, minDocs: Int = 2): DataFrame = {
+    import graft.functions.TextHashes.spanMd5Hashes
+    val toks = docs.select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
+    val grams = docs.select(col("doc_id"),
+      posexplode(spanMd5Hashes(col("text"), l)).as(Seq("p", "h")))
+    val shared = grams.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    // one row per duplicated gram START (h determines (doc,p) uniquely here)
+    val dupStarts = grams.join(shared, Seq("h"))
+      .select(col("doc_id"), col("p").as("q"), lit(1).as("f"))
+    val words = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("q", "word")))
+    val cover = Window.partitionBy("doc_id").orderBy("q").rowsBetween(-(l - 1), 0)
+    words.join(dupStarts, Seq("doc_id", "q"), "left")
+      .withColumn("cov", max(coalesce(col("f"), lit(0))).over(cover))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("cov")).cast("long").as("n_removed"),
+        array_sort(collect_list(when(col("cov") === 0,
+          struct(col("q"), col("word"))))).as("kept"))
+      .select(col("doc_id"), col("n_words"), col("n_removed"),
+        md5(array_join(expr("transform(kept, s -> s.word)"), " ")).as("clean_md5"))
+  }
+
   /** Benchmark decontamination: per training document, how many of its
     * L-token windows appear in the benchmark set (the n-gram-overlap
     * contamination check every LLM training run does against its eval
@@ -409,6 +450,12 @@ object Dedup {
     // engine's output).
     "q_dedup_spans" -> ((s, dir) =>
       duplicatedSpans(T.documents(s, dir))),
+
+    // L2f (oracle hash-checked): exact-substring dedup APPLIED — duplicated
+    // 8-grams removed and the survivor text reassembled; clean_md5 proves
+    // the rewritten corpus byte-for-byte cross-engine.
+    "q_dedup_span_removal" -> ((s, dir) =>
+      removeDuplicatedSpans(T.documents(s, dir))),
 
     // L1: exact dedup — keep the smallest doc_id per normalized text. Keyed
     // on the 128-bit md5 of the normalized text, NOT the text itself, so the
@@ -617,7 +664,7 @@ object Dedup {
     * defines `edges`, `reach`, `labels` (id → component-min label). Callers
     * must open with WITH RECURSIVE.
     */
-  private val clusterLabelCtesSql: String =
+  private[pipeline] val clusterLabelCtesSql: String =
     """edges AS (
       |  SELECT doc_a AS x, doc_b AS y FROM pairs
       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -726,6 +773,37 @@ object Dedup {
         |  CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
         |FROM g LEFT JOIN shared s ON g.h = s.h
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_dedup_span_removal" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS p
+        |  FROM t),
+        |gh AS (
+        |  SELECT doc_id, p,
+        |    substr(md5(array_to_string(list_slice(toks, p, p + 7), ' ')), 1, 15) AS h
+        |  FROM g),
+        |shared AS (SELECT h FROM gh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |st AS (SELECT gh.doc_id, gh.p FROM gh JOIN shared s ON gh.h = s.h),
+        |w AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS q
+        |  FROM t),
+        |f AS (
+        |  SELECT w.doc_id, w.q, w.toks[w.q] AS word,
+        |    CASE WHEN st.p IS NULL THEN 0 ELSE 1 END AS fl
+        |  FROM w LEFT JOIN st ON w.doc_id = st.doc_id AND w.q = st.p),
+        |c AS (
+        |  SELECT doc_id, q, word,
+        |    max(fl) OVER (PARTITION BY doc_id ORDER BY q
+        |                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  CAST(sum(cov) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(word, ' ' ORDER BY q) FILTER (WHERE cov = 0), '')) AS clean_md5
+        |FROM c GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_minhash_md5" ->
       """WITH t AS (
         |  SELECT doc_id,

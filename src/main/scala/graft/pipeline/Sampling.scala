@@ -62,6 +62,27 @@ object Sampling {
         .otherwise(lit(Array.empty[Int]))))
   }
 
+  /** Leakage-safe train/val split: the split is decided by the hash bucket
+    * of the document's duplicate-CLUSTER label (near-dup components from
+    * [[Dedup.duplicateClusters]]; singletons key on their own id), so two
+    * near-duplicate documents can never straddle the split — the eval-set
+    * leakage a per-document split silently permits whenever the corpus
+    * wasn't perfectly deduped first.
+    *
+    * Scale shape: the component labels are the verified iterative min-label
+    * path (narrow joins per round over the LSH pair list); the split itself
+    * is one left join on doc_id + a per-row hash — no extra wide state.
+    */
+  def leakSafeSplit(docs: DataFrame, pairs: DataFrame, valPct: Int = 20): DataFrame = {
+    val labels = Dedup.duplicateClusters(pairs)
+      .select(col("id").as("doc_id"), col("label"))
+    docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("split",
+        when(hashBucket(coalesce(col("label"), col("doc_id"))) < valPct, lit("val"))
+          .otherwise(lit("train")))
+      .drop("label")
+  }
+
   /** Pack documents into fixed-token-budget shards, per source: docs are
     * laid out in (source, doc_id) order and a doc's shard is the bin its
     * START offset falls in — the sequence-packing layout step before
@@ -97,6 +118,17 @@ object Sampling {
           countDistinct(col("doc_id")).as("n_docs"))
     }),
 
+    // Leakage-safe split: every doc's split decided by its duplicate-cluster
+    // label's hash bucket (oracle re-derives the LSH pairs, resolves the
+    // components with a recursive CTE, and replays the bucket arithmetic —
+    // the full assignment is hash-checked, not just the counts).
+    "q_sample_split_safe" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      leakSafeSplit(docs,
+        Dedup.nearDuplicatePairsMd5(docs, "text", "doc_id"))
+        .select(col("doc_id"), col("split"))
+    }),
+
     // Token-budget shard packing: per (source, shard) fill profile
     // (oracle-checked; the window arithmetic is integer-exact).
     "q_sample_pack" -> ((s, dir) => {
@@ -130,6 +162,16 @@ object Sampling {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
         |FROM x GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sample_split_safe" ->
+      s"""WITH RECURSIVE ${Dedup.lshPairsMd5Sql()},
+         |${Dedup.clusterLabelCtesSql},
+         |keyed AS (
+         |  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS gkey
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id)
+         |SELECT doc_id,
+         |  CASE WHEN CAST(('0x' || substr(md5(CAST(gkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+         |       THEN 'val' ELSE 'train' END AS split
+         |FROM keyed ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sample_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,

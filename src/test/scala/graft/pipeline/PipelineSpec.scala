@@ -692,6 +692,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("span removal: drops exactly the cross-doc duplicated run, keeps the rest") {
+    import spark.implicits._
+    // docs 1 and 2 share an 8-word boilerplate run; their other words are
+    // unique. doc 3 is shorter than the gram width and must pass untouched.
+    val boiler = "all rights reserved contact us terms privacy cookies"
+    val a = s"alpha beta gamma $boiler delta"
+    val b = s"one two three four $boiler five"
+    val c = "tiny doc"
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, l = 8, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the shared run is 8 words; every 8-gram containing any of them also
+    // contains a unique flank word EXCEPT the run itself — so exactly the
+    // run's 8 words are covered in each doc
+    assert(out(1L) === ((12L, 8L, md5hex("alpha beta gamma delta"))))
+    assert(out(2L) === ((13L, 8L, md5hex("one two three four five"))))
+    assert(out(3L) === ((2L, 0L, md5hex("tiny doc"))))
+  }
+
+  test("leak-safe split: near-duplicate clusters never straddle the split") {
+    import spark.implicits._
+    // a 3-member chain cluster (1-2, 2-3) and two singletons
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L).toDF("doc_id")
+    val split = Sampling.leakSafeSplit(docs, pairs, valPct = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set(split(1L), split(2L), split(3L)).size === 1,
+      "all members of a duplicate cluster must land in the same split")
+    // and on real data: zero verified near-dup pairs straddle the split
+    val d = T.documents(spark, sf)
+    val realPairs = graft.Ckpt(Dedup.nearDuplicatePairsMd5(d, "text", "doc_id"))
+    val assign = Sampling.leakSafeSplit(d, realPairs).select("doc_id", "split")
+    val straddling = realPairs
+      .join(assign.toDF("doc_id", "sa"), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(assign.toDF("doc_id", "sb"), col("doc_b") === col("doc_id"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling === 0L)
+  }
+
   test("vector index: rebuilds are immutable versions behind an atomic marker") {
     val d1 = VectorIndex.rebuild(spark, sf)
     val d2 = VectorIndex.rebuild(spark, sf)
