@@ -122,31 +122,9 @@ object Dedup {
     * [[nearDuplicatePairs]] stays the fast path.
     */
   def nearDuplicatePairsMd5(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
-    import graft.functions.TextHashes.{jaccardLong, md5Hash60Array, minHashSigMd5, shingleStrings}
-    val r = k / bands
-    val sh = docs
-      .select(col(idCol).as("doc"), shingleStrings(col(textCol)).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .select(col("doc"), md5Hash60Array(col("shs")).as("hv"),
-        minHashSigMd5(col("shs"), k).as("sig"))
-    val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))
-    val banded = sh.select(col("doc"),
-      posexplode(bandSigs).as(Seq("band", "bsig")))
-    val candidates = banded
-      .select(col("band"), col("bsig"), col("doc").as("doc_a"))
-      .join(banded.select(col("band"), col("bsig"), col("doc").as("doc_b")),
-        Seq("band", "bsig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-    candidates
-      .join(sh.select(col("doc").as("doc_a"), col("hv").as("hv_a")), Seq("doc_a"))
-      .join(sh.select(col("doc").as("doc_b"), col("hv").as("hv_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(jaccardLong(col("hv_a"), col("hv_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-  }
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame =
+    DedupIndex.selfPairs(
+      DedupIndex.components(docs, textCol, idCol, k, bands), threshold)
 
   /** Duplicate clusters from a pair list: connected components by iterative
     * min-label propagation. Returns (id, label) where `label` is the
@@ -505,6 +483,44 @@ object Dedup {
     "q_dedup_near_md5" -> ((s, dir) =>
       nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id")),
 
+    // L2g (oracle hash-checked): the persisted dedup-index lifecycle
+    // (DedupIndex, the dedup analogue of the E65 vector index). Build:
+    // dump the persisted banded bucket table — the LSH join key rows every
+    // lookup hits; the oracle re-derives each from raw text.
+    "q_dedup_index_build" -> ((s, dir) =>
+      DedupIndex.buckets(s, dir)
+        .select(col("doc").as("doc_id"), col("band").cast("long").as("band"),
+          col("bsig"))),
+
+    // L2g': near-dup pairs FROM the persisted index must equal the
+    // from-scratch pipeline (oracle byte-identical to q_dedup_near_md5) —
+    // hash-proof that the persisted signatures/buckets are lossless.
+    "q_dedup_index_pairs" -> ((s, dir) =>
+      DedupIndex.selfPairs(DedupIndex.persisted(s, dir))),
+
+    // L2g'': incremental lookup — "today's crawl" (doc_id % 5 == 0)
+    // against the index over the already-kept corpus (the rest): which new
+    // docs near-duplicate a kept doc. The corpus text is never re-read.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      DedupIndex.lookup(
+        DedupIndex.components(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", "doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id")
+    }),
+
+    // L2g''': append maintenance — corpus index + appended batch must
+    // produce the SAME pair set as a from-scratch build over everything
+    // (signatures are per-doc maps; oracle byte-identical to
+    // q_dedup_near_md5, the E66 pattern for the dedup index).
+    "q_dedup_append_pairs" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      DedupIndex.selfPairs(DedupIndex.appendBatch(
+        DedupIndex.components(
+          docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", "doc_id"),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id"))
+    }),
+
     // L2e md5 twin (oracle hash-checked): connected components over the
     // md5 LSH pairs — the oracle resolves the same components with a
     // recursive CTE, so the min-label clustering is cross-engine-verified
@@ -621,7 +637,11 @@ object Dedup {
     * `src` is the relation the pipeline reads (any CTE/table with doc_id +
     * text) — [[Curation]] points it at its filtered survivor set.
     */
-  private[pipeline] def lshPairsMd5Sql(src: String = "documents"): String =
+  /** Just the signature + banding CTEs (`t`, `shx`, `hs`, `sig`, `banded`)
+    * — the oracle twin of [[DedupIndex.signatures]]+[[DedupIndex.banded]];
+    * `q_dedup_index_build` re-derives the persisted bucket table from this.
+    */
+  private[pipeline] def lshBandedCtesSql(src: String): String =
     s"""t AS (
       |  SELECT doc_id,
       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
@@ -645,7 +665,10 @@ object Dedup {
       |banded AS (
       |  SELECT doc_id, b.band,
       |    array_to_string(list_slice(sg, b.band * 2 + 1, b.band * 2 + 2), ',') AS bsig
-      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+      |  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b)""".stripMargin
+
+  private[pipeline] def lshPairsMd5Sql(src: String = "documents"): String =
+    s"""${lshBandedCtesSql(src)},
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM banded a JOIN banded b
@@ -659,6 +682,16 @@ object Dedup {
       |    JOIN hs y ON y.doc_id = c.doc_b
       |  WHERE round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
       |        CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) >= 0.5)""".stripMargin
+
+  /** The full from-scratch near-dup pair derivation — shared VERBATIM by
+    * `q_dedup_near_md5` (batch pipeline), `q_dedup_index_pairs` (persisted
+    * index), and `q_dedup_append_pairs` (corpus index + appended batch):
+    * all three paths must hash to the same pair set.
+    */
+  private lazy val nearMd5Sql: String =
+    s"""WITH ${lshPairsMd5Sql()}
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |ORDER BY ALL NULLS FIRST""".stripMargin
 
   /** Exact component labels over the md5 LSH pairs via a recursive CTE:
     * defines `edges`, `reach`, `labels` (id → component-min label). Callers
@@ -825,9 +858,30 @@ object Dedup {
         |      h -> xor(h, CAST(('0x' || substr(md5('perm|' || CAST(p AS VARCHAR)), 1, 15)) AS BIGINT))))),
         |    '|') AS sig
         |FROM hs ORDER BY ALL NULLS FIRST""".stripMargin,
-    "q_dedup_near_md5" ->
-      s"""WITH ${lshPairsMd5Sql()}
-         |SELECT doc_a, doc_b, jaccard FROM pairs
+    "q_dedup_near_md5" -> nearMd5Sql,
+    "q_dedup_index_build" ->
+      s"""WITH ${lshBandedCtesSql("documents")}
+         |SELECT doc_id, CAST(band AS BIGINT) AS band, bsig FROM banded
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // persisted-index pairs and append-merged pairs must both equal the
+    // from-scratch pipeline — byte-identical oracle, three ways proved
+    "q_dedup_index_pairs" -> nearMd5Sql,
+    "q_dedup_append_pairs" -> nearMd5Sql,
+    "q_dedup_incremental" ->
+      s"""WITH ${lshBandedCtesSql("documents")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_corpus, b.doc_id AS doc_new
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0)
+         |SELECT c.doc_corpus, c.doc_new,
+         |  round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
+         |        CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) AS jaccard
+         |FROM cand c
+         |  JOIN hs x ON x.doc_id = c.doc_corpus
+         |  JOIN hs y ON y.doc_id = c.doc_new
+         |WHERE round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
+         |      CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) >= 0.5
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_clusters_md5" -> clustersMd5Sql,
     // the log-star twin must land on the SAME exact components

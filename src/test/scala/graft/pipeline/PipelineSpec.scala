@@ -500,6 +500,47 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         comp.cellAssign, cells, 10)))
   }
 
+  test("dedup index: persisted ≡ fresh; append ≡ from-scratch; lookup finds cross-batch near-dups only") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // persisted components are lossless vs a fresh in-memory build
+    val docs = T.documents(spark, sf)
+    val fresh = DedupIndex.components(docs, "text", "doc_id")
+    val pers = DedupIndex.persisted(spark, sf)
+    assert(rows(pers.sigs) === rows(fresh.sigs))
+    assert(rows(pers.buckets) === rows(fresh.buckets))
+    // append maintenance: corpus-slice index + appended batch must be
+    // component-wise identical to the from-scratch build over everything
+    // (signatures are per-doc maps — nothing cross-document to lose)
+    val corpus = DedupIndex.components(
+      docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text", "doc_id")
+    val merged = DedupIndex.appendBatch(corpus,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id")
+    assert(rows(merged.sigs) === rows(fresh.sigs))
+    assert(rows(merged.buckets) === rows(fresh.buckets))
+    // planted incremental lookup: the batch's near-dup of a kept doc is
+    // found; its unrelated doc matches nothing; corpus-internal dups are
+    // NOT re-reported (the lookup only pairs corpus × batch)
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val kept = Seq(
+      (1L, base),
+      (2L, base + " extra"), // corpus-internal near-dup of 1
+      (3L, "completely different words about spark catalyst expression codegen internals")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, base + " again"), // near-dup of kept 1/2
+      (101L, "unrelated fresh content on streaming watermarks and state stores")
+    ).toDF("doc_id", "text")
+    val found = DedupIndex.lookup(
+      DedupIndex.components(kept, "text", "doc_id"), batch, "text", "doc_id")
+      .select("doc_corpus", "doc_new")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.nonEmpty && found.forall(_._2 == 100L),
+      s"only the planted near-dup batch doc may match: $found")
+    assert(found.contains((1L, 100L)))
+  }
+
   test("semantic dedup: hot-cell cap bounds the pairwise block, same removed-set") {
     import spark.implicits._
     // planted skew: ONE cell holds 50% of all rows (the near-duplicate-heavy
