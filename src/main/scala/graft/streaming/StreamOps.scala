@@ -147,6 +147,53 @@ object StreamOps {
       }
   }
 
+  /** Streaming incremental near-dedup against a PERSISTED corpus index —
+    * [[graft.pipeline.DedupIndex.lookup]] as a stream: each arriving doc
+    * computes its own md5 MinHash signature and band keys (stateless
+    * per-row maps), STREAM-STATIC joins the corpus bucket table on
+    * (band, bsig), verifies candidates by exact Jaccard against the STORED
+    * corpus shingle sets, and emits (doc_corpus, doc_new, jaccard). One
+    * persisted index serves the batch lookup and this stream.
+    *
+    * State shape: stream-static joins keep NO state (the static side is
+    * the same parquet the batch path reads, re-scanned per micro-batch and
+    * broadcast when small); the only stateful step is the within-watermark
+    * pair dedup — a pair colliding in b bands would otherwise emit b
+    * identical rows. The batch's candidates-then-join-back hv fetch can't
+    * work on a stream (it would be a stream-stream self join), so the
+    * batch doc's hashed shingle set rides the band explode instead —
+    * bands× per-row duplication, zero extra state.
+    */
+  def indexLookupStream(docs: DataFrame,
+      corpus: graft.pipeline.DedupIndex.Components,
+      textCol: String = "text", tsCol: String = "ts", k: Int = 8,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    import graft.functions.TextHashes.{jaccardLong, md5Hash60Array, minHashSigMd5, shingleStrings}
+    val r = k / bands
+    val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))))
+    docs
+      .withWatermark(tsCol, "10 minutes")
+      .withColumn("__shs", shingleStrings(col(textCol)))
+      .filter(size(col("__shs")) > 0)
+      .select(col("doc_id").as("doc_new"), col(tsCol),
+        md5Hash60Array(col("__shs")).as("hv_b"),
+        minHashSigMd5(col("__shs"), k).as("__sig"))
+      .select(col("doc_new"), col(tsCol), col("hv_b"),
+        posexplode(bandSigs).as(Seq("band", "bsig")))
+      .join(corpus.buckets
+        .select(col("band"), col("bsig"), col("doc").as("doc_corpus")),
+        Seq("band", "bsig"))
+      .filter(col("doc_corpus") =!= col("doc_new"))
+      .join(corpus.sigs.select(col("doc").as("doc_corpus"), col("hv").as("hv_a")),
+        Seq("doc_corpus"))
+      .withColumn("jaccard", round(jaccardLong(col("hv_a"), col("hv_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_corpus"), col("doc_new"), col(tsCol), col("jaccard"))
+      .dropDuplicatesWithinWatermark("doc_corpus", "doc_new")
+      .drop(tsCol)
+  }
+
   /** Stream-stream interval join — the canonical click↔impression
     * attribution shape: a click joins the impression it followed within
     * `horizon`. Both sides carry watermarks and the join condition bounds

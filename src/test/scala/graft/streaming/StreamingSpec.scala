@@ -70,6 +70,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ids.sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("stream-static index lookup: arriving near-dup of a kept doc matches once, unrelated docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val kept = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "completely different words about spark catalyst expression codegen internals")
+    ).toDF("doc_id", "text")
+    val ix = graft.pipeline.DedupIndex.components(kept, "text", "doc_id")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.indexLookupStream(
+      input.toDF().toDF("doc_id", "ts", "text"), ix)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ixlookup_out").start()
+    // batch 1: a near-dup of kept doc 1/2 and an unrelated doc
+    input.addData((100L, ts(0), base + " again"),
+      (101L, ts(1), "unrelated fresh content on streaming watermarks and state stores"))
+    q.processAllAvailable()
+    // batch 2: ANOTHER near-dup arriving later still matches the static side
+    input.addData((102L, ts(2), base + " once more"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_corpus, doc_new FROM ixlookup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every match pairs a corpus doc with a planted near-dup arrival; the
+    // unrelated doc 101 matches nothing; the within-watermark dedup means
+    // no (corpus, new) pair repeats despite multi-band collisions
+    assert(got.nonEmpty && got.forall(p => Set(100L, 102L)(p._2)), got.mkString(","))
+    assert(got.length === got.distinct.length, "pair emitted more than once")
+    assert(got.contains((1L, 100L)) && got.contains((1L, 102L)), got.mkString(","))
+  }
+
   test("streaming XML ingestion: readStream over the graft.xml format") {
     val dir = java.nio.file.Files.createTempDirectory("xmlstream").toFile
     val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
