@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, DotProduct, JaccardLong, Md5Hash60Array, MinHashSig, MinHashSigMd5, ShingleHashes, ShingleStrings, SimHash64, SimHashMd5, Sq8AsymSim, WordChunksMd5}
+import graft.functions.{ContentChunks, CosineLshBucket, CosineSim, DotProduct, JaccardLong, Md5Hash60Array, MinHashSig, MinHashSigMd5, ShingleHashes, ShingleStrings, SimHash64, SimHashMd5, SpanMd5Hashes, Sq8AsymSim, WordChunksMd5}
 
 /** SparkSessionExtensions registration (SURVEY.md §4.2 / the custom-operator
   * ladder): exposes the native dedup expressions to SQL, so
@@ -93,6 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => WordChunksMd5(c, 3)
         case Seq(c, b) => WordChunksMd5(c, b.eval().asInstanceOf[Int])
         case _ => throw new IllegalArgumentException("word_chunks_md5(text[, avgBits])")
+      }))
+    ext.injectFunction((FunctionIdentifier("span_md5_hashes"),
+      info("span_md5_hashes",
+        "_FUNC_(text[, n]) - positional md5 hashes of every n-word gram (span removal)"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SpanMd5Hashes(c, 8)
+        case Seq(c, n) => SpanMd5Hashes(c, n.eval().asInstanceOf[Int])
+        case _ => throw new IllegalArgumentException("span_md5_hashes(text[, n])")
       }))
     ext.injectFunction((FunctionIdentifier("md5_hash60_array"),
       info("md5_hash60_array",

@@ -109,6 +109,46 @@ object Curation {
     }.reduce(_.union(_))
   }
 
+  /** Incremental curation — the daily-ingest variant of [[curate]]: gate a
+    * NEW batch, dedup it against the already-ingested corpus AND within
+    * itself, sample. The corpus contributes only two side tables — its
+    * content-hash set (exact dedup) and its [[DedupIndex]] components (near
+    * dedup) — both of which a production pipeline persists (`DedupIndex`
+    * literally, the hash set as one more index component or a Bloom), so
+    * the corpus text is scanned once here and never at scale. Drop rules:
+    * a batch doc exact- or near-matching the corpus always drops (the
+    * corpus copy is first-seen); within the batch the larger id of every
+    * verified pair drops, exactly like [[stageNear]].
+    *
+    * Scale shape: per-row gates shrink the batch before anything wide; the
+    * exact stage is one hash-shuffle of the BATCH plus an anti-join against
+    * the fixed-width corpus hash set; the near stage is the E83 lookup
+    * (batch-only signatures, one (band, bsig) equi-join) plus the banded
+    * self-join of the batch survivors. Nothing in the job is proportional
+    * to corpus size except the two prebuilt side tables it reads.
+    */
+  def curateIncremental(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val gated = stageQuality(stageLang(batch))
+    val corpusHashes = corpus
+      .select(md5(Dedup.normText(col("text"))).as("h")).distinct()
+    val exact = gated
+      .withColumn("h", md5(Dedup.normText(col("text"))))
+      .groupBy("h")
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
+        col("text")), col("doc_id")).as("r"))
+      .join(corpusHashes, Seq("h"), "left_anti")
+      .select("r.doc_id", "r.lang", "r.source", "r.text")
+    val dropWithin = DedupIndex.selfPairs(
+      DedupIndex.components(exact, "text", "doc_id"))
+      .select(col("doc_b").as("doc_id"))
+    val dropCross = DedupIndex.lookup(
+      DedupIndex.components(corpus, "text", "doc_id"), exact, "text", "doc_id")
+      .select(col("doc_new").as("doc_id"))
+    val near = exact.join(dropWithin.union(dropCross).distinct(),
+      Seq("doc_id"), "left_anti")
+    stageSample(near).select("doc_id", "lang", "source")
+  }
+
   val queries: Map[String, Q] = Map(
     // North-star composition: the whole 5-stage curation chain, hash-checked
     // end to end (oracle re-derives every stage including the full LSH pair
@@ -118,7 +158,17 @@ object Curation {
 
     // Survivor funnel: one row per stage with the count entering/leaving it.
     "q_pipeline_funnel" -> ((s, dir) =>
-      funnel(T.documents(s, dir)))
+      funnel(T.documents(s, dir))),
+
+    // Incremental ingest: curate "today's crawl" (doc_id % 5 == 0) against
+    // the already-ingested corpus (the rest) — gates, exact + near dedup
+    // both against the corpus and within the batch, reproducible sample.
+    "q_pipeline_curate_incr" -> ((s, dir) => {
+      val docs = T.documents(s, dir).select("doc_id", "lang", "source", "text")
+      curateIncremental(
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    })
   )
 
   /** Shared oracle CTE chain re-deriving every stage. `lang_ok`/`qual`/
@@ -126,11 +176,14 @@ object Curation {
     * `exact` survivor set) re-derives stage 4's pair pipeline; `near`/`samp`
     * apply the drop rule and the hash-bucket sample.
     */
-  private val curateCtesSql: String =
+  /** Just the gate CTEs (`base` → `lang_ok` → `qual`), parameterized on the
+    * source relation — `q_pipeline_curate_incr` points them at the batch.
+    */
+  private def gateCtesSql(src: String): String =
     s"""base AS (
        |  SELECT doc_id, lang, source, text,
        |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-       |  FROM documents),
+       |  FROM $src),
        |lscore AS (
        |  SELECT doc_id, lang, source, text, toks,
        |    len(list_filter(toks, x -> list_contains(
@@ -148,7 +201,10 @@ object Curation {
        |  SELECT doc_id, lang, source, text, toks FROM lang_ok
        |  WHERE len(toks) >= 5
        |    AND round(CAST(len(list_distinct(toks)) AS DOUBLE) /
-       |              CAST(len(toks) AS DOUBLE), 6) >= 0.3),
+       |              CAST(len(toks) AS DOUBLE), 6) >= 0.3)""".stripMargin
+
+  private val curateCtesSql: String =
+    s"""${gateCtesSql("documents")},
        |exact AS (
        |  SELECT doc_id, lang, source, text FROM (
        |    SELECT doc_id, lang, source, text,
@@ -178,6 +234,55 @@ object Curation {
          |  UNION ALL SELECT 4, count(*) FROM exact
          |  UNION ALL SELECT 5, count(*) FROM near
          |  UNION ALL SELECT 6, count(*) FROM samp)
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    // Incremental ingest: gates over the batch only; exact anti-join vs the
+    // corpus content-hash set; near-dup candidates from ONE banded chain
+    // over batch-survivors ∪ corpus (disjoint id spaces: % 5) with the drop
+    // rule "batch doc drops on any corpus match, larger id drops within the
+    // batch"; then the hash-bucket sample.
+    "q_pipeline_curate_incr" ->
+      s"""WITH bsrc AS (
+         |  SELECT doc_id, lang, source, text FROM documents WHERE doc_id % 5 = 0),
+         |${gateCtesSql("bsrc")},
+         |exact0 AS (
+         |  SELECT doc_id, lang, source, text, h FROM (
+         |    SELECT doc_id, lang, source, text,
+         |      md5(array_to_string(toks, ' ')) AS h,
+         |      row_number() OVER (
+         |        PARTITION BY md5(array_to_string(toks, ' '))
+         |        ORDER BY doc_id) AS rn
+         |    FROM qual) WHERE rn = 1),
+         |chash AS (
+         |  SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+         |  FROM documents WHERE doc_id % 5 <> 0),
+         |exact AS (
+         |  SELECT e.doc_id, e.lang, e.source, e.text FROM exact0 e
+         |  WHERE NOT EXISTS (SELECT 1 FROM chash c WHERE c.h = e.h)),
+         |allsrc AS (
+         |  SELECT doc_id, text FROM exact
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |${Dedup.lshBandedCtesSql("allsrc")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE b.doc_id % 5 = 0
+         |    AND (a.doc_id % 5 <> 0 OR a.doc_id < b.doc_id)),
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b FROM cand c
+         |    JOIN hs x ON x.doc_id = c.doc_a
+         |    JOIN hs y ON y.doc_id = c.doc_b
+         |  WHERE round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
+         |        CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) >= 0.5),
+         |near AS (
+         |  SELECT e.doc_id, e.lang, e.source FROM exact e
+         |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = e.doc_id)),
+         |samp AS (
+         |  SELECT doc_id, lang, source FROM near
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 50)
+         |SELECT doc_id, lang, source FROM samp
          |ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

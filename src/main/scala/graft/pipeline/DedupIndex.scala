@@ -101,6 +101,11 @@ object DedupIndex {
     * bands and stored buckets, candidate pairs deduped as bare ids, exact
     * Jaccard from the stored corpus `hv` + the batch's own. The corpus text
     * is never re-read, never re-shingled, never shuffled.
+    *
+    * `k`/`bands` must match the values the index was built with: band keys
+    * are formatted signature slices, so a mismatch joins disjoint key
+    * spaces and silently matches nothing (the persisted index is always
+    * built with the defaults).
     */
   def lookup(ix: Components, batch: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {

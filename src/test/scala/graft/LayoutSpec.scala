@@ -169,6 +169,13 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.forall(_.getLong(1) >= 0)) // 60-bit: always positive
     assert(r2.forall(_.getInt(2) === 4))
     assert(r2.forall(_.getInt(3) > 0))
+    // positional span hashes: one hash per n-gram start, 15 hex chars each
+    val r3 = spark.sql(
+      """SELECT span_md5_hashes('a b c d', 3) AS h3,
+        |  span_md5_hashes('a b') AS h8""".stripMargin).collect()
+    assert(r3.head.getSeq[String](0).length === 2)
+    assert(r3.head.getSeq[String](0).forall(_.length === 15))
+    assert(r3.head.getSeq[String](1).isEmpty) // shorter than the gram width
   }
 
   test("GraftExtensions: vector expressions callable from SQL") {

@@ -847,4 +847,48 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     assert(kept.toSeq === Seq((2L, "en", "src0")))
   }
+
+  test("incremental curation: batch dedups against the corpus and itself, each planted offender drops") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over a lazy dog and runs far into " +
+      "the deep green forest of tall old trees on it"
+    val other = "a bright sun rises over the calm blue sea and warm sand " +
+      "while gulls glide past small white boats in the bay on it"
+    val corpus = Seq(
+      (1L, "en", "src0", base),
+      (9L, "en", "src0", other)
+    ).toDF("doc_id", "lang", "source", "text")
+    val batch = Seq(
+      // 10: German — gate drop
+      (10L, "de", "src1", "der hund und die katze ist nicht mit auf das haus"),
+      // 15: exact dup of corpus 1 modulo case/whitespace — corpus wins
+      (15L, "en", "src1", base.toUpperCase + "   "),
+      // 20: near-dup of corpus 1 (one word edit) — corpus wins via lookup
+      (20L, "en", "src1", base.replace("forest", "jungle")),
+      // 25 & 30: near-dups of EACH OTHER (both unrelated to the corpus):
+      // the larger id drops, the smaller survives
+      (25L, "en", "src2", "nine small lamps glow in the narrow stone hall " +
+        "while quiet monks copy long faded maps of far cold lands at night"),
+      (30L, "en", "src2", "nine small lamps glow in the narrow stone hall " +
+        "while quiet monks copy long faded maps of far cold lands at dawn"),
+      // 35: clean unrelated survivor
+      (35L, "en", "src3", "tall grey towers stand along the wide river bank " +
+        "as slow barges drift beneath the iron bridge at dusk tonight")
+    ).toDF("doc_id", "lang", "source", "text")
+    // expected survivors BEFORE the sample stage: 25 and 35; the 50% sample
+    // keeps those whose md5 bucket of doc_id lands below 50 (replayed here)
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 100
+    }
+    // 30 must drop even though its own near-dup partner 25 also has a small
+    // id: the within-batch rule is pairwise larger-id, not cluster-keep-one
+    assert(bucket(25L) < 50 || bucket(35L) < 50, "fixture ids must be sampleable")
+    val expected = Seq(25L, 35L).filter(bucket(_) < 50)
+    val kept = Curation.curateIncremental(batch, corpus).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(kept === expected, s"kept $kept, expected $expected")
+  }
 }
