@@ -35,7 +35,8 @@ object Bench {
   private val headline = Seq(
     "q_agg_group", "q_join_star", "q_win_rank", "q_dedup_exact_hash",
     "q_dedup_near", "q_sim_ann", "q_text_quality", "q_stream_session",
-    "q_sq8_ivf", "q_merge_upsert", "q_pq_build", "q_pq_ivfadc")
+    "q_sq8_ivf", "q_merge_upsert", "q_pq_build", "q_pq_ivfadc",
+    "q_dedup_index_build", "q_dedup_incremental")
 
   /** Materialize every output column of `df` (codegen'd hash, no collect).
     * bit_xor is overflow-free under ANSI mode and order-agnostic.
@@ -74,6 +75,10 @@ object Bench {
     // still skews the min/max spread at 3. q_pq_build stays an unconditional
     // rebuild, so the build cost is measured exactly once, in its own entry.
     try pipeline.VectorIndex.ensure(spark, sfDir)
+    catch { case _: Throwable => () }
+    // Same for the dedup signature index (its consumers other than the
+    // unconditional-rebuild q_dedup_index_build read it build-if-absent).
+    try pipeline.DedupIndex.ensure(spark, sfDir)
     catch { case _: Throwable => () }
     val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
       case None => 3
