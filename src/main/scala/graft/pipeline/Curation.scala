@@ -64,12 +64,20 @@ object Curation {
     * with map-side partial combine; no per-group sort).
     */
   def stageExact(docs: DataFrame): DataFrame =
+    exactKeyed(docs).drop("h")
+
+  /** [[stageExact]] with the content-hash key retained — the single
+    * definition of the exact-dedup stage; [[curateIncremental]] keeps `h`
+    * for its corpus anti-join.
+    */
+  private def exactKeyed(docs: DataFrame): DataFrame =
     docs
       .withColumn("h", md5(Dedup.normText(col("text"))))
       .groupBy("h")
       .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
         col("text")), col("doc_id")).as("r"))
-      .select("r.doc_id", "r.lang", "r.source", "r.text")
+      .select(col("h"), col("r.doc_id"), col("r.lang"), col("r.source"),
+        col("r.text"))
 
   /** Stage 4: drop the larger id of every LSH-verified near-dup pair among
     * the survivors. The anti-join key is the bare doc_id — document text
@@ -131,13 +139,13 @@ object Curation {
     val gated = stageQuality(stageLang(batch))
     val corpusHashes = corpus
       .select(md5(Dedup.normText(col("text"))).as("h")).distinct()
-    val exact = gated
-      .withColumn("h", md5(Dedup.normText(col("text"))))
-      .groupBy("h")
-      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"),
-        col("text")), col("doc_id")).as("r"))
-      .join(corpusHashes, Seq("h"), "left_anti")
-      .select("r.doc_id", "r.lang", "r.source", "r.text")
+    // checkpoint the gate+dedup tail: three consumers below (within-batch
+    // signatures, cross-corpus lookup, the final anti-join's left side)
+    // would each replay the gates otherwise
+    val exact = graft.Ckpt(
+      exactKeyed(gated)
+        .join(corpusHashes, Seq("h"), "left_anti")
+        .drop("h"))
     val dropWithin = DedupIndex.selfPairs(
       DedupIndex.components(exact, "text", "doc_id"))
       .select(col("doc_b").as("doc_id"))

@@ -504,7 +504,12 @@ object Dedup {
 
     // L2g'': incremental lookup — "today's crawl" (doc_id % 5 == 0)
     // against the index over the already-kept corpus (the rest): which new
-    // docs near-duplicate a kept doc. The corpus text is never re-read.
+    // docs near-duplicate a kept doc. NOTE the corpus components are built
+    // in-query here (the demo corpus is a SLICE of the table the persisted
+    // index covers in full), so this timing includes the corpus signature
+    // pass; the production path hands `lookup` DedupIndex.persisted(...)
+    // and computes signatures for the batch only — q_dedup_index_pairs is
+    // the row that hash-proves the persisted components.
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = T.documents(s, dir)
       DedupIndex.lookup(

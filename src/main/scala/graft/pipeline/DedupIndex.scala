@@ -52,17 +52,27 @@ object DedupIndex {
         minHashSigMd5(col("shs"), k).as("sig"))
   }
 
+  /** The band-key format, in ONE place: `bands` ','-joined slices of a
+    * k-row signature. Every producer of (band, bsig) keys — [[banded]],
+    * the persisted buckets, and the streaming lookup — must build them
+    * with this expression, or the equi-join spans disjoint key spaces and
+    * silently matches nothing.
+    */
+  private[graft] def bandKeys(sig: org.apache.spark.sql.Column, k: Int,
+      bands: Int): org.apache.spark.sql.Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws(",", slice(sig, b * r + 1, lit(r))))
+  }
+
   /** Banded signature rows (doc, band, bsig): the signature sliced into
     * `bands` bands of k/bands rows; `bsig` is the ','-joined slice — the
     * LSH bucket key. 24-ish bytes per row; the shingle arrays never enter
     * the bucket shuffle.
     */
-  def banded(sigs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame = {
-    val r = k / bands
-    val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws(",", slice(col("sig"), b * r + 1, lit(r))))
-    sigs.select(col("doc"), posexplode(bandSigs).as(Seq("band", "bsig")))
-  }
+  def banded(sigs: DataFrame, k: Int = 8, bands: Int = 4): DataFrame =
+    sigs.select(col("doc"),
+      posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "bsig")))
 
   /** Both components, lazily, from a corpus DataFrame. */
   def components(docs: DataFrame, textCol: String, idCol: String,

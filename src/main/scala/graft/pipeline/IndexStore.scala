@@ -70,6 +70,9 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
     currentVersion(d, sfDir).getOrElse(rebuild(sfDir)(build))
   }
 
+  // per-JVM monotonic tiebreak for same-millisecond rebuilds
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Unconditional build + persist into a fresh immutable version dir, then
     * marker swap by atomic move — concurrent readers (any process) keep
     * resolving a complete version throughout. Returns the new version dir.
@@ -78,12 +81,20 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val d = dir(sfDir)
     Files.createDirectories(Paths.get(d))
-    // nanotime-ordered so the sweep below can retain the newest predecessor
-    val v = f"v-${System.nanoTime()}%019d-${ProcessHandle.current().pid()}"
+    // Fingerprint the source BEFORE building: if the source is regenerated
+    // mid-build, the stale marker then mismatches on the next ensure() and
+    // triggers a fresh rebuild — stamping the fingerprint afterwards would
+    // instead certify an index built from data that no longer exists.
+    val fp = fingerprint(sfDir)
+    // Wall-clock-ordered names (epoch millis + per-JVM counter + pid) so
+    // the sweep's lexicographic "newest first" holds across JVM restarts
+    // and machines sharing storage — nanoTime has an arbitrary per-JVM
+    // origin and would misorder versions written by different processes.
+    val v = f"v-${System.currentTimeMillis()}%015d-${seq.incrementAndGet()}%06d-${ProcessHandle.current().pid()}"
     val vd = s"$d/$v"
     build(vd)
     val tmp = Paths.get(d, s".marker-$v")
-    Files.writeString(tmp, fingerprint(sfDir) + "\n" + v)
+    Files.writeString(tmp, fp + "\n" + v)
     Files.move(tmp, markerPath(d), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     sweepOldVersions(d, keep = Set(v))
@@ -104,7 +115,7 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
       val versions = Option(new java.io.File(d).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(f => f.isDirectory && f.getName.startsWith("v-"))
-        .sortBy(_.getName).reverse // newest first (zero-padded nanotime)
+        .sortBy(_.getName).reverse // newest first (zero-padded epoch millis)
       versions.filterNot(f => keep(f.getName)).drop(1).foreach(rm)
     } catch { case _: Throwable => () }
   }

@@ -344,11 +344,11 @@ object Similarity {
     // encode + both ADC LUTs — left lazy, the whole refinement chain
     // re-executes once per consumer per round (measured 32 s for what is
     // ~1 s materialized at sf0.1). The checkpointed table is M × ksub rows.
-    val sv = pqSubvectors(e).localCheckpoint(true)
-    var books = pqCodebookVectors(e).localCheckpoint(true)
+    val sv = graft.Ckpt(pqSubvectors(e))
+    var books = graft.Ckpt(pqCodebookVectors(e))
     var i = 0
     while (i < iters) {
-      books = pqUpdate(pqAssign(sv, books)).localCheckpoint(true)
+      books = graft.Ckpt(pqUpdate(pqAssign(sv, books)))
       i += 1
     }
     books

@@ -166,21 +166,20 @@ object StreamOps {
     */
   def indexLookupStream(docs: DataFrame,
       corpus: graft.pipeline.DedupIndex.Components,
-      textCol: String = "text", tsCol: String = "ts", k: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "ts", k: Int = 8,
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     import graft.functions.TextHashes.{jaccardLong, md5Hash60Array, minHashSigMd5, shingleStrings}
-    val r = k / bands
-    val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws(",", slice(col("__sig"), b * r + 1, lit(r))))
     docs
       .withWatermark(tsCol, "10 minutes")
       .withColumn("__shs", shingleStrings(col(textCol)))
       .filter(size(col("__shs")) > 0)
-      .select(col("doc_id").as("doc_new"), col(tsCol),
+      .select(col(idCol).as("doc_new"), col(tsCol),
         md5Hash60Array(col("__shs")).as("hv_b"),
         minHashSigMd5(col("__shs"), k).as("__sig"))
       .select(col("doc_new"), col(tsCol), col("hv_b"),
-        posexplode(bandSigs).as(Seq("band", "bsig")))
+        posexplode(graft.pipeline.DedupIndex.bandKeys(col("__sig"), k, bands))
+          .as(Seq("band", "bsig")))
       .join(corpus.buckets
         .select(col("band"), col("bsig"), col("doc").as("doc_corpus")),
         Seq("band", "bsig"))
