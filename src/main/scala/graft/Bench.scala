@@ -36,7 +36,7 @@ object Bench {
     "q_agg_group", "q_join_star", "q_win_rank", "q_dedup_exact_hash",
     "q_dedup_near", "q_sim_ann", "q_text_quality", "q_stream_session",
     "q_sq8_ivf", "q_merge_upsert", "q_pq_build", "q_pq_ivfadc",
-    "q_dedup_index_build", "q_dedup_incremental")
+    "q_dedup_index_build", "q_dedup_incremental", "q_dedup_index_lookup")
 
   /** Materialize every output column of `df` (codegen'd hash, no collect).
     * bit_xor is overflow-free under ANSI mode and order-agnostic.

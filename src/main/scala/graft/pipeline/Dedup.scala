@@ -518,6 +518,19 @@ object Dedup {
         docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id")
     }),
 
+    // L2g'''': the PERSISTED lookup path itself — the same batch against
+    // the full persisted index (which contains the batch too: "is this doc
+    // already indexed, and what does it collide with"); self-matches are
+    // excluded, batch↔batch collisions appear in both directions (the
+    // lookup is directional corpus→new). Batch-only signature computation
+    // + the stored buckets/sigs: a regression in the persisted read path
+    // lands in THIS row's hash and bench median.
+    "q_dedup_index_lookup" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      DedupIndex.lookup(DedupIndex.persisted(s, dir),
+        docs.filter(pmod(col("doc_id"), lit(5)) === 0), "text", "doc_id")
+    }),
+
     // L2g''': append maintenance — corpus index + appended batch must
     // produce the SAME pair set as a from-scratch build over everything
     // (signatures are per-doc maps; oracle byte-identical to
@@ -876,6 +889,22 @@ object Dedup {
     // from-scratch pipeline — byte-identical oracle, three ways proved
     "q_dedup_index_pairs" -> nearMd5Sql,
     "q_dedup_append_pairs" -> nearMd5Sql,
+    "q_dedup_index_lookup" ->
+      s"""WITH ${lshBandedCtesSql("documents")},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_corpus, b.doc_id AS doc_new
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bsig = b.bsig
+         |  WHERE b.doc_id % 5 = 0 AND a.doc_id <> b.doc_id)
+         |SELECT c.doc_corpus, c.doc_new,
+         |  round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
+         |        CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) AS jaccard
+         |FROM cand c
+         |  JOIN hs x ON x.doc_id = c.doc_corpus
+         |  JOIN hs y ON y.doc_id = c.doc_new
+         |WHERE round(CAST(len(list_intersect(x.hv, y.hv)) AS DOUBLE) /
+         |      CAST(len(list_distinct(x.hv || y.hv)) AS DOUBLE), 6) >= 0.5
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH ${lshBandedCtesSql("documents")},
          |cand AS (
