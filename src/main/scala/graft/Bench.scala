@@ -47,6 +47,32 @@ object Bench {
     ()
   }
 
+  /** FROZEN host-speed control — DO NOT EDIT ACROSS ROUNDS. A fixed
+    * scan+shuffle+join+agg workload built directly on the Spark API (no
+    * graft operator in the plan), timed median-of-3 BEFORE and AFTER the
+    * query sweep. The round-6 host-degradation episode (identical code,
+    * +32% twenty minutes apart, load <2/32) cost a round of bench signal
+    * because the slowdown was only arguable in prose; with `control_pre`/
+    * `control_post` in the JSON, a uniform host slowdown is
+    * machine-detectable (control moved ⇒ normalize; control flat ⇒ the
+    * query deltas are real), and drift DURING the sweep shows up as
+    * pre≠post.
+    */
+  private def control(spark: SparkSession, sfDir: String): Double = {
+    val times = (1 to 3).map { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      consume(li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag"), col("o_orderpriority"))
+        .agg(expr("sum(l_quantity) AS sq"), expr("avg(l_extendedprice) AS ae"),
+          expr("count(1) AS n")))
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -80,15 +106,24 @@ object Bench {
     // unconditional-rebuild q_dedup_index_build read it build-if-absent).
     try pipeline.DedupIndex.ensure(spark, sfDir)
     catch { case _: Throwable => () }
+    val controlPre = control(spark, sfDir)
     val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
       case None => 3
       case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
         sys.error(s"SPARK_GRAFT_BENCH_RUNS must be a positive int, got '$v'"))
     }
+    // Probe-harness escape hatch: the sf1 scaling probe (ScaleProbe data)
+    // must exclude the declared quadratic demos — they blow up by DESIGN at
+    // 10×, and one of them would eat the whole probe budget. Normal driver
+    // runs never set this, so the per-round sweep stays complete.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // results: name -> (median, min, max) over Runs timings (a query that
     // throws counts as failed once and keeps its single time-to-fail).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.filterNot(q => skip(q._1))
+      .sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var broken = false
       var r = 0
@@ -128,10 +163,11 @@ object Bench {
       .map(k => s"\"" + k + "\":" + f"${times(k)}%.3f")
       .mkString("{", ",", "}")
     val total = times.values.sum
+    val controlPost = control(spark, sfDir)
     spark.stop()
     // Printed after spark.stop() so this is the LAST stdout line (the driver
     // tail-parses; sbt trailers land on stderr under -error).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"runs":$Runs,"queries":$hl,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"skipped":${skip.size},"runs":$Runs,"control_pre":$controlPre%.3f,"control_post":$controlPost%.3f,"queries":$hl,"sf":"$sfDir"}""")
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
       sys.exit(1)

@@ -82,34 +82,58 @@ object Curation {
   /** Stage 4: drop the larger id of every LSH-verified near-dup pair among
     * the survivors. The anti-join key is the bare doc_id — document text
     * never rides this exchange.
+    *
+    * `precomputedPairs` (the persisted [[DedupIndex]] pair table) skips the
+    * in-query LSH derivation: near-dup pairs among a SUBSET of the corpus
+    * are exactly the corpus pairs with both endpoints in the subset (band
+    * keys and Jaccard are per-document/per-pair facts), so two semi-joins
+    * on bare ids replace the whole shingle→signature→band→verify pipeline —
+    * at 100 TB, the difference between an id-join job and a corpus re-scan.
     */
-  def stageNear(docs: DataFrame): DataFrame = {
-    val drop = Dedup.nearDuplicatePairsMd5(docs, "text", "doc_id")
-      .select(col("doc_b").as("doc_id")).distinct()
-    docs.join(drop, Seq("doc_id"), "left_anti")
+  def stageNear(docs: DataFrame, precomputedPairs: Option[DataFrame] = None):
+      DataFrame = {
+    val pairs = precomputedPairs match {
+      case Some(p) =>
+        val ids = docs.select(col("doc_id"))
+        p.join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      case None => Dedup.nearDuplicatePairsMd5(docs, "text", "doc_id")
+    }
+    docs.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Stage 5: reproducible hash-bucket sample (see [[Sampling.hashBucket]]). */
   def stageSample(docs: DataFrame, pct: Int = 50): DataFrame =
     docs.filter(Sampling.hashBucket(col("doc_id")) < pct)
 
-  /** The full chain; emits the curated (doc_id, lang, source). */
-  def curate(docs: DataFrame): DataFrame =
-    stageSample(stageNear(stageExact(stageQuality(stageLang(docs)))))
+  /** The full chain; emits the curated (doc_id, lang, source). With
+    * `precomputedPairs` the survivor set feeds three id-joins (two semi,
+    * one anti), so it is checkpointed once instead of re-deriving the
+    * gate+exact chain per consumer.
+    */
+  def curate(docs: DataFrame,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val exact = stageExact(stageQuality(stageLang(docs)))
+    val survivors =
+      if (precomputedPairs.isDefined) graft.Ckpt(exact) else exact
+    stageSample(stageNear(survivors, precomputedPairs))
       .select("doc_id", "lang", "source")
+  }
 
   /** Per-stage survivor counts (stage 1 = raw input … 6 = sampled), the
     * monitoring row every curation run logs. Each stage's count is its own
-    * aggregation over the shared lazy chain — the near-dup subtree is
-    * evaluated twice (stages 5 and 6); a production run would checkpoint
-    * between stages, but a diagnostic query keeps the plan pure.
+    * aggregation over the shared lazy chain; the stage-4 survivor set has
+    * multiple consumers (its own count + the near-dup stage), so it is
+    * checkpointed — the production pattern for a multi-consumer funnel.
     */
-  def funnel(docs: DataFrame): DataFrame = {
+  def funnel(docs: DataFrame,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val s1 = docs.select("doc_id", "lang", "source", "text")
     val s2 = stageLang(s1)
     val s3 = stageQuality(s2)
-    val s4 = stageExact(s3)
-    val s5 = stageNear(s4)
+    val s4 = graft.Ckpt(stageExact(s3))
+    val s5 = stageNear(s4, precomputedPairs)
     val s6 = stageSample(s5)
     Seq(s1, s2, s3, s4, s5, s6).zipWithIndex.map { case (df, i) =>
       df.agg(count(lit(1)).as("n_docs"))
@@ -157,25 +181,81 @@ object Curation {
     stageSample(near).select("doc_id", "lang", "source")
   }
 
+  /** [[curateIncremental]] over a PERSISTED [[DedupIndex]] that covers
+    * corpus ∪ batch (the production shape: the index is maintained by
+    * append as batches land, and the daily curation job only reads it):
+    *
+    *   - exact stage: anti-join the gated batch against the persisted
+    *     content-hash component, restricted to corpus ids;
+    *   - near stage: both drop sets come from the persisted PAIR table —
+    *     a batch survivor drops if it pairs with any corpus doc (cross) or
+    *     is the larger end of a pair between two survivors (within). Pair
+    *     facts depend only on their endpoints, so restricting the corpus
+    *     pair table by id-membership is exact, and `q_pipeline_curate_incr`
+    *     keeps hashing against the same oracle as the self-contained path.
+    *
+    * Nothing in this job reads corpus TEXT: the corpus contributes its id
+    * column (one pruned parquet scan) and two persisted side tables. The
+    * batch side still computes its own gates and hashes — it's new data.
+    */
+  def curateIncrementalIndexed(batch: DataFrame, corpusIds: DataFrame,
+      pairs: DataFrame, hashes: DataFrame): DataFrame = {
+    val cid = corpusIds.select(col(corpusIds.columns.head).as("cid"))
+    val gated = stageQuality(stageLang(batch))
+    val corpusHashes = hashes
+      .join(cid.select(col("cid").as("doc")), Seq("doc"), "left_semi")
+      .select("h").distinct()
+    val exact = graft.Ckpt(
+      exactKeyed(gated)
+        .join(corpusHashes, Seq("h"), "left_anti")
+        .drop("h"))
+    val ids = exact.select(col("doc_id"))
+    val dropWithin = pairs
+      .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_b").as("doc_id"))
+    // pairs are stored doc_a < doc_b — a survivor↔corpus pair can sit in
+    // either orientation, so both directions are collected
+    val dropCross = pairs
+      .join(cid.select(col("cid").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ids.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_b").as("doc_id"))
+      .union(pairs
+        .join(cid.select(col("cid").as("doc_b")), Seq("doc_b"), "left_semi")
+        .join(ids.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .select(col("doc_a").as("doc_id")))
+    val near = exact.join(dropWithin.union(dropCross).distinct(),
+      Seq("doc_id"), "left_anti")
+    stageSample(near).select("doc_id", "lang", "source")
+  }
+
   val queries: Map[String, Q] = Map(
     // North-star composition: the whole 5-stage curation chain, hash-checked
     // end to end (oracle re-derives every stage including the full LSH pair
-    // pipeline over the stage-3 survivors).
+    // pipeline over the stage-3 survivors). The near-dup stage reads the
+    // persisted DedupIndex pair table (two id semi-joins) instead of
+    // re-shingling the survivors — the r6 index-lifecycle principle applied
+    // to the composition itself.
     "q_pipeline_curate" -> ((s, dir) =>
-      curate(T.documents(s, dir).select("doc_id", "lang", "source", "text"))),
+      curate(T.documents(s, dir).select("doc_id", "lang", "source", "text"),
+        Some(DedupIndex.pairs(s, dir)))),
 
     // Survivor funnel: one row per stage with the count entering/leaving it.
     "q_pipeline_funnel" -> ((s, dir) =>
-      funnel(T.documents(s, dir))),
+      funnel(T.documents(s, dir), Some(DedupIndex.pairs(s, dir)))),
 
     // Incremental ingest: curate "today's crawl" (doc_id % 5 == 0) against
     // the already-ingested corpus (the rest) — gates, exact + near dedup
     // both against the corpus and within the batch, reproducible sample.
+    // The corpus side is served entirely by the persisted index (content
+    // hashes + pair table); corpus TEXT is never read — only its id column.
     "q_pipeline_curate_incr" -> ((s, dir) => {
       val docs = T.documents(s, dir).select("doc_id", "lang", "source", "text")
-      curateIncremental(
+      curateIncrementalIndexed(
         docs.filter(pmod(col("doc_id"), lit(5)) === 0),
-        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+        docs.filter(pmod(col("doc_id"), lit(5)) =!= 0).select("doc_id"),
+        DedupIndex.pairs(s, dir),
+        DedupIndex.contentHashes(s, dir))
     })
   )
 

@@ -489,18 +489,32 @@ object Dedup {
     // lookup hits; the oracle re-derives each from raw text.
     "q_dedup_index_build" -> ((s, dir) => {
       // unconditional rebuild (the q_pq_build pattern): this entry's bench
-      // median measures the index-time write pass, not a warm read
+      // median measures the index-time write pass — sigs, buckets, AND the
+      // verified pair table (round 7) — not a warm read. Carrying the pair
+      // join here is the point: every graph/curation query stops paying it.
       val vd = DedupIndex.rebuild(s, dir)
       s.read.parquet(vd + "/buckets")
         .select(col("doc").as("doc_id"), col("band").cast("long").as("band"),
           col("bsig"))
     }),
 
-    // L2g': near-dup pairs FROM the persisted index must equal the
-    // from-scratch pipeline (oracle byte-identical to q_dedup_near_md5) —
-    // hash-proof that the persisted signatures/buckets are lossless.
-    "q_dedup_index_pairs" -> ((s, dir) =>
-      DedupIndex.selfPairs(DedupIndex.persisted(s, dir))),
+    // L2g': the persisted PAIR TABLE must equal the from-scratch pipeline
+    // (oracle byte-identical to q_dedup_near_md5) — hash-proof that the
+    // whole persisted chain (sigs → buckets → verified pairs) is lossless.
+    // Every graph/curation consumer reads this table instead of
+    // re-shingling raw text, so this row is their correctness anchor.
+    "q_dedup_index_pairs" -> ((s, dir) => DedupIndex.pairs(s, dir)),
+
+    // L2h: index REMOVAL (takedowns/re-crawls) — drop docs doc_id % 7 == 0
+    // from the persisted index, then the pair set must equal a from-scratch
+    // build over the REDUCED corpus (oracle re-derives from
+    // `documents WHERE doc_id % 7 <> 0`): remove(B) ≡ build(corpus ∖ B),
+    // hash-proved. Pair membership depends only on the two endpoints, so
+    // the anti-join over the persisted pair table is exact, not approximate.
+    "q_dedup_remove_pairs" -> ((s, dir) =>
+      DedupIndex.removePairs(DedupIndex.pairs(s, dir),
+        T.documents(s, dir).select(col("doc_id"))
+          .filter(pmod(col("doc_id"), lit(7)) === 0))),
 
     // L2g'': incremental lookup — "today's crawl" (doc_id % 5 == 0)
     // against the index over the already-kept corpus (the rest): which new
@@ -546,10 +560,13 @@ object Dedup {
     // L2e md5 twin (oracle hash-checked): connected components over the
     // md5 LSH pairs — the oracle resolves the same components with a
     // recursive CTE, so the min-label clustering is cross-engine-verified
-    // end to end, not just unit-tested on planted chains.
+    // end to end, not just unit-tested on planted chains. The pair list
+    // comes from the PERSISTED index (`q_dedup_index_pairs` hash-proves it
+    // equal to the from-scratch pipeline), so this query's cost is the
+    // iteration itself — at 100 TB the corpus shingle pass is paid once at
+    // index build, not per analytics query.
     "q_dedup_clusters_md5" -> ((s, dir) => {
-      duplicateClusters(
-        nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id"))
+      duplicateClusters(DedupIndex.pairs(s, dir))
         .groupBy("label").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
@@ -558,27 +575,28 @@ object Dedup {
     // q_dedup_clusters_md5: both component algorithms (O(diameter)
     // min-label and O(log n) large/small-star) are hash-proved equivalent
     // end to end every round, not just unit-tested on planted chains.
+    // Persisted pair list, same as q_dedup_clusters_md5.
     "q_dedup_clusters_logstar" -> ((s, dir) => {
-      duplicateClustersLogStar(
-        nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id"))
+      duplicateClustersLogStar(DedupIndex.pairs(s, dir))
         .groupBy("label").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     }),
 
     // L2e''' — centrality within duplicate components (oracle hash-checked):
-    // 5 rounds of exact-integer PageRank over the md5 LSH pair graph; the
-    // oracle unrolls the identical rounds as a CTE chain, so every rank in
-    // the final state matches bit-for-bit.
+    // 5 rounds of exact-integer PageRank over the md5 LSH pair graph (read
+    // from the persisted index); the oracle unrolls the identical rounds as
+    // a CTE chain, so every rank in the final state matches bit-for-bit.
     "q_dedup_pagerank" -> ((s, dir) =>
-      pageRank(nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id"))),
+      pageRank(DedupIndex.pairs(s, dir))),
 
     // L2e'''' — canonical-by-centrality (oracle hash-checked): components
     // from the recursive-CTE-verified min-label path, canonical member from
     // the round-unrolled PageRank — the two verified iterative algorithms
-    // composed and hash-checked TOGETHER.
+    // composed and hash-checked TOGETHER, both reading the persisted pair
+    // table (already parquet-backed, so no extra checkpoint needed for its
+    // two consumers).
     "q_dedup_canonical" -> ((s, dir) =>
-      canonicalByRank(graft.Ckpt(
-        nearDuplicatePairsMd5(T.documents(s, dir), "text", "doc_id")))),
+      canonicalByRank(DedupIndex.pairs(s, dir))),
 
     // L2b (no oracle): SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) =>
@@ -889,6 +907,12 @@ object Dedup {
     // from-scratch pipeline — byte-identical oracle, three ways proved
     "q_dedup_index_pairs" -> nearMd5Sql,
     "q_dedup_append_pairs" -> nearMd5Sql,
+    // removal: anti-joined persisted pairs ≡ from-scratch build over the
+    // reduced corpus (the oracle re-derives everything from the survivors)
+    "q_dedup_remove_pairs" ->
+      s"""WITH ${lshPairsMd5Sql("(SELECT * FROM documents WHERE doc_id % 7 <> 0)")}
+         |SELECT doc_a, doc_b, jaccard FROM pairs
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_index_lookup" ->
       s"""WITH ${lshBandedCtesSql("documents")},
          |cand AS (

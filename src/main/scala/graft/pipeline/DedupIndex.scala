@@ -153,11 +153,47 @@ object DedupIndex {
       ix.buckets.unionByName(banded(bs, k, bands)))
   }
 
+  /** Remove documents from components (takedowns, re-crawls): anti-join
+    * both tables on the removed ids. Because signatures are per-document
+    * maps, the result is row-identical to a from-scratch build over
+    * corpus ∖ removed — `q_dedup_remove_pairs` hash-proves exactly that
+    * (oracle = the from-scratch pair SQL over the reduced corpus).
+    * `ids` may be any single-column DataFrame of document ids.
+    */
+  def removeBatch(ix: Components, ids: DataFrame): Components = {
+    val rem = ids.select(col(ids.columns.head).as("doc"))
+    Components(ix.sigs.join(rem, Seq("doc"), "left_anti"),
+      ix.buckets.join(rem, Seq("doc"), "left_anti"))
+  }
+
+  /** The pair-table analogue of [[removeBatch]]: drop every pair touching a
+    * removed id. Pair membership depends only on its two endpoints, so this
+    * equals [[selfPairs]] over the reduced components — no recompute needed
+    * when the pair table is already persisted.
+    */
+  def removePairs(pairs: DataFrame, ids: DataFrame): DataFrame = {
+    val rem = ids.select(col(ids.columns.head))
+    pairs
+      .join(rem.select(col(rem.columns.head).as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(rem.select(col(rem.columns.head).as("doc_b")), Seq("doc_b"), "left_anti")
+      .select(pairs.columns.map(col).toIndexedSeq: _*) // USING joins front the key
+  }
+
   // ---- persistence (documents.parquet of an sfDir) -----------------------
 
   private val store =
     new IndexStore("SPARK_GRAFT_DEDUP_INDEX_DIR", "graft-dedup-index",
       "documents.parquet")
+
+  /** The k / bands the persisted index is built with. Band keys are
+    * formatted signature slices, so reading with different parameters joins
+    * disjoint key spaces and silently matches nothing — the build records
+    * them in a version-dir meta file and [[checkParams]] asserts at read.
+    */
+  val builtK = 8
+  val builtBands = 4
+  /** Pair-verify threshold baked into the persisted `pairs` component. */
+  val builtThreshold = 0.5
 
   /** Index directory for one corpus dir (env-relocatable root). */
   def dir(sfDir: String): String = store.dir(sfDir)
@@ -166,27 +202,142 @@ object DedupIndex {
   def ensure(spark: SparkSession, sfDir: String): String =
     store.ensure(sfDir)(buildInto(spark, sfDir, _))
 
-  /** Unconditional build + persist of both components behind the atomic
-    * marker swap. Returns the new version dir.
+  /** Unconditional build + persist of all three components behind the
+    * atomic marker swap. Returns the new version dir.
     */
   def rebuild(spark: SparkSession, sfDir: String): String =
     store.rebuild(sfDir)(buildInto(spark, sfDir, _))
 
-  /** Buckets are derived from the PERSISTED signatures (not recomputed from
-    * text), so what lookups join against is exactly what the build wrote —
-    * no re-derivation seam (the [[VectorIndex]] build principle).
+  /** Each component is derived from the PERSISTED form of its predecessor
+    * (buckets from stored sigs, pairs from stored sigs+buckets), so what
+    * lookups join against is exactly what the build wrote — no
+    * re-derivation seam (the [[VectorIndex]] build principle). The verified
+    * pair table is a component too: connected components, PageRank,
+    * canonical selection, leak-safe splits, and curation all start from the
+    * pair list, and at 100 TB re-deriving it per analytics query re-pays
+    * the corpus shingle pass — persisting it makes those queries pure
+    * iteration over a parquet edge list (`q_dedup_index_pairs` hash-proves
+    * it equal to the from-scratch pipeline every round).
     */
   private def buildInto(spark: SparkSession, sfDir: String, vd: String): Unit = {
     signatures(T.documents(spark, sfDir), "text", "doc_id")
       .write.mode("overwrite").parquet(s"$vd/sigs")
-    banded(spark.read.parquet(s"$vd/sigs"))
+    banded(spark.read.parquet(s"$vd/sigs"), builtK, builtBands)
       .write.mode("overwrite").parquet(s"$vd/buckets")
+    selfPairs(Components(spark.read.parquet(s"$vd/sigs"),
+        spark.read.parquet(s"$vd/buckets")), builtThreshold)
+      .write.mode("overwrite").parquet(s"$vd/pairs")
+    // exact-dedup side table: the content hash of every document — the
+    // anti-join set incremental ingest dedups a new batch against, persisted
+    // so the daily job never reads corpus text (Curation.curateIncremental)
+    T.documents(spark, sfDir)
+      .select(col("doc_id").as("doc"),
+        md5(Dedup.normText(col("text"))).as("h"))
+      .write.mode("overwrite").parquet(s"$vd/hashes")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(vd, "_meta"),
+      s"k=$builtK\nbands=$builtBands\nthreshold=$builtThreshold\n")
   }
 
-  def sigs(s: SparkSession, sfDir: String): DataFrame =
-    s.read.parquet(ensure(s, sfDir) + "/sigs")
-  def buckets(s: SparkSession, sfDir: String): DataFrame =
-    s.read.parquet(ensure(s, sfDir) + "/buckets")
+  /** Assert the persisted index's build parameters match what the caller is
+    * about to join with — a k/bands mismatch would silently return zero
+    * matches (disjoint band-key spaces), which is strictly worse than
+    * failing. Pre-meta version dirs (none survive the v2 fingerprint bump)
+    * would fail here too, forcing a rebuild.
+    */
+  private def checkParams(vd: String, k: Int, bands: Int): String = {
+    val meta = java.nio.file.Paths.get(vd, "_meta")
+    val kv = java.nio.file.Files.readString(meta).linesIterator
+      .flatMap(_.split("=", 2) match {
+        case Array(a, b) => Some(a -> b); case _ => None
+      }).toMap
+    require(kv.get("k").contains(k.toString) &&
+        kv.get("bands").contains(bands.toString),
+      s"persisted dedup index at $vd was built with k=${kv.get("k")} " +
+        s"bands=${kv.get("bands")}, but k=$k bands=$bands requested — " +
+        "band keys would join disjoint key spaces; rebuild the index or " +
+        "use the built parameters")
+    vd
+  }
+
+  /** Tombstoned doc ids for `sfDir`'s index, if any. */
+  private def tombstones(s: SparkSession, sfDir: String): Option[DataFrame] = {
+    val td = store.tombstoneDir(sfDir)
+    if (new java.io.File(td).exists()) Some(s.read.parquet(td)) else None
+  }
+
+  private def minusTombstones(s: SparkSession, sfDir: String, df: DataFrame,
+      idCols: Seq[String]): DataFrame =
+    tombstones(s, sfDir).fold(df) { t =>
+      idCols.foldLeft(df)((acc, c) =>
+          acc.join(broadcast(t.select(col("doc").as(c))), Seq(c), "left_anti"))
+        .select(df.columns.map(col).toIndexedSeq: _*) // USING joins front the key
+    }
+
+  /** Logically remove documents from the PERSISTED index: their ids land in
+    * the `_tombstones` side table, which every reader anti-joins (broadcast
+    * — the list is tiny relative to the corpus). Durable across rebuilds
+    * and compactions: a takedown can never be resurrected by index
+    * maintenance, because tombstones live outside the version dirs and are
+    * never cleared by the store. Physical reclamation is [[compact]].
+    */
+  def tombstone(s: SparkSession, sfDir: String, ids: DataFrame): Unit = {
+    ensure(s, sfDir)
+    ids.select(col(ids.columns.head).cast("long").as("doc"))
+      .write.mode("append").parquet(store.tombstoneDir(sfDir))
+  }
+
+  /** Physically rewrite the served version without tombstoned rows (the
+    * `snapshotDiff` pattern: a fresh immutable version dir + marker swap,
+    * certified against the fingerprint the old marker carried — compaction
+    * derives from the OLD VERSION, not from a re-read of the source).
+    * Readers see identical results before and after (their anti-join
+    * becomes a no-op); space is reclaimed. Returns the new version dir.
+    */
+  def compact(s: SparkSession, sfDir: String): String = {
+    val old = store.servedVersion(sfDir).getOrElse(ensure(s, sfDir))
+    store.rewriteVersion(sfDir) { vd =>
+      minusTombstones(s, sfDir, s.read.parquet(s"$old/sigs"), Seq("doc"))
+        .write.mode("overwrite").parquet(s"$vd/sigs")
+      minusTombstones(s, sfDir, s.read.parquet(s"$old/buckets"), Seq("doc"))
+        .write.mode("overwrite").parquet(s"$vd/buckets")
+      minusTombstones(s, sfDir, s.read.parquet(s"$old/pairs"),
+          Seq("doc_a", "doc_b"))
+        .write.mode("overwrite").parquet(s"$vd/pairs")
+      minusTombstones(s, sfDir, s.read.parquet(s"$old/hashes"), Seq("doc"))
+        .write.mode("overwrite").parquet(s"$vd/hashes")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(old, "_meta"),
+        java.nio.file.Paths.get(vd, "_meta"))
+      ()
+    }
+  }
+
+  def sigs(s: SparkSession, sfDir: String, k: Int = builtK,
+      bands: Int = builtBands): DataFrame =
+    minusTombstones(s, sfDir,
+      s.read.parquet(checkParams(ensure(s, sfDir), k, bands) + "/sigs"),
+      Seq("doc"))
+  def buckets(s: SparkSession, sfDir: String, k: Int = builtK,
+      bands: Int = builtBands): DataFrame =
+    minusTombstones(s, sfDir,
+      s.read.parquet(checkParams(ensure(s, sfDir), k, bands) + "/buckets"),
+      Seq("doc"))
+
+  /** The persisted verified pair table (doc_a, doc_b, jaccard) — the edge
+    * list every graph/curation consumer starts from, read instead of
+    * re-deriving LSH signatures from raw text per query.
+    */
+  def pairs(s: SparkSession, sfDir: String, k: Int = builtK,
+      bands: Int = builtBands): DataFrame =
+    minusTombstones(s, sfDir,
+      s.read.parquet(checkParams(ensure(s, sfDir), k, bands) + "/pairs"),
+      Seq("doc_a", "doc_b"))
+
+  /** The persisted content-hash table (doc, h) — the exact-dedup side
+    * table incremental ingest anti-joins a new batch against.
+    */
+  def contentHashes(s: SparkSession, sfDir: String): DataFrame =
+    minusTombstones(s, sfDir, s.read.parquet(ensure(s, sfDir) + "/hashes"),
+      Seq("doc"))
 
   /** The persisted components of `sfDir`'s index (builds it if absent). */
   def persisted(s: SparkSession, sfDir: String): Components =

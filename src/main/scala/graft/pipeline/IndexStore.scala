@@ -6,41 +6,79 @@ package graft.pipeline
   *
   * Freshness + concurrency contract (identical for every index kind):
   * components live under an immutable version dir; a `_GRAFT_INDEX` marker
-  * records the source fingerprint (total size + max mtime of the source
-  * parquet) plus the current version name, and is replaced by an ATOMIC file
-  * move after a build completes. Readers resolve the marker once and only
-  * ever see a complete version — a concurrent rebuild (even from another
-  * JVM: the snapshot-pointer pattern of the table formats) writes a fresh
-  * version dir and swaps the pointer; a crash mid-build leaves the old
+  * records the source fingerprint (a digest over every file's path, size,
+  * and mtime) plus the current version name, and is replaced by an ATOMIC
+  * file move after a build completes. Readers resolve the marker once and
+  * only ever see a complete version — a concurrent rebuild (even from
+  * another JVM: the snapshot-pointer pattern of the table formats) writes a
+  * fresh version dir and swaps the pointer; a crash mid-build leaves the old
   * marker pointing at the old complete version. Superseded versions are
-  * swept on later rebuilds (the newest predecessor is retained for readers
-  * mid-flight on it). On a cluster the same layout lands on shared storage
-  * and the marker is the manifest.
+  * swept on later rebuilds (the newest predecessor is retained
+  * unconditionally, and anything younger than a grace period is retained
+  * regardless of position, so a long-lived reader several rebuilds behind
+  * is never unlinked mid-scan). On a cluster the same layout lands on
+  * shared storage and the marker is the manifest.
+  *
+  * Deletes: `_tombstones` (a parquet dir of removed ids) lives NEXT TO the
+  * versions, not inside one — logical removals survive both compaction and
+  * a staleness-triggered rebuild from the (unchanged) source, so a removed
+  * document can never be resurrected by index maintenance. Readers always
+  * anti-join it (a broadcast of a tiny id list; a no-op after compaction).
   */
+private[pipeline] object IndexStore {
+  /** Sweep grace period (see `sweepOldVersions`); a var only so tests can
+    * exercise both sides of the gate without 30-minute sleeps.
+    */
+  private[pipeline] var sweepGraceMs: Long = 30L * 60 * 1000
+}
+
 private[pipeline] final class IndexStore(envVar: String, defaultName: String,
     sourceFileName: String) {
 
   private def rootBase: String =
     sys.env.getOrElse(envVar, sys.props("java.io.tmpdir") + "/" + defaultName)
 
-  /** Index directory for one corpus dir (env-relocatable root). */
-  def dir(sfDir: String): String =
-    rootBase + "/" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+  /** Index directory for one corpus dir (env-relocatable root). The short
+    * path hash keeps DISTINCT corpora distinct even when the lossy character
+    * sanitization collides (e.g. `/a/b` vs `/a_b`) — without it, alternating
+    * `ensure()` calls from two such corpora would see fingerprint mismatches
+    * and rebuild/sweep each other's versions in a loop.
+    */
+  def dir(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(sfDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    rootBase + "/" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + h
+  }
 
-  /** Source fingerprint: total byte size + newest mtime of the source
-    * parquet (file or directory). Cheap (pure metadata) and catches the
-    * driver regenerating testdata between rounds.
+  /** Tombstone parquet dir for one corpus — OUTSIDE the version dirs (does
+    * not start with `v-`, so the sweep never touches it) and not covered by
+    * the marker: removals are durable across rebuilds and compactions.
+    */
+  def tombstoneDir(sfDir: String): String = dir(sfDir) + "/_tombstones"
+
+  /** Source fingerprint: an md5 digest folding every file's (relative path,
+    * size, mtime) plus the file count. Pure metadata (no content read), and
+    * — unlike the total-size+max-mtime scheme it replaced — detects a
+    * regeneration that keeps total bytes identical within the filesystem's
+    * mtime resolution, because any per-file size or path change lands in
+    * the digest.
     */
   private def fingerprint(sfDir: String): String = {
-    def walk(f: java.io.File): (Long, Long) =
+    val root = new java.io.File(s"$sfDir/$sourceFileName")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var n = 0
+    def walk(f: java.io.File, rel: String): Unit =
       if (f.isDirectory) {
         Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-          .map(walk).foldLeft((0L, 0L)) {
-            case ((s1, m1), (s2, m2)) => (s1 + s2, math.max(m1, m2))
-          }
-      } else (f.length(), f.lastModified())
-    val (sz, mt) = walk(new java.io.File(s"$sfDir/$sourceFileName"))
-    s"v1:$sz:$mt"
+          .sortBy(_.getName)
+          .foreach(c => walk(c, rel + "/" + c.getName))
+      } else {
+        n += 1
+        md.update(s"$rel:${f.length()}:${f.lastModified()}\n".getBytes("UTF-8"))
+      }
+    walk(root, "")
+    s"v2:$n:${md.digest().map("%02x".format(_)).mkString}"
   }
 
   private val lock = new Object
@@ -56,6 +94,22 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
     else java.nio.file.Files.readString(m).split("\n", 2) match {
       case Array(fp, v) if fp == fingerprint(sfDir) &&
           java.nio.file.Files.exists(java.nio.file.Paths.get(d, v)) =>
+        Some(s"$d/$v")
+      case _ => None
+    }
+  }
+
+  /** The version dir currently being served, regardless of freshness —
+    * compaction reads the components it is about to rewrite from here.
+    * None if no complete version exists.
+    */
+  def servedVersion(sfDir: String): Option[String] = lock.synchronized {
+    val d = dir(sfDir)
+    val m = markerPath(d)
+    if (!java.nio.file.Files.exists(m)) None
+    else java.nio.file.Files.readString(m).split("\n", 2) match {
+      case Array(_, v)
+          if java.nio.file.Files.exists(java.nio.file.Paths.get(d, v)) =>
         Some(s"$d/$v")
       case _ => None
     }
@@ -101,22 +155,57 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
     vd
   }
 
-  /** Best-effort GC of superseded version dirs: keeps `keep` plus the
-    * newest other version (a reader in another process may still be
-    * mid-scan on the immediate predecessor); anything older is removed.
-    * Failures are ignored — a later rebuild sweeps again.
+  /** Like [[rebuild]], but certifies the new version against the SAME
+    * fingerprint the currently-served marker carries (compaction: the new
+    * version derives from the old one, not from a re-read of the source, so
+    * re-fingerprinting the source here could certify a version built from
+    * components of a source that has since changed).
+    */
+  def rewriteVersion(sfDir: String)(build: String => Unit): String =
+    lock.synchronized {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val d = dir(sfDir)
+      val m = markerPath(d)
+      val fp = java.nio.file.Files.readString(m).split("\n", 2)(0)
+      val v = f"v-${System.currentTimeMillis()}%015d-${seq.incrementAndGet()}%06d-${ProcessHandle.current().pid()}"
+      val vd = s"$d/$v"
+      build(vd)
+      val tmp = Paths.get(d, s".marker-$v")
+      Files.writeString(tmp, fp + "\n" + v)
+      Files.move(tmp, m, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      sweepOldVersions(d, keep = Set(v))
+      vd
+    }
+
+  /** Versions younger than this are never swept, whatever their position —
+    * a long-lived reader (e.g. a running streaming lookup holding persisted
+    * DataFrames) two rebuilds behind keeps its files for at least this long.
+    */
+  private def sweepGraceMs = IndexStore.sweepGraceMs
+
+  /** Best-effort GC of superseded version dirs: keeps `keep`, the newest
+    * other version (a reader in another process may still be mid-scan on
+    * the immediate predecessor), and anything younger than the grace
+    * period; older survivors are removed. Failures are ignored — a later
+    * rebuild sweeps again.
     */
   private def sweepOldVersions(d: String, keep: Set[String]): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
       f.delete(); ()
     }
+    def bornAt(name: String): Long = // v-<epochmillis15>-...
+      name.split("-").lift(1).flatMap(_.toLongOption).getOrElse(Long.MaxValue)
     try {
+      val now = System.currentTimeMillis()
       val versions = Option(new java.io.File(d).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(f => f.isDirectory && f.getName.startsWith("v-"))
         .sortBy(_.getName).reverse // newest first (zero-padded epoch millis)
-      versions.filterNot(f => keep(f.getName)).drop(1).foreach(rm)
+      versions.filterNot(f => keep(f.getName)).drop(1)
+        .filter(f => now - bornAt(f.getName) > sweepGraceMs)
+        .foreach(rm)
     } catch { case _: Throwable => () }
   }
 }

@@ -142,6 +142,134 @@ object Multimodal {
       if (ts > 0 && dur >= 0) dur * 1000L / ts else -1L, w, h, tracks))
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real WebM/Matroska container metadata by EBML walking — the
+    * [[videoMeta]] posture for the other big video container (pure byte
+    * parsing, no codec): DocType from the EBML header, duration from
+    * Segment→Info (Duration × TimestampScale), presentation size from the
+    * largest Segment→Tracks→TrackEntry→Video (PixelWidth/PixelHeight), and
+    * the track count. Handles unknown-size elements (streamed WebM writes
+    * the Segment open-ended). Returns (doc_type, duration_ms, width,
+    * height, n_tracks); None when the payload isn't EBML.
+    */
+  def webmMeta(content: Array[Byte]):
+      Option[(String, Long, Int, Int, Int)] = try {
+    val n = content.length
+    def u(off: Int): Int = content(off) & 0xff
+    // EBML varint: leading-zero count of the first byte gives the width.
+    // IDs keep their marker bit (matching the spec's element-ID notation);
+    // sizes strip it. Returns (value, bytesConsumed); all-1s size payload
+    // means "unknown" → -1.
+    def vint(off: Int, keepMarker: Boolean): (Long, Int) = {
+      val b0 = u(off)
+      val len = Integer.numberOfLeadingZeros(b0) - 23 // 1..8 for b0 != 0
+      if (len < 1 || len > 8 || off + len > n) return (-2L, 0)
+      var v = if (keepMarker) b0.toLong else (b0 & (0xff >>> len)).toLong
+      var allOnes = !keepMarker && (b0 & (0xff >>> len)) == (0xff >>> len)
+      var i = 1
+      while (i < len) { val b = u(off + i); v = (v << 8) | b
+        allOnes &&= b == 0xff; i += 1 }
+      (if (allOnes) -1L else v, len)
+    }
+    def uintAt(off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | u(off + i); i += 1 }; v
+    }
+    var docType: String = null
+    var durTicks = -1.0; var tsScale = 1000000L // EBML default: 1 ms ticks
+    var w = 0; var h = 0; var tracks = 0
+    // ids: EBML=0x1A45DFA3 DocType=0x4282 Segment=0x18538067
+    //      Info=0x1549A966 TimestampScale=0x2AD7B1 Duration=0x4489
+    //      Tracks=0x1654AE6B TrackEntry=0xAE Video=0xE0
+    //      PixelWidth=0xB0 PixelHeight=0xBA
+    def walk(start: Int, end: Int): Unit = {
+      var o = start
+      while (o < end) {
+        val (id, idLen) = vint(o, keepMarker = true)
+        if (idLen == 0) return
+        val (sz, szLen) = vint(o + idLen, keepMarker = false)
+        if (szLen == 0 || sz == -2L || sz > n) return
+        val p = o + idLen + szLen
+        val pEnd = if (sz == -1L) end else p + sz.toInt
+        if (pEnd > end || pEnd <= o) return // malformed: stop
+        id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1549A966L | 0x1654AE6BL =>
+            walk(p, pEnd) // master elements we need: descend
+          case 0xAEL => tracks += 1; walk(p, pEnd)
+          case 0xE0L => walk(p, pEnd)
+          case 0x4282L =>
+            docType = new String(content, p, (pEnd - p), "ISO-8859-1").trim
+          case 0x2AD7B1L => tsScale = uintAt(p, pEnd - p)
+          case 0x4489L => // float, 4 or 8 bytes
+            if (pEnd - p == 4)
+              durTicks = java.lang.Float.intBitsToFloat(uintAt(p, 4).toInt)
+            else if (pEnd - p == 8)
+              durTicks = java.lang.Double.longBitsToDouble(uintAt(p, 8))
+          case 0xB0L => w = math.max(w, uintAt(p, pEnd - p).toInt)
+          case 0xBAL => h = math.max(h, uintAt(p, pEnd - p).toInt)
+          case _ => // skip
+        }
+        o = pEnd
+      }
+    }
+    if (n < 4 || uintAt(0, 4) != 0x1A45DFA3L) None
+    else {
+      walk(0, n)
+      val durMs =
+        if (durTicks >= 0) (durTicks * tsScale / 1e6).toLong else -1L
+      Some((if (docType == null) "" else docType, durMs, w, h, tracks))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real MP3 metadata from the ID3v2 tag header + the first Layer-III
+    * frame header — pure byte parsing (no codec; the [[videoMeta]]
+    * posture for compressed audio): (version `"MPEG1"|"MPEG2"|"MPEG2.5"`,
+    * bitrate_kbps, sample_rate_hz, channels, duration_ms CBR estimate over
+    * the post-tag payload, id3v2 present). None when no valid frame sync
+    * is found in the first 8 KiB after the tag (not an MP3).
+    */
+  def mp3Meta(content: Array[Byte]):
+      Option[(String, Int, Int, Int, Long, Boolean)] = try {
+    val n = content.length
+    def u(off: Int): Int = content(off) & 0xff
+    // ID3v2: "ID3" maj min flags size4(syncsafe: 7 bits/byte)
+    val hasId3 = n >= 10 && content(0) == 'I' && content(1) == 'D' &&
+      content(2) == '3'
+    val audioStart =
+      if (hasId3)
+        10 + ((u(6) << 21) | (u(7) << 14) | (u(8) << 7) | u(9))
+      else 0
+    val kbpsV1 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320)
+    val kbpsV2 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+      144, 160)
+    var o = audioStart
+    val scanEnd = math.min(n - 4, audioStart + 8192)
+    while (o >= 0 && o <= scanEnd) {
+      if (u(o) == 0xff && (u(o + 1) & 0xe0) == 0xe0) {
+        val verBits = (u(o + 1) >> 3) & 0x3   // 0=2.5, 2=MPEG2, 3=MPEG1
+        val layerBits = (u(o + 1) >> 1) & 0x3 // 1 = Layer III
+        val brIdx = (u(o + 2) >> 4) & 0xf
+        val srIdx = (u(o + 2) >> 2) & 0x3
+        if (verBits != 1 && layerBits == 1 && brIdx != 0 && brIdx != 15 &&
+            srIdx != 3) {
+          val ver = verBits match {
+            case 3 => "MPEG1"; case 2 => "MPEG2"; case _ => "MPEG2.5"
+          }
+          val kbps = (if (verBits == 3) kbpsV1 else kbpsV2)(brIdx)
+          val srBase = Array(44100, 48000, 32000)(srIdx)
+          val sr = verBits match {
+            case 3 => srBase; case 2 => srBase / 2; case _ => srBase / 4
+          }
+          val ch = if (((u(o + 3) >> 6) & 0x3) == 3) 1 else 2
+          val durMs = (n - o).toLong * 8L / kbps // bytes*8 / (kbps*1000) *1000
+          return Some((ver, kbps, sr, ch, durMs, hasId3))
+        }
+      }
+      o += 1
+    }
+    None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Full-raster pixel statistics via the JDK's OWN ImageIO decoders
     * (PNG/JPEG/GIF/BMP/WBMP all ship with the JDK — JPEG through its
     * baseline codec, golden-tested within lossy tolerance): width, height,

@@ -121,11 +121,11 @@ object Sampling {
     // Leakage-safe split: every doc's split decided by its duplicate-cluster
     // label's hash bucket (oracle re-derives the LSH pairs, resolves the
     // components with a recursive CTE, and replays the bucket arithmetic —
-    // the full assignment is hash-checked, not just the counts).
+    // the full assignment is hash-checked, not just the counts). The pair
+    // list is the persisted index's (q_dedup_index_pairs hash-proves it
+    // lossless) — the split job never re-shingles the corpus.
     "q_sample_split_safe" -> ((s, dir) => {
-      val docs = T.documents(s, dir)
-      leakSafeSplit(docs,
-        Dedup.nearDuplicatePairsMd5(docs, "text", "doc_id"))
+      leakSafeSplit(T.documents(s, dir), DedupIndex.pairs(s, dir))
         .select(col("doc_id"), col("split"))
     }),
 

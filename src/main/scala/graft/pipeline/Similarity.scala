@@ -748,17 +748,29 @@ object Similarity {
         .select(col("cell"), posexplode(col("cvec")).as(Seq("dim", "c")))
     }),
 
-    // The unlabeled-corpus IVF SEARCH over that quantizer: assign the
-    // corpus to the k-means cells, probe each query's nprobe nearest
-    // cells, exact cosine rerank on candidates only — with q_sim_kmeans
-    // this hash-checks the whole no-labels IVF lifecycle (build + search).
+    // The persisted k-means quantizer dumped as (cell, dim, c) — the
+    // `q_dedup_index_pairs` pattern for the unlabeled-corpus IVF: the
+    // oracle re-derives every Lloyd round from raw embeddings, so a hash
+    // match proves the PERSISTED centroids byte-equal a from-scratch
+    // build. (`q_sim_kmeans` keeps the from-scratch path as the anchor.)
+    "q_kmeans_build" -> ((s, dir) =>
+      VectorIndex.kmeansCells(s, dir)
+        .select(col("cell"), posexplode(col("cvec")).as(Seq("dim", "c")))),
+
+    // The unlabeled-corpus IVF SEARCH: probe each query's nprobe nearest
+    // PERSISTED k-means cells, candidates from the PERSISTED assignment
+    // (one hash join on cell + one on vec_id to attach vectors), exact
+    // cosine rerank on candidates only. r6 fused the 2-round Lloyd build
+    // into this query — the exact defect class the persisted index
+    // eliminated for PQ/SQ8 — so this median now measures search.
     "q_sim_ivf" -> ((s, dir) => {
       val e = T.embeddings(s, dir)
-      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
-      val cent = kmeansQuantizerMd5(corpus, 8, 2)
+      val cent = VectorIndex.kmeansCells(s, dir)
       val probes = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      ivfTopK(probes, assignCells(corpus, cent).drop("sim"),
+      val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+        .join(VectorIndex.kmeansAssign(s, dir), Seq("vec_id"))
+      ivfTopK(probes, corpus,
         cent.select(col("cell").as("clabel"), col("cvec")), 10, nprobe = 3)
     }),
 
@@ -941,6 +953,23 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       sq8IvfTopK(probes, merged.sq8Codes, VectorIndex.sq8Stats(s, dir),
         merged.cellAssign, VectorIndex.cells(s, dir), 10)
+    }),
+
+    // L3k'': index REMOVAL — the same search after removeBatch drops every
+    // vec_id ≡ 3 (mod 7) from the per-row components under the frozen
+    // quantizer (stats/cells untouched — the appendBatch mirror). The
+    // oracle re-derives the full-corpus quantizer but restricts the code
+    // table to the survivors: a hash match proves remove(B) ≡ encode of
+    // corpus ∖ B, and that no removed vector can surface in search results.
+    "q_sq8_ivf_remove" -> ((s, dir) => {
+      val e = T.embeddings(s, dir)
+      val reduced = VectorIndex.removeBatch(
+        VectorIndex.components(s, dir),
+        e.select(col("vec_id")).filter(pmod(col("vec_id"), lit(7)) === 3))
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      sq8IvfTopK(probes, reduced.sq8Codes, VectorIndex.sq8Stats(s, dir),
+        reduced.cellAssign, VectorIndex.cells(s, dir), 10)
     }),
 
     // L3h: IVFADC — the ADC scan restricted to each query's nprobe nearest
@@ -1169,6 +1198,9 @@ object Similarity {
     // under the frozen quantizer MUST equal the full index — so the oracle
     // is byte-identical to q_sq8_ivf's (defined right below via sq8IvfSql).
     "q_sq8_ivf_append" -> sq8IvfSql,
+    // removal: frozen quantizer (full-corpus stats/centroids), code table
+    // restricted to survivors — remove(B) ≡ encode(corpus ∖ B), hash-proved
+    "q_sq8_ivf_remove" -> sq8IvfSqlWhere("d.vec_id % 7 <> 3"),
     // IVF×SQ8 fully re-derived: SQ8 stats/codes/decode PLUS label
     // centroids, nearest-centroid corpus assignment, per-query nprobe=3
     // probe set, and the cell-pruned candidate join (each vector sits in
@@ -1412,6 +1444,12 @@ object Similarity {
       s"""WITH ${kmeansMd5Sql(8, 2)}
          |SELECT cell, CAST(dim - 1 AS INTEGER) AS dim, c
          |FROM m2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the persisted quantizer must hash-equal the from-scratch build —
+    // byte-identical oracle to q_sim_kmeans, the q_dedup_index_pairs pattern
+    "q_kmeans_build" ->
+      s"""WITH ${kmeansMd5Sql(8, 2)}
+         |SELECT cell, CAST(dim - 1 AS INTEGER) AS dim, c
+         |FROM m2 ORDER BY ALL NULLS FIRST""".stripMargin,
     // Unlabeled IVF search fully re-derived: the k-means chain above, the
     // corpus cell assignment against its final centroids, per-query
     // nprobe=3 probe set, and the exact cosine rerank within probed cells.
@@ -1564,8 +1602,12 @@ object Similarity {
     * nprobe=3 probe set, the cell-pruned candidate join, and every rounded
     * ranked score. Shared verbatim by `q_sq8_ivf` (persisted index) and
     * `q_sq8_ivf_append` (half index ∪ appendBatch) — both must hash to it.
+    * `q_sq8_ivf_remove` reuses the chain with `corpusPred` restricting the
+    * searchable code table to the surviving vec_ids, while the quantizer
+    * CTEs (stats/centroids) stay full-corpus — removal under a frozen
+    * quantizer, exactly what [[VectorIndex.removeBatch]] computes.
     */
-  private lazy val sq8IvfSql: String =
+  private def sq8IvfSqlWhere(corpusPred: String): String =
     s"""WITH $sq8BaseSql,
        |dec AS (
        |  SELECT vec_id, list_transform(generate_series(1, 64),
@@ -1605,13 +1647,15 @@ object Similarity {
        |    JOIN probes p ON p.qid = qv.qid
        |    JOIN acell a ON a.ccell = p.ccell
        |    JOIN dec d ON d.vec_id = a.vec_id
-       |  WHERE qv.qid != d.vec_id),
+       |  WHERE qv.qid != d.vec_id AND ($corpusPred)),
        |ranked AS (
        |  SELECT qid, vec_id, approx,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
        |  FROM sims)
        |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
        |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  private lazy val sq8IvfSql: String = sq8IvfSqlWhere("TRUE")
 
   private lazy val semanticDedupSql: String =
       """WITH ex AS (

@@ -81,22 +81,87 @@ object VectorIndex {
       .write.mode("overwrite").parquet(s"$vd/sq8_stats")
     Similarity.sq8Encode(e, spark.read.parquet(s"$vd/sq8_stats"))
       .write.mode("overwrite").parquet(s"$vd/sq8_codes")
+
+    // Unlabeled-corpus IVF: the deterministic k-means quantizer and its
+    // corpus assignment are index-time artifacts exactly like the PQ
+    // codebooks — r6 left them fused into `q_sim_ivf`'s search query
+    // (re-paying the 2-round Lloyd build per search); persisted, the
+    // search touches only these two side tables.
+    Similarity.kmeansQuantizerMd5(corpus, 8, 2)
+      .write.mode("overwrite").parquet(s"$vd/kmeans_cells")
+    Similarity.assignCells(corpus, spark.read.parquet(s"$vd/kmeans_cells"))
+      .select("vec_id", "cell")
+      .write.mode("overwrite").parquet(s"$vd/kmeans_assign")
   }
 
   // ---- component accessors (build-if-absent) ----------------------------
 
+  /** Tombstoned vec_ids, if any (see [[tombstone]]); per-row components are
+    * served minus them, quantizer components (books/cells/stats) are
+    * untouched — removal under a frozen quantizer, the mirror of
+    * [[appendBatch]].
+    */
+  private def tombstones(s: SparkSession, sfDir: String): Option[DataFrame] = {
+    val td = store.tombstoneDir(sfDir)
+    if (new java.io.File(td).exists()) Some(s.read.parquet(td)) else None
+  }
+
+  private def minusTombstones(s: SparkSession, sfDir: String,
+      df: DataFrame): DataFrame =
+    tombstones(s, sfDir).fold(df)(t =>
+      df.join(broadcast(t.select(col("vec").as("vec_id"))),
+          Seq("vec_id"), "left_anti")
+        .select(df.columns.map(col).toIndexedSeq: _*)) // USING joins front the key
+
+  /** Logically remove vectors from the PERSISTED index (takedowns): ids
+    * land in `_tombstones`, every per-row component reader anti-joins it
+    * (broadcast — tiny), and no search path can return a removed vector.
+    * Durable across rebuilds and compactions (the [[DedupIndex.tombstone]]
+    * contract). Physical reclamation is [[compact]].
+    */
+  def tombstone(s: SparkSession, sfDir: String, ids: DataFrame): Unit = {
+    ensure(s, sfDir)
+    ids.select(col(ids.columns.head).cast("long").as("vec"))
+      .write.mode("append").parquet(store.tombstoneDir(sfDir))
+  }
+
+  /** Physically rewrite the served version without tombstoned rows: fresh
+    * immutable version dir + marker swap, certified against the
+    * fingerprint the old marker carried (the new version derives from the
+    * OLD one, not from a source re-read). Quantizer components are copied
+    * through a read-write pass unchanged; per-row components drop the
+    * removed ids. Readers see identical results before and after.
+    */
+  def compact(s: SparkSession, sfDir: String): String = {
+    val old = store.servedVersion(sfDir).getOrElse(ensure(s, sfDir))
+    store.rewriteVersion(sfDir) { vd =>
+      Seq("pq_books", "cells", "sq8_stats", "kmeans_cells").foreach(c =>
+        s.read.parquet(s"$old/$c").write.mode("overwrite").parquet(s"$vd/$c"))
+      Seq("pq_codes", "cell_assign", "sq8_codes", "kmeans_assign").foreach(c =>
+        minusTombstones(s, sfDir, s.read.parquet(s"$old/$c"))
+          .write.mode("overwrite").parquet(s"$vd/$c"))
+      ()
+    }
+  }
+
   def pqBooks(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(ensure(s, sfDir) + "/pq_books")
   def pqCodes(s: SparkSession, sfDir: String): DataFrame =
-    s.read.parquet(ensure(s, sfDir) + "/pq_codes")
+    minusTombstones(s, sfDir, s.read.parquet(ensure(s, sfDir) + "/pq_codes"))
   def cells(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(ensure(s, sfDir) + "/cells")
   def cellAssign(s: SparkSession, sfDir: String): DataFrame =
-    s.read.parquet(ensure(s, sfDir) + "/cell_assign")
+    minusTombstones(s, sfDir,
+      s.read.parquet(ensure(s, sfDir) + "/cell_assign"))
   def sq8Stats(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(ensure(s, sfDir) + "/sq8_stats")
   def sq8Codes(s: SparkSession, sfDir: String): DataFrame =
-    s.read.parquet(ensure(s, sfDir) + "/sq8_codes")
+    minusTombstones(s, sfDir, s.read.parquet(ensure(s, sfDir) + "/sq8_codes"))
+  def kmeansCells(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(ensure(s, sfDir) + "/kmeans_cells")
+  def kmeansAssign(s: SparkSession, sfDir: String): DataFrame =
+    minusTombstones(s, sfDir,
+      s.read.parquet(ensure(s, sfDir) + "/kmeans_assign"))
 
   // ---- incremental maintenance -------------------------------------------
 
@@ -128,5 +193,20 @@ object VectorIndex {
       old.cellAssign.unionByName(
         Similarity.assignCells(corpus, cells).select("vec_id", "cell")),
       old.sq8Codes.unionByName(Similarity.sq8Encode(batch, sq8StatsRow)))
+  }
+
+  /** Remove vectors from components under a frozen quantizer — the inverse
+    * of [[appendBatch]]: anti-join every per-row table on the removed ids.
+    * Codes and assignments are per-row maps, so the result is row-identical
+    * to encoding corpus ∖ removed against the same quantizer
+    * (`q_sq8_ivf_remove` hash-proves the search over it). `ids` may be any
+    * single-column DataFrame of vec_ids.
+    */
+  def removeBatch(old: Components, ids: DataFrame): Components = {
+    val rem = ids.select(col(ids.columns.head).as("vec_id"))
+    Components(
+      old.pqCodes.join(rem, Seq("vec_id"), "left_anti"),
+      old.cellAssign.join(rem, Seq("vec_id"), "left_anti"),
+      old.sq8Codes.join(rem, Seq("vec_id"), "left_anti"))
   }
 }

@@ -193,6 +193,67 @@ object StreamOps {
       .drop(tsCol)
   }
 
+  /** Streaming ANN lookup against a PERSISTED vector index — the
+    * [[indexLookupStream]] pattern for the similarity side: each arriving
+    * vector becomes a top-k query over the persisted IVF×SQ8 components
+    * ([[graft.pipeline.VectorIndex]]), exactly what the batch
+    * `Similarity.sq8IvfTopK` computes, as a stream.
+    *
+    * Per arriving (vec_id, embedding, ts):
+    *   1. probe cells — the nprobe nearest coarse centroids, computed
+    *      per-row over ONE collected centroid array (centroids are tiny by
+    *      construction; batch `probeCells` uses a window function, which
+    *      streams can't — array_sort over struct(-sim, cell) reproduces its
+    *      exact (csim desc, cell) tie-break);
+    *   2. candidates — stream-static equi-join on cell against the
+    *      persisted assignment, then on vec_id against the persisted code
+    *      table (only ~nprobe/k of the code table is touched, the IVF
+    *      pruning shape);
+    *   3. score — asymmetric SQ8 against the broadcast 1-row stats;
+    *   4. top-k — a watermark-bounded windowed aggregation per query
+    *      (array_sort + slice reproduces the batch (approx desc, vec_id)
+    *      tie-break); results emit when the window closes.
+    *
+    * State: ONLY the open per-query windows (candidates of in-flight
+    * queries) — nothing proportional to the corpus; the corpus side is the
+    * same immutable parquet the batch path reads, re-scanned per
+    * micro-batch. Returns (qid, rank, vec_id, approx) ≡ the batch
+    * `sq8IvfTopK` rows for the same inputs (StreamingSpec proves equality).
+    */
+  def vectorLookupStream(vecs: DataFrame, cells: DataFrame,
+      cellAssign: DataFrame, sq8Codes: DataFrame, sq8StatsRow: DataFrame,
+      k: Int = 10, nprobe: Int = 3, tsCol: String = "ts",
+      windowLen: String = "10 minutes"): DataFrame = {
+    import graft.functions.VectorOps.{cosineSim, sq8AsymSim}
+    // tiny static sides, collected into one broadcastable row each
+    val centRow = cells
+      .agg(collect_list(struct(col("cell"), col("cvec"))).as("cents"))
+    val probed = vecs
+      .withWatermark(tsCol, "10 minutes")
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"), col(tsCol))
+      .crossJoin(broadcast(centRow))
+      .withColumn("__p",
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-round(cosineSim(col("qvec"), c.getField("cvec")), 6)).as("ns"),
+            c.getField("cell").as("cell")))), 1, nprobe)))
+      .select(col("qid"), col("qvec"), col(tsCol), col("__p.cell").as("cell"))
+    probed
+      .join(cellAssign.select("vec_id", "cell"), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .join(sq8Codes.withColumnRenamed("codes", "__codes"), Seq("vec_id"))
+      .crossJoin(broadcast(sq8StatsRow))
+      .withColumn("approx",
+        round(sq8AsymSim(col("qvec"), col("__codes"), col("mns"),
+          col("spans")), 6))
+      .groupBy(col("qid"), window(col(tsCol), windowLen))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("approx")).as("na"), col("vec_id"), col("approx")))),
+        1, k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("t.vec_id").as("vec_id"), col("t.approx").as("approx"))
+  }
+
   /** Stream-stream interval join — the canonical click↔impression
     * attribution shape: a click joins the impression it followed within
     * `horizon`. Both sides carry watermarks and the join condition bounds

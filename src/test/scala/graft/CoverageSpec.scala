@@ -204,8 +204,17 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val exact = SparkEntry.queries("q_text_topwords")(spark, dir)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(sketch === exact,
-      s"missed: ${exact -- sketch}; extra: ${sketch -- exact}")
+    // A count TIE at the 20th rank lets the two queries legitimately pick
+    // different words for the last slot(s), so equality is asserted only
+    // STRICTLY ABOVE the tie boundary (the 20th-ranked count), plus the
+    // count multiset — which is tie-insensitive — over the full top 20.
+    val boundary = exact.map(_._2).min
+    val exactAbove = exact.filter(_._2 > boundary)
+    val sketchAbove = sketch.filter(_._2 > boundary)
+    assert(sketchAbove === exactAbove,
+      s"missed: ${exactAbove -- sketchAbove}; extra: ${sketchAbove -- exactAbove}")
+    assert(sketch.toSeq.map(_._2).sorted === exact.toSeq.map(_._2).sorted,
+      "the (count-sorted) multiset of top-20 counts must agree")
   }
 
   test("LK: mergeUpsert takes the update row whole (explicit nulls win); diff classifies") {

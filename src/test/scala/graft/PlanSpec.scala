@@ -285,17 +285,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //  - q_sim_topk: the declared brute-force baseline (5 probes broadcast)
     //  - q_pq_adc / q_pq_adc_hashinit / q_pq_ivfadc / q_pq_rerank: 1-row
     //    ADC LUT attach
-    //  - q_sq8_codes / q_sq8_topk / q_sq8_ivf / q_sq8_ivf_append: 1-row
-    //    trained-stats attach (the SQ8 quantizer row)
+    //  - q_sq8_codes / q_sq8_topk / q_sq8_ivf / q_sq8_ivf_append /
+    //    q_sq8_ivf_remove: 1-row trained-stats attach (the SQ8 quantizer row)
     //  - q_sim_ivf_assign / q_sim_kmeans / q_sim_ivf /
     //    q_dedup_semantic(_capped): <=10-row centroid argmax broadcast
+    //    (q_sim_ivf now reads the PERSISTED quantizer — the surviving BNLJ
+    //    is the probe step's 8-row centroid broadcast only)
     //  - q_text_tfidf: 1-row corpus doc-count attach
     val bnljOk = Set(
       "q_dedup_semantic", "q_dedup_semantic_capped", "q_join_cross",
       "q_pq_adc", "q_pq_adc_hashinit", "q_pq_ivfadc", "q_pq_rerank",
       "q_sim_ivf", "q_sim_ivf_assign", "q_sim_kmeans", "q_sim_topk",
-      "q_sq8_codes", "q_sq8_ivf", "q_sq8_ivf_append", "q_sq8_topk",
-      "q_text_tfidf")
+      "q_sq8_codes", "q_sq8_ivf", "q_sq8_ivf_append", "q_sq8_ivf_remove",
+      "q_sq8_topk", "q_text_tfidf")
     val cart = scala.collection.mutable.SortedSet.empty[String]
     val bnlj = scala.collection.mutable.SortedSet.empty[String]
     // sparkPlan = the planned physical tree (no AQE re-plan — the guardrail

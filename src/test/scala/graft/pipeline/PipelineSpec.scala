@@ -541,6 +541,121 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(found.contains((1L, 100L)))
   }
 
+  test("vector index: persisted kmeans quantizer ≡ fresh build; persisted-path IVF search ≡ fused-path search") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val e = T.embeddings(spark, sf)
+    val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
+    // the parquet round trip is lossless: persisted centroids == fresh Lloyd
+    val fresh = Similarity.kmeansQuantizerMd5(corpus, 8, 2)
+    assert(rows(VectorIndex.kmeansCells(spark, sf)) === rows(fresh))
+    // the persisted-path search (what q_sim_ivf now runs) returns exactly
+    // what the r6 fused-path search did — the reroute changed the plan, not
+    // one result row
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val persistedPath = Similarity.ivfTopK(probes,
+      corpus.join(VectorIndex.kmeansAssign(spark, sf), Seq("vec_id")),
+      VectorIndex.kmeansCells(spark, sf)
+        .select(col("cell").as("clabel"), col("cvec")), 10, nprobe = 3)
+    val fusedPath = Similarity.ivfTopK(probes,
+      Similarity.assignCells(corpus, fresh).drop("sim"),
+      fresh.select(col("cell").as("clabel"), col("cvec")), 10, nprobe = 3)
+    assert(rows(persistedPath) === rows(fusedPath))
+  }
+
+  test("index removal: remove(B) ≡ build(corpus ∖ B) for pairs and codes; no removed id in any result") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // dedup side: anti-joined persisted components (and the persisted pair
+    // table) must equal a from-scratch build over the reduced corpus —
+    // signatures and pairs are per-endpoint facts, nothing cross-document
+    val docs = T.documents(spark, sf)
+    val removedDocs = docs.select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(7)) === 0)
+    val reducedPairs = DedupIndex.selfPairs(
+      DedupIndex.removeBatch(DedupIndex.persisted(spark, sf), removedDocs))
+    val scratchPairs = DedupIndex.selfPairs(DedupIndex.components(
+      docs.filter(pmod(col("doc_id"), lit(7)) =!= 0), "text", "doc_id"))
+    val tablePairs = DedupIndex.removePairs(
+      DedupIndex.pairs(spark, sf), removedDocs)
+    assert(rows(reducedPairs) === rows(scratchPairs))
+    assert(rows(tablePairs) === rows(scratchPairs))
+    // vector side: removeBatch under the frozen quantizer equals encoding
+    // the reduced corpus against the same quantizer, and no removed vec_id
+    // can surface in search results
+    val e = T.embeddings(spark, sf)
+    val removedVecs = e.select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(7)) === 3)
+    val reduced = VectorIndex.removeBatch(
+      VectorIndex.components(spark, sf), removedVecs)
+    val stats = VectorIndex.sq8Stats(spark, sf)
+    assert(rows(reduced.sq8Codes) === rows(Similarity.sq8Encode(
+      e.filter(pmod(col("vec_id"), lit(7)) =!= 3), stats)))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val hits = Similarity.sq8IvfTopK(probes, reduced.sq8Codes, stats,
+      reduced.cellAssign, VectorIndex.cells(spark, sf), 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.forall(_ % 7 != 3), s"removed vec_ids surfaced: $hits")
+  }
+
+  test("dedup index tombstones: durable logical deletes; compact rewrites without changing results") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // private corpus copy — tombstones are durable, so the shared testdata
+    // index must never be tombstoned from a test
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tomb-test").toString
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    Seq(
+      (1L, "en", "src0", base),
+      (2L, "en", "src0", base + " extra"),     // near-dup of 1
+      (3L, "en", "src1", base + " indeed"),    // near-dup of 1 and 2
+      (4L, "en", "src1", "entirely different words about catalyst codegen and tungsten memory layout")
+    ).toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val before = rows(DedupIndex.pairs(spark, dir))
+      assert(before.nonEmpty, "fixture must produce near-dup pairs")
+      // tombstone doc 2: every reader hides it, no pair touches it
+      DedupIndex.tombstone(spark, dir, Seq(2L).toDF("doc_id"))
+      assert(!DedupIndex.sigs(spark, dir).collect().map(_.getLong(0))
+        .contains(2L))
+      val afterPairs = DedupIndex.pairs(spark, dir)
+      assert(rows(afterPairs) === rows(DedupIndex.selfPairs(
+        DedupIndex.components(
+          T.documents(spark, dir).filter(col("doc_id") =!= 2L),
+          "text", "doc_id"))),
+        "tombstoned pairs must equal the reduced-corpus build")
+      // lookup against the persisted index never returns a removed doc
+      val batch = Seq((100L, base + " again")).toDF("doc_id", "text")
+      val found = DedupIndex.lookup(DedupIndex.persisted(spark, dir),
+        batch, "text", "doc_id")
+        .select("doc_corpus").collect().map(_.getLong(0)).toSet
+      assert(found.contains(1L) && !found.contains(2L),
+        s"lookup must match 1 but never tombstoned 2: $found")
+      // compact: physically rewrites a fresh version, results unchanged,
+      // and the removal survives (tombstones are never cleared)
+      val served = rows(afterPairs)
+      val vd = DedupIndex.compact(spark, dir)
+      assert(rows(DedupIndex.pairs(spark, dir)) === served)
+      assert(!spark.read.parquet(s"$vd/sigs").collect()
+        .map(_.getLong(0)).contains(2L),
+        "compacted files must not contain the removed doc")
+      assert(!DedupIndex.contentHashes(spark, dir).collect()
+        .map(_.getLong(0)).contains(2L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      rm(new java.io.File(DedupIndex.dir(dir)))
+    }
+  }
+
   test("semantic dedup: hot-cell cap bounds the pairwise block, same removed-set") {
     import spark.implicits._
     // planted skew: ONE cell holds 50% of all rows (the near-duplicate-heavy
@@ -637,6 +752,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // seams don't cross-match
     assert(Multimodal.imageDims(mp4) === None)
     assert(Multimodal.audioMeta(mp4) === None)
+  }
+
+  test("multimodal: WebM EBML walk and MP3 frame header read real metadata") {
+    // handcraft a minimal WebM: EBML{DocType} Segment(unknown size){
+    //   Info{TimestampScale, Duration} Tracks{TrackEntry{Video{W,H}}}}
+    def elem(id: Array[Int], payload: Array[Byte]): Array[Byte] = {
+      require(payload.length < 127)
+      id.map(_.toByte) ++ Array((0x80 | payload.length).toByte) ++ payload
+    }
+    def u32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val info = elem(Seq(0x15, 0x49, 0xa9, 0x66).toArray,
+      elem(Seq(0x2a, 0xd7, 0xb1).toArray, u32(1000000L)) ++
+        elem(Seq(0x44, 0x89).toArray,
+          u32(java.lang.Float.floatToIntBits(12500f) & 0xffffffffL)))
+    val video = elem(Seq(0xe0).toArray,
+      elem(Seq(0xb0).toArray, Array[Byte](0x05, 0x00)) ++     // 1280
+        elem(Seq(0xba).toArray, Array[Byte](0x02, 0xd0.toByte))) // 720
+    val tracks = elem(Seq(0x16, 0x54, 0xae, 0x6b).toArray,
+      elem(Seq(0xae).toArray, video))
+    val ebml = elem(Seq(0x1a, 0x45, 0xdf, 0xa3).toArray,
+      elem(Seq(0x42, 0x82).toArray, "webm".getBytes("ISO-8859-1")))
+    // Segment with UNKNOWN size (streamed-WebM shape): 1-byte vint 0xFF
+    val segment = Seq(0x18, 0x53, 0x80, 0x67).toArray.map(_.toByte) ++
+      Array(0xff.toByte) ++ info ++ tracks
+    val webm = ebml ++ segment
+    assert(Multimodal.webmMeta(webm) === Some(("webm", 12500L, 1280, 720, 1)))
+    assert(Multimodal.webmMeta("not an ebml stream".getBytes) === None)
+    assert(Multimodal.webmMeta(Array.empty[Byte]) === None)
+    // the seams don't cross-match
+    assert(Multimodal.videoMeta(webm) === None)
+
+    // minimal MP3: 10-byte empty ID3v2 tag + one MPEG1 Layer III frame
+    // header (128 kbps, 44.1 kHz, joint stereo) + CBR filler to 1600 bytes
+    // post-tag → duration = 1600·8/128 = 100 ms
+    val id3 = "ID3".getBytes ++ Array[Byte](3, 0, 0, 0, 0, 0, 0)
+    val frame = Array(0xff, 0xfb, 0x90, 0x40).map(_.toByte)
+    val mp3 = id3 ++ frame ++ Array.fill[Byte](1596)(0)
+    assert(Multimodal.mp3Meta(mp3) ===
+      Some(("MPEG1", 128, 44100, 2, 100L, true)))
+    // bare frame with no tag; mono MPEG2 at 24 kHz, 64 kbps
+    val mp3v2 = Array(0xff, 0xf3, 0x84, 0xc0).map(_.toByte) ++
+      Array.fill[Byte](796)(0)
+    assert(Multimodal.mp3Meta(mp3v2) === Some(("MPEG2", 64, 24000, 1, 100L, false)))
+    assert(Multimodal.mp3Meta("not an mp3 either".getBytes) === None)
+    assert(Multimodal.mp3Meta(webm) === None)
   }
 
   test("multimodal resize/frame-sample stubs keep byte accounting exact") {
@@ -777,19 +938,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("vector index: rebuilds are immutable versions behind an atomic marker") {
-    val d1 = VectorIndex.rebuild(spark, sf)
-    val d2 = VectorIndex.rebuild(spark, sf)
-    assert(d1 !== d2, "each rebuild must write a fresh version dir")
-    // the marker points at the newest complete version, and ensure() is a
-    // metadata-only read of it
-    assert(VectorIndex.ensure(spark, sf) === d2)
-    // the sweep keeps the current version plus at most one predecessor
-    // (readers in another process may be mid-scan on it)
-    val vs = Option(new java.io.File(d2).getParentFile.listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("v-"))
-    assert(vs.length <= 2, s"stale versions not swept: ${vs.map(_.getName).toSeq}")
-    assert(vs.map(_.getAbsolutePath).contains(d2))
+    def versions(d: String) =
+      Option(new java.io.File(d).getParentFile.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("v-"))
+    val grace = IndexStore.sweepGraceMs
+    try {
+      // With the grace gate DISARMED, the sweep keeps the current version
+      // plus at most one predecessor (readers in another process may be
+      // mid-scan on it).
+      IndexStore.sweepGraceMs = 0L
+      val d1 = VectorIndex.rebuild(spark, sf)
+      val d2 = VectorIndex.rebuild(spark, sf)
+      assert(d1 !== d2, "each rebuild must write a fresh version dir")
+      // the marker points at the newest complete version, and ensure() is a
+      // metadata-only read of it
+      assert(VectorIndex.ensure(spark, sf) === d2)
+      val vs = versions(d2)
+      assert(vs.length <= 2, s"stale versions not swept: ${vs.map(_.getName).toSeq}")
+      assert(vs.map(_.getAbsolutePath).contains(d2))
+      // With the grace gate ARMED (the production default), young versions
+      // are never unlinked — a long-lived reader two rebuilds behind keeps
+      // its files even though it lost the newest-predecessor slot.
+      IndexStore.sweepGraceMs = 30L * 60 * 1000
+      val d3 = VectorIndex.rebuild(spark, sf)
+      val d4 = VectorIndex.rebuild(spark, sf)
+      val after = versions(d4).map(_.getAbsolutePath)
+      assert(Seq(d2, d3, d4).forall(after.contains),
+        s"age gate must retain young superseded versions: ${after.toSeq}")
+    } finally {
+      IndexStore.sweepGraceMs = 0L
+      VectorIndex.rebuild(spark, sf) // prune the pile-up for later tests
+      IndexStore.sweepGraceMs = grace
+    }
   }
 
   test("pagerank: centers outrank leaves, symmetric nodes tie exactly") {

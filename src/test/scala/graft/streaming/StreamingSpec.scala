@@ -103,6 +103,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains((1L, 100L)) && got.contains((1L, 102L)), got.mkString(","))
   }
 
+  test("stream-static vector lookup: streamed queries return exactly the batch IVF×SQ8 top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.Tables.embeddings(spark, sf)
+    // persisted index components (build-if-absent), same as q_sq8_ivf reads
+    val cells = graft.pipeline.VectorIndex.cells(spark, sf)
+    val assign = graft.pipeline.VectorIndex.cellAssign(spark, sf)
+    val codes = graft.pipeline.VectorIndex.sq8Codes(spark, sf)
+    val stats = graft.pipeline.VectorIndex.sq8Stats(spark, sf)
+    val probeVecs = e.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Timestamp, Seq[Float])]
+    val q = StreamOps.vectorLookupStream(
+      input.toDF().toDF("vec_id", "ts", "embedding"),
+      cells, assign, codes, stats)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("veclookup_out").start()
+    input.addData(probeVecs.map { case (id, v) => (id, ts(0), v) }.toSeq)
+    q.processAllAvailable()
+    // a far-future row advances the watermark past the probes' window,
+    // flushing their top-k; its own window never closes and never emits
+    input.addData((999L, Timestamp.valueOf("2024-01-01 12:00:00"),
+      probeVecs.head._2))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT qid, rank, vec_id, approx FROM veclookup_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val probes = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = graft.pipeline.Similarity.sq8IvfTopK(
+      probes, codes, stats, assign, cells, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === batch,
+      s"stream ∖ batch: ${got -- batch}; batch ∖ stream: ${batch -- got}")
+    assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
+  }
+
   test("streaming XML ingestion: readStream over the graft.xml format") {
     val dir = java.nio.file.Files.createTempDirectory("xmlstream").toFile
     val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
