@@ -106,6 +106,10 @@ object Bench {
     // unconditional-rebuild q_dedup_index_build read it build-if-absent).
     try pipeline.DedupIndex.ensure(spark, sfDir)
     catch { case _: Throwable => () }
+    // ... and the BM25 inverted index (q_bm25_index_search / the hybrid
+    // fusion read it build-if-absent; q_bm25_index_build carries the build).
+    try pipeline.TextIndex.ensure(spark, sfDir)
+    catch { case _: Throwable => () }
     val controlPre = control(spark, sfDir)
     val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
       case None => 3

@@ -27,6 +27,7 @@ object SparkEntry {
     (pipeline.Sampling.queries, pipeline.Sampling.oracles),
     (pipeline.Similarity.queries, pipeline.Similarity.oracles),
     (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),
+    (pipeline.TextIndex.queries, pipeline.TextIndex.oracles),
     (pipeline.Multimodal.queries, pipeline.Multimodal.oracles),
     (pipeline.Web.queries, pipeline.Web.oracles)
   )

@@ -22,16 +22,25 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = t(s, dir, "part")
   def orders(s: SparkSession, dir: String): DataFrame   = t(s, dir, "orders")
   def lineitem(s: SparkSession, dir: String): DataFrame = t(s, dir, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark only reads
-    * via `spark.sql.legacy.parquet.nanosAsLong` (as a nanos-since-epoch long).
-    * Normalize to a µs TimestampType here — `div 1000` truncates exactly like
-    * DuckDB's ns→µs read of the same file, so oracle comparisons line up.
+  /** events.parquet has stored `ts` as TIMESTAMP(NANOS) (readable only via
+    * `spark.sql.legacy.parquet.nanosAsLong`, as a nanos-since-epoch long) and,
+    * since the round-8 regeneration, as TIMESTAMP(MICROS, isAdjustedToUTC =
+    * false) (read as TIMESTAMP_NTZ). Normalize BOTH to a µs TimestampType
+    * here: `div 1000` truncates ns exactly like DuckDB's ns→µs read, and the
+    * NTZ cast binds the wall-clock in the session timezone (UTC everywhere in
+    * this project) — the same instants either way, so oracle comparisons line
+    * up and downstream `unix_micros`/window functions type-check.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame  = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")

@@ -13,11 +13,14 @@ import org.apache.spark.sql.functions._
   * shape (the Scala analogue of `mapInPandas`: one iterator per partition, so
   * a real decoder would amortize model/codec init per partition, not per
   * row) — and header metadata for all three modalities: IMAGE dims via
-  * javax.imageio (PNG/JPEG/GIF/BMP/WBMP, header-only), AUDIO via javax.sound
+  * javax.imageio (PNG/JPEG/GIF/BMP/WBMP, header-only) + [[webpDims]] (all
+  * three WebP header variants, pure byte parsing), AUDIO via javax.sound
   * (WAV/AIFF/AU), VIDEO via [[videoMeta]]'s MP4/ISO-BMFF box walk (brand,
-  * duration, resolution, tracks — pure byte parsing). STUBBED (needs real
-  * codecs, absent from this container): pixel/frame DECODE — non-parseable
-  * payloads fall back to deterministic fake dims from the payload hash, and
+  * duration, resolution, tracks — pure byte parsing). Pixel decode is real
+  * for the JDK formats AND WebP-lossless (the pure-JVM [[Vp8l]] decoder).
+  * STUBBED (needs real codecs, absent from this container): lossy-WebP/VP8
+  * and AVIF pixel decode and video frame decode — non-parseable payloads
+  * fall back to deterministic fake dims from the payload hash, and
   * `resize`/`sampleFrames` re-encode stubs likewise.
   */
 object Multimodal {
@@ -35,7 +38,37 @@ object Multimodal {
     * payloads still flow through the pipeline shape.
     */
   def decodeDims(content: Array[Byte]): (Int, Int, Int) =
-    imageDims(content).getOrElse(hashDims(content))
+    imageDims(content).orElse(webpDims(content)).getOrElse(hashDims(content))
+
+  /** WebP (width, height, channels) from the container header — pure byte
+    * parsing, no decode, all three layouts: VP8L (lossless: 14+14-bit dims
+    * after the 0x2f signature), VP8X (extended: 24-bit canvas dims − 1),
+    * and lossy VP8 (frame tag + 0x9d012a start code + 14-bit dims).
+    */
+  def webpDims(content: Array[Byte]): Option[(Int, Int, Int)] = try {
+    def u(i: Int): Int = content(i) & 0xff
+    if (content.length < 30 ||
+        new String(content, 0, 4, "ISO-8859-1") != "RIFF" ||
+        new String(content, 8, 4, "ISO-8859-1") != "WEBP") return None
+    new String(content, 12, 4, "ISO-8859-1") match {
+      case "VP8L" if u(20) == 0x2f =>
+        val b = u(21) | (u(22) << 8) | (u(23) << 16) | (u(24) << 24)
+        val w = (b & 0x3fff) + 1
+        val h = ((b >> 14) & 0x3fff) + 1
+        val alpha = (b >> 28) & 1
+        Some((w, h, 3 + alpha))
+      case "VP8X" =>
+        val alpha = (u(20) >> 4) & 1
+        val w = (u(24) | (u(25) << 8) | (u(26) << 16)) + 1
+        val h = (u(27) | (u(28) << 8) | (u(29) << 16)) + 1
+        Some((w, h, 3 + alpha))
+      case "VP8 " if u(23) == 0x9d && u(24) == 0x01 && u(25) == 0x2a =>
+        val w = (u(26) | (u(27) << 8)) & 0x3fff
+        val h = (u(28) | (u(29) << 8)) & 0x3fff
+        Some((w, h, 3))
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** (width, height, channels) from the image header via javax.imageio —
     * `ImageReader.getWidth/getHeight/getImageTypes` read metadata only, no
@@ -272,19 +305,21 @@ object Multimodal {
 
   /** Full-raster pixel statistics via the JDK's OWN ImageIO decoders
     * (PNG/JPEG/GIF/BMP/WBMP all ship with the JDK — JPEG through its
-    * baseline codec, golden-tested within lossy tolerance): width, height,
-    * and per-channel (R, G, B) means in [0, 255]. None when no JDK reader
-    * accepts the payload. This is the expensive cousin of [[imageDims]] —
-    * at 100 TB run it AFTER the header-level filters have pruned the scan,
-    * never as the first pass. Only formats with no JDK codec (video
-    * frames, WebP/AVIF) fall back to None and stay covered by the
-    * documented stubs.
+    * baseline codec, golden-tested within lossy tolerance) plus the
+    * pure-JVM [[Vp8l]] decoder for WebP-lossless: width, height, and
+    * per-channel (R, G, B) means in [0, 255]. None when no decoder accepts
+    * the payload. This is the expensive cousin of [[imageDims]] — at
+    * 100 TB run it AFTER the header-level filters have pruned the scan,
+    * never as the first pass. Only formats with no available codec (video
+    * frames, lossy-WebP/VP8, AVIF) fall back to None and stay covered by
+    * the documented stubs.
     */
   def pixelStats(content: Array[Byte]): Option[(Int, Int, Array[Double])] =
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(content))
-      if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+      if (img == null || img.getWidth == 0 || img.getHeight == 0)
+        vp8lPixelStats(content)
       else {
         val w = img.getWidth
         val h = img.getHeight
@@ -308,7 +343,25 @@ object Multimodal {
         }
         Some((w, h, sums.map(_ / (w.toDouble * h))))
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => vp8lPixelStats(content) }
+
+  /** WebP-lossless pixel stats via the pure-JVM [[Vp8l]] decoder (no JDK
+    * codec exists for WebP): same (w, h, RGB means) contract as
+    * [[pixelStats]], None for non-VP8L payloads.
+    */
+  private def vp8lPixelStats(content: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    Vp8l.decode(content).map { case (w, h, px) =>
+      val sums = new Array[Double](3)
+      var i = 0
+      while (i < px.length) {
+        val p = px(i)
+        sums(0) += (p >>> 16) & 0xff
+        sums(1) += (p >>> 8) & 0xff
+        sums(2) += p & 0xff
+        i += 1
+      }
+      (w, h, sums.map(_ / (w.toDouble * h)))
+    }
 
   /** Full PCM sample decode via the JDK's own javax.sound codecs (WAV/
     * AIFF/AU with PCM payloads need no external codec — the audio cousin

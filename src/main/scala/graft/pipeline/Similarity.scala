@@ -1608,6 +1608,15 @@ object Similarity {
     * quantizer, exactly what [[VectorIndex.removeBatch]] computes.
     */
   private def sq8IvfSqlWhere(corpusPred: String): String =
+    s"""${sq8IvfRankedCtes(corpusPred)}
+       |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  /** The sq8IvfSqlWhere CTE chain up through `ranked` (no final SELECT) —
+    * composable into larger oracles (the hybrid-retrieval fusion in
+    * [[TextIndex]] appends its b-prefixed BM25 chain and a fusion tail).
+    */
+  private[pipeline] def sq8IvfRankedCtes(corpusPred: String): String =
     s"""WITH $sq8BaseSql,
        |dec AS (
        |  SELECT vec_id, list_transform(generate_series(1, 64),
@@ -1651,9 +1660,7 @@ object Similarity {
        |ranked AS (
        |  SELECT qid, vec_id, approx,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS INTEGER) AS rank
-       |  FROM sims)
-       |SELECT qid, rank, vec_id, approx FROM ranked WHERE rank <= 10
-       |ORDER BY ALL NULLS FIRST""".stripMargin
+       |  FROM sims)""".stripMargin
 
   private lazy val sq8IvfSql: String = sq8IvfSqlWhere("TRUE")
 

@@ -1,0 +1,395 @@
+package graft.pipeline
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted index + hybrid (lexical ⊕ vector) retrieval —
+  * the text-retrieval member of the index-lifecycle family ([[DedupIndex]]
+  * for near-dup signatures, [[VectorIndex]] for ANN): build once, persist
+  * versioned components, serve batch and streaming lookups that never
+  * re-read corpus text.
+  *
+  * Retrieval is a first-class training-data-pipeline operator: eval-set
+  * contamination checks, data attribution ("which training docs does this
+  * prompt retrieve?"), and RAG-style corpus probes are all top-k searches
+  * over the kept corpus. The components are the classic inverted-index
+  * triple:
+  *
+  *   - `postings` (word, doc, dl, tf)  denormalized posting lists — term
+  *                                     frequency plus the doc length needed
+  *                                     by BM25's length normalization, so
+  *                                     scoring never joins a doc-side table
+  *   - `vocab`    (word, df)           document frequencies (idf input)
+  *   - `stats`    (n, sdl)             corpus doc count + summed doc length
+  *                                     (avgdl input; a single row)
+  *
+  * A query tokenizes ITSELF only (stateless per-row maps), equi-joins its
+  * distinct terms against the persisted postings — only the matching terms'
+  * posting rows are ever touched, the inverted-index pruning that makes
+  * lexical search linear in result size, not corpus size — and sums exact
+  * integer BM25 contributions per candidate. At 100 TB the corpus
+  * tokenize/count pass is paid once at build; a query shuffles only its own
+  * candidates.
+  *
+  * Determinism (the DuckDB hash-match contract): BM25 is float math, and
+  * float SUMs are order-dependent, so each (term, doc) contribution is
+  * computed as the product of two micro-unit-rounded integers —
+  * `idf_u = round(idf·1e6)` and `wtf_u = round(tfNorm·1e6)` — and summed
+  * as a BIGINT. Integer sums are order-independent, so Spark and DuckDB
+  * agree bit-for-bit on every score (`score_u ≈ score·1e12`); ranking uses
+  * (score_u DESC, doc) so cross-engine ln() last-ulp drift cannot reorder
+  * ties. The same recipe as [[TextAnalysis.lmScore]] / `q_text_entropy`.
+  *
+  * BM25 parameters are the Robertson defaults k1=1.2, b=0.75 with the
+  * Lucene idf variant ln(1 + (N − df + 0.5)/(df + 0.5)); query terms are
+  * deduplicated (qtf capped at 1), and the query document itself is
+  * excluded from its own result list.
+  */
+object TextIndex {
+
+  /** The three index components for one corpus, as DataFrames. */
+  case class Components(postings: DataFrame, vocab: DataFrame, stats: DataFrame)
+
+  /** Denormalized posting lists (word, doc, dl, tf) from a corpus. `dl`
+    * rides every posting row so BM25's length normalization needs no
+    * doc-side join at query time — the standard inverted-index layout.
+    */
+  def postingsOf(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc"), size(col("__toks")).as("dl"),
+        explode(col("__toks")).as("word"))
+      .groupBy("word", "doc", "dl").agg(count(lit(1)).as("tf"))
+
+  /** Document frequencies (word, df) from a posting table. */
+  def vocabOf(postings: DataFrame): DataFrame =
+    postings.groupBy("word").agg(count(lit(1)).as("df"))
+
+  /** Corpus stats (n, sdl) — one row — from a posting table. */
+  def statsOf(postings: DataFrame): DataFrame =
+    postings.select("doc", "dl").distinct()
+      .agg(count(lit(1)).as("n"), sum(col("dl").cast("long")).as("sdl"))
+
+  /** All three components, lazily, from a corpus DataFrame. */
+  def componentsOf(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Components = {
+    val p = postingsOf(docs, textCol, idCol)
+    Components(p, vocabOf(p), statsOf(p))
+  }
+
+  /** One (term, doc) BM25 contribution in exact integer micro²-units:
+    * round(idf·1e6) · round(tfNorm·1e6), both BIGINT. The expression trees
+    * here and in [[bm25Sql]] apply the same IEEE ops in the same order, so
+    * the only cross-engine seam is ln()'s last ulp — buried by the
+    * micro-rounding before any summation (the lmScore recipe).
+    */
+  private[graft] def contributionU(tf: Column, df: Column, dl: Column,
+      n: Column, sdl: Column): Column = {
+    val avgdl = sdl.cast("double") / n.cast("double")
+    val idfU = round(
+      log(((n - df).cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5))
+        + lit(1.0)) * lit(1e6), 0).cast("long")
+    val wtfU = round(
+      tf.cast("double") * lit(2.2) /
+        (tf.cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (dl.cast("double") / avgdl))) * lit(1e6),
+      0).cast("long")
+    idfU * wtfU
+  }
+
+  /** BM25 top-k: for each query document (qid, qtext), the k highest-scoring
+    * corpus documents. Returns (qid, rank, doc_id, score_u).
+    *
+    * Scale shape: the query set is small by contract (it is broadcast), the
+    * posting join touches only rows whose word appears in some query —
+    * Σ_word |postings(word)| candidate rows, independent of corpus size —
+    * and `vocab` is pre-filtered to query words before ITS broadcast. The
+    * only shuffle is the per-(qid, doc) score aggregation over candidates.
+    */
+  def bm25TopK(queryDocs: DataFrame, ix: Components, k: Int = 10): DataFrame = {
+    val qt = queryDocs.select(col("qid"),
+      explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("word"))
+    val qdf = ix.vocab
+      .join(broadcast(qt.select("word").dropDuplicates("word")), Seq("word"))
+    val cand = ix.postings
+      .join(broadcast(qt), Seq("word"))
+      .filter(col("doc") =!= col("qid"))
+      .join(broadcast(qdf), Seq("word"))
+      .crossJoin(broadcast(ix.stats))
+    val scored = cand
+      .withColumn("__c", contributionU(col("tf"), col("df"), col("dl"),
+        col("n"), col("sdl")))
+      .groupBy("qid", "doc").agg(sum("__c").as("score_u"))
+    val w = Window.partitionBy("qid").orderBy(col("score_u").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc").as("doc_id"), col("score_u"))
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists (the hybrid-retrieval
+    * standard): rrf_u = Σ round(1e6 / (60 + rank)) over the lists a doc
+    * appears in — integer micro-units, order-independent, so the fused
+    * ranking hash-matches cross-engine. Inputs are (qid, doc_id, rank_*);
+    * returns (qid, rank, doc_id, rrf_u, rank_bm25, rank_vec).
+    */
+  def rrfFuse(textList: DataFrame, vecList: DataFrame, k: Int = 10): DataFrame = {
+    def part(r: Column): Column = coalesce(
+      round(lit(1000000.0) / (lit(60.0) + r.cast("double")), 0).cast("long"),
+      lit(0L))
+    val fused = textList.join(vecList, Seq("qid", "doc_id"), "full")
+      .withColumn("rrf_u", part(col("rank_bm25")) + part(col("rank_vec")))
+    val w = Window.partitionBy("qid").orderBy(col("rrf_u").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_u"),
+        col("rank_bm25"), col("rank_vec"))
+  }
+
+  // ---- persistence (documents.parquet of an sfDir) -----------------------
+
+  private val store =
+    new IndexStore("SPARK_GRAFT_TEXT_INDEX_DIR", "graft-text-index",
+      "documents.parquet")
+
+  /** Index directory for one corpus dir (env-relocatable root). */
+  def dir(sfDir: String): String = store.dir(sfDir)
+
+  /** Build-if-absent; returns the current VERSION dir. */
+  def ensure(spark: SparkSession, sfDir: String): String =
+    store.ensure(sfDir)(buildInto(spark, sfDir, _))
+
+  /** Unconditional build + persist of all three components behind the
+    * atomic marker swap. Returns the new version dir.
+    */
+  def rebuild(spark: SparkSession, sfDir: String): String =
+    store.rebuild(sfDir)(buildInto(spark, sfDir, _))
+
+  /** Each component derives from the PERSISTED form of its predecessor
+    * (vocab and stats from stored postings) — no re-derivation seam, the
+    * [[VectorIndex]]/[[DedupIndex]] build principle: what queries join
+    * against is exactly what the build wrote.
+    */
+  private def buildInto(spark: SparkSession, sfDir: String, vd: String): Unit = {
+    postingsOf(T.documents(spark, sfDir))
+      .write.mode("overwrite").parquet(s"$vd/postings")
+    val p = spark.read.parquet(s"$vd/postings")
+    vocabOf(p).write.mode("overwrite").parquet(s"$vd/vocab")
+    statsOf(p).write.mode("overwrite").parquet(s"$vd/stats")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(vd, "_meta"),
+      "scoring=bm25\nk1=1.2\nb=0.75\nidf=lucene\n")
+  }
+
+  /** Tombstoned doc ids for `sfDir`'s index, if any. */
+  private def tombstones(s: SparkSession, sfDir: String): Option[DataFrame] = {
+    val td = store.tombstoneDir(sfDir)
+    if (new java.io.File(td).exists()) Some(s.read.parquet(td)) else None
+  }
+
+  /** Logically remove documents (takedowns): ids land in the `_tombstones`
+    * side table outside the version dirs — durable across rebuilds and
+    * compactions, exactly the [[DedupIndex.tombstone]] contract.
+    *
+    * Semantics note (the Lucene deleted-docs model): a tombstoned document
+    * can never appear in results — its posting rows are anti-joined out —
+    * but `vocab`/`stats` keep counting it until [[compact]] rewrites them
+    * from the surviving postings. Scores drift by at most the removed
+    * fraction of df/avgdl, which is how segment-based engines behave
+    * between merges; [[compact]] restores exactness.
+    */
+  def tombstone(s: SparkSession, sfDir: String, ids: DataFrame): Unit = {
+    ensure(s, sfDir)
+    ids.select(col(ids.columns.head).cast("long").as("doc"))
+      .write.mode("append").parquet(store.tombstoneDir(sfDir))
+  }
+
+  /** Physically rewrite the served version without tombstoned rows, and
+    * RE-DERIVE vocab/stats from the surviving postings — after compaction
+    * the index is row-identical to a from-scratch build over the reduced
+    * corpus (PipelineSpec proves it), the [[DedupIndex.compact]] pattern
+    * with the extra df/avgdl restore.
+    */
+  def compact(s: SparkSession, sfDir: String): String = {
+    val old = store.servedVersion(sfDir).getOrElse(ensure(s, sfDir))
+    store.rewriteVersion(sfDir) { vd =>
+      val kept = tombstones(s, sfDir).fold(s.read.parquet(s"$old/postings")) {
+        t =>
+          s.read.parquet(s"$old/postings")
+            .join(broadcast(t.select(col("doc"))), Seq("doc"), "left_anti")
+      }
+      kept.select("word", "doc", "dl", "tf")
+        .write.mode("overwrite").parquet(s"$vd/postings")
+      val p = s.read.parquet(s"$vd/postings")
+      vocabOf(p).write.mode("overwrite").parquet(s"$vd/vocab")
+      statsOf(p).write.mode("overwrite").parquet(s"$vd/stats")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(old, "_meta"),
+        java.nio.file.Paths.get(vd, "_meta"))
+      ()
+    }
+  }
+
+  /** Persisted posting lists, minus tombstoned docs (broadcast anti-join —
+    * the list is tiny; a no-op after compaction).
+    */
+  def postings(s: SparkSession, sfDir: String): DataFrame = {
+    val p = s.read.parquet(ensure(s, sfDir) + "/postings")
+    tombstones(s, sfDir).fold(p)(t =>
+      p.join(broadcast(t.select(col("doc"))), Seq("doc"), "left_anti")
+        .select(p.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Persisted document frequencies (see [[tombstone]] for staleness). */
+  def vocab(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(ensure(s, sfDir) + "/vocab")
+
+  /** Persisted corpus stats row (see [[tombstone]] for staleness). */
+  def stats(s: SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(ensure(s, sfDir) + "/stats")
+
+  /** The persisted components of `sfDir`'s index (builds it if absent). */
+  def persisted(s: SparkSession, sfDir: String): Components =
+    Components(postings(s, sfDir), vocab(s, sfDir), stats(s, sfDir))
+
+  // ---- declared queries --------------------------------------------------
+
+  private def queryDocs(s: SparkSession, dir: String): DataFrame =
+    T.documents(s, dir).filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+
+  val queries: Map[String, Q] = Map(
+    // L7a: BM25 top-10 per query doc, components derived in-query from raw
+    // text (the oracle-anchoring path; exact integer scores end to end).
+    "q_text_bm25" -> ((s, dir) =>
+      bm25TopK(queryDocs(s, dir), componentsOf(T.documents(s, dir)))),
+
+    // L7b: the SAME search over the PERSISTED index — batch-only query
+    // tokenization against stored postings/vocab/stats; corpus text never
+    // read. The oracle is byte-identical to q_text_bm25's, so a hash match
+    // proves the persisted components lossless (the q_dedup_index_lookup
+    // pattern); the bench median measures SEARCH, not build.
+    "q_bm25_index_search" -> ((s, dir) =>
+      bm25TopK(queryDocs(s, dir), persisted(s, dir))),
+
+    // L7c: unconditional index rebuild + a summary read over the persisted
+    // postings/vocab (word, df, tf_sum) — carries the build cost in its own
+    // entry (the q_pq_build pattern) and hash-proves both stored components
+    // against a from-scratch DuckDB derivation.
+    "q_bm25_index_build" -> ((s, dir) => {
+      rebuild(s, dir)
+      val p = postings(s, dir)
+      vocab(s, dir).join(p.groupBy("word").agg(sum("tf").as("tf_sum")),
+        Seq("word"))
+        .select(col("word"), col("df"), col("tf_sum"))
+    }),
+
+    // L7d: hybrid retrieval — reciprocal-rank fusion of the BM25 list and
+    // the IVF×SQ8 vector list, BOTH served from persisted indexes (docs and
+    // embeddings align 1:1 on id). The oracle re-derives both systems from
+    // raw tables and fuses with the same integer RRF arithmetic.
+    "q_retrieval_hybrid" -> ((s, dir) => {
+      val txt = bm25TopK(queryDocs(s, dir), persisted(s, dir), 10)
+        .select(col("qid"), col("doc_id"), col("rank").as("rank_bm25"))
+      val e = T.embeddings(s, dir)
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val vec = Similarity.sq8IvfTopK(probes, VectorIndex.sq8Codes(s, dir),
+          VectorIndex.sq8Stats(s, dir), VectorIndex.cellAssign(s, dir),
+          VectorIndex.cells(s, dir), 10)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rank").as("rank_vec"))
+      rrfFuse(txt, vec, 10)
+    })
+  )
+
+  // ---- oracles -----------------------------------------------------------
+
+  /** BM25 CTE chain (tokenization → postings → vocab → stats → query terms
+    * → integer contributions → scores → ranks), ending at `branked`. CTE
+    * names are b-prefixed so the chain composes with the sq8IvfRankedCtes
+    * chain inside the hybrid oracle without collision.
+    */
+  private def bm25Ctes: String =
+    """bt AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents),
+      |bp AS (
+      |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS word FROM bt),
+      |btf AS (
+      |  SELECT word, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+      |  FROM bp GROUP BY 1, 2, 3),
+      |bdf AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+      |bst AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl
+      |  FROM (SELECT DISTINCT doc_id, dl FROM btf)),
+      |bqt AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(toks)) AS word
+      |  FROM bt WHERE doc_id < 5),
+      |bc AS (
+      |  SELECT q.qid, p.doc_id,
+      |    CAST(round(ln((CAST(bst.n - f.df AS DOUBLE) + 0.5) /
+      |                  (CAST(f.df AS DOUBLE) + 0.5) + 1.0) * 1000000, 0) AS BIGINT) *
+      |    CAST(round(CAST(p.tf AS DOUBLE) * 2.2 /
+      |                 (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |                   (CAST(p.dl AS DOUBLE) /
+      |                    (CAST(bst.sdl AS DOUBLE) / CAST(bst.n AS DOUBLE))))) *
+      |               1000000, 0) AS BIGINT) AS c
+      |  FROM bqt q
+      |  JOIN btf p USING (word)
+      |  JOIN bdf f USING (word)
+      |  CROSS JOIN bst
+      |  WHERE p.doc_id <> q.qid),
+      |bscored AS (
+      |  SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_u
+      |  FROM bc GROUP BY 1, 2),
+      |branked AS (
+      |  SELECT qid, doc_id, score_u,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score_u DESC, doc_id) AS INTEGER) AS rank
+      |  FROM bscored)""".stripMargin
+
+  private lazy val bm25Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT qid, rank, doc_id, score_u FROM branked WHERE rank <= 10
+       |ORDER BY ALL NULLS FIRST""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_bm25" -> bm25Sql,
+    // byte-identical on purpose: hash match proves the persisted index
+    // components equal the in-query derivation (see q_bm25_index_search)
+    "q_bm25_index_search" -> bm25Sql,
+    "q_bm25_index_build" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(toks) AS word FROM t),
+        |tf AS (SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |       FROM p GROUP BY 1, 2)
+        |SELECT word, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(SUM(tf) AS BIGINT) AS tf_sum
+        |FROM tf GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_retrieval_hybrid" ->
+      s"""${Similarity.sq8IvfRankedCtes("TRUE")},
+         |$bm25Ctes,
+         |tlist AS (SELECT qid, doc_id, rank AS rank_bm25 FROM branked WHERE rank <= 10),
+         |vlist AS (SELECT qid, vec_id AS doc_id, rank AS rank_vec FROM ranked WHERE rank <= 10),
+         |fused AS (
+         |  SELECT COALESCE(t.qid, v.qid) AS qid,
+         |    COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         |    t.rank_bm25, v.rank_vec,
+         |    COALESCE(CAST(round(1000000.0 / (60.0 + CAST(t.rank_bm25 AS DOUBLE)), 0) AS BIGINT), 0) +
+         |    COALESCE(CAST(round(1000000.0 / (60.0 + CAST(v.rank_vec AS DOUBLE)), 0) AS BIGINT), 0) AS rrf_u
+         |  FROM tlist t FULL OUTER JOIN vlist v
+         |    ON t.qid = v.qid AND t.doc_id = v.doc_id),
+         |ffinal AS (
+         |  SELECT qid, doc_id, rrf_u, rank_bm25, rank_vec,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf_u DESC, doc_id) AS INTEGER) AS rank
+         |  FROM fused)
+         |SELECT qid, rank, doc_id, rrf_u, rank_bm25, rank_vec
+         |FROM ffinal WHERE rank <= 10
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

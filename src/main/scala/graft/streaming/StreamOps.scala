@@ -254,6 +254,52 @@ object StreamOps {
         col("t.vec_id").as("vec_id"), col("t.approx").as("approx"))
   }
 
+  /** Streaming BM25 lookup against a PERSISTED text index — the
+    * [[indexLookupStream]]/[[vectorLookupStream]] pattern for the retrieval
+    * side: each arriving query document tokenizes ITSELF (stateless per-row
+    * maps), stream-static joins its distinct terms against the persisted
+    * posting lists ([[graft.pipeline.TextIndex]]), sums exact integer BM25
+    * contributions per candidate in a watermark-bounded window, and emits
+    * per-query top-k when the window closes — exactly what the batch
+    * `TextIndex.bm25TopK` computes, as a stream (StreamingSpec proves
+    * equality).
+    *
+    * State shape: the corpus side is the same immutable parquet the batch
+    * path reads (stream-static joins keep no state); the only stateful
+    * steps are the two chained windowed aggregations — per-(query, doc)
+    * score sum, then per-query top-k — whose state is the candidates of
+    * IN-FLIGHT queries only, nothing proportional to the corpus.
+    */
+  def bm25SearchStream(queryDocs: DataFrame,
+      ix: graft.pipeline.TextIndex.Components, k: Int = 10,
+      tsCol: String = "ts", windowLen: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.{TextAnalysis, TextIndex}
+    val qt = queryDocs
+      .withWatermark(tsCol, "10 minutes")
+      .select(col("qid"), col(tsCol),
+        explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("word"))
+    val scored = qt
+      .join(ix.postings, Seq("word"))
+      .filter(col("doc") =!= col("qid"))
+      .join(ix.vocab.withColumnRenamed("df", "__df"), Seq("word"))
+      .crossJoin(broadcast(ix.stats))
+      .withColumn("__c", TextIndex.contributionU(col("tf"), col("__df"),
+        col("dl"), col("n"), col("sdl")))
+      .groupBy(window(col(tsCol), windowLen), col("qid"), col("doc"))
+      .agg(sum("__c").as("score_u"))
+    // chained time-window aggregation (append mode): the second agg windows
+    // on the first's window column — per-query top-k via the same
+    // array_sort tie-break ((score_u desc, doc)) as the batch row_number
+    scored
+      .groupBy(window(col("window"), windowLen), col("qid"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score_u")).as("ns"), col("doc"), col("score_u")))),
+        1, k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("t.doc").as("doc_id"), col("t.score_u").as("score_u"))
+  }
+
   /** Stream-stream interval join — the canonical click↔impression
     * attribution shape: a click joins the impression it followed within
     * `horizon`. Both sides carry watermarks and the join condition bounds

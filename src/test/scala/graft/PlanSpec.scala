@@ -292,12 +292,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    (q_sim_ivf now reads the PERSISTED quantizer — the surviving BNLJ
     //    is the probe step's 8-row centroid broadcast only)
     //  - q_text_tfidf: 1-row corpus doc-count attach
+    //  - q_text_bm25 / q_bm25_index_search: 1-row corpus-stats (n, sdl)
+    //    attach (the BM25 avgdl input)
+    //  - q_retrieval_hybrid: the same 1-row stats attaches from BOTH fused
+    //    systems (bm25 stats row + sq8 trained-stats row)
     val bnljOk = Set(
-      "q_dedup_semantic", "q_dedup_semantic_capped", "q_join_cross",
-      "q_pq_adc", "q_pq_adc_hashinit", "q_pq_ivfadc", "q_pq_rerank",
-      "q_sim_ivf", "q_sim_ivf_assign", "q_sim_kmeans", "q_sim_topk",
-      "q_sq8_codes", "q_sq8_ivf", "q_sq8_ivf_append", "q_sq8_ivf_remove",
-      "q_sq8_topk", "q_text_tfidf")
+      "q_bm25_index_search", "q_dedup_semantic", "q_dedup_semantic_capped",
+      "q_join_cross", "q_pq_adc", "q_pq_adc_hashinit", "q_pq_ivfadc",
+      "q_pq_rerank", "q_retrieval_hybrid", "q_sim_ivf", "q_sim_ivf_assign",
+      "q_sim_kmeans", "q_sim_topk", "q_sq8_codes", "q_sq8_ivf",
+      "q_sq8_ivf_append", "q_sq8_ivf_remove", "q_sq8_topk", "q_text_bm25",
+      "q_text_tfidf")
     val cart = scala.collection.mutable.SortedSet.empty[String]
     val bnlj = scala.collection.mutable.SortedSet.empty[String]
     // sparkPlan = the planned physical tree (no AQE re-plan — the guardrail

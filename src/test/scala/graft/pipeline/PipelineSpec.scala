@@ -1072,4 +1072,79 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).sorted.toSeq
     assert(kept === expected, s"kept $kept, expected $expected")
   }
+
+  test("text index: persisted components ≡ fresh build; planted rare-term doc ranks first") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // persisted ≡ fresh on the shared sf0.001 corpus (build-if-absent)
+    val fresh = TextIndex.componentsOf(T.documents(spark, sf))
+    val pers = TextIndex.persisted(spark, sf)
+    assert(rows(pers.postings) === rows(fresh.postings))
+    assert(rows(pers.vocab) === rows(fresh.vocab))
+    assert(rows(pers.stats) === rows(fresh.stats))
+    // planted relevance: the only corpus doc sharing the query's rare terms
+    // must rank first; a doc sharing only stop-like common terms ranks below
+    val docs = Seq(
+      (1L, "the catalyst optimizer prunes columns and pushes filters down"),
+      (2L, "tungsten codegen compiles expression trees for the fast path"),
+      (3L, "the the the of of and and to in is it on for common filler"),
+      (10L, "catalyst optimizer query")
+    ).toDF("doc_id", "text")
+    val q = docs.filter($"doc_id" === 10L)
+      .select($"doc_id".as("qid"), $"text".as("qtext"))
+    val got = TextIndex.bm25TopK(q, TextIndex.componentsOf(docs), 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.head === (1, 1L), s"doc 1 shares catalyst+optimizer: $got")
+    assert(!got.map(_._2).contains(10L), "query doc must be excluded")
+  }
+
+  test("text index tombstones: deleted docs vanish from results, compact restores exact df/avgdl") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    // private corpus copy — tombstones are durable, so the shared testdata
+    // index must never be tombstoned from a test
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-textix-test").toString
+    Seq(
+      (1L, "en", "s0", "catalyst optimizer prunes columns pushes filters"),
+      (2L, "en", "s0", "catalyst codegen compiles the expression trees"),
+      (3L, "en", "s1", "unrelated prose about rivers bridges and barges"),
+      (4L, "en", "s1", "catalyst catalyst catalyst repetition heavy doc")
+    ).toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val q = Seq((100L, "catalyst optimizer"))
+        .toDF("qid", "qtext")
+      val before = TextIndex.bm25TopK(q, TextIndex.persisted(spark, dir), 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(before.contains(4L), s"doc 4 matches 'catalyst': $before")
+      // tombstone doc 4: it can never be returned, but vocab/stats keep
+      // counting it until compact (the Lucene deleted-docs model)
+      TextIndex.tombstone(spark, dir, Seq(4L).toDF("doc_id"))
+      val after = TextIndex.bm25TopK(q, TextIndex.persisted(spark, dir), 10)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(after === before - 4L, s"tombstoned doc must vanish: $after")
+      val staleN = TextIndex.stats(spark, dir).collect().head.getLong(0)
+      assert(staleN === 4L, "stats stay stale (by design) until compact")
+      // compact: physically rewrites postings AND re-derives vocab/stats —
+      // the index becomes row-identical to a from-scratch build over the
+      // reduced corpus, so scores are exact again
+      TextIndex.compact(spark, dir)
+      val reduced = TextIndex.componentsOf(
+        T.documents(spark, dir).filter($"doc_id" =!= 4L))
+      val pers = TextIndex.persisted(spark, dir)
+      assert(rows(pers.postings) === rows(reduced.postings))
+      assert(rows(pers.vocab) === rows(reduced.vocab))
+      assert(rows(pers.stats) === rows(reduced.stats))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      rm(new java.io.File(TextIndex.dir(dir)))
+    }
+  }
 }

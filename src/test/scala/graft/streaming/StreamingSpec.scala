@@ -143,6 +143,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
   }
 
+  test("stream-static bm25 lookup: streamed query docs return exactly the batch top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // persisted text index (build-if-absent), same components as
+    // q_bm25_index_search reads
+    val ix = graft.pipeline.TextIndex.persisted(spark, sf)
+    val qdocs = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.bm25SearchStream(
+      input.toDF().toDF("qid", "ts", "qtext"), ix)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bm25_out").start()
+    input.addData(qdocs.map { case (id, t) => (id, ts(0), t) }.toSeq)
+    q.processAllAvailable()
+    // a far-future row advances the watermark past the queries' window,
+    // flushing their top-k; its own window never closes and never emits
+    input.addData((999L, Timestamp.valueOf("2024-01-01 12:00:00"), "catalyst"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT qid, rank, doc_id, score_u FROM bm25_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.pipeline.TextIndex.bm25TopK(
+      graft.Tables.documents(spark, sf).filter(col("doc_id") < 3)
+        .select(col("doc_id").as("qid"), col("text").as("qtext")),
+      ix, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === batch,
+      s"stream ∖ batch: ${got -- batch}; batch ∖ stream: ${batch -- got}")
+    assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
+  }
+
   test("streaming XML ingestion: readStream over the graft.xml format") {
     val dir = java.nio.file.Files.createTempDirectory("xmlstream").toFile
     val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
