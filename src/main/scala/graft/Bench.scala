@@ -123,10 +123,17 @@ object Bench {
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // Include-filter twin of SKIP (probe harness only): re-time a handful
+    // of queries (e.g. after fixing one that failed at the sf1 probe)
+    // without paying for the full sweep. Driver runs never set either.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     // results: name -> (median, min, max) over Runs timings (a query that
     // throws counts as failed once and keeps its single time-to-fail).
     val results = SparkEntry.queries.toSeq.filterNot(q => skip(q._1))
+      .filter(q => only.isEmpty || only(q._1))
       .sortBy(_._1).map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var broken = false

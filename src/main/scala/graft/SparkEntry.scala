@@ -28,6 +28,7 @@ object SparkEntry {
     (pipeline.Similarity.queries, pipeline.Similarity.oracles),
     (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),
     (pipeline.TextIndex.queries, pipeline.TextIndex.oracles),
+    (pipeline.Bpe.queries, pipeline.Bpe.oracles),
     (pipeline.Multimodal.queries, pipeline.Multimodal.oracles),
     (pipeline.Web.queries, pipeline.Web.oracles)
   )

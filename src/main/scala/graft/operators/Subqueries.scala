@@ -50,6 +50,12 @@ object Subqueries {
     // hierarchy) and report each node's depth. DuckDB runs the same
     // recursion (its integer division is `//` where Spark's is `DIV`).
     "q_sql_recursive" -> ((s, dir) => {
+      // Total recursion output is rows × depth, and depth is provably
+      // ≤ 64 (each level halves a 64-bit key), so the real bound is the
+      // level limit, not the row count. Spark's default rowLimit (1e6)
+      // tripped at the sf1 scaling probe (150k customers × ~31 levels);
+      // raise it — the levelLimit (default 100) still guards divergence.
+      s.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
       T.customer(s, dir).createOrReplaceTempView("rec_customer")
       s.sql(
         """WITH RECURSIVE chain(id, anc, depth) AS (

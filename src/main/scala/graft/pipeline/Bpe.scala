@@ -1,0 +1,241 @@
+package graft.pipeline
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) tokenizer — train the merge table
+  * on the corpus, then tokenize with it. The real-tokenizer counterpart of
+  * `q_text_tokens`' regex token classes, and a first-class training-data
+  * pipeline op: every LLM corpus pass ends in a learned subword
+  * segmentation, and the classic BPE trainer (Sennrich et al.'s greedy
+  * pair-merge) is exactly the kind of iterative aggregation Spark does
+  * well.
+  *
+  * Scale shape (the reason BPE trains fine at 100 TB): training never
+  * iterates over the corpus — it iterates over the AGGREGATED word-count
+  * table (one narrow explode+count shuffle over the corpus, then rounds
+  * over a vocabulary that is orders of magnitude smaller). Each round is
+  *   (1) pair counts: per-row transform + one narrow aggregation,
+  *   (2) argmax pair: a 1-row DataFrame, broadcast — the same
+  *       1-row-attach shape as the SQ8 stats row, and
+  *   (3) merge application: a per-row higher-order `aggregate` walk.
+  * Rounds are chained lazily (localCheckpoint between rounds, like the
+  * other iterative operators) with NO driver-side collect; the merge pair
+  * rides a broadcast join into the next round's expressions. Tokenizing
+  * applies merges to DISTINCT words then joins back to documents — the
+  * vocabulary-lookup shape production tokenizers use.
+  *
+  * Determinism (hash-match contract): everything here is integer counts
+  * and string compares — no floats at all. The argmax tie-break is
+  * (count DESC, left ASC, right ASC); the greedy merge is leftmost-first
+  * non-overlapping, and both engines implement exactly that walk (Spark as
+  * a higher-order fold, DuckDB as a gaps-and-islands window rewrite —
+  * different texts, same semantics, which the hash compare proves).
+  *
+  * No end-of-word marker is used (symbols never cross word boundaries and
+  * the declared queries never need to invert the segmentation) — a
+  * deliberate simplification, documented here.
+  */
+object Bpe {
+
+  /** Corpus word counts (word, n) over normalized whitespace tokens; empty
+    * tokens (empty-text documents) are excluded.
+    */
+  def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+
+  /** (word, n, s): `s` is the character-split symbol array. */
+  private def charSplit(words: DataFrame): DataFrame =
+    words.withColumn("s",
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))))
+
+  /** Weighted adjacent-pair counts (l, r, c) over a symbol table. */
+  private def pairCounts(w: DataFrame): DataFrame =
+    w.filter(size(col("s")) > 1)
+      .select(col("n"),
+        explode(transform(sequence(lit(1), size(col("s")) - 1),
+          i => struct(element_at(col("s"), i).as("l"),
+            element_at(col("s"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("c"))
+
+  /** Apply ONE merge (l, r — columns from the broadcast argmax row) to a
+    * symbol array: the greedy leftmost-first non-overlapping walk as a
+    * higher-order fold with (done, pending) state. A merged symbol never
+    * re-pairs with the following symbol in the same pass (the Sennrich
+    * scan: i jumps past the merged pair).
+    */
+  private def applyMerge(s: Column, l: Column, r: Column): Column = {
+    val init = struct(
+      array().cast("array<string>").as("done"), lit("").as("pending"))
+    aggregate(s, init,
+      (acc, x) =>
+        when(acc.getField("pending") === "",
+          struct(acc.getField("done").as("done"), x.as("pending")))
+        .when(acc.getField("pending") === l && x === r,
+          struct(concat(acc.getField("done"), array(concat(l, r))).as("done"),
+            lit("").as("pending")))
+        .otherwise(
+          struct(concat(acc.getField("done"), array(acc.getField("pending")))
+            .as("done"), x.as("pending"))),
+      acc =>
+        when(acc.getField("pending") === "", acc.getField("done"))
+          .otherwise(concat(acc.getField("done"),
+            array(acc.getField("pending")))))
+  }
+
+  /** Train `steps` merges. Returns (merges, vocab): `merges` = (step, l, r,
+    * merged, c) — the learned merge table, one row per round; `vocab` =
+    * (word, n, s) with the final symbol segmentation of every corpus word.
+    */
+  def train(docs: DataFrame, steps: Int): (DataFrame, DataFrame) = {
+    var w = graft.Ckpt(charSplit(wordCounts(docs)))
+    var merges = List.empty[DataFrame]
+    for (k <- 1 to steps) {
+      val best = pairCounts(w)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc).limit(1)
+      merges ::= best.select(lit(k).as("step"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("c"))
+      w = graft.Ckpt(
+        w.crossJoin(broadcast(best))
+          .withColumn("s", applyMerge(col("s"), col("l"), col("r")))
+          .select("word", "n", "s"))
+    }
+    (merges.reverse.reduce(_ unionByName _), w)
+  }
+
+  /** Tokenize every document with a trained vocab: words join their final
+    * segmentation (vocabulary lookup, not per-doc re-segmentation), token
+    * streams reassemble in word order. Returns (doc_id, n_tokens_bpe,
+    * tokens_md5) — the md5 of the '|'-joined token stream proves byte-exact
+    * segmentation without shipping it.
+    */
+  def tokenize(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(vocab.select("word", "s"), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(size(col("s"))).as("n_tokens_bpe"),
+        md5(concat_ws("|",
+          flatten(transform(
+            array_sort(collect_list(struct(col("pos"), col("s")))),
+            t => t.getField("s"))))).as("tokens_md5"))
+
+  // ---- declared queries ---------------------------------------------------
+
+  /** Fixed merge count for the declared queries (and their oracles). */
+  val Steps = 6
+
+  val queries: Map[String, Q] = Map(
+    // L7e: the BPE trainer — 6 greedy merges over the corpus word-count
+    // table, integer/string arithmetic end to end (oracle re-derives every
+    // pair count, argmax, and merge round).
+    "q_bpe_train" -> ((s, dir) => train(T.documents(s, dir), Steps)._1),
+
+    // L7f: tokenization with the trained vocab — per-doc BPE token count +
+    // the md5 of the exact token stream (oracle replays training AND
+    // segmentation, so a hash match proves the whole chain).
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val (_, vocab) = train(T.documents(s, dir), Steps)
+      tokenize(T.documents(s, dir), vocab)
+    })
+  )
+
+  // ---- oracles ------------------------------------------------------------
+
+  /** One merge round as CTEs: pair counts over w{k-1}, the argmax pair
+    * b{k}, and the merged vocab w{k}. The greedy leftmost-first walk is a
+    * gaps-and-islands rewrite: candidate positions (s[i], s[i+1]) = (l, r)
+    * form consecutive streaks only when l = r (runs of one symbol); within
+    * a streak the 1st, 3rd, ... candidates merge and each merge consumes
+    * its right neighbor — exactly the sequential scan, windowed.
+    */
+  private def stepSql(k: Int): String = {
+    val p = k - 1
+    s"""pc$k AS (
+       |  SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(n) AS BIGINT) AS c
+       |  FROM (SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i
+       |        FROM w$p WHERE len(s) > 1)
+       |  GROUP BY 1, 2),
+       |b$k AS (SELECT l, r, c FROM pc$k ORDER BY c DESC, l, r LIMIT 1),
+       |m$k AS (
+       |  SELECT word, n, i, s[i] AS sym, b.l, b.r,
+       |    CASE WHEN i < len(s) AND s[i] = b.l AND s[i + 1] = b.r
+       |         THEN 1 ELSE 0 END AS cand
+       |  FROM (SELECT word, n, s, unnest(generate_series(1, len(s))) AS i
+       |        FROM w$p) CROSS JOIN b$k b),
+       |g$k AS (
+       |  SELECT *, CASE WHEN cand = 1
+       |    THEN i - row_number() OVER (PARTITION BY word, cand ORDER BY i)
+       |    ELSE NULL END AS streak
+       |  FROM m$k),
+       |h$k AS (
+       |  SELECT *, CASE WHEN cand = 1
+       |    THEN row_number() OVER (PARTITION BY word, streak, cand ORDER BY i)
+       |    ELSE 0 END AS srn
+       |  FROM g$k),
+       |c$k AS (
+       |  SELECT word, n, i, sym, l, r,
+       |    CASE WHEN cand = 1 AND srn % 2 = 1 THEN 1 ELSE 0 END AS chosen
+       |  FROM h$k),
+       |d$k AS (
+       |  SELECT *, COALESCE(lag(chosen) OVER (PARTITION BY word ORDER BY i), 0)
+       |    AS dropped
+       |  FROM c$k),
+       |w$k AS (
+       |  SELECT word, n,
+       |    list(CASE WHEN chosen = 1 THEN l || r ELSE sym END ORDER BY i) AS s
+       |  FROM d$k WHERE dropped = 0 GROUP BY word, n)""".stripMargin
+  }
+
+  private def baseSql: String =
+    """wc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+      |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+      |    FROM documents)
+      |  WHERE length(word) > 0 GROUP BY 1),
+      |w0 AS (
+      |  SELECT word, n,
+      |    list_transform(generate_series(1, length(word)),
+      |      i -> substr(word, i, 1)) AS s
+      |  FROM wc)""".stripMargin
+
+  private def chainSql(steps: Int): String =
+    s"WITH $baseSql,\n" + (1 to steps).map(stepSql).mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_train" ->
+      s"""${chainSql(Steps)}
+         |SELECT * FROM (
+         |${(1 to Steps).map(k =>
+             s"  SELECT CAST($k AS INTEGER) AS step, l, r, l || r AS merged, c FROM b$k")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_bpe_tokenize" ->
+      s"""${chainSql(Steps)},
+         |dt AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM documents),
+         |dw0 AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+         |    unnest(toks) AS word
+         |  FROM dt),
+         |dw AS (SELECT * FROM dw0 WHERE length(word) > 0),
+         |j AS (
+         |  SELECT d.doc_id, d.pos, w.s
+         |  FROM dw d JOIN w$Steps w USING (word)),
+         |f AS (
+         |  SELECT doc_id, CAST(SUM(len(s)) AS BIGINT) AS n_tokens_bpe,
+         |    md5(string_agg(array_to_string(s, '|'), '|' ORDER BY pos)) AS tokens_md5
+         |  FROM j GROUP BY 1)
+         |SELECT doc_id, n_tokens_bpe, tokens_md5 FROM f
+         |ORDER BY ALL NULLS FIRST""".stripMargin
+  )
+}

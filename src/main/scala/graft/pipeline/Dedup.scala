@@ -333,11 +333,22 @@ object Dedup {
     * per doc — a doc repeating its own boilerplate counts once.
     */
   def duplicatedSpans(docs: DataFrame, l: Int = 8): DataFrame = {
+    // native one-pass positional hashes + distinct, NOT shingles()+md5():
+    // shingles materializes every l-gram as a ~60-byte string inside a
+    // per-row array before hashing, and at the sf1 probe that allocation
+    // churn made this query scale 16.7x for 10x data (GC amplification);
+    // the fused hash path restored ~linear scaling. Hash values are
+    // identical (substr(md5(space-joined gram), 1, 15)), so the oracle is
+    // unchanged; distinct-over-hashes ≡ distinct-over-grams (md5).
+    import graft.functions.TextHashes.spanMd5Hashes
     val grams = docs
-      .select(col("doc_id"), explode(shingles(col("text"), l)).as("g"))
-      .select(col("doc_id"), substring(md5(col("g")), 1, 15).as("h"))
+      .select(col("doc_id"),
+        explode(array_distinct(spanMd5Hashes(col("text"), l))).as("h"))
+    // (doc_id, h) pairs are distinct by construction, so a plain count per
+    // h equals the distinct-doc count — skips the two-phase distinct agg
+    // (the oracle keeps HAVING count(DISTINCT doc_id), same values)
     val shared = grams.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("h"), lit(1).as("dup"))
     grams.join(shared, Seq("h"), "left")

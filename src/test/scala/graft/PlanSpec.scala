@@ -296,8 +296,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    attach (the BM25 avgdl input)
     //  - q_retrieval_hybrid: the same 1-row stats attaches from BOTH fused
     //    systems (bm25 stats row + sq8 trained-stats row)
+    //  - q_bpe_train / q_bpe_tokenize: each merge round attaches the 1-row
+    //    argmax pair by broadcast (the SQ8-stats-row shape, x6 rounds)
     val bnljOk = Set(
-      "q_bm25_index_search", "q_dedup_semantic", "q_dedup_semantic_capped",
+      "q_bm25_index_search", "q_bpe_tokenize", "q_bpe_train",
+      "q_dedup_semantic", "q_dedup_semantic_capped",
       "q_join_cross", "q_pq_adc", "q_pq_adc_hashinit", "q_pq_ivfadc",
       "q_pq_rerank", "q_retrieval_hybrid", "q_sim_ivf", "q_sim_ivf_assign",
       "q_sim_kmeans", "q_sim_topk", "q_sq8_codes", "q_sq8_ivf",

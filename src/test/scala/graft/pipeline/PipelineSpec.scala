@@ -1073,6 +1073,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept === expected, s"kept $kept, expected $expected")
   }
 
+  test("bpe: greedy merges learn the planted pair; segmentation partitions every word") {
+    import spark.implicits._
+    // corpus dominated by 'abab': the most frequent pair is (a, b) -> "ab",
+    // then ("ab", "ab") -> "abab"
+    val docs = Seq(
+      (1L, "abab abab abab xy"),
+      (2L, "abab abab zq"),
+      (3L, "aaa bbb")
+    ).toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(docs, 3)
+    val m = merges.orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m(0) === ((1, "a", "b", 10L)), s"step 1 must merge (a,b) x10: ${m.toSeq}")
+    assert(m(1) === ((2, "ab", "ab", 5L)), s"step 2 must merge (ab,ab) x5: ${m.toSeq}")
+    // the greedy walk is leftmost-first non-overlapping: 'aaa' under a
+    // later (a,a) merge must become [aa, a], never [a, aa] — check via the
+    // vocab of a corpus where (a,a) wins immediately
+    val (_, v2) = Bpe.train(Seq((1L, "aaa aaa")).toDF("doc_id", "text"), 1)
+    val aaa = v2.filter($"word" === "aaa").select("s").as[Seq[String]].head()
+    assert(aaa === Seq("aa", "a"), s"leftmost-first: $aaa")
+    // invariant: BPE segmentation partitions every word (concat(s) == word)
+    val broken = vocab
+      .filter(concat_ws("", col("s")) =!= col("word") || size(col("s")) === 0)
+      .count()
+    assert(broken === 0L, "every vocab word must re-concatenate exactly")
+    // tokenize: doc 1 = 3x abab + xy -> with both merges learned at 3
+    // steps, abab is one token; counts are exact
+    val toks = Bpe.tokenize(docs, vocab).orderBy("doc_id").collect()
+    val d1 = toks.find(_.getLong(0) == 1L).get
+    // abab abab abab xy -> [abab][abab][abab] + xy's symbols
+    val xyLen = vocab.filter($"word" === "xy").select(size($"s"))
+      .as[Int].head()
+    assert(d1.getLong(1) === 3L + xyLen, s"doc1 token count: ${d1.getLong(1)}")
+  }
+
   test("text index: persisted components ≡ fresh build; planted rare-term doc ranks first") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
