@@ -127,6 +127,56 @@ object Bpe {
             array_sort(collect_list(struct(col("pos"), col("s")))),
             t => t.getField("s"))))).as("tokens_md5"))
 
+  // ---- persistence (the tokenizer-artifact lifecycle) ---------------------
+
+  private val store =
+    new IndexStore("SPARK_GRAFT_BPE_DIR", "graft-bpe", "documents.parquet")
+
+  /** Artifact directory for one corpus dir (env-relocatable root). */
+  def dir(sfDir: String): String = store.dir(sfDir)
+
+  /** Build-if-absent; returns the current VERSION dir. */
+  def ensure(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    store.ensure(sfDir)(buildInto(spark, sfDir, _))
+
+  /** Unconditional train + persist behind the atomic marker swap. */
+  def rebuild(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    store.rebuild(sfDir)(buildInto(spark, sfDir, _))
+
+  /** The tokenizer artifact is the (merges, vocab) pair: `merges` is the
+    * learned merge table and `vocab` the final per-word segmentation — the
+    * precomputed form production tokenizers ship. The vocab component is
+    * RE-DERIVED from the PERSISTED merge table (re-applying each stored
+    * merge in step order to the corpus word-count table), not written from
+    * the training run's lineage — the build-from-persisted-predecessor
+    * principle: what `q_bpe_vocab_build` hash-proves is that corpus +
+    * stored merges reproduce the segmentation exactly.
+    */
+  private def buildInto(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, vd: String): Unit = {
+    val (merges, _) = train(T.documents(spark, sfDir), Steps)
+    merges.write.mode("overwrite").parquet(s"$vd/merges")
+    val pm = spark.read.parquet(s"$vd/merges")
+    var w = graft.Ckpt(charSplit(wordCounts(T.documents(spark, sfDir))))
+    for (k <- 1 to Steps) {
+      val mk = pm.filter(col("step") === k).select("l", "r")
+      w = graft.Ckpt(w.crossJoin(broadcast(mk))
+        .withColumn("s", applyMerge(col("s"), col("l"), col("r")))
+        .select("word", "n", "s"))
+    }
+    w.write.mode("overwrite").parquet(s"$vd/vocab")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(vd, "_meta"),
+      s"steps=$Steps\ntokens=whitespace-lower\n")
+  }
+
+  /** Persisted merge table (step, l, r, merged, c); builds if absent. */
+  def merges(s: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(ensure(s, sfDir) + "/merges")
+
+  /** Persisted final segmentation (word, n, s); builds if absent. */
+  def vocab(s: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    s.read.parquet(ensure(s, sfDir) + "/vocab")
+
   // ---- declared queries ---------------------------------------------------
 
   /** Fixed merge count for the declared queries (and their oracles). */
@@ -138,12 +188,22 @@ object Bpe {
     // pair count, argmax, and merge round).
     "q_bpe_train" -> ((s, dir) => train(T.documents(s, dir), Steps)._1),
 
-    // L7f: tokenization with the trained vocab — per-doc BPE token count +
-    // the md5 of the exact token stream (oracle replays training AND
-    // segmentation, so a hash match proves the whole chain).
-    "q_bpe_tokenize" -> ((s, dir) => {
-      val (_, vocab) = train(T.documents(s, dir), Steps)
-      tokenize(T.documents(s, dir), vocab)
+    // L7f: tokenization against the PERSISTED vocab — the vocabulary-lookup
+    // shape; corpus training is NOT re-paid per tokenize job. The oracle
+    // replays training AND segmentation from raw text, so a hash match
+    // proves the persisted artifact chain (corpus → merges → vocab →
+    // token streams) end to end.
+    "q_bpe_tokenize" -> ((s, dir) =>
+      tokenize(T.documents(s, dir), vocab(s, dir))),
+
+    // L7g: unconditional artifact rebuild + a read of the persisted
+    // segmentation (the q_pq_build pattern: build cost carried here, and
+    // the stored vocab — derived from the stored MERGES, not the training
+    // lineage — is hash-proved against DuckDB's from-scratch derivation).
+    "q_bpe_vocab_build" -> ((s, dir) => {
+      rebuild(s, dir)
+      vocab(s, dir).select(col("word"), col("n"),
+        concat_ws("|", col("s")).as("seg"))
     })
   )
 
@@ -217,6 +277,10 @@ object Bpe {
              s"  SELECT CAST($k AS INTEGER) AS step, l, r, l || r AS merged, c FROM b$k")
              .mkString("\n  UNION ALL\n")}
          |) ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_bpe_vocab_build" ->
+      s"""${chainSql(Steps)}
+         |SELECT word, n, array_to_string(s, '|') AS seg FROM w$Steps
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_bpe_tokenize" ->
       s"""${chainSql(Steps)},
          |dt AS (

@@ -80,6 +80,26 @@ object TextIndex {
     Components(p, vocabOf(p), statsOf(p))
   }
 
+  /** Append a batch of NEW documents (ids disjoint from the indexed corpus,
+    * the [[DedupIndex.appendBatch]] contract) without re-reading corpus
+    * text: postings are per-document rows so the batch's postings union in
+    * directly; `vocab` merges by exact integer df addition and `stats` by
+    * (n, sdl) addition — both pure sums, so append ∪ old is ROW-IDENTICAL
+    * to a from-scratch build over old ∪ batch (`q_bm25_append_search`
+    * hash-proves it through the search path; PipelineSpec proves all three
+    * component tables). At 100 TB this is the daily-ingest shape: cost is
+    * proportional to the batch, never the corpus.
+    */
+  def appendBatch(ix: Components, batch: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Components = {
+    val bp = postingsOf(batch, textCol, idCol)
+    val vocab = ix.vocab.unionByName(vocabOf(bp))
+      .groupBy("word").agg(sum("df").as("df"))
+    val stats = ix.stats.unionByName(statsOf(bp))
+      .agg(sum("n").as("n"), sum("sdl").as("sdl"))
+    Components(ix.postings.unionByName(bp), vocab, stats)
+  }
+
   /** One (term, doc) BM25 contribution in exact integer micro²-units:
     * round(idf·1e6) · round(tfNorm·1e6), both BIGINT. The expression trees
     * here and in [[bm25Sql]] apply the same IEEE ops in the same order, so
@@ -282,6 +302,19 @@ object TextIndex {
         .select(col("word"), col("df"), col("tf_sum"))
     }),
 
+    // L7g: the append path searched end to end — index 4/5 of the corpus,
+    // appendBatch the remaining 1/5 (integer df/n/sdl merges, no corpus
+    // re-read), then the same BM25 search. The oracle is byte-identical to
+    // q_text_bm25's from-scratch derivation over the FULL corpus, so a hash
+    // match proves append ∪ old ≡ from-scratch (the q_dedup_append_pairs
+    // pattern applied to the text index).
+    "q_bm25_append_search" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val ix = componentsOf(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      bm25TopK(queryDocs(s, dir),
+        appendBatch(ix, docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
+    }),
+
     // L7d: hybrid retrieval — reciprocal-rank fusion of the BM25 list and
     // the IVF×SQ8 vector list, BOTH served from persisted indexes (docs and
     // embeddings align 1:1 on id). The oracle re-derives both systems from
@@ -358,6 +391,9 @@ object TextIndex {
     // byte-identical on purpose: hash match proves the persisted index
     // components equal the in-query derivation (see q_bm25_index_search)
     "q_bm25_index_search" -> bm25Sql,
+    // byte-identical again: append(4/5-index, 1/5-batch) must equal the
+    // from-scratch full-corpus build through the whole search path
+    "q_bm25_append_search" -> bm25Sql,
     "q_bm25_index_build" ->
       """WITH t AS (
         |  SELECT doc_id,

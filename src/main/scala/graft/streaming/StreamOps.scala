@@ -300,6 +300,33 @@ object StreamOps {
         col("t.doc").as("doc_id"), col("t.score_u").as("score_u"))
   }
 
+  /** Streaming BPE tokenization against a persisted vocab (the E84/E90/E97
+    * stream-static pattern completed for the tokenizer artifact): arriving
+    * docs explode to (pos, word) statelessly, stream-static join the stored
+    * segmentation on word (only arriving words' vocab rows are touched —
+    * never the corpus), and ONE watermark-bounded windowed aggregation
+    * reassembles the exact per-doc token stream with the same
+    * (n_tokens_bpe, tokens_md5) contract as batch
+    * [[graft.pipeline.Bpe.tokenize]]. State = open doc windows only —
+    * nothing proportional to the vocabulary or the corpus it was trained
+    * on; one persisted artifact serves batch and stream.
+    */
+  def bpeTokenizeStream(docs: DataFrame, vocab: DataFrame,
+      tsCol: String = "ts", windowLen: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    docs.withWatermark(tsCol, "10 minutes")
+      .select(col("doc_id"), col(tsCol),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .join(vocab.select("word", "s"), Seq("word"))
+      .groupBy(window(col(tsCol), windowLen), col("doc_id"))
+      .agg(sum(size(col("s"))).as("n_tokens_bpe"),
+        md5(concat_ws("|", flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("s")))),
+          t => t.getField("s"))))).as("tokens_md5"))
+      .select("doc_id", "n_tokens_bpe", "tokens_md5")
+  }
+
   /** Stream-stream interval join — the canonical click↔impression
     * attribution shape: a click joins the impression it followed within
     * `horizon`. Both sides carry watermarks and the join condition bounds

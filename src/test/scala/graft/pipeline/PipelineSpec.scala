@@ -1108,6 +1108,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d1.getLong(1) === 3L + xyLen, s"doc1 token count: ${d1.getLong(1)}")
   }
 
+  test("naive bayes: planted counts, exact micro-unit scores, argmax with unseen words") {
+    import spark.implicits._
+    val trainDocs = Seq(
+      (1L, "aa aa bb", "en"), (2L, "aa bb bb", "en"),
+      (3L, "cc cc dd", "fr"), (4L, "cc dd dd", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val m = NaiveBayes.train(trainDocs)
+    // V = 4 (aa bb cc dd), tot_en = tot_fr = 6; c(en, aa) = 3
+    val cell = m.model.filter($"lang" === "en" && $"word" === "aa")
+      .select("c", "score_u").as[(Long, Long)].head()
+    assert(cell._1 === 3L)
+    // score_u(en, aa) = round(ln((3+1)/(6+4)) * 1e6) = round(ln(0.4)*1e6)
+    assert(cell._2 === -916291L, s"got ${cell._2}")
+    val labs = m.labels.orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(labs.map(_._1).toSeq === Seq("en", "fr"))
+    assert(labs.forall(_._2 === -693147L), s"priors ln(1/2): ${labs.toSeq}")
+    assert(labs.forall(_._3 === -2302585L), s"default ln(1/10): ${labs.toSeq}")
+    // "aa bb zz": zz unseen anywhere -> default for both labels; en wins.
+    // s_en = -693147 + 2*(-916291) + (-2302585) = -4828314
+    val test = Seq((10L, "aa bb zz"), (11L, "cc dd cc")).toDF("doc_id", "text")
+    val got = NaiveBayes.predict(test, m).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got(0) === ((10L, "en", -4828314L)), s"got ${got.toSeq}")
+    assert(got(1)._2 === "fr", s"got ${got.toSeq}")
+  }
+
+  test("bpe artifact: persisted merges+vocab ≡ fresh training on the corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val (m, v) = Bpe.train(T.documents(spark, sf), Bpe.Steps)
+    assert(rows(Bpe.merges(spark, sf)) === rows(m))
+    assert(rows(Bpe.vocab(spark, sf)) === rows(v))
+  }
+
   test("text index: persisted components ≡ fresh build; planted rare-term doc ranks first") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
@@ -1132,6 +1167,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
     assert(got.head === (1, 1L), s"doc 1 shares catalyst+optimizer: $got")
     assert(!got.map(_._2).contains(10L), "query doc must be excluded")
+  }
+
+  test("text index append: append(old, batch) ≡ from-scratch over old ∪ batch, all three components") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val docs = T.documents(spark, sf)
+    val old = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val appended = TextIndex.appendBatch(TextIndex.componentsOf(old), batch)
+    val scratch = TextIndex.componentsOf(docs)
+    assert(rows(appended.postings) === rows(scratch.postings))
+    assert(rows(appended.vocab) === rows(scratch.vocab))
+    assert(rows(appended.stats) === rows(scratch.stats))
   }
 
   test("text index tombstones: deleted docs vanish from results, compact restores exact df/avgdl") {

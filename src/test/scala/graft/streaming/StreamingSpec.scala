@@ -179,6 +179,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
   }
 
+  test("stream-static bpe tokenize: streamed docs get exactly the batch token streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // persisted tokenizer artifact (build-if-absent) — the same vocab
+    // q_bpe_tokenize joins
+    val vocab = graft.pipeline.Bpe.vocab(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 3).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.bpeTokenizeStream(
+      input.toDF().toDF("doc_id", "ts", "text"), vocab)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bpe_out").start()
+    input.addData(docs.map { case (id, t) => (id, ts(0), t) }.toSeq)
+    q.processAllAvailable()
+    // far-future row advances the watermark past the docs' window, flushing
+    // them; its own window never closes and never emits
+    input.addData((999L, Timestamp.valueOf("2024-01-01 12:00:00"), "aaa"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, n_tokens_bpe, tokens_md5 FROM bpe_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = graft.pipeline.Bpe.tokenize(
+      graft.Tables.documents(spark, sf).filter(col("doc_id") < 3), vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === batch,
+      s"stream ∖ batch: ${got -- batch}; batch ∖ stream: ${batch -- got}")
+    assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
+  }
+
   test("streaming XML ingestion: readStream over the graft.xml format") {
     val dir = java.nio.file.Files.createTempDirectory("xmlstream").toFile
     val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
