@@ -101,6 +101,60 @@ object NaiveBayes {
         col("s_u").as("score_u"))
   }
 
+  // ---- persistence (the classifier-artifact lifecycle) --------------------
+
+  private val store =
+    new IndexStore("SPARK_GRAFT_NB_DIR", "graft-nb-model", "documents.parquet")
+
+  /** Artifact directory for one corpus dir (env-relocatable root). */
+  def dir(sfDir: String): String = store.dir(sfDir)
+
+  /** Build-if-absent; returns the current VERSION dir. */
+  def ensure(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    store.ensure(sfDir)(buildInto(spark, sfDir, _))
+
+  /** Unconditional train + persist behind the atomic marker swap. */
+  def rebuild(spark: org.apache.spark.sql.SparkSession, sfDir: String): String =
+    store.rebuild(sfDir)(buildInto(spark, sfDir, _))
+
+  /** Persisted components: `model` (lang, word, c, score_u) and the tiny
+    * `priors` (lang, nd). The per-label table ([[Model.labels]]) is NOT
+    * persisted — [[persistedModel]] re-derives it from the persisted pair
+    * (tot = Σc and V = #distinct words from `model`, N = Σnd from
+    * `priors`), the build-from-persisted-predecessor principle: what
+    * prediction joins is provably a function of what was written.
+    */
+  private def buildInto(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, vd: String): Unit = {
+    val d = trainDocs(T.documents(spark, sfDir))
+    train(d).model.write.mode("overwrite").parquet(s"$vd/model")
+    d.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .write.mode("overwrite").parquet(s"$vd/priors")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(vd, "_meta"),
+      "smoothing=laplace1\nsplit=mod5\nunits=micro-ln\n")
+  }
+
+  /** The persisted classifier, labels re-derived from the stored
+    * components with the identical micro-unit arithmetic ([[train]]).
+    */
+  def persistedModel(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): Model = {
+    val vd = ensure(s, sfDir)
+    val model = s.read.parquet(s"$vd/model")
+    val priors = s.read.parquet(s"$vd/priors")
+    val tot = model.groupBy("lang").agg(sum("c").as("tot"))
+    val v = model.agg(countDistinct(col("word")).as("v"))
+    val n = priors.agg(sum("nd").as("n"))
+    val labels = priors.crossJoin(broadcast(n)).join(tot, Seq("lang"))
+      .crossJoin(broadcast(v))
+      .select(col("lang"), col("tot"), col("v"),
+        microLn(col("nd").cast("double") / col("n").cast("double"))
+          .as("prior_u"),
+        microLn(lit(1.0) / (col("tot").cast("double") + col("v").cast("double")))
+          .as("default_u"))
+    Model(model, labels)
+  }
+
   // ---- declared queries ---------------------------------------------------
 
   private def trainDocs(d: DataFrame): DataFrame =
@@ -115,13 +169,15 @@ object NaiveBayes {
     "q_nb_train" -> ((s, dir) =>
       train(trainDocs(T.documents(s, dir))).model),
 
-    // L8b: held-out prediction — the 1/5 test split classified by the model
-    // trained on the other 4/5; leak-free by construction. Output carries
-    // the true label so the oracle replay proves scores AND the argmax.
+    // L8b: held-out prediction — the 1/5 test split classified by the
+    // PERSISTED model (training is not re-paid per classify job; the
+    // production train-once shape). Leak-free by construction; output
+    // carries the true label, and the oracle re-derives training from raw
+    // text, so a hash match proves the persisted artifact chain AND the
+    // argmax.
     "q_nb_predict" -> ((s, dir) => {
       val d = T.documents(s, dir)
-      val m = train(trainDocs(d))
-      predict(testDocs(d), m)
+      predict(testDocs(d), persistedModel(s, dir))
         .join(d.select(col("doc_id"), col("lang").as("lang_true")),
           Seq("doc_id"))
         .select(col("doc_id"), col("lang_true"), col("lang_pred"),
@@ -131,11 +187,19 @@ object NaiveBayes {
     // L8c: the confusion matrix of L8b — the classifier-evaluation rollup.
     "q_nb_confusion" -> ((s, dir) => {
       val d = T.documents(s, dir)
-      val m = train(trainDocs(d))
-      predict(testDocs(d), m)
+      predict(testDocs(d), persistedModel(s, dir))
         .join(d.select(col("doc_id"), col("lang").as("lang_true")),
           Seq("doc_id"))
         .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // L8d: unconditional artifact rebuild + the per-label table DERIVED
+    // from the persisted components (the q_pq_build pattern; the oracle
+    // re-derives priors/totals/vocabulary from raw text, hash-proving the
+    // stored model sufficient to reconstruct every scoring constant).
+    "q_nb_model_build" -> ((s, dir) => {
+      rebuild(s, dir)
+      persistedModel(s, dir).labels
     })
   )
 
@@ -220,6 +284,10 @@ object NaiveBayes {
       s"""WITH $nbPredictCtes
          |SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
          |FROM npred GROUP BY 1, 2
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_nb_model_build" ->
+      s"""WITH $nbCtes
+         |SELECT lang, tot, v, prior_u, default_u FROM labs
          |ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

@@ -327,6 +327,44 @@ object StreamOps {
       .select("doc_id", "n_tokens_bpe", "tokens_md5")
   }
 
+  /** Streaming classification against the persisted Naive Bayes model
+    * (the stream-static family member for the classifier artifact):
+    * arriving docs explode to word occurrences statelessly; each
+    * occurrence scores against every label (broadcast label-constant row;
+    * per-occurrence contribution = coalesce(stored score_u, label
+    * default_u) — algebraically equal to batch
+    * [[graft.pipeline.NaiveBayes.predict]]'s matched/unmatched split, which
+    * the StreamingSpec equality proves); one watermark-bounded windowed agg
+    * sums per (doc, label) and a CHAINED second windowed agg emits the
+    * per-doc argmax with the batch (s_u DESC, lang ASC) tie-break. State =
+    * open doc windows only — never the model or its corpus.
+    */
+  def nbClassifyStream(docs: DataFrame, m: graft.pipeline.NaiveBayes.Model,
+      tsCol: String = "ts", windowLen: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val occ = docs.withWatermark(tsCol, "10 minutes")
+      .select(col("doc_id"), col(tsCol),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .crossJoin(broadcast(m.labels.select("lang", "prior_u", "default_u")))
+      .join(m.model.select("lang", "word", "score_u"), Seq("lang", "word"),
+        "left")
+      .withColumn("__c", coalesce(col("score_u"), col("default_u")))
+    val perLabel = occ
+      .groupBy(window(col(tsCol), windowLen), col("doc_id"), col("lang"),
+        col("prior_u"))
+      .agg(sum("__c").as("sum_c"))
+      .withColumn("s_u", col("prior_u") + col("sum_c"))
+    perLabel
+      .groupBy(window(col("window"), windowLen), col("doc_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("s_u")).as("ns"), col("lang"), col("s_u")))), 1, 1)
+        .as("top"))
+      .select(col("doc_id"), explode(col("top")).as("t"))
+      .select(col("doc_id"), col("t.lang").as("lang_pred"),
+        col("t.s_u").as("score_u"))
+  }
+
   /** Stream-stream interval join — the canonical click↔impression
     * attribution shape: a click joins the impression it followed within
     * `horizon`. Both sides carry watermarks and the join condition bounds

@@ -302,12 +302,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    (plain equi-join / scan — the E102 reroute removed their BNLJs)
     //  - q_bm25_append_search: the same 1-row stats attach as
     //    q_bm25_index_search, through the append-merged components
-    //  - q_nb_train / q_nb_predict / q_nb_confusion: 1-row vocabulary-size
-    //    and corpus-count attaches, plus the <=n-label broadcast cross that
-    //    scores each doc against every label
+    //  - q_nb_train / q_nb_predict / q_nb_confusion / q_nb_model_build:
+    //    1-row vocabulary-size and corpus-count attaches, plus the
+    //    <=n-label broadcast cross that scores each doc against every label
     val bnljOk = Set(
       "q_bm25_append_search", "q_bm25_index_search", "q_bpe_train",
-      "q_nb_confusion", "q_nb_predict", "q_nb_train",
+      "q_nb_confusion", "q_nb_model_build", "q_nb_predict", "q_nb_train",
       "q_dedup_semantic", "q_dedup_semantic_capped",
       "q_join_cross", "q_pq_adc", "q_pq_adc_hashinit", "q_pq_ivfadc",
       "q_pq_rerank", "q_retrieval_hybrid", "q_sim_ivf", "q_sim_ivf_assign",

@@ -1135,6 +1135,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1)._2 === "fr", s"got ${got.toSeq}")
   }
 
+  test("nb artifact: persisted model + derived labels ≡ fresh training on the corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val fresh = NaiveBayes.train(
+      T.documents(spark, sf).filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    val pers = NaiveBayes.persistedModel(spark, sf)
+    assert(rows(pers.model) === rows(fresh.model))
+    assert(rows(pers.labels) === rows(fresh.labels))
+  }
+
   test("bpe artifact: persisted merges+vocab ≡ fresh training on the corpus") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.toString).toSet

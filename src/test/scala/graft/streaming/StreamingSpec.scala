@@ -211,6 +211,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
   }
 
+  test("stream-static nb classify: streamed docs get exactly the batch predictions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val m = graft.pipeline.NaiveBayes.persistedModel(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 5).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.nbClassifyStream(
+      input.toDF().toDF("doc_id", "ts", "text"), m)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("nb_out").start()
+    input.addData(docs.map { case (id, t) => (id, ts(0), t) }.toSeq)
+    q.processAllAvailable()
+    input.addData((999L, Timestamp.valueOf("2024-01-01 12:00:00"), "aaa"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id, lang_pred, score_u FROM nb_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.pipeline.NaiveBayes.predict(
+      graft.Tables.documents(spark, sf).filter(col("doc_id") < 5), m)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === batch,
+      s"stream ∖ batch: ${got -- batch}; batch ∖ stream: ${batch -- got}")
+    assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
+  }
+
   test("streaming XML ingestion: readStream over the graft.xml format") {
     val dir = java.nio.file.Files.createTempDirectory("xmlstream").toFile
     val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
