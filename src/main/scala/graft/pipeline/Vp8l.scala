@@ -432,6 +432,17 @@ object Vp8l {
     val h = br.readBits(14) + 1
     br.readBit() // alpha-used hint
     require(br.readBits(3) == 0, "unsupported VP8L version")
+    (w, h, decodeStream(br, w, h))
+  }
+
+  /** The headerless part of a VP8L bitstream (transform loop onward) for
+    * known dimensions — shared by [[decodePayload]] (which reads the
+    * 0x2f + 14+14+1+3-bit header first) and [[decodeAlpha]] (where the
+    * container supplies the dimensions and the stream starts directly at
+    * the transform-present loop, libwebp's `VP8LDecodeAlphaHeader`
+    * contract).
+    */
+  private def decodeStream(br: BitReader, w: Int, h: Int): Array[Int] = {
     // transforms, in bitstream order; COLOR_INDEXING shrinks the coded width
     var curW = w
     var transforms = List.empty[Transform]
@@ -473,7 +484,7 @@ object Vp8l {
         px = inversePalette(px, curW, h, xs, colors, wb)
         curW = xs
     }
-    (w, h, px)
+    px
   }
 
   /** Decode a WebP-lossless file (RIFF container) or a bare VP8L stream.
@@ -496,6 +507,55 @@ object Vp8l {
           ((content(off + 6) & 0xff) << 16) | ((content(off + 7) & 0xff) << 24)
         if (tag == "VP8L") return Some(decodePayload(content, off + 8))
         off += 8 + size + (size & 1) // chunks are 2-byte aligned
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode the alpha plane of an extended (VP8X) WebP whose ALPH chunk is
+    * losslessly compressed (compression method 1): the chunk payload after
+    * its 1-byte header is a HEADERLESS VP8L bitstream — dimensions come
+    * from the VP8X chunk and the alpha values ride the green channel — the
+    * one place real libwebp-produced files embed a VP8L stream even when
+    * the color payload is lossy VP8, so this is where the decoder can be
+    * exercised against an independent encoder. Returns (w, h, alpha
+    * bytes). None unless method=1 with filtering=0 (pre-filtered alpha
+    * would need the four WebP alpha filters inverted post-decode — not
+    * implemented, honest seam; raw method-0 alpha is trivial and also
+    * returned).
+    */
+  def decodeAlpha(content: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      if (content.length < 30 ||
+          new String(content, 0, 4, "ISO-8859-1") != "RIFF" ||
+          new String(content, 8, 4, "ISO-8859-1") != "WEBP") return None
+      def u24(o: Int): Int = (content(o) & 0xff) | ((content(o + 1) & 0xff) << 8) |
+        ((content(o + 2) & 0xff) << 16)
+      var dims: Option[(Int, Int)] = None
+      var off = 12
+      while (off + 8 <= content.length) {
+        val tag = new String(content, off, 4, "ISO-8859-1")
+        val size = (content(off + 4) & 0xff) | ((content(off + 5) & 0xff) << 8) |
+          ((content(off + 6) & 0xff) << 16) | ((content(off + 7) & 0xff) << 24)
+        tag match {
+          case "VP8X" =>
+            dims = Some((u24(off + 12) + 1, u24(off + 15) + 1))
+          case "ALPH" =>
+            val (w, h) = dims.getOrElse(return None)
+            val hdr = content(off + 8) & 0xff
+            val comp = hdr & 3
+            val filt = (hdr >> 2) & 3
+            if (filt != 0) return None
+            if (comp == 0) { // raw: one byte per pixel, row-major
+              if (size - 1 < w * h) return None
+              return Some((w, h,
+                Array.tabulate(w * h)(i => content(off + 9 + i) & 0xff)))
+            }
+            if (comp != 1) return None
+            val px = decodeStream(new BitReader(content, off + 9), w, h)
+            return Some((w, h, px.map(p => (p >> 8) & 0xff)))
+          case _ => ()
+        }
+        off += 8 + size + (size & 1)
       }
       None
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -16,6 +16,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class Vp8lSpec extends AnyFunSuite {
 
+  // md5 of the decoded 256-byte alpha plane of webp/python.webp — pinned at
+  // fixture introduction (see the external-encoder test for provenance)
+  private val PYTHON_WEBP_ALPHA_MD5 = "fa1667e19ae1b259be670911674006a6"
+
   // ---- minimal VP8L encoder ----------------------------------------------
 
   private final class BitWriter {
@@ -337,6 +341,35 @@ class Vp8lSpec extends AnyFunSuite {
     assert(means(0) === (10 + 10 + 40) / 3.0)
     assert(means(1) === (20 + 200 + 20) / 3.0)
     assert(means(2) === (30 + 30 + 90) / 3.0)
+  }
+
+  test("vp8l: decodes a real libwebp-encoded alpha stream (external-encoder fixture)") {
+    // src/test/resources/webp/python.webp is the Python distribution's test
+    // image (CPython Lib/test/imghdrdata/python.webp, PSF-licensed): a
+    // VP8X container whose ALPH chunk is compression-method-1 — i.e. a
+    // genuine libwebp-PRODUCED headerless VP8L bitstream. This is the one
+    // independent-encoder check available in this container (no libwebp /
+    // Pillow exists here): every other Vp8l golden is round-tripped against
+    // the spec-following encoder written in this file, which certifies the
+    // spec as written twice; THIS stream was written by the reference
+    // implementation itself.
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/webp/python.webp").toURI))
+    val got = Vp8l.decodeAlpha(bytes)
+    assert(got.isDefined, "ALPH method-1 stream must decode")
+    val (w, h, a) = got.get
+    assert((w, h) === (16, 16))
+    assert(a.length === 256)
+    // the 16x16 Python-logo mask: anti-aliased shape on transparent ground
+    assert(a.forall(v => v >= 0 && v <= 255))
+    assert(a.contains(0) && a.contains(255),
+      "logo mask must have transparent and opaque pixels")
+    assert(a.distinct.length > 2, "anti-aliased mask is not binary")
+    // regression pin of the full plane (self-golden at fixture
+    // introduction; a decoder change that alters any pixel fails here)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(a.map(_.toByte)).map("%02x".format(_)).mkString
+    assert(md5 === PYTHON_WEBP_ALPHA_MD5, s"alpha plane drifted: $md5")
   }
 
   test("vp8l: non-webp and lossy payloads fall through to None") {
