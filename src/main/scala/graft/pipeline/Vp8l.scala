@@ -518,11 +518,43 @@ object Vp8l {
     * one place real libwebp-produced files embed a VP8L stream even when
     * the color payload is lossy VP8, so this is where the decoder can be
     * exercised against an independent encoder. Returns (w, h, alpha
-    * bytes). None unless method=1 with filtering=0 (pre-filtered alpha
-    * would need the four WebP alpha filters inverted post-decode — not
-    * implemented, honest seam; raw method-0 alpha is trivial and also
-    * returned).
+    * bytes). All four filtering modes are inverted post-decode (none /
+    * horizontal / vertical / gradient — the PNG-style predictive filters
+    * the WebP alpha spec defines, with left/top fall-backs at the edges);
+    * raw method-0 alpha is also returned.
     */
+  /** Invert the WebP alpha pre-filter in place: stored values are residues
+    * against a per-pixel predictor — left (1), top (2), or the gradient
+    * clamp(left + top − topleft) (3) — with the first row predicting from
+    * the left, the first column from the top, and pixel (0,0) from 0 (the
+    * spec's edge rule). Mode 0 is identity.
+    */
+  private def unfilterAlpha(a: Array[Int], w: Int, h: Int,
+      filt: Int): Array[Int] = {
+    if (filt == 0) return a
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred =
+          if (x == 0 && y == 0) 0
+          else if (y == 0) a((y * w) + x - 1) // first row: left
+          else if (x == 0) a(((y - 1) * w) + x) // first col: top
+          else filt match {
+            case 1 => a((y * w) + x - 1)
+            case 2 => a(((y - 1) * w) + x)
+            case _ =>
+              clamp255(a((y * w) + x - 1) + a(((y - 1) * w) + x) -
+                a(((y - 1) * w) + x - 1))
+          }
+        a((y * w) + x) = (a((y * w) + x) + pred) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    a
+  }
+
   def decodeAlpha(content: Array[Byte]): Option[(Int, Int, Array[Int])] =
     try {
       if (content.length < 30 ||
@@ -544,15 +576,15 @@ object Vp8l {
             val hdr = content(off + 8) & 0xff
             val comp = hdr & 3
             val filt = (hdr >> 2) & 3
-            if (filt != 0) return None
-            if (comp == 0) { // raw: one byte per pixel, row-major
-              if (size - 1 < w * h) return None
-              return Some((w, h,
-                Array.tabulate(w * h)(i => content(off + 9 + i) & 0xff)))
-            }
-            if (comp != 1) return None
-            val px = decodeStream(new BitReader(content, off + 9), w, h)
-            return Some((w, h, px.map(p => (p >> 8) & 0xff)))
+            val a: Array[Int] =
+              if (comp == 0) { // raw: one byte per pixel, row-major
+                if (size - 1 < w * h) return None
+                Array.tabulate(w * h)(i => content(off + 9 + i) & 0xff)
+              } else if (comp == 1) {
+                decodeStream(new BitReader(content, off + 9), w, h)
+                  .map(p => (p >> 8) & 0xff)
+              } else return None
+            return Some((w, h, unfilterAlpha(a, w, h, filt)))
           case _ => ()
         }
         off += 8 + size + (size & 1)

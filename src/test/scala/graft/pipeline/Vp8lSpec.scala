@@ -372,6 +372,44 @@ class Vp8lSpec extends AnyFunSuite {
     assert(md5 === PYTHON_WEBP_ALPHA_MD5, s"alpha plane drifted: $md5")
   }
 
+  test("vp8l: all four alpha pre-filters invert exactly (raw ALPH round trip)") {
+    val (w, h) = (4, 3)
+    val plane = Array(10, 250, 0, 128, 7, 255, 3, 90, 200, 1, 64, 32)
+    // independent spec-side filtering: residue = value - pred (mod 256),
+    // pred per the edge rules (0,0)->0, first row->left, first col->top
+    def pred(a: Array[Int], x: Int, y: Int, f: Int): Int =
+      if (x == 0 && y == 0) 0
+      else if (y == 0) a(y * w + x - 1)
+      else if (x == 0) a((y - 1) * w + x)
+      else f match {
+        case 1 => a(y * w + x - 1)
+        case 2 => a((y - 1) * w + x)
+        case _ =>
+          val g = a(y * w + x - 1) + a((y - 1) * w + x) - a((y - 1) * w + x - 1)
+          if (g < 0) 0 else if (g > 255) 255 else g
+      }
+    for (f <- 0 to 3) {
+      val res = Array.tabulate(w * h)(i =>
+        (plane(i) - (if (f == 0) 0 else pred(plane, i % w, i / w, f))) & 0xff)
+      val out = new java.io.ByteArrayOutputStream()
+      def u24(v: Int): Array[Byte] =
+        Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte)
+      out.write("RIFF".getBytes("ISO-8859-1")); out.write(Array[Byte](0, 0, 0, 0))
+      out.write("WEBP".getBytes("ISO-8859-1"))
+      out.write("VP8X".getBytes("ISO-8859-1")); out.write(Array[Byte](10, 0, 0, 0))
+      out.write(Array[Byte](0x10, 0, 0, 0)); out.write(u24(w - 1)); out.write(u24(h - 1))
+      val alphSize = 1 + w * h
+      out.write("ALPH".getBytes("ISO-8859-1"))
+      out.write(Array[Byte]((alphSize & 0xff).toByte, 0, 0, 0))
+      out.write((f << 2) | 0) // method 0 (raw), filter f
+      res.foreach(v => out.write(v))
+      if (alphSize % 2 == 1) out.write(0)
+      val got = Vp8l.decodeAlpha(out.toByteArray)
+      assert(got.isDefined, s"filter $f must decode")
+      assert(got.get._3.toSeq === plane.toSeq, s"filter $f round trip")
+    }
+  }
+
   test("vp8l: non-webp and lossy payloads fall through to None") {
     assert(Vp8l.decode("not a webp at all".getBytes).isEmpty)
     // RIFF/WEBP container with a (stub) lossy VP8 chunk: still None
