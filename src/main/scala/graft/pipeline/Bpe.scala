@@ -47,11 +47,13 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("n"))
 
+  /** The character-split symbol array of one word, as an expression. */
+  private def charSplitCol(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
   /** (word, n, s): `s` is the character-split symbol array. */
   private def charSplit(words: DataFrame): DataFrame =
-    words.withColumn("s",
-      transform(sequence(lit(1), length(col("word"))),
-        i => col("word").substr(i, lit(1))))
+    words.withColumn("s", charSplitCol(col("word")))
 
   /** Weighted adjacent-pair counts (l, r, c) over a symbol table. */
   private def pairCounts(w: DataFrame): DataFrame =
@@ -108,18 +110,43 @@ object Bpe {
     (merges.reverse.reduce(_ unionByName _), w)
   }
 
-  /** Tokenize every document with a trained vocab: words join their final
-    * segmentation (vocabulary lookup, not per-doc re-segmentation), token
+  /** The step-ordered merge list as a single 1-row DataFrame column `ms`
+    * (array of (step, l, r) structs) — the broadcastable form of the merge
+    * table that [[segmentExpr]] folds over, so out-of-vocabulary
+    * segmentation works as ONE expression in batch and streaming alike.
+    */
+  def mergesRow(merges: DataFrame): DataFrame =
+    merges.agg(array_sort(collect_list(
+      struct(col("step"), col("l"), col("r")))).as("ms"))
+
+  /** Segment ONE word by applying every learned merge in step order — the
+    * real BPE apply (char split, then fold the merge list, each step the
+    * same greedy leftmost-first walk as training) as a nested higher-order
+    * expression. This is the out-of-vocabulary path: a word the trainer
+    * never saw still segments exactly as training WOULD have segmented it.
+    */
+  def segmentExpr(word: Column, ms: Column): Column =
+    aggregate(ms, charSplitCol(word),
+      (acc, m) => applyMerge(acc, m.getField("l"), m.getField("r")))
+
+  /** Tokenize every document with a trained tokenizer: words join their
+    * final segmentation (vocabulary lookup, not per-doc re-segmentation);
+    * words NOT in the vocabulary — new documents' novel words — fall back
+    * to [[segmentExpr]] over the merge list (the production tokenizer
+    * contract; a pure-lookup tokenizer would silently DROP them). Token
     * streams reassemble in word order. Returns (doc_id, n_tokens_bpe,
     * tokens_md5) — the md5 of the '|'-joined token stream proves byte-exact
     * segmentation without shipping it.
     */
-  def tokenize(docs: DataFrame, vocab: DataFrame): DataFrame =
+  def tokenize(docs: DataFrame, vocab: DataFrame,
+      merges: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-      .join(vocab.select("word", "s"), Seq("word"))
+      .join(vocab.select("word", "s"), Seq("word"), "left")
+      .crossJoin(broadcast(mergesRow(merges)))
+      .withColumn("s", coalesce(col("s"), segmentExpr(col("word"), col("ms"))))
       .groupBy("doc_id")
       .agg(sum(size(col("s"))).as("n_tokens_bpe"),
         md5(concat_ws("|",
@@ -194,7 +221,7 @@ object Bpe {
     // proves the persisted artifact chain (corpus → merges → vocab →
     // token streams) end to end.
     "q_bpe_tokenize" -> ((s, dir) =>
-      tokenize(T.documents(s, dir), vocab(s, dir))),
+      tokenize(T.documents(s, dir), vocab(s, dir), merges(s, dir))),
 
     // L7g: unconditional artifact rebuild + a read of the persisted
     // segmentation (the q_pq_build pattern: build cost carried here, and

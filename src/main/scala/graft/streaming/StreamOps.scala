@@ -304,21 +304,28 @@ object StreamOps {
     * stream-static pattern completed for the tokenizer artifact): arriving
     * docs explode to (pos, word) statelessly, stream-static join the stored
     * segmentation on word (only arriving words' vocab rows are touched —
-    * never the corpus), and ONE watermark-bounded windowed aggregation
-    * reassembles the exact per-doc token stream with the same
+    * never the corpus), out-of-vocabulary words fall back to the same
+    * merge-list fold as batch ([[graft.pipeline.Bpe.segmentExpr]], the
+    * merge table riding a 1-row broadcast), and ONE watermark-bounded
+    * windowed aggregation reassembles the exact per-doc token stream with
+    * the same
     * (n_tokens_bpe, tokens_md5) contract as batch
     * [[graft.pipeline.Bpe.tokenize]]. State = open doc windows only —
     * nothing proportional to the vocabulary or the corpus it was trained
     * on; one persisted artifact serves batch and stream.
     */
   def bpeTokenizeStream(docs: DataFrame, vocab: DataFrame,
+      merges: DataFrame,
       tsCol: String = "ts", windowLen: String = "10 minutes"): DataFrame = {
-    import graft.pipeline.TextAnalysis
+    import graft.pipeline.{Bpe, TextAnalysis}
     docs.withWatermark(tsCol, "10 minutes")
       .select(col("doc_id"), col(tsCol),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))
       .filter(length(col("word")) > 0)
-      .join(vocab.select("word", "s"), Seq("word"))
+      .join(vocab.select("word", "s"), Seq("word"), "left")
+      .crossJoin(broadcast(Bpe.mergesRow(merges)))
+      .withColumn("s",
+        coalesce(col("s"), Bpe.segmentExpr(col("word"), col("ms"))))
       .groupBy(window(col(tsCol), windowLen), col("doc_id"))
       .agg(sum(size(col("s"))).as("n_tokens_bpe"),
         md5(concat_ws("|", flatten(transform(

@@ -297,16 +297,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //  - q_retrieval_hybrid: the same 1-row stats attaches from BOTH fused
     //    systems (bm25 stats row + sq8 trained-stats row)
     //  - q_bpe_train: each merge round attaches the 1-row argmax pair by
-    //    broadcast (the SQ8-stats-row shape, x6 rounds). q_bpe_tokenize /
-    //    q_bpe_vocab_build are NOT here: they read the persisted vocab
-    //    (plain equi-join / scan — the E102 reroute removed their BNLJs)
+    //    broadcast (the SQ8-stats-row shape, x6 rounds)
+    //  - q_bpe_tokenize: the 1-row step-ordered merge-list attach that the
+    //    out-of-vocabulary fallback folds over. q_bpe_vocab_build is NOT
+    //    here: it reads the persisted vocab (plain scan after the E102
+    //    reroute)
     //  - q_bm25_append_search: the same 1-row stats attach as
     //    q_bm25_index_search, through the append-merged components
     //  - q_nb_train / q_nb_predict / q_nb_confusion / q_nb_model_build:
     //    1-row vocabulary-size and corpus-count attaches, plus the
     //    <=n-label broadcast cross that scores each doc against every label
     val bnljOk = Set(
-      "q_bm25_append_search", "q_bm25_index_search", "q_bpe_train",
+      "q_bm25_append_search", "q_bm25_index_search",
+      "q_bpe_tokenize", "q_bpe_train",
       "q_nb_confusion", "q_nb_model_build", "q_nb_predict", "q_nb_train",
       "q_dedup_semantic", "q_dedup_semantic_capped",
       "q_join_cross", "q_pq_adc", "q_pq_adc_hashinit", "q_pq_ivfadc",

@@ -1100,12 +1100,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(broken === 0L, "every vocab word must re-concatenate exactly")
     // tokenize: doc 1 = 3x abab + xy -> with both merges learned at 3
     // steps, abab is one token; counts are exact
-    val toks = Bpe.tokenize(docs, vocab).orderBy("doc_id").collect()
+    val toks = Bpe.tokenize(docs, vocab, merges).orderBy("doc_id").collect()
     val d1 = toks.find(_.getLong(0) == 1L).get
     // abab abab abab xy -> [abab][abab][abab] + xy's symbols
     val xyLen = vocab.filter($"word" === "xy").select(size($"s"))
       .as[Int].head()
     assert(d1.getLong(1) === 3L + xyLen, s"doc1 token count: ${d1.getLong(1)}")
+    // out-of-vocabulary fallback: 'ababab' was never a corpus word, so it
+    // must segment by the merge-list fold exactly as training would have:
+    // chars -> (a,b)x3 -> [ab ab ab] -> (ab,ab) leftmost-first -> [abab, ab]
+    val oov = Bpe.tokenize(Seq((99L, "ababab")).toDF("doc_id", "text"),
+      vocab, merges).collect()
+    assert(oov.length === 1 && oov(0).getLong(1) === 2L,
+      s"oov word must segment to [abab, ab]: ${oov.toSeq}")
   }
 
   test("naive bayes: planted counts, exact micro-unit scores, argmax with unseen words") {

@@ -186,12 +186,19 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // persisted tokenizer artifact (build-if-absent) — the same vocab
     // q_bpe_tokenize joins
     val vocab = graft.pipeline.Bpe.vocab(spark, sf)
+    val merges = graft.pipeline.Bpe.merges(spark, sf)
+    // corpus docs + one synthetic doc whose words are OUT of the trained
+    // vocabulary — both sides must take the merge-list fallback identically
     val docs = graft.Tables.documents(spark, sf)
       .filter(col("doc_id") < 3).select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+      .map(r => (r.getLong(0), r.getString(1))) :+
+      (50L, "zzqx unseenword zzqx")
+    val batchDocs = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 3).select("doc_id", "text")
+      .union(Seq((50L, "zzqx unseenword zzqx")).toDF("doc_id", "text"))
     val input = MemoryStream[(Long, Timestamp, String)]
     val q = StreamOps.bpeTokenizeStream(
-      input.toDF().toDF("doc_id", "ts", "text"), vocab)
+      input.toDF().toDF("doc_id", "ts", "text"), vocab, merges)
       .writeStream.outputMode("append").format("memory")
       .queryName("bpe_out").start()
     input.addData(docs.map { case (id, t) => (id, ts(0), t) }.toSeq)
@@ -203,9 +210,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
     val got = spark.sql("SELECT doc_id, n_tokens_bpe, tokens_md5 FROM bpe_out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-    val batch = graft.pipeline.Bpe.tokenize(
-      graft.Tables.documents(spark, sf).filter(col("doc_id") < 3), vocab)
+    val batch = graft.pipeline.Bpe.tokenize(batchDocs, vocab, merges)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.exists(_._1 == 50L), "the OOV doc must be tokenized, not dropped")
     assert(got === batch,
       s"stream ∖ batch: ${got -- batch}; batch ∖ stream: ${batch -- got}")
     assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
