@@ -372,6 +372,125 @@ object StreamOps {
         col("t.s_u").as("score_u"))
   }
 
+  /** The full streaming ingest pipeline over the persisted artifact family
+    * — arriving documents flow through every curation stage the batch
+    * [[graft.pipeline.Curation]] composition runs, each stage served by an
+    * artifact built once from the corpus:
+    *
+    *   1. quality gate — the batch `stageQuality` predicate per-row
+    *      (stateless);
+    *   2. exact dedup — content hash anti-joins the PERSISTED corpus hash
+    *      table (stream-static left join + null filter; left-anti is not in
+    *      the supported stream-static set), then within-stream first-wins
+    *      via `dropDuplicatesWithinWatermark` on the hash;
+    *   3. + 4. language classification AND BPE token accounting in ONE
+    *      word-explode pass: occurrences × labels join the persisted NB
+    *      model (coalesce to default_u) while the persisted BPE vocab +
+    *      merge-list fallback segments the same rows; a windowed per-(doc,
+    *      label) sum then a CHAINED windowed argmax emit (lang_pred,
+    *      score_u, n_tokens_bpe, tokens_md5) with the batch tie-breaks —
+    *      token fields are label-invariant and ride the argmax struct;
+    *   5. near-dup gate — the [[indexLookupStream]] candidate chain
+    *      (band-key equi-join against the persisted buckets, exact-Jaccard
+    *      verify against the persisted signatures), folded to a per-doc
+    *      max-match flag by a third chained windowed aggregation; docs with
+    *      no verified corpus match ≥ threshold survive. Shingle-less docs
+    *      ride a `posexplode_outer` null row (batch semantics: they can
+    *      never near-dup) and a self-id match is nulled out rather than
+    *      filtered so the doc is not lost with it.
+    *
+    * State: open windows of the IN-FLIGHT batch only (the corpus side is
+    * immutable parquet re-scanned per micro-batch) — nothing proportional
+    * to the corpus. The document text rides the first two aggregations'
+    * group keys (payload-through-window); at production batch sizes you
+    * would emit ids from the argmax and re-join the payload from the ingest
+    * source instead — the state is still bounded by the watermark either
+    * way.
+    */
+  def curateStream(docs: DataFrame,
+      corpusHashes: DataFrame,
+      corpus: graft.pipeline.DedupIndex.Components,
+      nb: graft.pipeline.NaiveBayes.Model,
+      vocab: DataFrame, merges: DataFrame,
+      minTokens: Int = 5, minUniqRatio: Double = 0.3,
+      k: Int = 8, bands: Int = 4, threshold: Double = 0.5,
+      tsCol: String = "ts", windowLen: String = "10 minutes"): DataFrame = {
+    import graft.functions.TextHashes.{jaccardLong, md5Hash60Array, minHashSigMd5, shingleStrings}
+    import graft.pipeline.{Bpe, Dedup, DedupIndex, TextAnalysis}
+    val toks = split(Dedup.normText(col("text")), " ")
+    val gated = docs.withWatermark(tsCol, "10 minutes")
+      .filter(size(toks) >= minTokens &&
+        round(size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"), 6) >= minUniqRatio)
+      .withColumn("h", md5(Dedup.normText(col("text"))))
+    val hashHits = corpusHashes.select(col("h")).distinct()
+      .withColumn("__hit", lit(1))
+    val exact = gated.join(hashHits, Seq("h"), "left")
+      .filter(col("__hit").isNull).drop("__hit")
+      .dropDuplicatesWithinWatermark("h")
+      .drop("h")
+    val occ = exact
+      .select(col("doc_id"), col(tsCol), col("text"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .crossJoin(broadcast(nb.labels.select("lang", "prior_u", "default_u")))
+      .join(nb.model.select("lang", "word", "score_u"), Seq("lang", "word"),
+        "left")
+      .join(vocab.select(col("word"), col("s")), Seq("word"), "left")
+      .crossJoin(broadcast(Bpe.mergesRow(merges)))
+      .withColumn("__s",
+        coalesce(col("s"), Bpe.segmentExpr(col("word"), col("ms"))))
+      .withColumn("__c", coalesce(col("score_u"), col("default_u")))
+    val perLabel = occ
+      .groupBy(window(col(tsCol), windowLen), col("doc_id"), col("text"),
+        col("lang"), col("prior_u"))
+      .agg(sum(col("__c")).as("sum_c"),
+        sum(size(col("__s"))).as("ntok"),
+        md5(concat_ws("|", flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("__s")))),
+          t => t.getField("__s"))))).as("tmd5"))
+      .withColumn("s_u", col("prior_u") + col("sum_c"))
+    val classified = perLabel
+      .groupBy(window(col("window"), windowLen), col("doc_id"), col("text"))
+      .agg(slice(array_sort(collect_list(struct((-col("s_u")).as("ns"),
+        col("lang"), col("s_u"), col("ntok"), col("tmd5")))), 1, 1).as("top"))
+      .select(col("window"), col("doc_id"), col("text"),
+        explode(col("top")).as("t"))
+      .select(col("window"), col("doc_id"), col("text"),
+        col("t.lang").as("lang_pred"), col("t.s_u").as("score_u"),
+        col("t.ntok").as("n_tokens_bpe"), col("t.tmd5").as("tokens_md5"))
+    val shingled = classified
+      .withColumn("__shs", shingleStrings(col("text")))
+      .withColumn("hv_b",
+        when(size(col("__shs")) > 0, md5Hash60Array(col("__shs"))))
+      .withColumn("__sig",
+        when(size(col("__shs")) > 0, minHashSigMd5(col("__shs"), k)))
+      .select(col("window"), col("doc_id"), col("lang_pred"), col("score_u"),
+        col("n_tokens_bpe"), col("tokens_md5"), col("hv_b"),
+        posexplode_outer(when(col("__sig").isNotNull,
+          DedupIndex.bandKeys(col("__sig"), k, bands)))
+          .as(Seq("band", "bsig")))
+      .join(corpus.buckets.select(col("band"), col("bsig"),
+        col("doc").as("doc_corpus")), Seq("band", "bsig"), "left")
+      .withColumn("doc_corpus",
+        when(col("doc_corpus") === col("doc_id"), lit(null))
+          .otherwise(col("doc_corpus")))
+      .join(corpus.sigs.select(col("doc").as("doc_corpus"),
+        col("hv").as("hv_a")), Seq("doc_corpus"), "left")
+      .withColumn("__dup",
+        when(col("hv_a").isNotNull && col("hv_b").isNotNull &&
+          round(jaccardLong(col("hv_a"), col("hv_b")), 6) >= threshold, 1)
+          .otherwise(0))
+    shingled
+      .groupBy(window(col("window"), windowLen), col("doc_id"),
+        col("lang_pred"), col("score_u"), col("n_tokens_bpe"),
+        col("tokens_md5"))
+      .agg(max(col("__dup")).as("__anydup"))
+      .filter(col("__anydup") === 0)
+      .select(col("doc_id"), col("lang_pred"), col("score_u"),
+        col("n_tokens_bpe"), col("tokens_md5"))
+  }
+
   /** Stream-stream interval join — the canonical click↔impression
     * attribution shape: a click joins the impression it followed within
     * `horizon`. Both sides carry watermarks and the join condition bounds

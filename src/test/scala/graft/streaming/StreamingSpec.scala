@@ -246,6 +246,69 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
   }
 
+  test("streaming curation: gates + exact/near dedup + classify + tokenize against persisted artifacts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val corpusHashes = graft.pipeline.DedupIndex.contentHashes(spark, sf)
+    val corpus = graft.pipeline.DedupIndex.persisted(spark, sf)
+    val nb = graft.pipeline.NaiveBayes.persistedModel(spark, sf)
+    val vocab = graft.pipeline.Bpe.vocab(spark, sf)
+    val merges = graft.pipeline.Bpe.merges(spark, sf)
+    val corpusTexts = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 2).orderBy("doc_id")
+      .select("text").as[String].collect()
+    val freshText = "the quick brown fox jumps over the lazy dog tonight"
+    // planted batch: an exact corpus dup, a near-dup (one word swapped), a
+    // too-short doc, a repetitive doc, a within-stream dup pair, one fresh
+    val nearDup = corpusTexts(1).split("\\s+").dropRight(1).mkString(" ") + " zzz"
+    val feed = Seq(
+      (100L, corpusTexts(0)),                    // exact dup of corpus -> drop
+      (101L, nearDup),                           // near-dup of corpus -> drop
+      (102L, "too short"),                       // quality: < 5 tokens -> drop
+      (103L, "aa aa aa aa aa aa aa aa aa aa"),   // quality: uniq ratio -> drop
+      (104L, freshText), (105L, freshText),      // within-stream dup pair
+      (106L, "completely novel sentence with many distinct interesting words here")
+    )
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.curateStream(
+      input.toDF().toDF("doc_id", "ts", "text"),
+      corpusHashes, corpus, nb, vocab, merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("curate_out").start()
+    input.addData(feed.map { case (id, t) => (id, ts(0), t) })
+    q.processAllAvailable()
+    input.addData((999L, Timestamp.valueOf("2024-01-01 12:00:00"),
+      "alpha beta gamma delta epsilon"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT doc_id, lang_pred, score_u, n_tokens_bpe, tokens_md5 FROM curate_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val ids = got.map(_._1).toSet
+    assert(!ids.contains(100L), "exact corpus dup must drop")
+    assert(!ids.contains(101L), "near-dup of corpus must drop")
+    assert(!ids.contains(102L) && !ids.contains(103L), "gated docs must drop")
+    assert(ids.intersect(Set(104L, 105L)).size === 1,
+      s"exactly one of the within-stream dup pair survives: $ids")
+    assert(ids.contains(106L), "the fresh doc must survive")
+    assert(!ids.contains(999L), "unflushed window must not emit")
+    // survivor fields ≡ the batch operators over the same rows
+    val survivors = got.filter(r => r._1 == 106L || r._1 == 104L || r._1 == 105L)
+    val sdf = survivors.map(r => (r._1, feed.find(_._1 == r._1).get._2))
+      .toSeq.toDF("doc_id", "text")
+    val predB = graft.pipeline.NaiveBayes.predict(sdf, nb).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(survivors.map(r => (r._1, r._2, r._3)).toSet === predB,
+      "streamed lang_pred/score_u must equal batch NB predict")
+    val tokB = graft.pipeline.Bpe.tokenize(sdf, vocab, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(survivors.map(r => (r._1, r._4, r._5)).toSet === tokB,
+      "streamed token fields must equal batch Bpe.tokenize")
+  }
+
   test("streaming XML ingestion: readStream over the graft.xml format") {
     val dir = java.nio.file.Files.createTempDirectory("xmlstream").toFile
     val dataDir = new java.io.File(dir, "data"); dataDir.mkdirs()
