@@ -303,6 +303,145 @@ object Multimodal {
     None
   } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Real AVIF/HEIF metadata via the same ISOBMFF box walk as [[videoMeta]]
+    * (AVIF is an ftyp-branded BMFF still image; no codec in the container,
+    * so metadata — not pixels — is the honest surface): brand from `ftyp`,
+    * presentation size from the LARGEST `meta`→`iprp`→`ipco`→`ispe` image
+    * spatial extent (smaller `ispe`s are thumbnails/alpha aux images), and
+    * the item count from `meta`→`iinf`. `meta`, `iinf`, and `ispe` are
+    * FullBoxes — their payload starts after 4 version/flags bytes, unlike
+    * the plain containers `moov`/`iprp`/`ipco`. Returns (brand, width,
+    * height, n_items); None when the payload isn't BMFF or carries no ispe.
+    */
+  def avifMeta(content: Array[Byte]): Option[(String, Int, Int, Int)] = try {
+    val bb = java.nio.ByteBuffer.wrap(content)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    var brand: String = null
+    var w = 0; var h = 0; var items = 0
+    def walk(start: Long, end: Long): Unit = {
+      var o = start
+      while (o + 8 <= end) {
+        val sz = u32(o.toInt)
+        val tpe = new String(content, o.toInt + 4, 4, "ISO-8859-1")
+        val (payload, boxEnd) =
+          if (sz == 1) {
+            if (o + 16 > end) return
+            (o + 16, o + bb.getLong(o.toInt + 8))
+          } else if (sz == 0) (o + 8, end)
+          else (o + 8, o + sz)
+        if (boxEnd <= o || boxEnd > end) return
+        val p = payload.toInt
+        tpe match {
+          case "ftyp" if payload + 4 <= boxEnd =>
+            brand = new String(content, p, 4, "ISO-8859-1")
+          case "meta" => walk(payload + 4, boxEnd) // FullBox
+          case "iprp" | "ipco" => walk(payload, boxEnd)
+          case "iinf" if payload + 6 <= boxEnd => // FullBox; count u16 (v0) / u32
+            items =
+              if ((content(p) & 0xff) == 0) ((u32(p + 4) >> 16) & 0xffff).toInt
+              else u32(p + 4).toInt
+          case "ispe" if payload + 12 <= boxEnd => // FullBox; w u32, h u32
+            val iw = u32(p + 4).toInt
+            val ih = u32(p + 8).toInt
+            if (iw.toLong * ih > w.toLong * h) { w = iw; h = ih }
+          case _ => ()
+        }
+        o = boxEnd
+      }
+    }
+    walk(0L, content.length.toLong)
+    if (brand == null || w == 0) None else Some((brand, w, h, items))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real FLAC metadata from the STREAMINFO block — pure byte parsing:
+    * ("fLaC" magic, then metadata blocks of 1-byte last|type + 3-byte
+    * length; STREAMINFO is type 0, 34 bytes, with sample rate (20 bits),
+    * channels−1 (3), bits-per-sample−1 (5), and total samples (36) packed
+    * big-endian after the block/frame size fields). Returns (sample_rate,
+    * channels, bits_per_sample, duration_ms exact from total samples, or
+    * −1 when the encoder left the count 0). None when not FLAC.
+    */
+  def flacMeta(content: Array[Byte]): Option[(Int, Int, Int, Long)] = try {
+    val n = content.length
+    if (n < 42 || new String(content, 0, 4, "ISO-8859-1") != "fLaC") return None
+    def u(off: Int): Int = content(off) & 0xff
+    var o = 4
+    while (o + 4 <= n) {
+      val tpe = u(o) & 0x7f
+      val len = (u(o + 1) << 16) | (u(o + 2) << 8) | u(o + 3)
+      if (tpe == 0 && len >= 34 && o + 4 + 34 <= n) {
+        val p = o + 4 + 10 // skip min/max blocksize (4) + min/max framesize (6)
+        val sr = (u(p) << 12) | (u(p + 1) << 4) | (u(p + 2) >> 4)
+        val ch = ((u(p + 2) >> 1) & 0x7) + 1
+        val bps = (((u(p + 2) & 0x1) << 4) | (u(p + 3) >> 4)) + 1
+        val total = ((u(p + 3) & 0xfL) << 32) | (u(p + 4).toLong << 24) |
+          (u(p + 5).toLong << 16) | (u(p + 6).toLong << 8) | u(p + 7).toLong
+        if (sr == 0) return None
+        return Some((sr, ch, bps,
+          if (total == 0) -1L else total * 1000L / sr))
+      }
+      if ((u(o) & 0x80) != 0) return None // last block and no STREAMINFO
+      o += 4 + len
+    }
+    None
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real Ogg metadata — pure byte parsing of the page structure ("OggS"
+    * capture pattern, 27-byte header + segment table) plus the first
+    * packet's codec identification: Vorbis (`\\x01vorbis`: channels u8,
+    * rate u32 LE) or Opus (`OpusHead`: channels u8, pre-skip u16 LE; clock
+    * fixed at 48 kHz). Duration comes from the LAST page's granule
+    * position (PCM sample index at 48 kHz for Opus, minus pre-skip).
+    * Returns (codec, sample_rate, channels, duration_ms; −1 when no
+    * positive granule was found). None when not Ogg or the codec is
+    * neither.
+    */
+  def oggMeta(content: Array[Byte]): Option[(String, Int, Int, Long)] = try {
+    val n = content.length
+    def u(off: Int): Int = content(off) & 0xff
+    if (n < 58 || new String(content, 0, 4, "ISO-8859-1") != "OggS") return None
+    def u32le(off: Int): Long = u(off) | (u(off + 1).toLong << 8) |
+      (u(off + 2).toLong << 16) | (u(off + 3).toLong << 24)
+    def u64le(off: Int): Long = u32le(off) | (u32le(off + 4) << 32)
+    var codec: String = null
+    var rate = 0; var ch = 0; var preskip = 0
+    var lastGranule = -1L
+    var o = 0
+    while (o + 27 <= n && new String(content, o, 4, "ISO-8859-1") == "OggS") {
+      val granule = u64le(o + 6)
+      if (granule > 0) lastGranule = granule
+      val nSegs = u(o + 26)
+      if (o + 27 + nSegs > n) return None
+      var bodyLen = 0
+      var i = 0
+      while (i < nSegs) { bodyLen += u(o + 27 + i); i += 1 }
+      val body = o + 27 + nSegs
+      if (codec == null) {
+        if (body + 16 <= n && u(body) == 1 &&
+            new String(content, body + 1, 6, "ISO-8859-1") == "vorbis") {
+          codec = "vorbis"
+          ch = u(body + 11)
+          rate = u32le(body + 12).toInt
+        } else if (body + 12 <= n &&
+            new String(content, body, 8, "ISO-8859-1") == "OpusHead") {
+          codec = "opus"
+          ch = u(body + 9)
+          preskip = (u(body + 10) | (u(body + 11) << 8)).toInt
+          rate = 48000 // Opus granule clock is always 48 kHz
+        }
+      }
+      o = body + bodyLen
+    }
+    if (codec == null || rate == 0) None
+    else {
+      val dur =
+        if (lastGranule <= 0) -1L
+        else if (codec == "opus") (lastGranule - preskip) * 1000L / 48000L
+        else lastGranule * 1000L / rate
+      Some((codec, rate, ch, dur))
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Full-raster pixel statistics via the JDK's OWN ImageIO decoders
     * (PNG/JPEG/GIF/BMP/WBMP all ship with the JDK — JPEG through its
     * baseline codec, golden-tested within lossy tolerance) plus the

@@ -800,6 +800,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.mp3Meta(webm) === None)
   }
 
+  test("multimodal container metadata: AVIF box walk, FLAC STREAMINFO, Ogg vorbis/opus") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def u32(v: Int): Array[Byte] = b(v >> 24, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    def u32le(v: Int): Array[Byte] = b(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, v >> 24)
+    // AVIF: ftyp(avif) + meta[iinf(2 items) + iprp[ipco[ispe 1200x800 + ispe 160x90]]]
+    val ispe1 = u32(20) ++ "ispe".getBytes ++ u32(0) ++ u32(1200) ++ u32(800)
+    val ispe2 = u32(20) ++ "ispe".getBytes ++ u32(0) ++ u32(160) ++ u32(90)
+    val ipco = u32(8 + 40) ++ "ipco".getBytes ++ ispe1 ++ ispe2
+    val iprp = u32(8 + ipco.length) ++ "iprp".getBytes ++ ipco
+    val iinf = u32(14) ++ "iinf".getBytes ++ b(0, 0, 0, 0, 0, 2)
+    val metaBody = u32(0) ++ iinf ++ iprp
+    val meta = u32(8 + metaBody.length) ++ "meta".getBytes ++ metaBody
+    val avif = u32(16) ++ "ftyp".getBytes ++ "avif".getBytes ++ u32(0) ++ meta
+    assert(Multimodal.avifMeta(avif) === Some(("avif", 1200, 800, 2)))
+    assert(Multimodal.avifMeta("not bmff at all".getBytes) === None)
+    // FLAC: fLaC + last|STREAMINFO block, 44.1 kHz stereo 16-bit, 44100
+    // samples -> exactly 1000 ms
+    val packed = b(0x0a, 0xc4, 0x42, 0xf0, 0x00, 0x00, 0xac, 0x44)
+    val streaminfo = b(0x80, 0, 0, 34) ++ Array.fill[Byte](10)(0) ++ packed ++
+      Array.fill[Byte](16)(0)
+    val flac = "fLaC".getBytes ++ streaminfo
+    assert(Multimodal.flacMeta(flac) === Some((44100, 2, 16, 1000L)))
+    assert(Multimodal.flacMeta(avif) === None)
+    // Ogg/Opus: BOS page with OpusHead (2ch, pre-skip 312) + EOS page with
+    // granule 48312 -> (48312-312)/48000 = 1000 ms
+    def page(htype: Int, granule: Long, segs: Array[Byte]): Array[Byte] =
+      "OggS".getBytes ++ b(0, htype) ++
+        (0 until 8).map(i => ((granule >> (8 * i)) & 0xff).toByte).toArray ++
+        u32le(7) ++ u32le(0) ++ u32le(0) ++ b(1, segs.length) ++ segs
+    val opusHead = "OpusHead".getBytes ++ b(1, 2) ++ b(312 & 0xff, 312 >> 8) ++
+      u32le(48000) ++ b(0, 0, 0)
+    val ogg = page(0x02, 0L, opusHead) ++ page(0x04, 48312L, Array.empty)
+    assert(Multimodal.oggMeta(ogg) === Some(("opus", 48000, 2, 1000L)))
+    // Ogg/Vorbis: ID header (22.05 kHz stereo), EOS granule 22050 -> 1000 ms
+    val vorbisId = b(1) ++ "vorbis".getBytes ++ u32le(0) ++ b(2) ++
+      u32le(22050) ++ Array.fill[Byte](15)(0)
+    val oggV = page(0x02, 0L, vorbisId) ++ page(0x04, 22050L, Array.empty)
+    assert(Multimodal.oggMeta(oggV) === Some(("vorbis", 22050, 2, 1000L)))
+    assert(Multimodal.oggMeta(flac) === None)
+    // cross-format seams stay clean
+    assert(Multimodal.avifMeta(ogg) === None)
+  }
+
   test("multimodal resize/frame-sample stubs keep byte accounting exact") {
     val media = Multimodal.mediaTable(spark, sf)
     val resized = Multimodal.resize(media, 640, 480).collect()
