@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A versioned table with time travel — the lakehouse primitive on top of
+  * the [[Lake]] DML algebra: every commit writes a NEW immutable version
+  * directory and swaps a `_latest` marker by atomic rename (the
+  * `IndexStore` contract applied to table data), so concurrent readers
+  * always resolve a complete snapshot, `readAt` serves any retained
+  * version, and CDC between two versions is [[Lake.snapshotDiff]] over
+  * their snapshots. Upserts route through [[Lake.mergeUpsert]] (duplicate
+  * update keys still fail loudly), deletes are filtered commits.
+  *
+  * Scale shape: a commit is one parquet write of the new snapshot (for a
+  * 100 TB table you would commit partition-level manifests instead — this
+  * is the row-level teaching shape, documented); reads are plain parquet
+  * scans of one version dir, so pruning/pushdown work untouched. No
+  * driver-side state beyond the marker file.
+  */
+object Versioned {
+
+  private def markerPath(dir: String) = java.nio.file.Paths.get(dir, "_latest")
+
+  /** Latest committed version, or -1 for an empty/uninitialized dir. */
+  def latest(dir: String): Int = {
+    val m = markerPath(dir)
+    if (java.nio.file.Files.exists(m))
+      java.nio.file.Files.readString(m).trim.toInt
+    else -1
+  }
+
+  /** Write `df` as the next version; returns its number. The marker swap
+    * is write-temp + ATOMIC_MOVE, so a reader never sees a half-written
+    * pointer and the version dir is complete before it becomes visible.
+    */
+  def commit(df: DataFrame, dir: String): Int = {
+    val v = latest(dir) + 1
+    df.write.mode("overwrite").parquet(s"$dir/v$v")
+    val tmp = java.nio.file.Paths.get(dir, s".latest-$v")
+    java.nio.file.Files.writeString(tmp, v.toString)
+    java.nio.file.Files.move(tmp, markerPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Time travel: the table exactly as of version `v`. */
+  def readAt(s: SparkSession, dir: String, v: Int): DataFrame =
+    s.read.parquet(s"$dir/v$v")
+
+  /** The latest snapshot. */
+  def readLatest(s: SparkSession, dir: String): DataFrame =
+    readAt(s, dir, latest(dir))
+
+  /** MERGE the updates into the latest snapshot and commit the result. */
+  def upsert(s: SparkSession, dir: String, updates: DataFrame,
+      key: String): Int =
+    commit(Lake.mergeUpsert(readLatest(s, dir), updates, key), dir)
+
+  /** Commit a new version without the rows matching `cond`. */
+  def deleteWhere(s: SparkSession, dir: String, cond: Column): Int =
+    commit(readLatest(s, dir).filter(!cond), dir)
+
+  /** CDC between two retained versions: [[Lake.snapshotDiff]] over their
+    * snapshots — added/removed/changed keys only.
+    */
+  def changes(s: SparkSession, dir: String, v0: Int, v1: Int, key: String,
+      compareCols: Seq[String]): DataFrame =
+    Lake.snapshotDiff(readAt(s, dir, v0), readAt(s, dir, v1), key,
+      compareCols)
+
+  // ---- declared queries ---------------------------------------------------
+
+  /** A fresh per-invocation table dir (idempotent rebuild — the query
+    * carries its own build cost, the q_pq_build pattern).
+    */
+  private def tableDir(sfDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val d = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_VERSIONED_DIR",
+        s"${sys.props("java.io.tmpdir")}/graft-versioned"), h)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    rm(d); d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** The three-version history both queries build: v0 = customer, v1 =
+    * upsert of [[Lake]]'s deterministic delta, v2 = delete of
+    * custkey % 13 = 0 — the same lineage the `q_merge_upsert` /
+    * `q_snapshot_diff` oracles re-derive.
+    */
+  private def buildHistory(s: SparkSession, dir: String): String = {
+    val c = graft.Tables.customer(s, dir)
+    val d = tableDir(dir)
+    commit(c, d)
+    upsert(s, d, Lake.customerDelta(c), "c_custkey")
+    deleteWhere(s, d, col("c_custkey") % 13 === 0)
+    d
+  }
+
+  val queries: Map[String, Q] = Map(
+    // LK3: time travel — commit v0/v1/v2, then read AS OF v1. The oracle is
+    // byte-identical to q_merge_upsert's: the middle snapshot must be
+    // row-exactly the merge result even though a later delete commit
+    // exists, proving versions are immutable and the marker doesn't leak
+    // into historical reads.
+    "q_lake_timetravel" -> ((s, dir) => {
+      val d = buildHistory(s, dir)
+      readAt(s, d, 1)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
+    // LK4: CDC across the whole retained history — changes(v0, v2) with the
+    // q_snapshot_diff oracle byte-identical: the versioned store's
+    // round-trip (write → read → diff) must hash-match the purely
+    // in-memory snapshot diff.
+    "q_lake_changes" -> ((s, dir) => {
+      val d = buildHistory(s, dir)
+      def cents(v: Int): DataFrame = readAt(s, d, v)
+        .withColumn("acctbal_c", floor(col("c_acctbal") * 100).cast("long"))
+      Lake.snapshotDiff(cents(0), cents(2), "c_custkey",
+        Seq("c_name", "acctbal_c"))
+        .select(col("c_custkey"), col("change_type"),
+          col("o_c_name"), col("n_c_name"),
+          col("o_acctbal_c"), col("n_acctbal_c"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_lake_timetravel" -> Lake.oracles("q_merge_upsert"),
+    "q_lake_changes" -> Lake.oracles("q_snapshot_diff")
+  )
+}

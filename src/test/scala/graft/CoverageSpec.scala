@@ -234,6 +234,32 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d === Map(1L -> "removed", 2L -> "changed", 3L -> "added"))
   }
 
+  test("LK: versioned table — commits immutable, time travel exact, delete doesn't rewrite history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt").toString
+    val v0rows = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+    assert(operators.Versioned.commit(
+      v0rows.toDF("k", "name", "bal"), dir) === 0)
+    val u = Seq((2L, "b2", 25L), (4L, "d", 40L)).toDF("k", "name", "bal")
+    assert(operators.Versioned.upsert(spark, dir, u, "k") === 1)
+    assert(operators.Versioned.deleteWhere(spark, dir, col("k") === 1) === 2)
+    assert(operators.Versioned.latest(dir) === 2)
+    def snap(v: Int): Set[(Long, String, Long)] =
+      operators.Versioned.readAt(spark, dir, v).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // v0 unchanged after two later commits (immutability + time travel)
+    assert(snap(0) === v0rows.toSet)
+    assert(snap(1) === Set((1L, "a", 10L), (2L, "b2", 25L), (3L, "c", 30L),
+      (4L, "d", 40L)))
+    assert(snap(2) === snap(1) - ((1L, "a", 10L)))
+    assert(operators.Versioned.readLatest(spark, dir).count() === 3)
+    // CDC across the full history classifies all three change kinds
+    val d = operators.Versioned.changes(spark, dir, 0, 2, "k",
+      Seq("name", "bal")).select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "removed", 2L -> "changed", 4L -> "added"))
+  }
+
   test("LK: mergeUpsert fails loudly on duplicate update keys (MERGE semantics)") {
     import spark.implicits._
     val t = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "bal")
