@@ -23,6 +23,11 @@ object Versioned {
 
   private def markerPath(dir: String) = java.nio.file.Paths.get(dir, "_latest")
 
+  // same-JVM commit serialization (the IndexStore posture); cross-process
+  // writers would need a real transaction log — out of scope for the
+  // row-level teaching shape, documented
+  private val lock = new Object
+
   /** Latest committed version, or -1 for an empty/uninitialized dir. */
   def latest(dir: String): Int = {
     val m = markerPath(dir)
@@ -33,9 +38,11 @@ object Versioned {
 
   /** Write `df` as the next version; returns its number. The marker swap
     * is write-temp + ATOMIC_MOVE, so a reader never sees a half-written
-    * pointer and the version dir is complete before it becomes visible.
+    * pointer and the version dir is complete before it becomes visible;
+    * the version counter is read under the same lock that serializes the
+    * write, so same-JVM concurrent commits can't collide on a number.
     */
-  def commit(df: DataFrame, dir: String): Int = {
+  def commit(df: DataFrame, dir: String): Int = lock.synchronized {
     val v = latest(dir) + 1
     df.write.mode("overwrite").parquet(s"$dir/v$v")
     val tmp = java.nio.file.Paths.get(dir, s".latest-$v")
@@ -44,6 +51,24 @@ object Versioned {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     v
+  }
+
+  /** Retention: physically remove versions older than the newest
+    * `keepLast` (never the served latest). Time travel to a vacuumed
+    * version stops working — exactly the lakehouse VACUUM contract, where
+    * retention bounds history, not correctness of retained reads.
+    */
+  def vacuum(dir: String, keepLast: Int): Unit = lock.synchronized {
+    val cut = latest(dir) - math.max(1, keepLast) + 1
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("v") &&
+        f.getName.drop(1).toIntOption.exists(_ < cut))
+      .foreach(rm)
   }
 
   /** Time travel: the table exactly as of version `v`. */

@@ -258,6 +258,10 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("name", "bal")).select("k", "change_type").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d === Map(1L -> "removed", 2L -> "changed", 4L -> "added"))
+    // vacuum: keep the newest 2 versions — v0 is gone, v1/v2 still serve
+    operators.Versioned.vacuum(dir, 2)
+    assert(!new java.io.File(s"$dir/v0").exists(), "v0 must be vacuumed")
+    assert(snap(1).size === 4 && operators.Versioned.latest(dir) === 2)
   }
 
   test("LK: mergeUpsert fails loudly on duplicate update keys (MERGE semantics)") {
