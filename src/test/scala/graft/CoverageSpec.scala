@@ -264,6 +264,25 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(1).size === 4 && operators.Versioned.latest(dir) === 2)
   }
 
+  test("LK: versioned table schema evolution — a column appears at its commit, history keeps its schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt-se").toString
+    operators.Versioned.commit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name"), dir)
+    // v1 adds a column: time travel returns each version's OWN schema
+    operators.Versioned.commit(
+      operators.Versioned.readLatest(spark, dir)
+        .withColumn("score", col("k") * 2), dir)
+    assert(operators.Versioned.readAt(spark, dir, 0).columns.toSeq ===
+      Seq("k", "name"))
+    assert(operators.Versioned.readAt(spark, dir, 1).columns.toSeq ===
+      Seq("k", "name", "score"))
+    // CDC across the schema change still works on the common columns —
+    // and correctly reports nothing changed in them
+    assert(operators.Versioned.changes(spark, dir, 0, 1, "k",
+      Seq("name")).count() === 0L)
+  }
+
   test("LK: mergeUpsert fails loudly on duplicate update keys (MERGE semantics)") {
     import spark.implicits._
     val t = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "bal")
