@@ -193,6 +193,21 @@ object NaiveBayes {
         .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n_docs"))
     }),
 
+    // L8e: the classifier feeding the curation sampler — held-out docs are
+    // classified by the PERSISTED model, then stratified-hash-sampled on
+    // the PREDICTED label (en 80%, rest 20%; the reproducible md5-bucket
+    // arithmetic of q_sample_stratified). The model-driven version of
+    // quality/language-weighted corpus composition; the oracle replays
+    // training, prediction, bucketing, and the rollup in one statement.
+    "q_pipeline_classify_sample" -> ((s, dir) => {
+      val d = T.documents(s, dir)
+      val pred = predict(testDocs(d), persistedModel(s, dir))
+      Sampling.stratifiedHashSample(pred, col("doc_id"), col("lang_pred"),
+        Map("en" -> 80), otherPct = 20)
+        .groupBy("lang_pred").agg(count(lit(1)).as("n_kept"),
+          sum(col("score_u")).as("score_sum_u"))
+    }),
+
     // L8d: unconditional artifact rebuild + the per-label table DERIVED
     // from the persisted components (the q_pq_build pattern; the oracle
     // re-derives priors/totals/vocabulary from raw text, hash-proving the
@@ -288,6 +303,14 @@ object NaiveBayes {
     "q_nb_model_build" ->
       s"""WITH $nbCtes
          |SELECT lang, tot, v, prior_u, default_u FROM labs
-         |ORDER BY ALL NULLS FIRST""".stripMargin
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_pipeline_classify_sample" ->
+      s"""WITH $nbPredictCtes
+         |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(SUM(score_u) AS BIGINT) AS score_sum_u
+         |FROM npred
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+         |      < (CASE WHEN lang_pred = 'en' THEN 80 ELSE 20 END)
+         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

@@ -311,6 +311,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_bm25_append_search", "q_bm25_index_search",
       "q_bpe_tokenize", "q_bpe_train",
       "q_nb_confusion", "q_nb_model_build", "q_nb_predict", "q_nb_train",
+      "q_pipeline_classify_sample",
       "q_dedup_semantic", "q_dedup_semantic_capped",
       "q_join_cross", "q_pq_adc", "q_pq_adc_hashinit", "q_pq_ivfadc",
       "q_pq_rerank", "q_retrieval_hybrid", "q_sim_ivf", "q_sim_ivf_assign",
