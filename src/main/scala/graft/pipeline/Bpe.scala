@@ -296,6 +296,46 @@ object Bpe {
   private def chainSql(steps: Int): String =
     s"WITH $baseSql,\n" + (1 to steps).map(stepSql).mkString(",\n")
 
+  /** Apply-only merge round: the same gaps-and-islands greedy walk as
+    * [[stepSql]] but consuming the LEARNED pair `b\$k` from the training
+    * chain instead of re-computing an argmax, folded over the tokenize
+    * corpus's own word table `v\${k-1}` → `v\$k`. This replays
+    * [[segmentExpr]] — char split, then each learned merge in step order —
+    * so the oracle verifies the out-of-vocabulary fallback path, not just
+    * the vocabulary join (for training-corpus words the two coincide).
+    */
+  private def stepApplySql(k: Int): String = {
+    val p = k - 1
+    s"""am$k AS (
+       |  SELECT word, i, s[i] AS sym, b.l, b.r,
+       |    CASE WHEN i < len(s) AND s[i] = b.l AND s[i + 1] = b.r
+       |         THEN 1 ELSE 0 END AS cand
+       |  FROM (SELECT word, s, unnest(generate_series(1, len(s))) AS i
+       |        FROM v$p) CROSS JOIN b$k b),
+       |ag$k AS (
+       |  SELECT *, CASE WHEN cand = 1
+       |    THEN i - row_number() OVER (PARTITION BY word, cand ORDER BY i)
+       |    ELSE NULL END AS streak
+       |  FROM am$k),
+       |ah$k AS (
+       |  SELECT *, CASE WHEN cand = 1
+       |    THEN row_number() OVER (PARTITION BY word, streak, cand ORDER BY i)
+       |    ELSE 0 END AS srn
+       |  FROM ag$k),
+       |ac$k AS (
+       |  SELECT word, i, sym, l, r,
+       |    CASE WHEN cand = 1 AND srn % 2 = 1 THEN 1 ELSE 0 END AS chosen
+       |  FROM ah$k),
+       |ad$k AS (
+       |  SELECT *, COALESCE(lag(chosen) OVER (PARTITION BY word ORDER BY i), 0)
+       |    AS dropped
+       |  FROM ac$k),
+       |v$k AS (
+       |  SELECT word,
+       |    list(CASE WHEN chosen = 1 THEN l || r ELSE sym END ORDER BY i) AS s
+       |  FROM ad$k WHERE dropped = 0 GROUP BY word)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_train" ->
       s"""${chainSql(Steps)}
@@ -319,9 +359,15 @@ object Bpe {
          |    unnest(toks) AS word
          |  FROM dt),
          |dw AS (SELECT * FROM dw0 WHERE length(word) > 0),
+         |v0 AS (
+         |  SELECT word,
+         |    list_transform(generate_series(1, length(word)),
+         |      i -> substr(word, i, 1)) AS s
+         |  FROM (SELECT DISTINCT word FROM dw)),
+         |${(1 to Steps).map(stepApplySql).mkString(",\n")},
          |j AS (
-         |  SELECT d.doc_id, d.pos, w.s
-         |  FROM dw d JOIN w$Steps w USING (word)),
+         |  SELECT d.doc_id, d.pos, v.s
+         |  FROM dw d JOIN v$Steps v USING (word)),
          |f AS (
          |  SELECT doc_id, CAST(SUM(len(s)) AS BIGINT) AS n_tokens_bpe,
          |    md5(string_agg(array_to_string(s, '|'), '|' ORDER BY pos)) AS tokens_md5

@@ -311,7 +311,10 @@ object Vp8l {
           pt += math.abs(p - ct)
           i += 1
         }
-        if (pl <= pt) l else t
+        // RFC 9649 §4.4.1 Select(): left wins only on STRICT inequality;
+        // ties (pL == pT, possible with L != T since both are Manhattan
+        // distances to the same gradient estimate) go to TOP.
+        if (pl < pt) l else t
       case 12 => // clamped add-subtract full
         var r = 0
         var i = 0
@@ -506,6 +509,7 @@ object Vp8l {
         val size = (content(off + 4) & 0xff) | ((content(off + 5) & 0xff) << 8) |
           ((content(off + 6) & 0xff) << 16) | ((content(off + 7) & 0xff) << 24)
         if (tag == "VP8L") return Some(decodePayload(content, off + 8))
+        if (size < 0) return None // corrupt 32-bit size would stall the walk
         off += 8 + size + (size & 1) // chunks are 2-byte aligned
       }
       None
@@ -587,6 +591,7 @@ object Vp8l {
             return Some((w, h, unfilterAlpha(a, w, h, filt)))
           case _ => ()
         }
+        if (size < 0) return None // corrupt 32-bit size would stall the walk
         off += 8 + size + (size & 1)
       }
       None

@@ -410,6 +410,96 @@ class Vp8lSpec extends AnyFunSuite {
     }
   }
 
+  test("vp8l: predictor transform (Select mode 11) tie goes to TOP") {
+    // 2x2 image whose bottom-right pixel hits the RFC 9649 Select()
+    // tie-break: pL = Manhattan(T,TL) = pT = Manhattan(L,TL) = 5 with
+    // L != T, so the spec (and libwebp) predict TOP. The residual is
+    // encoded against T by the forward transform below; a decoder using
+    // the inverted `pl <= pt -> L` rule reconstructs a wrong pixel and
+    // fails the roundtrip.
+    val w = 2; val h = 2
+    val tlv = argb(255, 100, 100, 100)
+    val tv = argb(255, 100, 105, 100) // |T-TL| = 5
+    val lv = argb(255, 105, 100, 100) // |L-TL| = 5 -> tie, L != T
+    val xv = argb(255, 101, 102, 103)
+    val img = Array(tlv, tv, lv, xv)
+    def sub(p: Int, q: Int): Int = {
+      var r = 0
+      var i = 0
+      while (i < 4) {
+        val sh = i * 8
+        r |= ((((p >>> sh) & 0xff) - ((q >>> sh) & 0xff)) & 0xff) << sh
+        i += 1
+      }
+      r
+    }
+    val resid = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = y * w + x
+      val pred =
+        if (x == 0 && y == 0) 0xff000000
+        else if (y == 0) img(i - 1)
+        else if (x == 0) img(i - w)
+        else tv // mode 11 Select: strict pL < pT picks L; tie here -> TOP
+      resid(i) = sub(img(i), pred)
+    }
+    val bw = new BitWriter
+    header(bw, w, h)
+    bw.writeBit(1); bw.writeBits(0, 2) // transform: PREDICTOR
+    bw.writeBits(0, 3) // size_bits = 2 -> 4-px blocks -> 1x1 block image
+    locally { // block image: single pixel, mode 11 in the green channel
+      bw.writeBit(0)
+      val g = Simple(Seq(11))
+      val zero = Simple(Seq(0))
+      g.writeCode(bw); zero.writeCode(bw); zero.writeCode(bw)
+      zero.writeCode(bw); zero.writeCode(bw)
+    }
+    bw.writeBit(0) // no more transforms
+    bw.writeBit(0) // no color cache
+    bw.writeBit(0) // no meta
+    def used(sh: Int) = resid.map(p => (p >>> sh) & 0xff).distinct.toSeq.sorted
+    val g = Uniform(used(8), 256 + 24)
+    val r = Uniform(used(16), 256)
+    val b = Uniform(used(0), 256)
+    val a = Simple(used(24).map(identity))
+    val di = Simple(Seq(0))
+    g.writeCode(bw); r.writeCode(bw); b.writeCode(bw); a.writeCode(bw)
+    di.writeCode(bw)
+    resid.foreach { p =>
+      g.emit(bw, (p >>> 8) & 0xff)
+      r.emit(bw, (p >>> 16) & 0xff)
+      b.emit(bw, p & 0xff)
+      a.emit(bw, (p >>> 24) & 0xff)
+    }
+    val got = Vp8l.decode(riff(bw.bytes))
+    assert(got.isDefined)
+    val (gw, gh, pix) = got.get
+    assert((gw, gh) === (w, h))
+    assert(pix.toSeq === img.toSeq)
+  }
+
+  test("vp8l: negative RIFF chunk size returns None instead of looping") {
+    // size = -8 (F8 FF FF FF) makes `off += 8 + size + (size & 1)` a no-op
+    // advance; both chunk walks must bail out, not hang the executor task.
+    def container(withVp8x: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("ISO-8859-1"))
+      out.write(Array[Byte](40, 0, 0, 0))
+      out.write("WEBP".getBytes("ISO-8859-1"))
+      if (withVp8x) {
+        out.write("VP8X".getBytes("ISO-8859-1"))
+        out.write(Array[Byte](10, 0, 0, 0))
+        out.write(new Array[Byte](10))
+      }
+      out.write("JUNK".getBytes("ISO-8859-1"))
+      out.write(Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+      out.write(new Array[Byte](8))
+      out.toByteArray
+    }
+    assert(Vp8l.decode(container(withVp8x = false)).isEmpty)
+    assert(Vp8l.decodeAlpha(container(withVp8x = true)).isEmpty)
+  }
+
   test("vp8l: non-webp and lossy payloads fall through to None") {
     assert(Vp8l.decode("not a webp at all".getBytes).isEmpty)
     // RIFF/WEBP container with a (stub) lossy VP8 chunk: still None
