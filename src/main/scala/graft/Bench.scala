@@ -110,7 +110,6 @@ object Bench {
     // fusion read it build-if-absent; q_bm25_index_build carries the build).
     try pipeline.TextIndex.ensure(spark, sfDir)
     catch { case _: Throwable => () }
-    val controlPre = control(spark, sfDir)
     val Runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
       case None => 3
       case Some(v) => v.toIntOption.filter(_ >= 1).getOrElse(
@@ -129,59 +128,101 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // results: name -> (median, min, max) over Runs timings (a query that
-    // throws counts as failed once and keeps its single time-to-fail).
-    val results = SparkEntry.queries.toSeq.filterNot(q => skip(q._1))
-      .filter(q => only.isEmpty || only(q._1))
-      .sortBy(_._1).map { case (name, fn) =>
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      var broken = false
-      var r = 0
-      while (r < Runs && !broken) {
-        // Pay accumulated GC debt OUTSIDE the timed region: back-to-back
-        // runs otherwise bill one query for its predecessors' garbage —
-        // sf0.1 medians showed 14x intra-query spread (q_json_funcs
-        // 0.35..4.8s) on queries whose plans are trivially cheap.
-        System.gc()
-        val t0 = System.nanoTime()
-        try consume(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          broken = true
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    // One full control+sweep+control pass. Returned controls bracket THIS
+    // attempt, so host drift during the attempt shows up as pre != post.
+    def attempt(): Attempt = {
+      val controlPre = control(spark, sfDir)
+      val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+      // results: name -> (median, min, max) over Runs timings (a query that
+      // throws counts as failed once and keeps its single time-to-fail).
+      val results = SparkEntry.queries.toSeq.filterNot(q => skip(q._1))
+        .filter(q => only.isEmpty || only(q._1))
+        .sortBy(_._1).map { case (name, fn) =>
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var broken = false
+        var r = 0
+        while (r < Runs && !broken) {
+          // Pay accumulated GC debt OUTSIDE the timed region: back-to-back
+          // runs otherwise bill one query for its predecessors' garbage —
+          // sf0.1 medians showed 14x intra-query spread (q_json_funcs
+          // 0.35..4.8s) on queries whose plans are trivially cheap.
+          System.gc()
+          val t0 = System.nanoTime()
+          try consume(fn(spark, sfDir))
+          catch { case e: Throwable =>
+            broken = true
+            failed += name
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+          times += (System.nanoTime() - t0) / 1e9
+          r += 1
         }
-        times += (System.nanoTime() - t0) / 1e9
-        r += 1
+        // a broken query reports ONLY its time-to-fail (the last attempt) —
+        // mixing it into a median with earlier successful runs would make
+        // cross-round comparisons of a flaky query meaningless
+        val stats =
+          if (broken) (times.last, times.last, times.last)
+          else { val s = times.sorted; (s(s.size / 2), s.head, s.last) }
+        name -> stats
       }
-      // a broken query reports ONLY its time-to-fail (the last attempt) —
-      // mixing it into a median with earlier successful runs would make
-      // cross-round comparisons of a flaky query meaningless
-      val stats =
-        if (broken) (times.last, times.last, times.last)
-        else { val s = times.sorted; (s(s.size / 2), s.head, s.last) }
-      name -> stats
+      Attempt(results, failed.toSeq, controlPre, control(spark, sfDir))
     }
-    val perQuery = results
+    // Drift-triggered rerun (round-8 lesson): the E91 control DETECTED a
+    // mid-sweep ~2x host slowdown (control_pre 0.915 -> control_post 1.788)
+    // but nothing acted on it — the round's numbers shipped ~30% inflated
+    // and a human had to hand-normalize against a quiesced rerun. Now the
+    // sweep re-runs itself (once, by default) while its controls disagree
+    // by >30% in either direction, every attempt is reported, and the
+    // attempt with the flattest controls becomes the headline. Probe
+    // harnesses that cannot afford a double sweep set
+    // SPARK_GRAFT_BENCH_MAX_ATTEMPTS=1.
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+    def drift(a: Attempt): Double =
+      if (math.min(a.controlPre, a.controlPost) <= 0) 1.0
+      else math.max(a.controlPre, a.controlPost) /
+        math.min(a.controlPre, a.controlPost)
+    val attempts = scala.collection.mutable.ArrayBuffer(attempt())
+    while (drift(attempts.last) > 1.3 && attempts.size < maxAttempts) {
+      System.err.println(
+        f"[bench] controls drifted ${drift(attempts.last)}%.2fx " +
+          f"(pre=${attempts.last.controlPre}%.3f post=${attempts.last.controlPost}%.3f); re-running sweep")
+      attempts += attempt()
+    }
+    // Headline = the attempt with the flattest controls (ties -> latest,
+    // which ran on the warmest JVM).
+    val best = attempts.zipWithIndex.minBy { case (a, i) => (drift(a), -i) }._1
+    val perQuery = best.results
       .map { case (k, (med, mn, mx)) =>
         s"\"" + k + "\":" + f"""{"median":$med%.3f,"min":$mn%.3f,"max":$mx%.3f}""" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_queries.json"),
       perQuery.getBytes("UTF-8"))
-    val times = results.map { case (k, (med, _, _)) => k -> med }.toMap
+    val times = best.results.map { case (k, (med, _, _)) => k -> med }.toMap
     val hl = headline.filter(times.contains)
       .map(k => s"\"" + k + "\":" + f"${times(k)}%.3f")
       .mkString("{", ",", "}")
     val total = times.values.sum
-    val controlPost = control(spark, sfDir)
+    val attemptsJson = attempts
+      .map(a => f"""{"total":${a.results.map(_._2._1).sum}%.3f,"control_pre":${a.controlPre}%.3f,"control_post":${a.controlPost}%.3f,"errors":${a.failed.size}}""")
+      .mkString("[", ",", "]")
     spark.stop()
     // Printed after spark.stop() so this is the LAST stdout line (the driver
     // tail-parses; sbt trailers land on stderr under -error).
-    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"errors":${failed.size},"skipped":${skip.size},"runs":$Runs,"control_pre":$controlPre%.3f,"control_post":$controlPost%.3f,"queries":$hl,"sf":"$sfDir"}""")
-    if (failed.nonEmpty) {
-      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")
+    println(f"""{"metric":"total","value":$total,"unit":"sec","n_queries":${best.results.size},"errors":${best.failed.size},"skipped":${skip.size},"runs":$Runs,"control_pre":${best.controlPre}%.3f,"control_post":${best.controlPost}%.3f,"attempts":$attemptsJson,"queries":$hl,"sf":"$sfDir"}""")
+    if (best.failed.nonEmpty) {
+      System.err.println(s"[bench] ${best.failed.size} queries failed: ${best.failed.mkString(", ")}")
       sys.exit(1)
     }
   }
+
+  /** One control+sweep+control pass: per-query (median, min, max), the
+    * queries that threw, and the bracketing host-speed controls.
+    */
+  private final case class Attempt(
+      results: Seq[(String, (Double, Double, Double))],
+      failed: Seq[String],
+      controlPre: Double,
+      controlPost: Double)
 }
