@@ -5,13 +5,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A versioned table with time travel — the lakehouse primitive on top of
-  * the [[Lake]] DML algebra: every commit writes a NEW immutable version
-  * directory and swaps a `_latest` marker by atomic rename (the
-  * `IndexStore` contract applied to table data), so concurrent readers
-  * always resolve a complete snapshot, `readAt` serves any retained
-  * version, and CDC between two versions is [[Lake.snapshotDiff]] over
-  * their snapshots. Upserts route through [[Lake.mergeUpsert]] (duplicate
-  * update keys still fail loudly), deletes are filtered commits.
+  * the [[Lake]] DML algebra: every commit CLAIMS its version number with
+  * an exclusively-created `v<N>._claim` file (so concurrent writers — any
+  * JVM, any process — never collide on a number), writes a NEW immutable
+  * version directory, records durability with `v<N>._commit`, and swaps a
+  * `_latest` hint by atomic rename. Concurrent readers always resolve a
+  * complete snapshot, `readAt` serves any retained version, and CDC
+  * between two versions is [[Lake.snapshotDiff]] over their snapshots.
+  * Upserts route through [[Lake.mergeUpsert]] (duplicate update keys
+  * still fail loudly), deletes are filtered commits.
   *
   * Scale shape: a commit is one parquet write of the new snapshot (for a
   * 100 TB table you would commit partition-level manifests instead — this
@@ -22,29 +24,74 @@ import org.apache.spark.sql.functions._
 object Versioned {
 
   private def markerPath(dir: String) = java.nio.file.Paths.get(dir, "_latest")
+  private def claimPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v._claim")
+  private def commitMarkPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v._commit")
 
-  // same-JVM commit serialization (the IndexStore posture); cross-process
-  // writers would need a real transaction log — out of scope for the
-  // row-level teaching shape, documented
-  private val lock = new Object
-
-  /** Latest committed version, or -1 for an empty/uninitialized dir. */
-  def latest(dir: String): Int = {
-    val m = markerPath(dir)
-    if (java.nio.file.Files.exists(m))
-      java.nio.file.Files.readString(m).trim.toInt
-    else -1
+  /** Version number carried by a claim/commit-mark/version-dir name, if
+    * any — `v7`, `v7._claim`, `v7._commit` all map to 7.
+    */
+  private def versionOf(name: String): Option[Int] = {
+    val core = name.stripPrefix("v")
+    val digits = core.takeWhile(_.isDigit)
+    if (digits.nonEmpty && (core == digits || core == s"$digits._claim" ||
+        core == s"$digits._commit")) digits.toIntOption
+    else None
   }
 
-  /** Write `df` as the next version; returns its number. The marker swap
-    * is write-temp + ATOMIC_MOVE, so a reader never sees a half-written
-    * pointer and the version dir is complete before it becomes visible;
-    * the version counter is read under the same lock that serializes the
-    * write, so same-JVM concurrent commits can't collide on a number.
+  /** Latest COMMITTED version, or -1 for an empty/uninitialized dir: the
+    * max of the `_latest` hint and the durable per-version commit marks.
+    * The listing is authoritative — the hint is a best-effort cache whose
+    * loss (or a rare cross-process regression, see [[commit]]) never
+    * un-commits a version.
     */
-  def commit(df: DataFrame, dir: String): Int = lock.synchronized {
-    val v = latest(dir) + 1
+  def latest(dir: String): Int = {
+    val m = markerPath(dir)
+    val hint =
+      if (java.nio.file.Files.exists(m))
+        java.nio.file.Files.readString(m).trim.toIntOption.getOrElse(-1)
+      else -1
+    val committed = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => versionOf(f.getName))
+      .filter(v => java.nio.file.Files.exists(commitMarkPath(dir, v)))
+      .foldLeft(-1)(math.max)
+    math.max(hint, committed)
+  }
+
+  /** Write `df` as the next version; returns its number. Cross-process
+    * safe without any lock or transaction log:
+    *
+    *  1. the writer CLAIMS a number by exclusively creating `v<N>._claim`
+    *     (`Files.createFile` = O_EXCL — atomic on POSIX filesystems and on
+    *     HDFS-style stores with atomic create-if-absent); a loser that
+    *     raced to the same number retries at N+1, so two committers can
+    *     never write the same version dir;
+    *  2. the version dir is written in full, then `v<N>._commit` is
+    *     created — the durable commit record [[latest]] derives from;
+    *  3. the `_latest` hint swaps by write-temp + ATOMIC_MOVE, so a reader
+    *     never sees a half-written pointer. Concurrent commits can leave
+    *     the hint one step behind the true max for an instant; [[latest]]
+    *     takes the max of hint and commit marks, so reads stay monotonic.
+    *
+    * A crash between claim and commit leaves a numbered hole: the claim
+    * makes later writers skip the number, no `_commit` mark means readers
+    * skip it too — exactly the aborted-transaction slot of a real log.
+    */
+  def commit(df: DataFrame, dir: String): Int = {
+    var v = latest(dir) + 1
+    var claimed = false
+    while (!claimed) {
+      try {
+        java.nio.file.Files.createFile(claimPath(dir, v))
+        claimed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
     df.write.mode("overwrite").parquet(s"$dir/v$v")
+    java.nio.file.Files.createFile(commitMarkPath(dir, v))
     val tmp = java.nio.file.Paths.get(dir, s".latest-$v")
     java.nio.file.Files.writeString(tmp, v.toString)
     java.nio.file.Files.move(tmp, markerPath(dir),
@@ -53,12 +100,13 @@ object Versioned {
     v
   }
 
-  /** Retention: physically remove versions older than the newest
-    * `keepLast` (never the served latest). Time travel to a vacuumed
-    * version stops working — exactly the lakehouse VACUUM contract, where
-    * retention bounds history, not correctness of retained reads.
+  /** Retention: physically remove versions (and their claim/commit marks)
+    * older than the newest `keepLast` (never the served latest). Time
+    * travel to a vacuumed version stops working — exactly the lakehouse
+    * VACUUM contract, where retention bounds history, not correctness of
+    * retained reads.
     */
-  def vacuum(dir: String, keepLast: Int): Unit = lock.synchronized {
+  def vacuum(dir: String, keepLast: Int): Unit = {
     val cut = latest(dir) - math.max(1, keepLast) + 1
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
@@ -66,8 +114,7 @@ object Versioned {
     }
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.startsWith("v") &&
-        f.getName.drop(1).toIntOption.exists(_ < cut))
+      .filter(f => versionOf(f.getName).exists(_ < cut))
       .foreach(rm)
   }
 
@@ -95,6 +142,50 @@ object Versioned {
       compareCols: Seq[String]): DataFrame =
     Lake.snapshotDiff(readAt(s, dir, v0), readAt(s, dir, v1), key,
       compareCols)
+
+  /** The change-feed directory: one parquet file set per CDC-enabled
+    * commit, appended at commit time.
+    */
+  def cdcDir(dir: String): String = s"$dir/_cdc"
+
+  /** Commit `df` AND materialize its change rows (vs the previous
+    * committed version) into [[cdcDir]], tagged `commit_version` — the
+    * write-side half of the streaming change feed. Returns the version.
+    *
+    * Scale shape: the CDC file carries only changed keys, not the
+    * snapshot, so the feed grows with churn, not table size — the same
+    * contract real lakehouse change feeds ship. The append is one new
+    * part-file set per commit (racing writers use distinct file names, so
+    * nothing clobbers), but per-commit deltas only telescope when each
+    * CDC commit diffs its immediate predecessor — run ONE CDC writer per
+    * table (the usual change-feed posture); raw [[commit]]s from other
+    * processes stay safe because version claims are exclusive.
+    */
+  def commitCdc(s: SparkSession, df: DataFrame, dir: String, key: String,
+      compareCols: Seq[String]): Int = {
+    val prev = latest(dir)
+    val v = commit(df, dir)
+    val delta =
+      if (prev < 0) // first commit: every row arrives as "added"
+        Lake.snapshotDiff(readAt(s, dir, v).limit(0), readAt(s, dir, v),
+          key, compareCols)
+      else changes(s, dir, prev, v, key, compareCols)
+    delta.withColumn("commit_version", lit(v))
+      .write.mode("append").parquet(cdcDir(dir))
+    v
+  }
+
+  /** The streaming half: replay the change feed with Spark's file
+    * streaming source — every [[commitCdc]] lands as new files under
+    * [[cdcDir]] and arrives as its own micro-batch, so a running query
+    * sees each commit's added/removed/changed rows in commit order with
+    * no custom Source and no driver-side state. `schema` is the CDC row
+    * schema for this table's (key, compareCols) — file streams require
+    * one up front; take it from a batch [[changes]] call.
+    */
+  def cdcStream(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema).parquet(cdcDir(dir))
 
   // ---- declared queries ---------------------------------------------------
 

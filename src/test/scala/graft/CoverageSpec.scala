@@ -264,6 +264,43 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(1).size === 4 && operators.Versioned.latest(dir) === 2)
   }
 
+  test("LK: versioned table — concurrent committers claim distinct versions (O_EXCL, no lock)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt-cc").toString
+    // 8 simultaneous commits racing for version numbers with NO shared
+    // lock: the exclusive v<N>._claim create is the only arbiter (the
+    // cross-process story — separate JVMs hit the same createFile O_EXCL
+    // path, which the filesystem serializes; threads exercise it here).
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val vs = (0 until 8).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          operators.Versioned.commit(Seq((i.toLong, s"w$i")).toDF("k", "who"), dir)
+        }
+      })
+    }
+    gate.countDown()
+    val got = vs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS)).sorted
+    pool.shutdown()
+    assert(got === (0 until 8), "claimed versions must be exactly 0..7, no collisions")
+    assert(operators.Versioned.latest(dir) === 7)
+    // every version is complete and carries exactly its writer's row
+    val whoByV = (0 until 8).map { v =>
+      val rows = operators.Versioned.readAt(spark, dir, v).collect()
+      assert(rows.length === 1, s"v$v must hold exactly one row")
+      rows.head.getString(1)
+    }
+    assert(whoByV.toSet.size === 8, "no two versions may share a writer")
+    // crashed-writer hole: a claim with no commit mark makes later writers
+    // skip the number and latest() never serves it
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "v8._claim"))
+    assert(operators.Versioned.commit(Seq((99L, "after")).toDF("k", "who"),
+      dir) === 9)
+    assert(operators.Versioned.latest(dir) === 9)
+  }
+
   test("LK: versioned table schema evolution — a column appears at its commit, history keeps its schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vt-se").toString

@@ -555,4 +555,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (1,2) collides in at least one band; the unrelated doc pairs with nobody
     assert(hits === Set((1L, 2L)), hits.toString)
   }
+
+  test("streaming versioned-table CDC: the change feed replays each commit as a micro-batch") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt-cdc").toString
+    def row(k: Long, name: String, bal: Long) = (k, name, bal)
+    // three CDC-enabled commits: create, upsert-ish rewrite, delete
+    Versioned.commitCdc(spark,
+      Seq(row(1, "a", 10), row(2, "b", 20)).toDF("k", "name", "bal"),
+      dir, "k", Seq("name", "bal"))
+    Versioned.commitCdc(spark,
+      Seq(row(1, "a", 10), row(2, "b2", 25), row(3, "c", 30))
+        .toDF("k", "name", "bal"),
+      dir, "k", Seq("name", "bal"))
+    Versioned.commitCdc(spark,
+      Seq(row(2, "b2", 25), row(3, "c", 30)).toDF("k", "name", "bal"),
+      dir, "k", Seq("name", "bal"))
+    // the streamed feed must equal the batch snapshotDiff chain, each row
+    // tagged with the commit that produced it
+    val batchChain = (Versioned.changes(spark, dir, 0, 1, "k",
+        Seq("name", "bal")).withColumn("commit_version", lit(1))
+      unionByName Versioned.changes(spark, dir, 1, 2, "k", Seq("name", "bal"))
+        .withColumn("commit_version", lit(2)))
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(r.fieldIndex("k")), r.getString(r.fieldIndex("change_type")),
+        r.getInt(r.fieldIndex("commit_version")))
+    val schema = batchChain.schema
+    val q = Versioned.cdcStream(spark, dir, schema)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_out").start()
+    q.processAllAvailable()
+    val v0adds = spark.table("cdc_out")
+      .filter(col("commit_version") === 0).collect()
+    assert(v0adds.map(r => (r.getLong(r.fieldIndex("k")),
+      r.getString(r.fieldIndex("change_type")))).toSet ===
+      Set((1L, "added"), (2L, "added")),
+      "the first commit's feed entry is the full initial snapshot as adds")
+    val streamed = spark.table("cdc_out")
+      .filter(col("commit_version") > 0).collect().map(keyOf).toSet
+    assert(streamed === batchChain.collect().map(keyOf).toSet,
+      "replayed CDC stream must equal the batch snapshotDiff chain")
+    // a commit made WHILE the stream runs arrives as its own micro-batch
+    Versioned.commitCdc(spark,
+      Seq(row(2, "b3", 99), row(3, "c", 30)).toDF("k", "name", "bal"),
+      dir, "k", Seq("name", "bal"))
+    q.processAllAvailable()
+    q.stop()
+    val live = spark.table("cdc_out").filter(col("commit_version") === 3)
+      .collect().map(keyOf).toSet
+    assert(live === Set((2L, "changed", 3)),
+      "the in-flight commit must surface exactly its own delta")
+  }
 }
