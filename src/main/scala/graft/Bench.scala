@@ -119,9 +119,12 @@ object Bench {
     // must exclude the declared quadratic demos — they blow up by DESIGN at
     // 10×, and one of them would eat the whole probe budget. Normal driver
     // runs never set this, so the per-round sweep stays complete.
+    // `@demos` expands to SparkEntry.demoQueries (the declared quadratic /
+    // fast-path demo set) so the probe never hand-maintains the list.
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+      .flatMap(n => if (n == "@demos") SparkEntry.demoQueries else Set(n))
     // Include-filter twin of SKIP (probe harness only): re-time a handful
     // of queries (e.g. after fixing one that failed at the sf1 probe)
     // without paying for the full sweep. Driver runs never set either.

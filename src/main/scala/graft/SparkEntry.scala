@@ -72,4 +72,28 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.iterator.flatMap(_._2).toMap
+
+  /** DECLARED DEMOS — queries that exist to anchor or demonstrate a path a
+    * 100 TB deployment would not run as written, kept in the per-round
+    * sweep for correctness but excluded from scale claims:
+    *
+    *  - `q_dedup_jaccard` / `q_join_theta_range` / `q_sim_topk`: the
+    *    declared quadratic oracle anchors (n² self-join / BNLJ theta /
+    *    crossJoin exact top-k); their scale-safe twins are the LSH
+    *    pipeline, `rangeJoinBinned`, and the ANN/IVF/ADC family.
+    *  - `q_dedup_near` / `q_dedup_clusters` / `q_dedup_chunks` /
+    *    `q_dedup_simhash`: the xxhash64 fast-path spellings, which
+    *    re-derive signatures from raw corpus text in-query. Production
+    *    reads the persisted index (`q_dedup_index_*`, `q_dedup_clusters_
+    *    md5`, `q_dedup_chunks_md5`, `q_dedup_simhash_md5` are those rows);
+    *    these demo the non-persisted API on a fresh corpus.
+    *
+    * `Bench` expands the literal `@demos` in `SPARK_GRAFT_BENCH_SKIP` to
+    * this set, so the sf1 scaling probe excludes every declared demo
+    * without hand-maintaining the list; normal driver sweeps never set
+    * SKIP and keep running them.
+    */
+  val demoQueries: Set[String] = Set(
+    "q_dedup_jaccard", "q_join_theta_range", "q_sim_topk",
+    "q_dedup_near", "q_dedup_clusters", "q_dedup_chunks", "q_dedup_simhash")
 }

@@ -105,11 +105,22 @@ object Aggregations {
             .as("sum_hi_c"))
     }),
 
-    // A10 (no oracle — sketch; rows-only check + unit test vs exact count).
+    // A10 (oracle hash-checked via its BOUND): the HLL++ sketch value
+    // itself has no cross-engine twin, so the row outputs the exact
+    // distinct count PLUS `approx_ok` = |sketch − exact| ≤ 3·rsd·exact,
+    // and the oracle asserts TRUE — the advertised error contract is
+    // hash-proved every round, not just unit-sampled. Deterministic:
+    // HLL++ merges are order-insensitive, so the sketch value (and the
+    // boolean) is a pure function of the multiset. At 100 TB the sketch
+    // runs alone; this row is its standing certification against exact.
     "q_approx_distinct" -> ((s, dir) => {
       T.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("approx") - col("n_parts")) <=
+            lit(3 * 0.01) * col("n_parts")).as("approx_ok"))
     }),
 
     // A11: collect_list / collect_set, sorted for determinism and joined to
@@ -202,6 +213,12 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // the exact count is re-derived; TRUE asserts the Spark-side sketch
+    // honored its 3·rsd bound (see the query's doc comment)
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts, TRUE AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c,

@@ -472,14 +472,18 @@ object Dedup {
         .select("keep_id", "n_dups")
     }),
 
-    // L2 (no oracle — xxhash64 has no DuckDB twin; verified by DedupSpec
-    // planted-duplicate tests): MinHash-LSH near-dup pairs.
+    // L2 (DECLARED DEMO, `SparkEntry.demoQueries` — no oracle, xxhash64
+    // has no DuckDB twin; verified by planted-duplicate units): the
+    // non-persisted xxhash64 fast-path API on a fresh corpus. Production
+    // reads the persisted pair table (`q_dedup_index_pairs`); this
+    // spelling re-shingles raw text in-query by design.
     "q_dedup_near" -> ((s, dir) =>
       nearDuplicatePairs(T.documents(s, dir), "text", "doc_id")),
 
-    // L2e (no oracle — chained from LSH pairs; clustering correctness is
-    // unit-tested on planted chains): cluster-size distribution of the
-    // corpus's near-duplicate components + survivor count.
+    // L2e (DECLARED DEMO, `SparkEntry.demoQueries` — chained from the
+    // in-query xxhash LSH pairs; clustering correctness is oracle-proved
+    // on `q_dedup_clusters_md5`/`_logstar` over the persisted pair table):
+    // cluster-size distribution via the non-persisted fast path.
     "q_dedup_clusters" -> ((s, dir) => {
       val pairs = nearDuplicatePairs(T.documents(s, dir), "text", "doc_id",
         threshold = 0.5)
@@ -609,7 +613,9 @@ object Dedup {
     "q_dedup_canonical" -> ((s, dir) =>
       canonicalByRank(DedupIndex.pairs(s, dir))),
 
-    // L2b (no oracle): SimHash fingerprints.
+    // L2b (DECLARED DEMO, `SparkEntry.demoQueries` — no oracle; the md5
+    // twin `q_dedup_simhash_md5` is the hash-checked row): xxhash SimHash
+    // fingerprints, the fast-path spelling.
     "q_dedup_simhash" -> ((s, dir) =>
       T.documents(s, dir).select(col("doc_id"), simhash(col("text")).as("sim64"))),
 
@@ -636,10 +642,11 @@ object Dedup {
       T.documents(s, dir).select(col("doc_id"),
         graft.functions.TextHashes.simHashMd5(col("text")).as("sim60"))),
 
-    // L2d (no oracle — rolling hash has no DuckDB twin; shift-robustness
-    // verified in PipelineSpec): chunk-sharing distribution across the
-    // corpus — how many content-defined chunks appear in k distinct docs.
-    // One explode + two narrow aggs; chunk-level storage dedup at 100 TB.
+    // L2d (DECLARED DEMO, `SparkEntry.demoQueries` — rolling xxhash has no
+    // DuckDB twin; shift-robustness verified in PipelineSpec, and the md5
+    // CDC twin `q_dedup_chunks_md5` is the hash-checked row): chunk-sharing
+    // distribution across the corpus — how many content-defined chunks
+    // appear in k distinct docs. One explode + two narrow aggs.
     "q_dedup_chunks" -> ((s, dir) => {
       T.documents(s, dir)
         .select(col("doc_id"), explode(contentChunks(col("text"))).as("chunk"))

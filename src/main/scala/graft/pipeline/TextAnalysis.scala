@@ -286,23 +286,30 @@ object TextAnalysis {
         .limit(20)
     }),
 
-    // Scale twin of q_text_topwords (no oracle — sketch state; exactness
-    // vs the exact top-20 is unit-asserted): top words via Spark 4's
-    // mergeable ApproxTopK (DataSketches frequent-items) — per-source
-    // PARTIAL sketches combined at read time, the same pre-aggregated
-    // rollup shape as the E61 HLL pattern. At 100 TB the per-shard
-    // sketches are tiny and materializable; re-ranking the vocabulary
-    // never re-scans raw text, and the exact path's full (word, n)
-    // aggregate is replaced by fixed-size sketch state per shard.
+    // Scale twin of q_text_topwords (oracle hash-checked against the EXACT
+    // top-20): top words via Spark 4's mergeable ApproxTopK (DataSketches
+    // frequent-items) — per-source PARTIAL sketches combined at read time,
+    // the same pre-aggregated rollup shape as the E61 HLL pattern. A
+    // frequent-items sketch is EXACT while tracked items ≤ capacity, and
+    // this corpus's per-source vocabulary (~31 words) sits far below the
+    // 1024-slot sketch, so the full estimate re-ranked with the exact
+    // path's deterministic (n DESC, word) rule IS the exact top-20 — the
+    // oracle is q_text_topwords' SQL verbatim. Above capacity (real-corpus
+    // regime) the estimate degrades per the sketch's εN guarantee and the
+    // named unit keeps the bound. At 100 TB the per-shard sketches are
+    // tiny and materializable; the re-rank touches ≤1024 sketch rows,
+    // never raw text.
     "q_text_topwords_sketch" -> ((s, dir) => {
       val words = T.documents(s, dir)
         .select(col("source"), explode(tokens(col("text"))).as("word"))
       words
         .groupBy("source")
         .agg(expr("approx_top_k_accumulate(word, 1024)").as("sk"))
-        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 20)").as("est"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 1024)")
+          .as("est"))
         .select(explode(col("est")).as("e"))
         .select(col("e.item").as("word"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20)
     }),
 
     // Data-profiling / quality-gate stats over the corpus: null rates,
@@ -495,6 +502,15 @@ object TextAnalysis {
         |       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_redacted
         |FROM documents ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_topwords" ->
+      """SELECT * FROM (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |    FROM documents)
+        |  GROUP BY 1 ORDER BY n DESC, word LIMIT 20)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the sketch twin is exact below capacity (see the query's doc
+    // comment), so its oracle is the exact top-20 verbatim
+    "q_text_topwords_sketch" ->
       """SELECT * FROM (
         |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
         |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word

@@ -271,6 +271,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"document text must not be a shuffle key:\n$p")
   }
 
+  test("guardrail: every declared demo names a real query") {
+    // The demo set gates the scale probe (`@demos` expansion in Bench's
+    // SKIP) — a typo'd name would silently re-admit a quadratic demo to
+    // the sf1 probe.
+    val unknown = SparkEntry.demoQueries -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"demoQueries not in queries: $unknown")
+  }
+
   test("guardrail: no declared query plans a cartesian/nested-loop join unless whitelisted") {
     // The regression this protects against: a refactor silently turning an
     // equi-join into an n² pairing. Every declared query's physical plan is
