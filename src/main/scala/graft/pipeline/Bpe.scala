@@ -94,8 +94,30 @@ object Bpe {
     * merged, c) — the learned merge table, one row per round; `vocab` =
     * (word, n, s) with the final symbol segmentation of every corpus word.
     */
-  def train(docs: DataFrame, steps: Int): (DataFrame, DataFrame) = {
-    var w = graft.Ckpt(charSplit(wordCounts(docs)))
+  def train(docs: DataFrame, steps: Int): (DataFrame, DataFrame) =
+    trainFromCounts(wordCounts(docs), steps)
+
+  /** Merge an ingest batch into a maintained word-count table by pure
+    * count addition: append(wc, batch) is ROW-IDENTICAL to
+    * wordCounts(old ∪ batch) — the E66/E103 append mold applied to the
+    * tokenizer's ONE corpus-sized input. The merge table itself cannot be
+    * appended (a new most-frequent pair can reorder every later round —
+    * retraining over the count table is inherent to BPE), but the count
+    * table CAN, and retraining from it never re-explodes corpus text:
+    * `q_bpe_append_train` hash-proves append → retrain ≡ train-from-
+    * scratch end to end.
+    */
+  def appendWordCounts(wc: DataFrame, batch: DataFrame): DataFrame =
+    wc.unionByName(wordCounts(batch))
+      .groupBy("word").agg(sum("n").as("n"))
+
+  /** [[train]] from an already-aggregated word-count table (the persisted
+    * `wordcounts` component, or [[appendWordCounts]] output): the merge
+    * rounds only ever touch this table, so training cost after the one
+    * corpus explode is a function of VOCABULARY size, not corpus size.
+    */
+  def trainFromCounts(wc: DataFrame, steps: Int): (DataFrame, DataFrame) = {
+    var w = graft.Ckpt(charSplit(wc))
     var merges = List.empty[DataFrame]
     for (k <- 1 to steps) {
       val best = pairCounts(w)
@@ -181,10 +203,16 @@ object Bpe {
     */
   private def buildInto(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, vd: String): Unit = {
-    val (merges, _) = train(T.documents(spark, sfDir), Steps)
+    // the ONE corpus explode: the word-count table is persisted as a
+    // component so incremental maintenance (appendWordCounts) and merge
+    // retraining never re-read corpus text
+    wordCounts(T.documents(spark, sfDir))
+      .write.mode("overwrite").parquet(s"$vd/wordcounts")
+    val pwc = spark.read.parquet(s"$vd/wordcounts")
+    val (merges, _) = trainFromCounts(pwc, Steps)
     merges.write.mode("overwrite").parquet(s"$vd/merges")
     val pm = spark.read.parquet(s"$vd/merges")
-    var w = graft.Ckpt(charSplit(wordCounts(T.documents(spark, sfDir))))
+    var w = graft.Ckpt(charSplit(pwc))
     for (k <- 1 to Steps) {
       val mk = pm.filter(col("step") === k).select("l", "r")
       w = graft.Ckpt(w.crossJoin(broadcast(mk))
@@ -203,6 +231,19 @@ object Bpe {
   /** Persisted final segmentation (word, n, s); builds if absent. */
   def vocab(s: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
     s.read.parquet(ensure(s, sfDir) + "/vocab")
+
+  /** Persisted corpus word-count table (word, n); builds if absent. A
+    * version written before this component existed (artifact-schema
+    * evolution) triggers one rebuild.
+    */
+  def wordCountsPersisted(s: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val vd = ensure(s, sfDir)
+    val wc =
+      if (new java.io.File(s"$vd/wordcounts").exists()) vd
+      else rebuild(s, sfDir)
+    s.read.parquet(s"$wc/wordcounts")
+  }
 
   // ---- declared queries ---------------------------------------------------
 
@@ -231,6 +272,22 @@ object Bpe {
       rebuild(s, dir)
       vocab(s, dir).select(col("word"), col("n"),
         concat_ws("|", col("s")).as("seg"))
+    }),
+
+    // L7h: incremental tokenizer refresh — the 1/5 batch merged into the
+    // 4/5 word-count table by pure count addition, then the merge table
+    // RETRAINED from the appended counts ([[appendWordCounts]] →
+    // [[trainFromCounts]]; corpus text exploded once per slice, never
+    // re-read for training). The oracle is q_bpe_train's full-corpus SQL
+    // verbatim: a hash match proves append → retrain ≡ train-from-scratch
+    // through every pair count, argmax, and merge round.
+    "q_bpe_append_train" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      trainFromCounts(
+        appendWordCounts(
+          wordCounts(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)),
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0)),
+        Steps)._1
     })
   )
 
@@ -338,6 +395,15 @@ object Bpe {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" ->
+      s"""${chainSql(Steps)}
+         |SELECT * FROM (
+         |${(1 to Steps).map(k =>
+             s"  SELECT CAST($k AS INTEGER) AS step, l, r, l || r AS merged, c FROM b$k")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY ALL NULLS FIRST""".stripMargin,
+    // append → retrain must reproduce full-corpus training exactly, so
+    // the oracle is q_bpe_train's SQL verbatim
+    "q_bpe_append_train" ->
       s"""${chainSql(Steps)}
          |SELECT * FROM (
          |${(1 to Steps).map(k =>

@@ -39,21 +39,17 @@ object NaiveBayes {
   private def microLn(x: Column): Column =
     round(log(x) * lit(1e6), 0).cast("long")
 
-  /** Train on labeled documents (labelCol, text). See object doc for the
-    * exact arithmetic.
+  /** Build the full model from its two count tables — `wc` = (lang, word,
+    * c) occurrence counts, `priors` = (lang, nd) document counts. Every
+    * scoring constant (tot, V, N, prior_u, default_u, score_u) is a pure
+    * function of these counts, which is what makes the model mergeable:
+    * train-from-scratch and count-append both end here.
     */
-  def train(docs: DataFrame, labelCol: String = "lang"): Model = {
-    val tw = docs
-      .select(col(labelCol).as("lang"),
-        explode(TextAnalysis.tokens(col("text"))).as("word"))
-      .filter(length(col("word")) > 0)
-    val wc = tw.groupBy("lang", "word").agg(count(lit(1)).as("c"))
+  private def modelFromCounts(wc: DataFrame, priors: DataFrame): Model = {
     val tot = wc.groupBy("lang").agg(sum("c").as("tot"))
-    val v = tw.agg(countDistinct(col("word")).as("v"))
-    val pri = docs.groupBy(col(labelCol).as("lang"))
-      .agg(count(lit(1)).as("nd"))
-    val n = docs.agg(count(lit(1)).as("n"))
-    val labels = pri.crossJoin(broadcast(n)).join(tot, Seq("lang"))
+    val v = wc.agg(countDistinct(col("word")).as("v"))
+    val n = priors.agg(sum("nd").as("n"))
+    val labels = priors.crossJoin(broadcast(n)).join(tot, Seq("lang"))
       .crossJoin(broadcast(v))
       .select(col("lang"), col("tot"), col("v"),
         microLn(col("nd").cast("double") / col("n").cast("double"))
@@ -66,6 +62,44 @@ object NaiveBayes {
           (col("tot").cast("double") + col("v").cast("double")))
           .as("score_u"))
     Model(model, labels)
+  }
+
+  /** Per-(label, word) occurrence counts of a labeled corpus. */
+  private def occurrenceCounts(docs: DataFrame, labelCol: String): DataFrame =
+    docs
+      .select(col(labelCol).as("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+
+  /** Train on labeled documents (labelCol, text). See object doc for the
+    * exact arithmetic.
+    */
+  def train(docs: DataFrame, labelCol: String = "lang"): Model =
+    modelFromCounts(occurrenceCounts(docs, labelCol),
+      docs.groupBy(col(labelCol).as("lang")).agg(count(lit(1)).as("nd")))
+
+  /** Merge a labeled batch into the PERSISTED model by pure count
+    * addition (the E66/E103 append mold applied to the classifier):
+    * merged (lang, word) counts = stored `c` + the batch's counts, priors
+    * add document counts, and every scoring constant re-derives from the
+    * merged counts with the identical micro-unit arithmetic — so
+    * append(old, batch) is ROW-IDENTICAL to train(old ∪ batch)
+    * (`q_nb_model_append` hash-proves the merged model table; the unit
+    * asserts the labels table too). Cost ∝ |vocabulary| + |batch| — the
+    * training corpus is never re-read, re-exploded, or re-counted.
+    */
+  def appendedModel(s: org.apache.spark.sql.SparkSession, sfDir: String,
+      batch: DataFrame, labelCol: String = "lang"): Model = {
+    val vd = ensure(s, sfDir)
+    val wc = s.read.parquet(s"$vd/model").select("lang", "word", "c")
+      .unionByName(occurrenceCounts(batch, labelCol))
+      .groupBy("lang", "word").agg(sum("c").as("c"))
+    val priors = s.read.parquet(s"$vd/priors")
+      .unionByName(
+        batch.groupBy(col(labelCol).as("lang")).agg(count(lit(1)).as("nd")))
+      .groupBy("lang").agg(sum("nd").as("nd"))
+    modelFromCounts(wc, priors)
   }
 
   /** Predict the label of each document with ≥1 token: argmax over labels
@@ -215,19 +249,35 @@ object NaiveBayes {
     "q_nb_model_build" -> ((s, dir) => {
       rebuild(s, dir)
       persistedModel(s, dir).labels
-    })
+    }),
+
+    // L8f: incremental model refresh — the 1/5 held-out batch merged into
+    // the PERSISTED 4/5 model by pure count addition ([[appendedModel]]).
+    // The oracle is the training SQL over old ∪ batch (= the full corpus)
+    // verbatim, so a hash match proves append(old, batch) ≡
+    // train(old ∪ batch) down to every smoothed micro-unit score — the
+    // daily-refresh shape: classifier models stay current without
+    // re-reading the training corpus.
+    "q_nb_model_append" -> ((s, dir) =>
+      appendedModel(s, dir, testDocs(T.documents(s, dir))).model)
   )
 
   // ---- oracles ------------------------------------------------------------
 
   /** Training CTEs ending at `model` + `labs` (both splits' tokenization
     * shared); DuckDB replays the identical cast/round/ln sequence.
+    * `where` selects the training slice — the 4/5 split for the trained
+    * rows, empty (full corpus) for the append row, which makes
+    * `q_nb_model_append`'s oracle the training SQL over old ∪ batch
+    * verbatim.
     */
-  private def nbCtes: String =
-    """ntr AS (
+  private def nbCtes: String = nbCtesFor("WHERE doc_id % 5 <> 0")
+
+  private def nbCtesFor(where: String): String =
+    s"""ntr AS (
       |  SELECT lang,
-      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
-      |  FROM documents WHERE doc_id % 5 <> 0),
+      |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+      |  FROM documents $where),
       |ntrw AS (
       |  SELECT lang, word FROM (SELECT lang, unnest(toks) AS word FROM ntr)
       |  WHERE length(word) > 0),
@@ -238,9 +288,9 @@ object NaiveBayes {
       |nv AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM ntrw),
       |npri AS (
       |  SELECT lang, CAST(count(*) AS BIGINT) AS nd
-      |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+      |  FROM documents $where GROUP BY 1),
       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n
-      |       FROM documents WHERE doc_id % 5 <> 0),
+      |       FROM documents $where),
       |labs AS (
       |  SELECT p.lang, t.tot, nv.v,
       |    CAST(round(ln(CAST(p.nd AS DOUBLE) / CAST(nn.n AS DOUBLE)) * 1000000, 0) AS BIGINT) AS prior_u,
@@ -303,6 +353,12 @@ object NaiveBayes {
     "q_nb_model_build" ->
       s"""WITH $nbCtes
          |SELECT lang, tot, v, prior_u, default_u FROM labs
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the training SQL over old ∪ batch = the FULL corpus (empty WHERE):
+    // a hash match proves append(old, batch) ≡ train(old ∪ batch)
+    "q_nb_model_append" ->
+      s"""WITH ${nbCtesFor("")}
+         |SELECT lang, word, c, score_u FROM model
          |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_pipeline_classify_sample" ->
       s"""WITH $nbPredictCtes

@@ -312,13 +312,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    reroute)
     //  - q_bm25_append_search: the same 1-row stats attach as
     //    q_bm25_index_search, through the append-merged components
-    //  - q_nb_train / q_nb_predict / q_nb_confusion / q_nb_model_build:
-    //    1-row vocabulary-size and corpus-count attaches, plus the
-    //    <=n-label broadcast cross that scores each doc against every label
+    //  - q_nb_train / q_nb_predict / q_nb_confusion / q_nb_model_build /
+    //    q_nb_model_append: 1-row vocabulary-size and corpus-count
+    //    attaches, plus the <=n-label broadcast cross that scores each doc
+    //    against every label
+    //  - q_bpe_append_train: the same 1-row argmax-pair attach per merge
+    //    round as q_bpe_train, over the appended word-count table
     val bnljOk = Set(
       "q_bm25_append_search", "q_bm25_index_search",
-      "q_bpe_tokenize", "q_bpe_train",
-      "q_nb_confusion", "q_nb_model_build", "q_nb_predict", "q_nb_train",
+      "q_bpe_append_train", "q_bpe_tokenize", "q_bpe_train",
+      "q_nb_confusion", "q_nb_model_append", "q_nb_model_build",
+      "q_nb_predict", "q_nb_train",
       "q_pipeline_classify_sample",
       "q_dedup_semantic", "q_dedup_semantic_capped",
       "q_join_cross", "q_pq_adc", "q_pq_adc_hashinit", "q_pq_ivfadc",

@@ -1203,6 +1203,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(Bpe.vocab(spark, sf)) === rows(v))
   }
 
+  test("nb model append: append(old, batch) ≡ train(old ∪ batch), model AND labels") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val docs = T.documents(spark, sf)
+    // persisted artifact = 4/5 split; appended batch = the held-out 1/5
+    val appended = NaiveBayes.appendedModel(spark, sf,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0))
+    val scratch = NaiveBayes.train(docs)
+    assert(rows(appended.model) === rows(scratch.model))
+    assert(rows(appended.labels) === rows(scratch.labels))
+  }
+
+  test("bpe word-count append: append(wc, batch) ≡ wordCounts(old ∪ batch); retrain matches") {
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val docs = T.documents(spark, sf)
+    val appended = Bpe.appendWordCounts(
+      Bpe.wordCounts(docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)),
+      docs.filter(pmod(col("doc_id"), lit(3)) === 0))
+    assert(rows(appended) === rows(Bpe.wordCounts(docs)))
+    // the persisted component carries the same table, and retraining from
+    // it reproduces the persisted merges without touching corpus text
+    assert(rows(Bpe.wordCountsPersisted(spark, sf)) ===
+      rows(Bpe.wordCounts(docs)))
+    assert(rows(Bpe.trainFromCounts(
+        Bpe.wordCountsPersisted(spark, sf), Bpe.Steps)._1) ===
+      rows(Bpe.merges(spark, sf)))
+  }
+
   test("text index: persisted components ≡ fresh build; planted rare-term doc ranks first") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
