@@ -64,6 +64,53 @@ object TextIndex {
         explode(col("__toks")).as("word"))
       .groupBy("word", "doc", "dl").agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings (word, doc, pos) — 1-based token positions over
+    * the raw token array (empties filtered AFTER position assignment, the
+    * `q_bpe_tokenize` oracle convention, so cross-engine positions align).
+    * The component behind exact-phrase / proximity queries — the
+    * contamination-probe use case ("find this exact benchmark sentence")
+    * that tf-only postings cannot answer.
+    */
+  def positionsOf(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol).as("doc"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos0", "word")))
+      .filter(length(col("word")) > 0)
+      .select(col("word"), col("doc"), (col("pos0") + 1).as("pos"))
+
+  /** Exact-phrase search over a positional posting table: for each query
+    * document, the phrase is its first `m` non-empty tokens, and a corpus
+    * document matches once per ANCHOR position where every phrase word
+    * appears at its offset (pos − i constant). Returns
+    * (qid, doc_id, n_hits ≥ 1).
+    *
+    * Scale shape: the posting join touches only the phrase words' posting
+    * lists (query side broadcast), the coverage check is one narrow
+    * aggregation on (qid, doc, anchor), and nothing ever re-reads corpus
+    * text — linear in the matched posting rows, independent of corpus
+    * size.
+    */
+  def phraseTopDocs(queryDocs: DataFrame, positions: DataFrame,
+      m: Int = 3): DataFrame = {
+    val qp = queryDocs
+      .select(col("qid"),
+        posexplode(slice(
+          filter(TextAnalysis.tokens(col("qtext")), w => length(w) > 0),
+          1, m)).as(Seq("i", "w")))
+    val plen = qp.groupBy("qid").agg(countDistinct(col("i")).as("plen"))
+    positions.join(broadcast(qp), col("word") === col("w"))
+      .select(col("qid"), col("doc"), (col("pos") - col("i")).as("anchor"),
+        col("i"))
+      .groupBy("qid", "doc", "anchor")
+      .agg(countDistinct(col("i")).as("cover"))
+      .join(broadcast(plen), Seq("qid"))
+      .filter(col("cover") === col("plen"))
+      .groupBy("qid", "doc")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("qid"), col("doc").as("doc_id"), col("n_hits"))
+  }
+
   /** Document frequencies (word, df) from a posting table. */
   def vocabOf(postings: DataFrame): DataFrame =
     postings.groupBy("word").agg(count(lit(1)).as("df"))
@@ -196,8 +243,10 @@ object TextIndex {
     val p = spark.read.parquet(s"$vd/postings")
     vocabOf(p).write.mode("overwrite").parquet(s"$vd/vocab")
     statsOf(p).write.mode("overwrite").parquet(s"$vd/stats")
+    positionsOf(T.documents(spark, sfDir))
+      .write.mode("overwrite").parquet(s"$vd/positions")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(vd, "_meta"),
-      "scoring=bm25\nk1=1.2\nb=0.75\nidf=lucene\n")
+      "scoring=bm25\nk1=1.2\nb=0.75\nidf=lucene\npositions=1-based\n")
   }
 
   /** Tombstoned doc ids for `sfDir`'s index, if any. */
@@ -270,6 +319,18 @@ object TextIndex {
   def persisted(s: SparkSession, sfDir: String): Components =
     Components(postings(s, sfDir), vocab(s, sfDir), stats(s, sfDir))
 
+  /** Persisted positional postings (word, doc, pos); builds if absent. A
+    * version written before this component existed (artifact-schema
+    * evolution) triggers one rebuild.
+    */
+  def positionsPersisted(s: SparkSession, sfDir: String): DataFrame = {
+    val vd = ensure(s, sfDir)
+    val pd =
+      if (new java.io.File(s"$vd/positions").exists()) vd
+      else rebuild(s, sfDir)
+    s.read.parquet(s"$pd/positions")
+  }
+
   // ---- declared queries --------------------------------------------------
 
   private def queryDocs(s: SparkSession, dir: String): DataFrame =
@@ -314,6 +375,16 @@ object TextIndex {
       bm25TopK(queryDocs(s, dir),
         appendBatch(ix, docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
     }),
+
+    // L7h: exact-phrase retrieval over the PERSISTED positional postings —
+    // each query doc's leading trigram searched corpus-wide by the
+    // anchor-coverage join (pos − i constant across the phrase). The
+    // oracle re-derives positions and the coverage walk from raw text, so
+    // a hash match proves the stored positional component lossless AND
+    // the phrase semantics; every query's own source doc must surface
+    // (n_hits ≥ 1 at its original anchor), which the row's hash pins.
+    "q_bm25_phrase" -> ((s, dir) =>
+      phraseTopDocs(queryDocs(s, dir), positionsPersisted(s, dir))),
 
     // L7d: hybrid retrieval — reciprocal-rank fusion of the BM25 list and
     // the IVF×SQ8 vector list, BOTH served from persisted indexes (docs and
@@ -394,6 +465,43 @@ object TextIndex {
     // byte-identical again: append(4/5-index, 1/5-batch) must equal the
     // from-scratch full-corpus build through the whole search path
     "q_bm25_append_search" -> bm25Sql,
+    // positions re-derived from raw text (1-based over the raw token
+    // array, empties filtered after assignment — the q_bpe_tokenize
+    // convention); phrase match = anchor coverage, n_hits = anchors
+    "q_bm25_phrase" ->
+      """WITH qd AS (
+        |  SELECT doc_id AS qid,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      w -> length(w) > 0) AS qtoks
+        |  FROM documents WHERE doc_id < 5),
+        |qp AS (
+        |  SELECT qid, i - 1 AS i, qtoks[i] AS w
+        |  FROM (SELECT qid, qtoks,
+        |          unnest(generate_series(1, least(3, len(qtoks)))) AS i
+        |        FROM qd)),
+        |plen AS (SELECT qid, count(DISTINCT i) AS plen FROM qp GROUP BY 1),
+        |dt AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id AS doc, pos, word
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+        |          unnest(toks) AS word
+        |        FROM dt)
+        |  WHERE length(word) > 0),
+        |cand AS (
+        |  SELECT q.qid, p.doc, p.pos - q.i AS anchor, q.i
+        |  FROM pos p JOIN qp q ON p.word = q.w),
+        |cov AS (
+        |  SELECT qid, doc, anchor, count(DISTINCT i) AS cover
+        |  FROM cand GROUP BY 1, 2, 3),
+        |hits AS (
+        |  SELECT c.qid, c.doc, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM cov c JOIN plen l USING (qid)
+        |  WHERE c.cover = l.plen GROUP BY 1, 2)
+        |SELECT qid, doc AS doc_id, n_hits FROM hits
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_bm25_index_build" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -300,6 +300,42 @@ object StreamOps {
         col("t.doc").as("doc_id"), col("t.score_u").as("score_u"))
   }
 
+  /** Streaming exact-phrase lookup against the PERSISTED positional
+    * postings — the retrieval family's contamination-probe member as a
+    * stream: each arriving query doc's leading trigram stream-static joins
+    * the stored (word, doc, pos) rows, and two chained watermark-bounded
+    * windowed aggregations replay the batch anchor-coverage walk
+    * ([[graft.pipeline.TextIndex.phraseTopDocs]]): per-(query, doc,
+    * anchor) coverage, then per-(query, doc) hit counts. State = in-flight
+    * queries' candidate anchors only, never the corpus.
+    */
+  def phraseSearchStream(queryDocs: DataFrame, positions: DataFrame,
+      m: Int = 3, tsCol: String = "ts",
+      windowLen: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    val qp = queryDocs
+      .withWatermark(tsCol, "10 minutes")
+      .withColumn("__toks",
+        filter(TextAnalysis.tokens(col("qtext")), w => length(w) > 0))
+      .select(col("qid"), col(tsCol),
+        least(size(col("__toks")), lit(m)).as("plen"),
+        posexplode(slice(col("__toks"), 1, m)).as(Seq("i", "w")))
+    val cov = qp
+      .join(positions, col("word") === col("w"))
+      .select(col("qid"), col(tsCol), col("plen"), col("doc"),
+        (col("pos") - col("i")).as("anchor"), col("i"))
+      .groupBy(window(col(tsCol), windowLen), col("qid"), col("plen"),
+        col("doc"), col("anchor"))
+      // count ≡ count-distinct here (streaming forbids the latter): for a
+      // fixed (qid, doc, anchor, i) at most ONE position row matches —
+      // pos = anchor + i and a doc has one word per position
+      .agg(count(lit(1)).as("cover"))
+    cov.filter(col("cover") === col("plen"))
+      .groupBy(window(col("window"), windowLen), col("qid"), col("doc"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("qid"), col("doc").as("doc_id"), col("n_hits"))
+  }
+
   /** Streaming BPE tokenization against a persisted vocab (the E84/E90/E97
     * stream-static pattern completed for the tokenizer artifact): arriving
     * docs explode to (pos, word) statelessly, stream-static join the stored

@@ -1258,6 +1258,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.map(_._2).contains(10L), "query doc must be excluded")
   }
 
+  test("phrase search: anchor coverage finds exact phrases, counts overlapping occurrences, persisted positions match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "slow then the quick brown dog"),
+      (3L, "the quick red fox and the quick brown cat"),
+      (4L, "a b a b a"),
+      (5L, "quick brown the backwards")
+    ).toDF("doc_id", "text")
+    val q = Seq((10L, "the quick brown"), (11L, "a b a"))
+      .toDF("qid", "qtext")
+    val got = TextIndex.phraseTopDocs(q, TextIndex.positionsOf(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // "the quick brown": docs 1 and 2 once each; doc 3 has "the quick" twice
+    // but "the quick brown" only once; doc 5 has all three words, wrong order
+    // "a b a": doc 4 = "a b a b a" → anchors 1 and 3 (overlapping BOTH count)
+    assert(got === Set((10L, 1L, 1L), (10L, 2L, 1L), (10L, 3L, 1L),
+      (11L, 4L, 2L)), got.toString)
+    // the persisted component serves the same rows as the in-query derivation
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(TextIndex.positionsPersisted(spark, sf)) ===
+      rows(TextIndex.positionsOf(T.documents(spark, sf))))
+  }
+
   test("text index append: append(old, batch) ≡ from-scratch over old ∪ batch, all three components") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.toString).toSet

@@ -556,6 +556,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hits === Set((1L, 2L)), hits.toString)
   }
 
+  test("streaming phrase search over static positions ≡ batch anchor-coverage walk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextIndex
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "slow then the quick brown dog"),
+      (4L, "a b a b a")
+    ).toDF("doc_id", "text")
+    val positions = TextIndex.positionsOf(docs)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.phraseSearchStream(
+      input.toDF().toDF("qid", "ts", "qtext"), positions)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("phrase_out").start()
+    input.addData((10L, ts(0), "the quick brown"), (11L, ts(1), "a b a"))
+    q.processAllAvailable()
+    // advance the watermark past the window so the windowed aggs emit
+    input.addData((99L, Timestamp.valueOf("2024-01-01 12:00:00"), "zz zz zz"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT qid, doc_id, n_hits FROM phrase_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TextIndex.phraseTopDocs(
+      Seq((10L, "the quick brown"), (11L, "a b a")).toDF("qid", "qtext"),
+      positions)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got === Set((10L, 1L, 1L), (10L, 2L, 1L), (11L, 4L, 2L)))
+  }
+
   test("streaming versioned-table CDC: the change feed replays each commit as a micro-batch") {
     import spark.implicits._
     import graft.operators.Versioned
