@@ -80,24 +80,35 @@ object Versioned {
     * skip it too — exactly the aborted-transaction slot of a real log.
     */
   def commit(df: DataFrame, dir: String): Int = {
+    val v = claimNext(dir)
+    df.write.mode("overwrite").parquet(s"$dir/v$v")
+    seal(dir, v)
+    v
+  }
+
+  /** Claim the next free version number via O_EXCL (step 1 above). */
+  private def claimNext(dir: String): Int = {
     var v = latest(dir) + 1
-    var claimed = false
-    while (!claimed) {
+    while (true) {
       try {
         java.nio.file.Files.createFile(claimPath(dir, v))
-        claimed = true
+        return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => v += 1
       }
     }
-    df.write.mode("overwrite").parquet(s"$dir/v$v")
+    -1 // unreachable
+  }
+
+  /** Durable commit mark + best-effort `_latest` hint (steps 2–3 above). */
+  private def seal(dir: String, v: Int): Unit = {
     java.nio.file.Files.createFile(commitMarkPath(dir, v))
     val tmp = java.nio.file.Paths.get(dir, s".latest-$v")
     java.nio.file.Files.writeString(tmp, v.toString)
     java.nio.file.Files.move(tmp, markerPath(dir),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    v
+    ()
   }
 
   /** Retention: physically remove versions (and their claim/commit marks)
@@ -187,6 +198,127 @@ object Versioned {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     s.readStream.schema(schema).parquet(cdcDir(dir))
 
+  // ---- partition-manifest commits (copy-on-write at partition level) -----
+  //
+  // The 100 TB shape the row-level [[commit]] documents: a version is a
+  // MANIFEST (partition value → the version whose dir holds that
+  // partition's current files) plus data dirs for ONLY the partitions the
+  // commit touched. An upsert that lands in one date partition writes one
+  // partition, not the table; unaffected partitions are served from the
+  // older version dirs the manifest points at. The manifest itself is
+  // metadata-scale (one line per live partition — exactly what Iceberg/
+  // Delta keep driver-side), written atomically inside the version dir
+  // before the commit mark, so the claim/seal crash semantics above apply
+  // unchanged and partitioned + row-level commits share one version
+  // counter. Readers union one pruned scan per REFERENCED version;
+  // [[compactPartitioned]] bounds that width by rewriting everything
+  // forward (the lakehouse OPTIMIZE posture).
+  //
+  // PRECONDITION (documented, standard for date/segment-partitioned
+  // facts): an upsert never moves an existing key across partitions —
+  // moves would require rewriting the source partition too.
+
+  private def manifestPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_manifest")
+
+  /** The manifest of version `v`: partition value → owning version. */
+  def manifest(dir: String, v: Int): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(manifestPath(dir, v)).asScala
+      .filter(_.nonEmpty)
+      .map { l =>
+        val t = l.lastIndexOf('\t')
+        l.substring(0, t) -> l.substring(t + 1).toInt
+      }.toMap
+  }
+
+  private def writeManifest(dir: String, v: Int, m: Map[String, Int]): Unit = {
+    require(m.keys.forall(p => !p.contains('\t') && !p.contains('\n')),
+      "partition values must not contain tab/newline")
+    val body = m.toSeq.sorted.map { case (p, o) => s"$p\t$o" }.mkString("\n")
+    java.nio.file.Files.writeString(manifestPath(dir, v), body)
+    ()
+  }
+
+  /** Initial (or full-rewrite) partitioned commit: every partition of
+    * `df` is written under this version and the manifest points them all
+    * here. Returns the version.
+    */
+  def commitPartitioned(df: DataFrame, dir: String, partCol: String): Int = {
+    val v = claimNext(dir)
+    df.write.partitionBy(partCol).mode("overwrite").parquet(s"$dir/v$v/data")
+    val parts = Option(new java.io.File(s"$dir/v$v/data").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .map(f => f.getName.stripPrefix(s"$partCol="))
+    writeManifest(dir, v, parts.map(_ -> v).toMap)
+    seal(dir, v)
+    v
+  }
+
+  /** The table as of version `v`: one partition-pruned scan per version
+    * the manifest references, unioned. Partition pruning happens at the
+    * source (the `isin` filter binds the Hive-style partition column), so
+    * a version that owns 3 of 10 000 partitions contributes a 3-dir scan.
+    */
+  def readPartitionedAt(s: SparkSession, dir: String, v: Int): DataFrame = {
+    val byVer = manifest(dir, v).groupBy(_._2)
+    byVer.toSeq.sortBy(_._1).map { case (owner, ps) =>
+      val partCol = firstPartCol(dir, owner)
+      s.read.parquet(s"$dir/v$owner/data")
+        .filter(col(partCol).isin(ps.keys.toSeq: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  private def firstPartCol(dir: String, v: Int): String =
+    Option(new java.io.File(s"$dir/v$v/data").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .collectFirst { case f if f.isDirectory && f.getName.contains("=") =>
+        f.getName.takeWhile(_ != '=') }
+      .getOrElse(sys.error(s"no partition dirs under $dir/v$v/data"))
+
+  /** Copy-on-write MERGE: only the partitions present in `updates` are
+    * read, merged ([[Lake.mergeUpsert]] — duplicate-key raise preserved)
+    * and rewritten under the new version; every other partition's
+    * manifest pointer carries over untouched. Commit cost is proportional
+    * to the AFFECTED partitions, never the table. Returns the version.
+    */
+  def upsertPartitioned(s: SparkSession, dir: String, updates: DataFrame,
+      key: String, partCol: String): Int = {
+    val cur = latest(dir)
+    val man = manifest(dir, cur)
+    // metadata-scale driver list: one value per affected partition
+    val affected = updates.select(col(partCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    val oldAffected = man.filter(kv => affected.contains(kv._1))
+      .groupBy(_._2).toSeq.sortBy(_._1).map { case (owner, ps) =>
+        s.read.parquet(s"$dir/v$owner/data")
+          .filter(col(partCol).isin(ps.keys.toSeq: _*))
+      }.reduceOption(_ unionByName _)
+    val merged = oldAffected match {
+      case Some(old) => Lake.mergeUpsert(old, updates.selectExpr(
+        old.columns.map(c => s"`$c`"): _*), key)
+      case None => updates
+    }
+    val v = claimNext(dir)
+    merged.write.partitionBy(partCol).mode("overwrite")
+      .parquet(s"$dir/v$v/data")
+    val newParts = Option(new java.io.File(s"$dir/v$v/data").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .map(f => f.getName.stripPrefix(s"$partCol="))
+    writeManifest(dir, v, man ++ newParts.map(_ -> v).toMap)
+    seal(dir, v)
+    v
+  }
+
+  /** OPTIMIZE: rewrite every live partition into one fresh version so
+    * reads stop unioning across history; after [[vacuum]], old version
+    * dirs can go. Returns the version.
+    */
+  def compactPartitioned(s: SparkSession, dir: String, partCol: String): Int =
+    commitPartitioned(readPartitionedAt(s, dir, latest(dir)), dir, partCol)
+
   // ---- declared queries ---------------------------------------------------
 
   /** A fresh per-invocation table dir (idempotent rebuild — the query
@@ -234,6 +366,28 @@ object Versioned {
           col("c_mktsegment"))
     }),
 
+    // LK5: partition-manifest copy-on-write — v0 = customer partitioned by
+    // mktsegment, v1 = upsert whose delta touches ONLY the BUILDING
+    // partition (Lake's deterministic delta filtered to that segment; new
+    // keys keep their segment, so the partition-stability precondition
+    // holds by construction). v1's data dir holds ONE partition; the other
+    // four are served from v0 via the manifest. The oracle merges the
+    // filtered delta over the whole table — a hash match proves the
+    // stitched read (4 partitions from v0 ⊎ 1 rewritten in v1) is
+    // row-identical to the logical full-table merge.
+    "q_lake_partitioned" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#partitioned")
+      commitPartitioned(c, d, "c_mktsegment")
+      upsertPartitioned(s, d,
+        Lake.customerDelta(c).filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey", "c_mktsegment")
+      readPartitionedAt(s, d, 1)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
     // LK4: CDC across the whole retained history — changes(v0, v2) with the
     // q_snapshot_diff oracle byte-identical: the versioned store's
     // round-trip (write → read → diff) must hash-match the purely
@@ -252,6 +406,30 @@ object Versioned {
 
   val oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> Lake.oracles("q_merge_upsert"),
-    "q_lake_changes" -> Lake.oracles("q_snapshot_diff")
+    "q_lake_changes" -> Lake.oracles("q_snapshot_diff"),
+    // the full-table merge with the delta restricted to one partition —
+    // what the manifest-stitched read must reproduce exactly
+    "q_lake_partitioned" ->
+      """WITH delta AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer
+        |  WHERE c_custkey % 7 = 0 AND c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'New ' || c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer
+        |  WHERE c_custkey % 31 = 0 AND c_mktsegment = 'BUILDING'),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_custkey ELSE t.c_custkey END AS c_custkey,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        |  FROM customer t FULL OUTER JOIN delta u ON t.c_custkey = u.c_custkey)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM merged ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

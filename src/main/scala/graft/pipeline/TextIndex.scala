@@ -111,6 +111,59 @@ object TextIndex {
       .select(col("qid"), col("doc").as("doc_id"), col("n_hits"))
   }
 
+  /** Window-proximity search over a positional posting table — the looser
+    * sibling of [[phraseTopDocs]]: the query is each query doc's first `m`
+    * non-empty tokens, and a corpus document matches once per occurrence
+    * of the FIRST query word (the anchor) such that EVERY distinct query
+    * word appears somewhere in `[anchor, anchor + window − 1]`, in any
+    * order. Returns (qid, doc_id, n_windows ≥ 1). Exact-phrase is the
+    * window = m, order-fixed special case; proximity is what retrieval
+    * engines score when the quote is loose ("these words near each
+    * other").
+    *
+    * Scale shape: only the query words' posting lists are touched, and
+    * the anchor↔occurrence range join is BINNED (the `rangeJoinBinned`
+    * trick): occurrences replicate into the two width-`window` bins they
+    * can serve, anchors join on (qid, doc, bin), so the pre-filter
+    * fan-out is ≤ 2× the matched posting rows — never the per-document
+    * cross of anchors × occurrences a naive range join would build on
+    * stop-word-heavy queries.
+    */
+  def proximityTopDocs(queryDocs: DataFrame, positions: DataFrame,
+      m: Int = 3, window: Int = 8): DataFrame = {
+    // distinct query words; mi = 0 marks the anchor word (first token)
+    val qw = queryDocs
+      .select(col("qid"),
+        posexplode(slice(
+          filter(TextAnalysis.tokens(col("qtext")), w => length(w) > 0),
+          1, m)).as(Seq("i", "w")))
+      .groupBy("qid", "w").agg(min(col("i")).as("mi"))
+    val nw = qw.groupBy("qid").agg(count(lit(1)).as("nw"))
+    val matched = positions.join(broadcast(qw), col("word") === col("w"))
+      .select(col("qid"), col("doc"), col("w"), col("mi"), col("pos"))
+    val anchors = matched.filter(col("mi") === 0)
+      .select(col("qid"), col("doc"), col("pos").as("anchor"),
+        floor(col("pos") / window).as("bin"))
+    // an occurrence at pos can serve anchors in [pos − window + 1, pos],
+    // i.e. anchor-bins floor(pos/window) and floor(pos/window) − 1 — the
+    // two replicas below; a (anchor, occurrence) pair joins at most once
+    // because the two replica bins are distinct
+    val occ = matched
+      .withColumn("bin", explode(array(floor(col("pos") / window),
+        floor(col("pos") / window) - 1)))
+      .select(col("qid"), col("doc"), col("bin"), col("w"), col("pos"))
+    anchors.join(occ, Seq("qid", "doc", "bin"))
+      .filter(col("pos") >= col("anchor") &&
+        col("pos") < col("anchor") + window)
+      .groupBy("qid", "doc", "anchor")
+      .agg(countDistinct(col("w")).as("cover"))
+      .join(broadcast(nw), Seq("qid"))
+      .filter(col("cover") === col("nw"))
+      .groupBy("qid", "doc")
+      .agg(count(lit(1)).as("n_windows"))
+      .select(col("qid"), col("doc").as("doc_id"), col("n_windows"))
+  }
+
   /** Document frequencies (word, df) from a posting table. */
   def vocabOf(postings: DataFrame): DataFrame =
     postings.groupBy("word").agg(count(lit(1)).as("df"))
@@ -386,6 +439,15 @@ object TextIndex {
     "q_bm25_phrase" -> ((s, dir) =>
       phraseTopDocs(queryDocs(s, dir), positionsPersisted(s, dir))),
 
+    // L7i: window-proximity retrieval over the same persisted positional
+    // component — all of the query's leading distinct words within an
+    // 8-token window anchored at the first word's occurrences, any order.
+    // The oracle replays positions AND the window-coverage walk from raw
+    // text with a direct range join (the Spark side bins it; the hash
+    // match proves the binned join ≡ the naive range semantics).
+    "q_bm25_proximity" -> ((s, dir) =>
+      proximityTopDocs(queryDocs(s, dir), positionsPersisted(s, dir))),
+
     // L7d: hybrid retrieval — reciprocal-rank fusion of the BM25 list and
     // the IVF×SQ8 vector list, BOTH served from persisted indexes (docs and
     // embeddings align 1:1 on id). The oracle re-derives both systems from
@@ -501,6 +563,48 @@ object TextIndex {
         |  FROM cov c JOIN plen l USING (qid)
         |  WHERE c.cover = l.plen GROUP BY 1, 2)
         |SELECT qid, doc AS doc_id, n_hits FROM hits
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // positions re-derived from raw text; proximity = anchor-window
+    // coverage over DISTINCT query words (naive range join here — the
+    // Spark side's binned join must hash-match these semantics exactly)
+    "q_bm25_proximity" ->
+      """WITH qd AS (
+        |  SELECT doc_id AS qid,
+        |    list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+        |      w -> length(w) > 0) AS qtoks
+        |  FROM documents WHERE doc_id < 5),
+        |qp AS (
+        |  SELECT qid, i - 1 AS i, qtoks[i] AS w
+        |  FROM (SELECT qid, qtoks,
+        |          unnest(generate_series(1, least(3, len(qtoks)))) AS i
+        |        FROM qd)),
+        |qw AS (SELECT qid, w, min(i) AS mi FROM qp GROUP BY 1, 2),
+        |nw AS (SELECT qid, count(*) AS nw FROM qw GROUP BY 1),
+        |dt AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id AS doc, pos, word
+        |  FROM (SELECT doc_id, unnest(generate_series(1, len(toks))) AS pos,
+        |          unnest(toks) AS word
+        |        FROM dt)
+        |  WHERE length(word) > 0),
+        |matched AS (
+        |  SELECT q.qid, p.doc, q.w, q.mi, p.pos
+        |  FROM pos p JOIN qw q ON p.word = q.w),
+        |anch AS (SELECT qid, doc, pos AS anchor FROM matched WHERE mi = 0),
+        |cov AS (
+        |  SELECT a.qid, a.doc, a.anchor, count(DISTINCT m.w) AS cover
+        |  FROM anch a JOIN matched m
+        |    ON m.qid = a.qid AND m.doc = a.doc
+        |    AND m.pos >= a.anchor AND m.pos < a.anchor + 8
+        |  GROUP BY 1, 2, 3),
+        |hits AS (
+        |  SELECT c.qid, c.doc, CAST(count(*) AS BIGINT) AS n_windows
+        |  FROM cov c JOIN nw USING (qid)
+        |  WHERE c.cover = nw.nw GROUP BY 1, 2)
+        |SELECT qid, doc AS doc_id, n_windows FROM hits
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_bm25_index_build" ->
       """WITH t AS (

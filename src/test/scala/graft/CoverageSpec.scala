@@ -264,6 +264,41 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(1).size === 4 && operators.Versioned.latest(dir) === 2)
   }
 
+  test("LK: partitioned CoW — upsert rewrites only touched partitions, manifest stitches reads, compact rewrites forward") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtp").toString
+    val t = Seq((1L, "a", "P1"), (2L, "b", "P1"), (3L, "c", "P2"),
+      (4L, "d", "P3")).toDF("k", "name", "seg")
+    assert(operators.Versioned.commitPartitioned(t, dir, "seg") === 0)
+    assert(operators.Versioned.manifest(dir, 0) ===
+      Map("P1" -> 0, "P2" -> 0, "P3" -> 0))
+    // upsert touches P1 only (update k=2, insert k=5) + a NEW partition P4
+    val u = Seq((2L, "b2", "P1"), (5L, "e", "P1"), (6L, "f", "P4"))
+      .toDF("k", "name", "seg")
+    assert(operators.Versioned.upsertPartitioned(spark, dir, u, "k", "seg")
+      === 1)
+    // copy-on-write: v1's data dir holds ONLY the touched partitions
+    val v1parts = new java.io.File(s"$dir/v1/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(v1parts === Set("seg=P1", "seg=P4"), v1parts.toString)
+    assert(operators.Versioned.manifest(dir, 1) ===
+      Map("P1" -> 1, "P2" -> 0, "P3" -> 0, "P4" -> 1))
+    def snap(v: Int): Set[(Long, String, String)] =
+      operators.Versioned.readPartitionedAt(spark, dir, v).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"),
+          r.getAs[String]("seg"))).toSet
+    val want = Set((1L, "a", "P1"), (2L, "b2", "P1"), (5L, "e", "P1"),
+      (3L, "c", "P2"), (4L, "d", "P3"), (6L, "f", "P4"))
+    assert(snap(1) === want)
+    // time travel: v0 is untouched by the CoW commit
+    assert(snap(0) === Set((1L, "a", "P1"), (2L, "b", "P1"),
+      (3L, "c", "P2"), (4L, "d", "P3")))
+    // compact rewrites every live partition into one fresh version
+    assert(operators.Versioned.compactPartitioned(spark, dir, "seg") === 2)
+    assert(operators.Versioned.manifest(dir, 2).values.toSet === Set(2))
+    assert(snap(2) === want)
+  }
+
   test("LK: versioned table — concurrent committers claim distinct versions (O_EXCL, no lock)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vt-cc").toString

@@ -1283,6 +1283,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows(TextIndex.positionsOf(T.documents(spark, sf))))
   }
 
+  test("proximity search: any-order window coverage, anchored at first-word occurrences, binned ≡ naive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x a b x a c"), // a@2,5 b@3 c@6: no window-5 at a@5; [2,6] covers
+      (2L, "a b c a b c"), // anchors a@1,a@4 both cover within 3 tokens
+      (3L, "c b a"), // any-order: window anchored at a@3 has only a
+      (4L, "a x x x x b c") // b,c outside window 5 of a@1
+    ).toDF("doc_id", "text")
+    val q = Seq((10L, "a b c")).toDF("qid", "qtext")
+    def run(w: Int) = TextIndex
+      .proximityTopDocs(q, TextIndex.positionsOf(docs), m = 3, window = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(5) === Set((10L, 1L, 1L), (10L, 2L, 2L)), run(5).toString)
+    // widening the window admits doc 4 (span a..c = 7) and a 2nd doc-2
+    // anchor is already counted; doc 3 never matches (no b/c after its a)
+    assert(run(7) === Set((10L, 1L, 1L), (10L, 2L, 2L), (10L, 4L, 1L)))
+  }
+
   test("text index append: append(old, batch) ≡ from-scratch over old ∪ batch, all three components") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.toString).toSet
