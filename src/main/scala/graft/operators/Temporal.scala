@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -14,6 +15,50 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
   import Det.cents
+
+  /** Linear gap interpolation over a dense `step`-second resample grid of
+    * (`tsecCol`: epoch seconds, `valCol`: non-negative double): observed
+    * buckets carry their exact mean in micro-units (cents·10000 div n);
+    * empty buckets take the straight line between the nearest observed
+    * means on either side; leading/trailing gaps stay null ('edge'). All
+    * integer arithmetic, non-negative numerators — so truncating and
+    * flooring division agree and the result hash-matches cross-engine.
+    *
+    * Scale shape: one bucket aggregation over the events (the only
+    * event-sized pass), then window scans over the GRID — metadata-scale,
+    * one row per bucket (a year of 15-min buckets is 35k rows), so the
+    * unpartitioned sort is bounded by calendar span, not data. A per-key
+    * variant partitions the same windows by key.
+    */
+  def interpolateResample(e: DataFrame, tsecCol: String, valCol: String,
+      step: Long = 900): DataFrame = {
+    val bounds = e.agg(
+      (expr(s"min($tsecCol) div $step") * step).as("lo"),
+      max(col(tsecCol)).as("hi"))
+    val grid = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(step))).as("gsec"))
+    val agg = e.groupBy((expr(s"$tsecCol div $step") * lit(step)).as("gsec"))
+      .agg(count(lit(1)).as("n"), sum(cents(col(valCol))).as("v_c"))
+    val w = Window.orderBy("gsec")
+    val wp = w.rowsBetween(Long.MinValue, 0)
+    val wn = w.rowsBetween(0, Long.MaxValue)
+    grid.join(agg, Seq("gsec"), "left")
+      .withColumn("mean_u", expr("v_c * 10000 div n"))
+      .withColumn("pu", last(col("mean_u"), ignoreNulls = true).over(wp))
+      .withColumn("pg", last(when(col("mean_u").isNotNull, col("gsec")),
+        ignoreNulls = true).over(wp))
+      .withColumn("nu", first(col("mean_u"), ignoreNulls = true).over(wn))
+      .withColumn("ng", first(when(col("mean_u").isNotNull, col("gsec")),
+        ignoreNulls = true).over(wn))
+      .select(col("gsec"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("mean_u").isNotNull, lit("obs"))
+          .when(col("pu").isNotNull && col("nu").isNotNull, lit("interp"))
+          .otherwise(lit("edge")).as("kind"),
+        when(col("mean_u").isNotNull, col("mean_u"))
+          .when(col("pu").isNotNull && col("nu").isNotNull,
+            expr("(pu * (ng - gsec) + nu * (gsec - pg)) div (ng - pg)"))
+          .as("v_u"))
+  }
 
   val queries: Map[String, Q] = Map(
     // T1: tumbling 1-hour window aggregate (≡ streaming groupBy(window(...))).
@@ -74,6 +119,17 @@ object Temporal {
       grid.join(agg, Seq("gsec"), "left")
         .select(col("gsec"), coalesce(col("n"), lit(0L)).as("n"))
     }),
+
+    // T8: linear gap interpolation over the resampled grid — the feature-
+    // engineering sibling of T6's zero-fill (see [[interpolateResample]]
+    // for the exact-integer arithmetic and the grid-scale window shape).
+    // ~65% of the sf0.001 grid is empty, so the interp path dominates the
+    // oracle's hash.
+    "q_ts_interpolate" -> ((s, dir) =>
+      interpolateResample(
+        T.events(s, dir)
+          .withColumn("tsec", expr("unix_micros(ts) div 1000000")),
+        "tsec", "value")),
 
     // T7: time-bounded funnel / ordered-sequence match (MATCH_RECOGNIZE-
     // lite, anchored at the first signup): per user, the furthest stage of
@@ -190,6 +246,45 @@ object Temporal {
         |SELECT g.gsec, coalesce(a.n, CAST(0 AS BIGINT)) AS n
         |FROM grid g LEFT JOIN agg a USING (gsec)
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_ts_interpolate" ->
+      """WITH b AS (
+        |  SELECT epoch_us(min(ts)) // 1000000 AS lo,
+        |         epoch_us(max(ts)) // 1000000 AS hi
+        |  FROM events),
+        |grid AS (
+        |  SELECT unnest(generate_series(
+        |    (SELECT lo FROM b) // 900 * 900, (SELECT hi FROM b), 900)) AS gsec),
+        |agg AS (
+        |  SELECT epoch_us(ts) // 1000000 // 900 * 900 AS gsec,
+        |    count(*) AS n,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v_c
+        |  FROM events GROUP BY 1),
+        |g AS (
+        |  SELECT g.gsec, coalesce(a.n, CAST(0 AS BIGINT)) AS n,
+        |    a.v_c * 10000 // a.n AS mean_u
+        |  FROM grid g LEFT JOIN agg a USING (gsec)),
+        |anch AS (
+        |  SELECT gsec, n, mean_u,
+        |    last_value(mean_u IGNORE NULLS) OVER (ORDER BY gsec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+        |    last_value(CASE WHEN mean_u IS NOT NULL THEN gsec END IGNORE NULLS)
+        |      OVER (ORDER BY gsec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pg,
+        |    first_value(mean_u IGNORE NULLS) OVER (ORDER BY gsec
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nu,
+        |    first_value(CASE WHEN mean_u IS NOT NULL THEN gsec END IGNORE NULLS)
+        |      OVER (ORDER BY gsec
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ng
+        |  FROM g)
+        |SELECT gsec, n,
+        |  CASE WHEN mean_u IS NOT NULL THEN 'obs'
+        |       WHEN pu IS NOT NULL AND nu IS NOT NULL THEN 'interp'
+        |       ELSE 'edge' END AS kind,
+        |  CAST(CASE WHEN mean_u IS NOT NULL THEN mean_u
+        |       WHEN pu IS NOT NULL AND nu IS NOT NULL
+        |         THEN (pu * (ng - gsec) + nu * (gsec - pg)) // (ng - pg)
+        |  END AS BIGINT) AS v_u
+        |FROM anch ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS wstart_s,
         |  event_type, count(*) AS n,

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * a real decoder would amortize model/codec init per partition, not per
   * row) — and header metadata for all three modalities: IMAGE dims via
   * javax.imageio (PNG/JPEG/GIF/BMP/WBMP, header-only) + [[webpDims]] (all
-  * three WebP header variants, pure byte parsing), AUDIO via javax.sound
+  * three WebP header variants, pure byte parsing) + [[exifMeta]] (EXIF/TIFF
+  * IFD walk: dims, orientation, capture time), AUDIO via javax.sound
   * (WAV/AIFF/AU), VIDEO via [[videoMeta]]'s MP4/ISO-BMFF box walk (brand,
   * duration, resolution, tracks — pure byte parsing). Pixel decode is real
   * for the JDK formats AND WebP-lossless (the pure-JVM [[Vp8l]] decoder).
@@ -351,6 +352,108 @@ object Multimodal {
     }
     walk(0L, content.length.toLong)
     if (brand == null || w == 0) None else Some((brand, w, h, items))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real EXIF/TIFF metadata — pure byte parsing of the TIFF IFD
+    * structure, both endiannesses: a standalone TIFF (`II*\0` / `MM\0*`)
+    * is walked directly; a JPEG's APP1 `Exif\0\0` segment is located by
+    * the marker scan first. Returns (width, height, orientation 1–8,
+    * date_time — "" when absent). Dimensions prefer the Exif sub-IFD's
+    * PixelX/YDimension (JPEG IFD0 usually lacks 0x0100/0x0101);
+    * orientation comes from IFD0 tag 0x0112 — the one EXIF field every
+    * image pipeline MUST read before resizing, since cameras store
+    * sensor-native rasters and the display rotation lives only here.
+    * date_time prefers DateTimeOriginal (0x9003) over IFD0 DateTime
+    * (0x0132). Only IFD0 and the Exif sub-IFD are visited (no IFD-chain
+    * loop to cycle), every read is bounds-guarded, and any structural
+    * violation returns None — the untrusted-corpus posture of the other
+    * walkers.
+    */
+  def exifMeta(content: Array[Byte]): Option[(Int, Int, Int, String)] = try {
+    def u8(i: Int): Int = content(i) & 0xff
+    // locate the TIFF stream: standalone, or inside JPEG APP1 Exif
+    val tiffOff: Int =
+      if (content.length >= 8 && ((u8(0) == 0x49 && u8(1) == 0x49) ||
+          (u8(0) == 0x4d && u8(1) == 0x4d))) 0
+      else if (content.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        var o = 2
+        var found = -1
+        while (found < 0 && o + 4 <= content.length && u8(o) == 0xff) {
+          val marker = u8(o + 1)
+          if (marker == 0xda) return None // SOS: entropy data, no APP1 left
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9))
+            o += 2
+          else {
+            val len = (u8(o + 2) << 8) | u8(o + 3)
+            if (len < 2 || o + 2 + len > content.length) return None
+            if (marker == 0xe1 && len >= 8 &&
+                new String(content, o + 4, 6, "ISO-8859-1") == "Exif\u0000\u0000")
+              found = o + 10
+            else o += 2 + len
+          }
+        }
+        if (found < 0) return None else found
+      } else return None
+    val le = u8(tiffOff) == 0x49
+    def u16(i: Int): Int =
+      if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (le) u16(i).toLong | (u16(i + 2).toLong << 16)
+      else (u16(i).toLong << 16) | u16(i + 2).toLong
+    if (u16(tiffOff + 2) != 42) return None
+    var w = 0; var h = 0; var xw = 0; var xh = 0; var orient = 1
+    var dt0 = ""; var dtOrig = ""; var exifIfd = -1L
+    def readAscii(off: Int, n: Int): String = {
+      if (off < 0 || n < 0 || off + n > content.length) return ""
+      val raw = new String(content, off, n, "ISO-8859-1")
+      val z = raw.indexOf('\u0000')
+      if (z >= 0) raw.substring(0, z) else raw
+    }
+    def walkIfd(ifd: Long, isExif: Boolean): Unit = {
+      val base = tiffOff + ifd.toInt
+      if (base < 0 || base + 2 > content.length) return
+      val n = u16(base)
+      var i = 0
+      while (i < n) {
+        val e = base + 2 + i * 12
+        if (e + 12 > content.length) return
+        val tag = u16(e); val tpe = u16(e + 2); val cnt = u32(e + 4)
+        // inline when total size ≤ 4, else the value field is an offset
+        val elemSize = tpe match {
+          case 1 | 2 | 6 | 7 => 1L
+          case 3 | 8 => 2L
+          case 4 | 9 | 11 => 4L
+          case 5 | 10 | 12 => 8L
+          case _ => return
+        }
+        val total = elemSize * cnt
+        val vOff = if (total <= 4) e + 8 else tiffOff + u32(e + 8).toInt
+        def sv: Int = // first numeric value as Int (SHORT or LONG)
+          if (tpe == 3) u16(vOff)
+          else if (tpe == 4) u32(vOff).toInt
+          else 0
+        tag match {
+          case 0x0100 if !isExif => w = sv
+          case 0x0101 if !isExif => h = sv
+          case 0x0112 if !isExif && sv >= 1 && sv <= 8 => orient = sv
+          case 0x0132 if !isExif && tpe == 2 =>
+            dt0 = readAscii(vOff, cnt.toInt)
+          case 0x8769 if !isExif && (tpe == 4 || tpe == 3) => exifIfd = sv
+          case 0xa002 if isExif => xw = sv
+          case 0xa003 if isExif => xh = sv
+          case 0x9003 if isExif && tpe == 2 =>
+            dtOrig = readAscii(vOff, cnt.toInt)
+          case _ => ()
+        }
+        i += 1
+      }
+    }
+    walkIfd(u32(tiffOff + 4), isExif = false)
+    if (exifIfd > 0) walkIfd(exifIfd, isExif = true)
+    val fw = if (xw > 0) xw else w
+    val fh = if (xh > 0) xh else h
+    if (fw <= 0 || fh <= 0) None
+    else Some((fw, fh, orient, if (dtOrig.nonEmpty) dtOrig else dt0))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Real FLAC metadata from the STREAMINFO block — pure byte parsing:

@@ -176,6 +176,30 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.keySet.forall(s => s >= 0 && s <= 3), s"bad stages: $df")
   }
 
+  test("T8: gap interpolation — exact means on observed buckets, straight line across gaps, edges null") {
+    import spark.implicits._
+    // buckets (step 10): 0 → mean 2.00, 10/20 empty, 30 → mean 8.00, 40 empty
+    val e = Seq((0L, 1.0), (5L, 3.0), (30L, 8.0), (45L, 0.0))
+      .toDF("tsec", "value")
+    val got = operators.Temporal.interpolateResample(e, "tsec", "value", 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // 2e6 = $2 in micro-units (cents·10000); gap walks 2e6 → 8e6 in thirds
+    assert(got === Set(
+      (0L, 2L, "obs", 2000000L),
+      (10L, 0L, "interp", 4000000L),
+      (20L, 0L, "interp", 6000000L),
+      (30L, 1L, "obs", 8000000L),
+      (40L, 1L, "obs", 0L)), got.toString)
+    // trailing edge: drop the last observation → bucket 40 has no right
+    // anchor either way; make it a GRID point past the last observation
+    val e2 = Seq((0L, 2.0), (25L, 4.0)).toDF("tsec", "value")
+    val got2 = operators.Temporal.interpolateResample(e2, "tsec", "value", 10)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got2 === Set((0L, "obs"), (10L, "interp"), (20L, "obs")))
+  }
+
   test("A10b: HLL sketches are mergeable — union of partial sketches ≈ exact distinct") {
     // THE 100 TB rollup pattern: per-shard sketches stored, merged at query
     // time — no re-scan of raw data. Spark 4 ships DataSketches HLL.

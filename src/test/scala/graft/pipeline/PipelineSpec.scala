@@ -843,6 +843,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.avifMeta(ogg) === None)
   }
 
+  test("multimodal EXIF/TIFF: both endiannesses, JPEG APP1 location, Exif sub-IFD dims, orientation, corrupt → None") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // little-endian standalone TIFF: 640x480, orientation 6, DateTime
+    val dt = "2026:08:14 07:00:00\u0000".getBytes("ISO-8859-1")
+    val leBuf = java.nio.ByteBuffer.allocate(96)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    leBuf.put("II".getBytes).putShort(42).putInt(8)
+    leBuf.putShort(4) // entry count; entries at 10, data at 62
+    def leEntry(tag: Int, tpe: Int, cnt: Int, v: Int): Unit = {
+      leBuf.putShort(tag.toShort).putShort(tpe.toShort).putInt(cnt)
+      if (tpe == 3) leBuf.putShort(v.toShort).putShort(0) else leBuf.putInt(v)
+    }
+    leEntry(0x0100, 3, 1, 640); leEntry(0x0101, 3, 1, 480)
+    leEntry(0x0112, 3, 1, 6); leEntry(0x0132, 2, dt.length, 62)
+    leBuf.putInt(0).put(dt)
+    val tiff = java.util.Arrays.copyOf(leBuf.array(), leBuf.position())
+    assert(Multimodal.exifMeta(tiff) ===
+      Some((640, 480, 6, "2026:08:14 07:00:00")))
+    // big-endian EXIF inside a JPEG APP1 (after a JFIF APP0 to skip):
+    // IFD0 carries orientation 8 + the Exif sub-IFD pointer; the sub-IFD
+    // carries pixel dims 1920x1080 and DateTimeOriginal (which wins)
+    val dto = "2026:01:02 03:04:05\u0000".getBytes("ISO-8859-1")
+    val beBuf = java.nio.ByteBuffer.allocate(128) // big-endian default
+    beBuf.put("MM".getBytes).putShort(42).putInt(8)
+    beBuf.putShort(2)
+    def beEntry(tag: Int, tpe: Int, cnt: Int, v: Int): Unit = {
+      beBuf.putShort(tag.toShort).putShort(tpe.toShort).putInt(cnt)
+      if (tpe == 3) beBuf.putShort(v.toShort).putShort(0) else beBuf.putInt(v)
+    }
+    beEntry(0x0112, 3, 1, 8); beEntry(0x8769, 4, 1, 38)
+    beBuf.putInt(0)
+    beBuf.putShort(3) // Exif sub-IFD at 38; data at 38+2+36+4 = 80
+    beEntry(0xa002, 4, 1, 1920); beEntry(0xa003, 4, 1, 1080)
+    beEntry(0x9003, 2, dto.length, 80)
+    beBuf.putInt(0).put(dto)
+    val beTiff = java.util.Arrays.copyOf(beBuf.array(), beBuf.position())
+    val app1Payload = "Exif\u0000\u0000".getBytes("ISO-8859-1") ++ beTiff
+    val app0 = b(0xff, 0xe0, 0, 16) ++ "JFIF\u0000".getBytes ++
+      Array.fill[Byte](9)(0)
+    val app1 = b(0xff, 0xe1, (app1Payload.length + 2) >> 8,
+      (app1Payload.length + 2) & 0xff) ++ app1Payload
+    val jpeg = b(0xff, 0xd8) ++ app0 ++ app1
+    assert(Multimodal.exifMeta(jpeg) ===
+      Some((1920, 1080, 8, "2026:01:02 03:04:05")))
+    // negatives: not TIFF/JPEG; JPEG with no APP1; truncated TIFF
+    assert(Multimodal.exifMeta("plain text".getBytes) === None)
+    assert(Multimodal.exifMeta(b(0xff, 0xd8) ++ app0) === None)
+    assert(Multimodal.exifMeta(tiff.take(12)) === None)
+  }
+
   test("multimodal resize/frame-sample stubs keep byte accounting exact") {
     val media = Multimodal.mediaTable(spark, sf)
     val resized = Multimodal.resize(media, 640, 480).collect()
