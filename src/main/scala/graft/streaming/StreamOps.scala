@@ -336,6 +336,61 @@ object StreamOps {
       .select(col("qid"), col("doc").as("doc_id"), col("n_hits"))
   }
 
+  /** Streaming window-proximity search against static positional postings —
+    * the stream twin of [[graft.pipeline.TextIndex.proximityTopDocs]].
+    *
+    * The batch walk pairs anchors with occurrences through a self-join; a
+    * stream may not join itself, so the pairing moves to the STATIC side:
+    * each position row expands into the `window` anchor slots it can
+    * serve (anchor = pos−window+1 .. pos), arriving query words
+    * stream-static join that expanded table on word, and THREE chained
+    * windowed aggregations (Spark 4 multiple-stateful-operator support,
+    * the E106 posture) replay the batch semantics in append mode:
+    * (1) collapse duplicate (anchor, query-word) slots — the stream-legal
+    * spelling of the batch count-distinct — while flagging whether this
+    * anchor slot is a real occurrence of the anchor word (`mi = 0` at
+    * offset 0); (2) per anchor: distinct-word cover + the anchor flag;
+    * (3) per doc: count fully-covered anchored windows. The static
+    * expansion is window× the positions table — the read-side cost of
+    * making the walk single-pass; a 100 TB deployment would persist it as
+    * one more index component. State = in-flight query windows only.
+    */
+  def proximitySearchStream(queryDocs: DataFrame, positions: DataFrame,
+      m: Int = 3, win: Int = 8, tsCol: String = "ts",
+      windowLen: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.TextAnalysis
+    // static side: every anchor slot each occurrence can serve
+    val slots = positions
+      .withColumn("anchor",
+        explode(sequence(col("pos") - (win - 1), col("pos"))))
+      .filter(col("anchor") >= 1)
+      .select(col("word"), col("doc"), col("anchor"),
+        (col("pos") === col("anchor")).as("at_anchor"))
+    val qw = queryDocs
+      .withWatermark(tsCol, "10 minutes")
+      .withColumn("__toks",
+        filter(TextAnalysis.tokens(col("qtext")), w => length(w) > 0))
+      .withColumn("nw", size(array_distinct(slice(col("__toks"), 1, m))))
+      .select(col("qid"), col(tsCol), col("nw"),
+        posexplode(slice(col("__toks"), 1, m)).as(Seq("i", "w")))
+      .groupBy(window(col(tsCol), windowLen), col("qid"), col("nw"), col("w"))
+      .agg(min(col("i")).as("mi"))
+    val slotRows = qw
+      .join(slots, col("word") === col("w"))
+      .groupBy(window(col("window"), windowLen), col("qid"), col("nw"),
+        col("doc"), col("anchor"), col("w"))
+      .agg(max(when(col("mi") === 0 && col("at_anchor"), 1).otherwise(0))
+        .as("af"))
+    val cov = slotRows
+      .groupBy(window(col("window"), windowLen), col("qid"), col("nw"),
+        col("doc"), col("anchor"))
+      .agg(count(lit(1)).as("cover"), max(col("af")).as("anchored"))
+    cov.filter(col("cover") === col("nw") && col("anchored") === 1)
+      .groupBy(window(col("window"), windowLen), col("qid"), col("doc"))
+      .agg(count(lit(1)).as("n_windows"))
+      .select(col("qid"), col("doc").as("doc_id"), col("n_windows"))
+  }
+
   /** Streaming BPE tokenization against a persisted vocab (the E84/E90/E97
     * stream-static pattern completed for the tokenizer artifact): arriving
     * docs explode to (pos, word) statelessly, stream-static join the stored

@@ -587,6 +587,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((10L, 1L, 1L), (10L, 2L, 1L), (11L, 4L, 2L)))
   }
 
+  test("streaming proximity search over static anchor slots ≡ batch binned walk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.TextIndex
+    val docs = Seq(
+      (1L, "x a b x a c"),
+      (2L, "a b c a b c"),
+      (3L, "c b a"),
+      (4L, "a x x x x b c")
+    ).toDF("doc_id", "text")
+    val positions = TextIndex.positionsOf(docs)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.proximitySearchStream(
+      input.toDF().toDF("qid", "ts", "qtext"), positions, m = 3, win = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("prox_out").start()
+    input.addData((10L, ts(0), "a b c"))
+    q.processAllAvailable()
+    input.addData((99L, Timestamp.valueOf("2024-01-01 12:00:00"), "zz zz zz"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT qid, doc_id, n_windows FROM prox_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = TextIndex.proximityTopDocs(
+      Seq((10L, "a b c")).toDF("qid", "qtext"), positions,
+      m = 3, window = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch, s"stream $got != batch $batch")
+    assert(got === Set((10L, 1L, 1L), (10L, 2L, 2L)))
+  }
+
   test("streaming versioned-table CDC: the change feed replays each commit as a micro-batch") {
     import spark.implicits._
     import graft.operators.Versioned
