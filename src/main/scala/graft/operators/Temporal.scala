@@ -60,6 +60,43 @@ object Temporal {
           .as("v_u"))
   }
 
+  /** Per-key [[interpolateResample]]: each key gets its own grid (spanning
+    * ITS min..max bucket) and its own anchor scan — the windows partition
+    * by key, so there is no global sort anywhere and the whole operator
+    * distributes by key exactly like any keyed aggregation. The grid is
+    * still metadata-scale per key.
+    */
+  def interpolateResampleByKey(e: DataFrame, keyCol: String, tsecCol: String,
+      valCol: String, step: Long = 900): DataFrame = {
+    val bounds = e.groupBy(col(keyCol)).agg(
+      (expr(s"min($tsecCol) div $step") * step).as("lo"),
+      max(col(tsecCol)).as("hi"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(col("lo"), col("hi"), lit(step))).as("gsec"))
+    val agg = e.groupBy(col(keyCol),
+        (expr(s"$tsecCol div $step") * lit(step)).as("gsec"))
+      .agg(count(lit(1)).as("n"), sum(cents(col(valCol))).as("v_c"))
+    val w = Window.partitionBy(keyCol).orderBy("gsec")
+    val wp = w.rowsBetween(Long.MinValue, 0)
+    val wn = w.rowsBetween(0, Long.MaxValue)
+    grid.join(agg, Seq(keyCol, "gsec"), "left")
+      .withColumn("mean_u", expr("v_c * 10000 div n"))
+      .withColumn("pu", last(col("mean_u"), ignoreNulls = true).over(wp))
+      .withColumn("pg", last(when(col("mean_u").isNotNull, col("gsec")),
+        ignoreNulls = true).over(wp))
+      .withColumn("nu", first(col("mean_u"), ignoreNulls = true).over(wn))
+      .withColumn("ng", first(when(col("mean_u").isNotNull, col("gsec")),
+        ignoreNulls = true).over(wn))
+      .select(col(keyCol), col("gsec"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("mean_u").isNotNull, lit("obs"))
+          .when(col("pu").isNotNull && col("nu").isNotNull, lit("interp"))
+          .otherwise(lit("edge")).as("kind"),
+        when(col("mean_u").isNotNull, col("mean_u"))
+          .when(col("pu").isNotNull && col("nu").isNotNull,
+            expr("(pu * (ng - gsec) + nu * (gsec - pg)) div (ng - pg)"))
+          .as("v_u"))
+  }
+
   val queries: Map[String, Q] = Map(
     // T1: tumbling 1-hour window aggregate (≡ streaming groupBy(window(...))).
     "q_stream_tumbling" -> ((s, dir) => {
@@ -130,6 +167,16 @@ object Temporal {
         T.events(s, dir)
           .withColumn("tsec", expr("unix_micros(ts) div 1000000")),
         "tsec", "value")),
+
+    // T8b: the distributed spelling — one independent grid + anchor scan
+    // per event_type, windows partitioned by the key (no global sort
+    // anywhere). Sparser per-key series ⇒ more 'interp'/'edge' rows, so
+    // the oracle exercises longer gaps than T8.
+    "q_ts_interpolate_bykey" -> ((s, dir) =>
+      interpolateResampleByKey(
+        T.events(s, dir)
+          .withColumn("tsec", expr("unix_micros(ts) div 1000000")),
+        "event_type", "tsec", "value")),
 
     // T7: time-bounded funnel / ordered-sequence match (MATCH_RECOGNIZE-
     // lite, anchored at the first signup): per user, the furthest stage of
@@ -277,6 +324,48 @@ object Temporal {
         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ng
         |  FROM g)
         |SELECT gsec, n,
+        |  CASE WHEN mean_u IS NOT NULL THEN 'obs'
+        |       WHEN pu IS NOT NULL AND nu IS NOT NULL THEN 'interp'
+        |       ELSE 'edge' END AS kind,
+        |  CAST(CASE WHEN mean_u IS NOT NULL THEN mean_u
+        |       WHEN pu IS NOT NULL AND nu IS NOT NULL
+        |         THEN (pu * (ng - gsec) + nu * (gsec - pg)) // (ng - pg)
+        |  END AS BIGINT) AS v_u
+        |FROM anch ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_ts_interpolate_bykey" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    epoch_us(min(ts)) // 1000000 // 900 * 900 AS lo,
+        |    epoch_us(max(ts)) // 1000000 AS hi
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, unnest(generate_series(lo, hi, 900)) AS gsec
+        |  FROM b),
+        |agg AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 900 * 900 AS gsec,
+        |    count(*) AS n,
+        |    SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS v_c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT g.event_type, g.gsec, coalesce(a.n, CAST(0 AS BIGINT)) AS n,
+        |    a.v_c * 10000 // a.n AS mean_u
+        |  FROM grid g LEFT JOIN agg a USING (event_type, gsec)),
+        |anch AS (
+        |  SELECT event_type, gsec, n, mean_u,
+        |    last_value(mean_u IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY gsec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pu,
+        |    last_value(CASE WHEN mean_u IS NOT NULL THEN gsec END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY gsec
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pg,
+        |    first_value(mean_u IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY gsec
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nu,
+        |    first_value(CASE WHEN mean_u IS NOT NULL THEN gsec END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY gsec
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ng
+        |  FROM g)
+        |SELECT event_type, gsec, n,
         |  CASE WHEN mean_u IS NOT NULL THEN 'obs'
         |       WHEN pu IS NOT NULL AND nu IS NOT NULL THEN 'interp'
         |       ELSE 'edge' END AS kind,

@@ -164,6 +164,61 @@ object TextIndex {
       .select(col("qid"), col("doc").as("doc_id"), col("n_windows"))
   }
 
+  /** Sparse TF-IDF cosine top-k over the inverted index — the third
+    * retrieval scorer next to BM25 (probabilistic) and dense ANN
+    * (embedding): classic vector-space cosine over tf·idf weights, served
+    * entirely from the persisted components.
+    *
+    * Determinism (the BM25 integer recipe extended to cosine): idf in
+    * exact 1e5-units (`idf_u = round(ln(N/df)·1e5)` as BIGINT), so dot
+    * products and squared norms are INTEGER sums (order-independent,
+    * overflow-safe: tf·tf·idf_u² ≤ ~2e14 per term); the only float ops are
+    * the final `dot/(√qn²·√dn²)` from exact integers — IEEE sqrt/divide
+    * are correctly rounded, so both engines produce the identical double —
+    * rounded to 6 decimals with (sim DESC, doc) ranking.
+    *
+    * Scale shape: words with df > N/2 are PRUNED (stop-word cutoff — the
+    * classic sparse-similarity trick that bounds the posting self-join:
+    * candidate pairs are Σ df² over kept words, and the heaviest lists are
+    * exactly the ones dropped); query terms broadcast; per-doc norms are
+    * one narrow aggregation over kept postings. Corpus text is never read.
+    */
+  def sparseCosineTopK(queryDocs: DataFrame, ix: Components, k: Int = 10,
+      maxDfNum: Int = 1, maxDfDen: Int = 2): DataFrame = {
+    val n1 = ix.stats.select(col("n"))
+    val kept = ix.vocab.crossJoin(broadcast(n1))
+      // exact integer fraction: keep df/N ≤ maxDfNum/maxDfDen
+      .filter(col("df") * maxDfDen <= col("n") * maxDfNum)
+      .select(col("word"), expr(
+        "cast(round(ln(cast(n as double) / cast(df as double)) * 100000, 0) as bigint)"
+      ).as("idf_u"))
+    val cp = ix.postings.join(kept, Seq("word"))
+      .select(col("word"), col("doc"), col("tf"), col("idf_u"))
+    val dnorm = cp.groupBy("doc")
+      .agg(sum(col("tf") * col("tf") * col("idf_u") * col("idf_u")).as("dn2"))
+    val qt = queryDocs
+      .select(col("qid"), explode(TextAnalysis.tokens(col("qtext"))).as("word"))
+      .groupBy("qid", "word").agg(count(lit(1)).as("qtf"))
+      .join(kept, Seq("word")) // stop words and OOV drop from dot AND norm
+    val qnorm = qt.groupBy("qid")
+      .agg(sum(col("qtf") * col("qtf") * col("idf_u") * col("idf_u")).as("qn2"))
+    val dots = cp
+      .join(broadcast(qt.select(col("qid"), col("word"), col("qtf"))),
+        Seq("word"))
+      .filter(col("doc") =!= col("qid"))
+      .groupBy("qid", "doc")
+      .agg(sum(col("qtf") * col("tf") * col("idf_u") * col("idf_u"))
+        .as("dot_u"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("doc"))
+    dots.join(broadcast(qnorm), Seq("qid")).join(dnorm, Seq("doc"))
+      .withColumn("sim", round(col("dot_u").cast("double") /
+        (sqrt(col("qn2").cast("double")) * sqrt(col("dn2").cast("double"))),
+        6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc").as("doc_id"), col("sim"))
+  }
+
   /** Document frequencies (word, df) from a posting table. */
   def vocabOf(postings: DataFrame): DataFrame =
     postings.groupBy("word").agg(count(lit(1)).as("df"))
@@ -448,6 +503,18 @@ object TextIndex {
     "q_bm25_proximity" -> ((s, dir) =>
       proximityTopDocs(queryDocs(s, dir), positionsPersisted(s, dir))),
 
+    // L7j: sparse TF-IDF cosine top-10 over the persisted index — the
+    // vector-space scorer next to BM25, df-pruned to bound the posting
+    // self-join. The synthetic corpus has a ~31-word vocabulary with most
+    // dfs near N (every word would fall to the production n/2 stop-word
+    // gate and the oracle would go vacuous), so the declared row keeps
+    // df/N ≤ 9/10 and the planted unit proves the pruning semantics. The
+    // oracle re-derives tf/df/idf and both norms from raw text; integer
+    // dots + one final IEEE sqrt/divide make the doubles bit-identical.
+    "q_text_cosine_sparse" -> ((s, dir) =>
+      sparseCosineTopK(queryDocs(s, dir), persisted(s, dir),
+        maxDfNum = 9, maxDfDen = 10)),
+
     // L7d: hybrid retrieval — reciprocal-rank fusion of the BM25 list and
     // the IVF×SQ8 vector list, BOTH served from persisted indexes (docs and
     // embeddings align 1:1 on id). The oracle re-derives both systems from
@@ -605,6 +672,50 @@ object TextIndex {
         |  FROM cov c JOIN nw USING (qid)
         |  WHERE c.cover = nw.nw GROUP BY 1, 2)
         |SELECT qid, doc AS doc_id, n_windows FROM hits
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // tf/df/idf and both norms re-derived from raw text; query docs are
+    // corpus docs (doc_id < 5), so their term stats reuse the posting CTE
+    "q_text_cosine_sparse" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(toks) AS word FROM t),
+        |tf AS (
+        |  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM p GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+        |kept AS (
+        |  SELECT word,
+        |    CAST(round(ln(CAST(st.n AS DOUBLE) / CAST(df AS DOUBLE)) * 100000, 0) AS BIGINT) AS idf_u
+        |  FROM df CROSS JOIN st WHERE df * 10 <= st.n * 9),
+        |cp AS (
+        |  SELECT f.word, f.doc_id AS doc, f.tf, k.idf_u
+        |  FROM tf f JOIN kept k USING (word)),
+        |dn AS (
+        |  SELECT doc, CAST(SUM(tf * tf * idf_u * idf_u) AS BIGINT) AS dn2
+        |  FROM cp GROUP BY 1),
+        |qt AS (SELECT doc AS qid, word, tf AS qtf, idf_u FROM cp WHERE doc < 5),
+        |qn AS (
+        |  SELECT qid, CAST(SUM(qtf * qtf * idf_u * idf_u) AS BIGINT) AS qn2
+        |  FROM qt GROUP BY 1),
+        |dots AS (
+        |  SELECT q.qid, c.doc,
+        |    CAST(SUM(q.qtf * c.tf * c.idf_u * c.idf_u) AS BIGINT) AS dot_u
+        |  FROM qt q JOIN cp c USING (word) WHERE c.doc <> q.qid
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT d.qid, d.doc,
+        |    round(CAST(d.dot_u AS DOUBLE) /
+        |      (sqrt(CAST(qn.qn2 AS DOUBLE)) * sqrt(CAST(dn.dn2 AS DOUBLE))), 6) AS sim
+        |  FROM dots d JOIN qn USING (qid) JOIN dn ON dn.doc = d.doc),
+        |ranked AS (
+        |  SELECT qid, doc, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim DESC, doc) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, doc AS doc_id, sim FROM ranked WHERE rank <= 10
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_bm25_index_build" ->
       """WITH t AS (

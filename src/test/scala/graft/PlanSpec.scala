@@ -318,8 +318,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    against every label
     //  - q_bpe_append_train: the same 1-row argmax-pair attach per merge
     //    round as q_bpe_train, over the appended word-count table
+    //  - q_text_cosine_sparse: the 1-row corpus-count (stats.n) attach
+    //    that prices the df-pruning gate — same family as q_text_bm25
     val bnljOk = Set(
       "q_bm25_append_search", "q_bm25_index_search",
+      "q_text_cosine_sparse",
       "q_bpe_append_train", "q_bpe_tokenize", "q_bpe_train",
       "q_nb_confusion", "q_nb_model_append", "q_nb_model_build",
       "q_nb_predict", "q_nb_train",

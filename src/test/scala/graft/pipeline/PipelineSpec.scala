@@ -1351,6 +1351,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(7) === Set((10L, 1L, 1L), (10L, 2L, 2L), (10L, 4L, 1L)))
   }
 
+  test("sparse cosine: exact similarity ranking; the df cutoff removes stop words from dot AND norms") {
+    import spark.implicits._
+    // 'the' has df 4 of 5 (above a 3/5 cutoff, but idf > 0 unpruned);
+    // doc 2 differs from the query doc ONLY in the stop word's count;
+    // doc 3 shares one kept word; doc 4 shares ONLY the stop word
+    val docs = Seq(
+      (1L, "the alpha beta zeta"),
+      (2L, "the the the alpha beta zeta"),
+      (3L, "zeta gamma"),
+      (4L, "the delta epsilon"),
+      (5L, "the eta")
+    ).toDF("doc_id", "text")
+    val ix = TextIndex.componentsOf(docs)
+    val q = Seq((1L, "the alpha beta zeta")).toDF("qid", "qtext")
+    def run(num: Int, den: Int) =
+      TextIndex.sparseCosineTopK(q, ix, k = 10, maxDfNum = num,
+        maxDfDen = den)
+        .collect().map(r => (r.getLong(2), r.getDouble(3))).toList
+        .sortBy(-_._2)
+    // with the df/N ≤ 3/5 gate: 'the' is pruned everywhere, so doc 2's
+    // kept vector is IDENTICAL to the query's (sim 1.0); doc 3 shares
+    // zeta; docs 4/5 share nothing kept and never become candidates
+    val pruned = run(3, 5)
+    assert(pruned.head === (2L, 1.0), pruned.toString)
+    assert(pruned.map(_._1) === List(2L, 3L), pruned.toString)
+    // without pruning 'the' re-enters with idf ln(5/4) > 0: doc 2's extra
+    // 'the's pull it off 1.0, and doc 4 surfaces through the stop word
+    val full = run(1, 1)
+    assert(full.find(_._1 == 2L).exists(s => s._2 < 1.0 && s._2 > 0.9),
+      full.toString)
+    assert(full.map(_._1).toSet === Set(2L, 3L, 4L, 5L), full.toString)
+  }
+
   test("text index append: append(old, batch) ≡ from-scratch over old ∪ batch, all three components") {
     def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
       df.collect().map(_.toString).toSet
