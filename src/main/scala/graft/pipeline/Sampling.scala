@@ -99,6 +99,27 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
   }
 
+  /** Per-source token-budget selection — "take ~N tokens from each source",
+    * the sizing step of a training mixture: documents are laid out in a
+    * seeded deterministic pseudo-random order (md5 of the doc id — the
+    * hash-sampling posture, so membership is reproducible across engines
+    * and reruns and the prefix NESTS: raising the budget keeps every
+    * previously selected doc), and a doc is kept iff its running token sum
+    * STARTS under the budget — so the budget overshoots by at most one
+    * document, never truncates mid-doc. One shuffle on source; the window
+    * is the packIntoShards running-sum shape.
+    */
+  def takeTokenBudget(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("n_tokens", size(split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")).cast("long"))
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("start") < budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Stratified reproducible sample: English kept at 80%, the rest at 20%
     // — the rebalancing step of corpus curation, exactly reproducible in any
@@ -128,6 +149,13 @@ object Sampling {
       leakSafeSplit(T.documents(s, dir), DedupIndex.pairs(s, dir))
         .select(col("doc_id"), col("split"))
     }),
+
+    // Token-budget selection: ~700 tokens per source (roughly half of
+    // each source's corpus, so the cut binds) in the deterministic
+    // md5 order — the full kept set (ids, sizes, offsets) hash-checked, so
+    // the oracle proves ordering, running sums, and the boundary rule.
+    "q_sample_budget" -> ((s, dir) =>
+      takeTokenBudget(T.documents(s, dir), 700)),
 
     // Token-budget shard packing: per (source, shard) fill profile
     // (oracle-checked; the window arithmetic is integer-exact).
@@ -172,6 +200,19 @@ object Sampling {
          |  CASE WHEN CAST(('0x' || substr(md5(CAST(gkey AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
          |       THEN 'val' ELSE 'train' END AS split
          |FROM keyed ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sample_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+        |      - n_tokens AS start
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens, start FROM s WHERE start < 700
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sample_pack" ->
       """WITH t AS (
         |  SELECT doc_id, source,
