@@ -176,6 +176,24 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.keySet.forall(s => s >= 0 && s <= 3), s"bad stages: $df")
   }
 
+  test("token budget: prefixes nest as the budget grows; overshoot bounded by one document per source") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def kept(b: Long): Map[Long, Long] =
+      pipeline.Sampling.takeTokenBudget(docs, b).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val small = kept(700); val big = kept(1200)
+    assert(small.nonEmpty && small.keySet.subsetOf(big.keySet),
+      "budget prefix must nest")
+    // per-source: selected tokens < budget + last doc's size
+    val rows = pipeline.Sampling.takeTokenBudget(docs, 700).collect()
+      .groupBy(_.getString(1))
+    rows.foreach { case (src, rs) =>
+      val total = rs.map(_.getLong(2)).sum
+      val maxDoc = rs.map(_.getLong(2)).max
+      assert(total < 700 + maxDoc, s"$src overshoot: $total")
+    }
+  }
+
   test("T8: gap interpolation — exact means on observed buckets, straight line across gaps, edges null") {
     import spark.implicits._
     // buckets (step 10): 0 → mean 2.00, 10/20 empty, 30 → mean 8.00, 40 empty
