@@ -319,6 +319,188 @@ object Versioned {
   def compactPartitioned(s: SparkSession, dir: String, partCol: String): Int =
     commitPartitioned(readPartitionedAt(s, dir, latest(dir)), dir, partCol)
 
+  // ---- deletion-vector (merge-on-read) deletes ---------------------------
+  //
+  // [[deleteWhere]] is copy-on-write: the surviving table is rewritten in
+  // full, so deleting 100 rows from a 100 TB table costs a table rewrite.
+  // The merge-on-read shape real lakehouses ship (Delta deletion vectors,
+  // Iceberg equality deletes) records only what DIED: a DV version dir
+  // holds `_dv/` — a parquet of the deleted KEY values (equality deletes,
+  // the engine-portable variant) — and no data files. Readers resolve the
+  // nearest MATERIALIZED snapshot at or below the requested version and
+  // anti-join the union of every committed DV in between; the DV sides are
+  // churn-sized, so the anti-join broadcasts. Commit cost ∝ deleted rows,
+  // never table size; DV versions share the claim/seal counter, so
+  // row-level, partitioned and DV commits interleave under one history,
+  // and the aborted-claim hole semantics apply unchanged. [[compactDv]]
+  // folds the accumulated DVs into a fresh materialized snapshot (the
+  // OPTIMIZE posture), bounding the read-side DV chain length.
+
+  private def dvPath(dir: String, v: Int) = s"$dir/v$v/_dv"
+
+  /** Is committed version `v` a deletion-vector commit (no data, only a
+    * `_dv` key set)?
+    */
+  def isDvVersion(dir: String, v: Int): Boolean =
+    new java.io.File(dvPath(dir, v)).isDirectory
+
+  private def isCommitted(dir: String, v: Int): Boolean =
+    java.nio.file.Files.exists(commitMarkPath(dir, v))
+
+  /** Merge-on-read delete: write ONLY the keys of the latest logical
+    * snapshot's rows matching `cond` as version N's deletion vector.
+    * Chained DV deletes compose (each evaluates `cond` against the
+    * DV-resolved snapshot). Returns the version.
+    */
+  def deleteWhereDv(s: SparkSession, dir: String, cond: Column,
+      key: String): Int = {
+    val keys = readAtDv(s, dir, latest(dir)).filter(cond)
+      .select(col(key)).distinct()
+    val v = claimNext(dir)
+    keys.write.mode("overwrite").parquet(dvPath(dir, v))
+    seal(dir, v)
+    v
+  }
+
+  /** The table as of version `v` with deletion vectors applied: the
+    * nearest materialized snapshot at or below `v`, minus every key in
+    * the committed DVs of `(base, v]`. One base scan + one broadcast hash
+    * anti-join against the (churn-sized) DV union — pruning/pushdown on
+    * the base scan untouched.
+    */
+  def readAtDv(s: SparkSession, dir: String, v: Int): DataFrame = {
+    val base = (v to 0 by -1)
+      .find(w => isCommitted(dir, w) && !isDvVersion(dir, w))
+      .getOrElse(sys.error(s"no materialized version at or below v$v in $dir"))
+    val snap = readAt(s, dir, base)
+    val dvs = ((base + 1) to v)
+      .filter(w => isCommitted(dir, w) && isDvVersion(dir, w))
+      .map(w => s.read.parquet(dvPath(dir, w)))
+      .reduceOption(_ unionByName _)
+    dvs match {
+      case Some(d) =>
+        snap.join(broadcast(d.dropDuplicates(d.columns.head)),
+          Seq(d.columns.head), "left_anti")
+      case None => snap
+    }
+  }
+
+  /** Fold the DV chain into a fresh materialized snapshot (OPTIMIZE).
+    * Returns the version.
+    */
+  def compactDv(s: SparkSession, dir: String): Int =
+    commit(readAtDv(s, dir, latest(dir)), dir)
+
+  // ---- zone-map stats + partition skipping -------------------------------
+  //
+  // Partitioned versions can carry a `_stats` sidecar next to `_manifest`:
+  // one line per written partition with the min/max of a LONG-valued stats
+  // column — the zone map Iceberg/Delta keep per data file, at the
+  // manifest's metadata scale (one line per partition). A range predicate
+  // on the stats column then prunes whole partitions DRIVER-SIDE, before
+  // any scan is planned: [[readPartitionedPruned]] consults the owning
+  // version's zone map for every live partition and plans a scan over only
+  // the partitions whose [min, max] intersects [lo, hi] (partitions with
+  // no recorded stats stay in — skipping is an optimization, never a
+  // filter). The residual row-level filter still applies, so the result
+  // equals the unpruned filtered read exactly.
+
+  private def statsPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_stats")
+
+  /** Version `v`'s zone map: partition value → (min, max) of its stats
+    * column. Empty if `v` wrote no stats.
+    */
+  def zoneMap(dir: String, v: Int): Map[String, (Long, Long)] = {
+    val p = statsPath(dir, v)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala
+        .filter(_.nonEmpty)
+        .map { l =>
+          val parts = l.split('\t')
+          parts(0) -> (parts(1).toLong, parts(2).toLong)
+        }.toMap
+    }
+  }
+
+  private def writeZoneMap(s: SparkSession, dir: String, v: Int,
+      df: DataFrame, partCol: String, statsCol: String): Unit = {
+    // metadata-scale collect: one row per written partition
+    val rows = df.groupBy(col(partCol).cast("string").as("__p"))
+      .agg(min(col(statsCol).cast("long")).as("__lo"),
+        max(col(statsCol).cast("long")).as("__hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val body = rows.sortBy(_._1).map { case (p, lo, hi) => s"$p\t$lo\t$hi" }
+      .mkString("\n")
+    java.nio.file.Files.writeString(statsPath(dir, v), body)
+    ()
+  }
+
+  /** [[commitPartitioned]] that also records the per-partition zone map
+    * of `statsCol` (must cast to long). Returns the version.
+    */
+  def commitPartitionedStats(s: SparkSession, df: DataFrame, dir: String,
+      partCol: String, statsCol: String): Int = {
+    val v = commitPartitioned(df, dir, partCol)
+    writeZoneMap(s, dir, v, df, partCol, statsCol)
+    v
+  }
+
+  /** [[upsertPartitioned]] that refreshes the zone map for the rewritten
+    * partitions (untouched partitions keep the stats in their owning
+    * version dir — the reader resolves per-owner). Returns the version.
+    */
+  def upsertPartitionedStats(s: SparkSession, dir: String,
+      updates: DataFrame, key: String, partCol: String,
+      statsCol: String): Int = {
+    val v = upsertPartitioned(s, dir, updates, key, partCol)
+    // the new version's data dir holds exactly the rewritten partitions,
+    // hive-style — reading it back recovers partCol by partition inference
+    writeZoneMap(s, dir, v, s.read.parquet(s"$dir/v$v/data"),
+      partCol, statsCol)
+    v
+  }
+
+  /** The live partitions of version `v` whose zone map admits
+    * `[lo, hi]` on the stats column (no-stats partitions conservatively
+    * kept), as partition value → owning version.
+    */
+  def prunedPartitions(dir: String, v: Int, lo: Long,
+      hi: Long): Map[String, Int] = {
+    val man = manifest(dir, v)
+    val maps = scala.collection.mutable.Map.empty[Int, Map[String, (Long, Long)]]
+    man.filter { case (p, owner) =>
+      val zm = maps.getOrElseUpdate(owner, zoneMap(dir, owner))
+      zm.get(p).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+  }
+
+  /** Partition-skipping read: the table as of version `v` filtered to
+    * `statsCol BETWEEN lo AND hi`, scanning ONLY the partitions whose
+    * zone map intersects the range — row-identical to filtering the full
+    * [[readPartitionedAt]] read, at the cost of the surviving partitions.
+    */
+  def readPartitionedPruned(s: SparkSession, dir: String, v: Int,
+      statsCol: String, lo: Long, hi: Long): DataFrame = {
+    val kept = prunedPartitions(dir, v, lo, hi)
+    val byVer = kept.groupBy(_._2)
+    byVer.toSeq.sortBy(_._1).map { case (owner, ps) =>
+      val partCol = firstPartCol(dir, owner)
+      s.read.parquet(s"$dir/v$owner/data")
+        .filter(col(partCol).isin(ps.keys.toSeq: _*))
+    }.reduceOption(_ unionByName _)
+      .getOrElse {
+        // every partition pruned: an empty frame in the table's schema
+        val (p0, o0) = manifest(dir, v).headOption
+          .getOrElse(sys.error(s"empty manifest in $dir@v$v"))
+        s.read.parquet(s"$dir/v$o0/data").limit(0)
+      }
+      .filter(col(statsCol).cast("long").between(lo, hi))
+  }
+
   // ---- declared queries ---------------------------------------------------
 
   /** A fresh per-invocation table dir (idempotent rebuild — the query
@@ -388,6 +570,41 @@ object Versioned {
           col("c_mktsegment"))
     }),
 
+    // LK6: deletion-vector deletes — v0 = customer commit, v1 = DV delete
+    // of custkey % 13 = 0, v2 = DV delete of nationkey ∈ {3, 7} (evaluated
+    // against the v1-resolved snapshot, so chained DVs must compose). The
+    // v1/v2 dirs hold ONLY key parquet (unit-asserted); the read resolves
+    // base v0 and anti-joins both DVs. The oracle filters the full table —
+    // a hash match proves merge-on-read ≡ copy-on-write semantics.
+    "q_lake_delete_dv" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#dv")
+      commit(c, d)
+      deleteWhereDv(s, d, col("c_custkey") % 13 === 0, "c_custkey")
+      deleteWhereDv(s, d, col("c_nationkey").isin(3, 7), "c_custkey")
+      readAtDv(s, d, 2)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
+    // LK7: zone-map partition skipping — customer partitioned by the
+    // planted cluster key floor(custkey/50) with per-partition min/max of
+    // c_custkey in the version's `_stats` sidecar; the range read prunes
+    // to the ~3 admitting partitions DRIVER-SIDE (unit asserts the pruned
+    // manifest subset) and must still row-equal the full-table filter,
+    // which is exactly the oracle.
+    "q_lake_skipping" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+        .withColumn("ck_bucket", floor(col("c_custkey") / 50).cast("long"))
+      val d = tableDir(dir + "#skip")
+      commitPartitionedStats(s, c, d, "ck_bucket", "c_custkey")
+      readPartitionedPruned(s, d, 0, "c_custkey", 60L, 140L)
+        .select(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("ck_bucket").cast("long").as("ck_bucket"))
+    }),
+
     // LK4: CDC across the whole retained history — changes(v0, v2) with the
     // q_snapshot_diff oracle byte-identical: the versioned store's
     // round-trip (write → read → diff) must hash-match the purely
@@ -407,6 +624,22 @@ object Versioned {
   val oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> Lake.oracles("q_merge_upsert"),
     "q_lake_changes" -> Lake.oracles("q_snapshot_diff"),
+    // merge-on-read must equal the logical filter of both chained deletes
+    "q_lake_delete_dv" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 13 = 0) AND NOT (c_nationkey IN (3, 7))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the pruned scan must equal the full-table range filter, with the
+    // planted cluster key bound into the output so the layout is pinned
+    "q_lake_skipping" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |  CAST(FLOOR(c_custkey / 50) AS BIGINT) AS ck_bucket
+        |FROM customer
+        |WHERE c_custkey BETWEEN 60 AND 140
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the full-table merge with the delta restricted to one partition —
     // what the manifest-stitched read must reproduce exactly
     "q_lake_partitioned" ->

@@ -341,6 +341,76 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(snap(2) === want)
   }
 
+  test("LK: deletion-vector deletes — DV versions hold only keys, chained DVs compose, compact folds") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtdv").toString
+    val t = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "name", "bal")
+    assert(operators.Versioned.commit(t, dir) === 0)
+    // v1: DV delete of k=1 — merge-on-read, nothing rewritten
+    assert(operators.Versioned.deleteWhereDv(spark, dir,
+      col("k") === 1, "k") === 1)
+    assert(operators.Versioned.isDvVersion(dir, 1))
+    // the DV version dir holds ONLY the key parquet, no data files
+    val v1files = new java.io.File(s"$dir/v1").listFiles().map(_.getName).toSet
+    assert(v1files === Set("_dv"), v1files.toString)
+    // v2: DV delete evaluated against the v1-RESOLVED snapshot (chaining)
+    assert(operators.Versioned.deleteWhereDv(spark, dir,
+      col("bal") === 40, "k") === 2)
+    def ks(v: Int): Set[Long] =
+      operators.Versioned.readAtDv(spark, dir, v).collect()
+        .map(_.getAs[Long]("k")).toSet
+    assert(ks(0) === Set(1L, 2L, 3L, 4L)) // time travel: base untouched
+    assert(ks(1) === Set(2L, 3L, 4L))
+    assert(ks(2) === Set(2L, 3L))
+    // compact folds the DV chain into a materialized snapshot
+    assert(operators.Versioned.compactDv(spark, dir) === 3)
+    assert(!operators.Versioned.isDvVersion(dir, 3))
+    assert(ks(3) === Set(2L, 3L))
+    // a DV after compact resolves the NEW base, not v0
+    assert(operators.Versioned.deleteWhereDv(spark, dir,
+      col("k") === 2, "k") === 4)
+    assert(ks(4) === Set(3L))
+    // a materialized read of the compacted version agrees with the DV read
+    assert(operators.Versioned.readAt(spark, dir, 3).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(2L, 3L))
+  }
+
+  test("LK: zone-map skipping — range reads prune partitions driver-side, upserts refresh stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtzm").toString
+    // planted clustering: bucket = k / 10, so c_custkey-style ranges map
+    // to few partitions
+    val t = (0L until 100L).map(k => (k, s"r$k", k / 10))
+      .toDF("k", "name", "bkt")
+    assert(operators.Versioned.commitPartitionedStats(spark, t, dir,
+      "bkt", "k") === 0)
+    // zone map recorded per partition
+    assert(operators.Versioned.zoneMap(dir, 0)("3") === ((30L, 39L)))
+    // [35, 44] admits exactly buckets 3 and 4 of the 10
+    val kept = operators.Versioned.prunedPartitions(dir, 0, 35L, 44L)
+    assert(kept.keySet === Set("3", "4"), kept.toString)
+    def rng(v: Int, lo: Long, hi: Long): Set[Long] =
+      operators.Versioned.readPartitionedPruned(spark, dir, v, "k", lo, hi)
+        .collect().map(_.getAs[Long]("k")).toSet
+    assert(rng(0, 35L, 44L) === (35L to 44L).toSet)
+    // an upsert into bucket 3 refreshes ITS stats; other buckets keep v0's
+    val u = Seq((100L, "new", 3L)).toDF("k", "name", "bkt") // widens bucket 3's max
+    assert(operators.Versioned.upsertPartitionedStats(spark, dir, u,
+      "k", "bkt", "k") === 1)
+    assert(operators.Versioned.zoneMap(dir, 1)("3") === ((30L, 100L)))
+    // [95, 200] now admits bucket 3 (owner v1) and bucket 9 (owner v0)
+    val kept2 = operators.Versioned.prunedPartitions(dir, 1, 95L, 200L)
+    assert(kept2 === Map("3" -> 1, "9" -> 0), kept2.toString)
+    assert(rng(1, 95L, 200L) === Set(95L, 96L, 97L, 98L, 99L, 100L))
+    // every partition pruned → empty result, correct schema
+    assert(rng(1, 5000L, 6000L) === Set.empty[Long])
+    // partitions without stats are conservatively kept
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-vtzm2").toString
+    assert(operators.Versioned.commitPartitioned(t, dir2, "bkt") === 0)
+    assert(operators.Versioned.prunedPartitions(dir2, 0, 35L, 44L).size === 10)
+  }
+
   test("LK: versioned table — concurrent committers claim distinct versions (O_EXCL, no lock)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vt-cc").toString
