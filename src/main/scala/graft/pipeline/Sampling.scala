@@ -120,6 +120,53 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("start"))
   }
 
+  /** Fixed-size mixture allocation: apportion `total` sample slots across
+    * sources proportional to MIXTURE WEIGHTS (a config, not the corpus —
+    * the "20% code, 5% wiki" knob of a training recipe) by the
+    * largest-remainder (Hamilton) method, then fill each source's quota
+    * with its deterministic md5-prefix (the [[takeTokenBudget]] ordering,
+    * so membership nests and reproduces across engines). All integer
+    * arithmetic: base = total·w div Σw, the Σbase shortfall goes to the
+    * largest remainders (total·w mod Σw, ties by source name), and a quota
+    * is CAPPED at the source's availability (capped slots are reported,
+    * not redistributed — the caller widens weights instead, documented).
+    * Zero-weight sources drop. Returns (source, doc_id, rn, quota).
+    *
+    * Scale shape: the apportionment runs over the per-source COUNT frame
+    * (metadata-scale — one row per source; the windows on it are a few
+    * dozen rows), docs join the broadcast quota row of their source, and
+    * the only corpus-sized work is one source-partitioned window for the
+    * md5 prefix rank.
+    */
+  def allocateBySource(docs: DataFrame, weights: Map[String, Int],
+      defaultWeight: Int, total: Int): DataFrame = {
+    val wExpr = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultWeight.toLong)) { case (acc, (k, v)) =>
+        when(col("source") === k, v.toLong).otherwise(acc)
+      }
+    val srcs = docs.groupBy("source").agg(count(lit(1)).as("n_avail"))
+      .withColumn("w", wExpr).filter(col("w") > 0)
+    val all = Window.partitionBy()
+    val byRem = Window.partitionBy()
+      .orderBy(col("rem").desc, col("source"))
+    val quotas = srcs
+      .withColumn("sw", sum(col("w")).over(all))
+      .withColumn("base", expr(s"(${total}L * w) div sw"))
+      .withColumn("rem", expr(s"(${total}L * w) % sw"))
+      .withColumn("deficit", lit(total.toLong) - sum(col("base")).over(all))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("quota", least(
+        col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L),
+        col("n_avail")))
+      .select("source", "quota")
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.join(broadcast(quotas), Seq("source"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("rn"), col("quota"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Stratified reproducible sample: English kept at 80%, the rest at 20%
     // — the rebalancing step of corpus curation, exactly reproducible in any
@@ -156,6 +203,16 @@ object Sampling {
     // the oracle proves ordering, running sums, and the boundary rule.
     "q_sample_budget" -> ((s, dir) =>
       takeTokenBudget(T.documents(s, dir), 700)),
+
+    // Largest-remainder mixture allocation: 123 slots over weights
+    // src0 → 50, src1 → 0 (dropped), default 10. The remainder pass AND
+    // the availability cap both bind (src0's 27-slot quota caps at 25
+    // docs at sf0.001); the full kept set (ids, ranks, quotas) is
+    // hash-checked, proving the apportionment arithmetic, the md5 fill
+    // order, and the cap.
+    "q_sample_allocation" -> ((s, dir) =>
+      allocateBySource(T.documents(s, dir),
+        Map("src0" -> 50, "src1" -> 0), defaultWeight = 10, total = 123)),
 
     // Token-budget shard packing: per (source, shard) fill profile
     // (oracle-checked; the window arithmetic is integer-exact).
@@ -212,6 +269,36 @@ object Sampling {
         |      - n_tokens AS start
         |  FROM t)
         |SELECT doc_id, source, n_tokens, start FROM s WHERE start < 700
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sample_allocation" ->
+      """WITH srcs AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_avail,
+        |    CAST(CASE WHEN source = 'src0' THEN 50
+        |              WHEN source = 'src1' THEN 0 ELSE 10 END AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |pos AS (SELECT * FROM srcs WHERE w > 0),
+        |app AS (
+        |  SELECT source, n_avail,
+        |    (123 * w) // SUM(w) OVER () AS base,
+        |    (123 * w) % SUM(w) OVER () AS rem
+        |  FROM pos),
+        |rk AS (
+        |  SELECT source, n_avail, base, rem,
+        |    123 - SUM(base) OVER () AS deficit,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM app),
+        |q AS (
+        |  SELECT source,
+        |    LEAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END,
+        |          n_avail) AS quota
+        |  FROM rk),
+        |ranked AS (
+        |  SELECT d.source, d.doc_id, q.quota,
+        |    CAST(row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS BIGINT) AS rn
+        |  FROM documents d JOIN q USING (source))
+        |SELECT source, doc_id, rn, CAST(quota AS BIGINT) AS quota
+        |FROM ranked WHERE rn <= quota
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sample_pack" ->
       """WITH t AS (

@@ -258,6 +258,35 @@ object TextAnalysis {
         .select(col("doc_id"), col("word").as("top_term"), col("tfidf"))
     }),
 
+    // c-TF-IDF (the BERTopic class-TF-IDF): per SOURCE, the terms most
+    // distinctive of that source vs the rest of the corpus — the standard
+    // cluster/source labeling step of corpus triage. tfn = ctf/len_s
+    // (within-class rate), idf = ln(1 + A/f_w) with A = average class
+    // token count and f_w = corpus-wide frequency; both factors
+    // micro-unit-rounded before the integer product (the BM25 recipe), so
+    // the ranking hash-matches cross-engine. One corpus explode, then
+    // narrow class-level aggregations — nothing pairwise.
+    "q_text_ctfidf" -> ((s, dir) => {
+      val docs = T.documents(s, dir)
+      val toks = docs.select(col("source"), explode(tokens(col("text"))).as("word"))
+      val ctf = toks.groupBy("source", "word").agg(count(lit(1)).as("ctf"))
+      val lens = ctf.groupBy("source").agg(sum("ctf").as("len_s"))
+      val fw = ctf.groupBy("word").agg(sum("ctf").as("f_w"))
+      val tot = lens.agg(sum("len_s").as("sl"), count(lit(1)).as("c"))
+      val scored = ctf.join(broadcast(lens), "source").join(fw, "word")
+        .crossJoin(broadcast(tot))
+        .withColumn("tfn_u", round(col("ctf").cast("double") /
+          col("len_s").cast("double") * lit(1e6), 0).cast("long"))
+        .withColumn("idf_u", round(log(lit(1.0) +
+          (col("sl").cast("double") / col("c").cast("double")) /
+            col("f_w").cast("double")) * lit(1e6), 0).cast("long"))
+        .withColumn("score_u", col("tfn_u") * col("idf_u"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_u").desc, col("word"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("word"), col("score_u"))
+    }),
+
     // PII-style scrubbing: mask emails and long digit runs before training —
     // the standard redaction pass of a corpus pipeline. Output is the md5 of
     // the redacted text (small, still proves byte-exact transform parity)
@@ -473,6 +502,28 @@ object TextAnalysis {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
         |  FROM scored)
         |SELECT doc_id, word AS top_term, tfidf FROM ranked WHERE rn = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_ctfidf" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS word
+        |  FROM documents),
+        |ctf AS (SELECT source, word, CAST(count(*) AS BIGINT) AS ctf FROM toks GROUP BY 1, 2),
+        |lens AS (SELECT source, CAST(SUM(ctf) AS BIGINT) AS len_s FROM ctf GROUP BY 1),
+        |fw AS (SELECT word, CAST(SUM(ctf) AS BIGINT) AS f_w FROM ctf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(len_s) AS BIGINT) AS sl, CAST(count(*) AS BIGINT) AS c FROM lens),
+        |scored AS (
+        |  SELECT t.source, t.word,
+        |    CAST(round(CAST(t.ctf AS DOUBLE) / CAST(l.len_s AS DOUBLE) * 1000000, 0) AS BIGINT) *
+        |    CAST(round(ln(1.0 + (CAST(tot.sl AS DOUBLE) / CAST(tot.c AS DOUBLE)) /
+        |                   CAST(f.f_w AS DOUBLE)) * 1000000, 0) AS BIGINT) AS score_u
+        |  FROM ctf t JOIN lens l USING (source) JOIN fw f USING (word) CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT source, word, score_u,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY score_u DESC, word) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT source, rank, word, score_u FROM ranked WHERE rank <= 3
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_langid" ->
       """WITH t AS (

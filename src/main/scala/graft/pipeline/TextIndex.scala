@@ -287,6 +287,52 @@ object TextIndex {
   def bm25TopK(queryDocs: DataFrame, ix: Components, k: Int = 10): DataFrame = {
     val qt = queryDocs.select(col("qid"),
       explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("word"))
+    scoreTerms(qt, ix, k)
+  }
+
+  /** Typo-tolerant BM25 top-k: each query term is expanded to every index
+    * vocabulary word within edit distance 1 by the SymSpell deletion-variant
+    * equi-join ([[graft.operators.Joins.fuzzyPairsDeletes]]'s shape applied
+    * query-vs-vocab instead of self-join), then the expanded (qid, word)
+    * set scores exactly like [[bm25TopK]] (qtf capped at 1 — a vocab word
+    * reachable from two query words still counts once). Returns
+    * (qid, rank, doc_id, score_u).
+    *
+    * Scale shape: the vocab-side variant expansion is (len+1)× the VOCAB
+    * (never the corpus — at 100 TB you'd persist it as one more index
+    * component; here it derives from the persisted vocab in-query), the
+    * variant join is a hash join with the query side broadcast, and the
+    * exact levenshtein refine pays only for candidates. Postings are still
+    * touched only for matched terms — the inverted-index pruning survives
+    * the fuzz.
+    */
+  def bm25FuzzyTopK(queryDocs: DataFrame, ix: Components,
+      k: Int = 10): DataFrame = {
+    // {w} ∪ single-deletions of w (array_distinct — "aa" deletes to "a"
+    // once); empty strings map to {""}: the fuzzyPairsDeletes2 guard
+    def dels(c: Column): Column = when(length(c) >= 1,
+      array_distinct(concat(
+        array(c),
+        transform(sequence(lit(1), length(c)),
+          i => concat(c.substr(lit(1), i - 1),
+            c.substr(i + 1, length(c) - i))))))
+      .otherwise(array(c))
+    val qw = queryDocs.select(col("qid"),
+      explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("qword"))
+    val qv = qw.withColumn("variant", explode(dels(col("qword"))))
+    val vv = ix.vocab.select(col("word"))
+      .withColumn("variant", explode(dels(col("word"))))
+    val expanded = vv.join(broadcast(qv), Seq("variant"))
+      .filter(levenshtein(col("qword"), col("word")) <= 1)
+      .select("qid", "word").distinct()
+    scoreTerms(expanded, ix, k)
+  }
+
+  /** The BM25 scoring core over a deduplicated (qid, word) term set —
+    * shared by the exact and fuzzy entry points. Query side broadcast;
+    * the only shuffle is the per-(qid, doc) candidate aggregation.
+    */
+  private def scoreTerms(qt: DataFrame, ix: Components, k: Int): DataFrame = {
     val qdf = ix.vocab
       .join(broadcast(qt.select("word").dropDuplicates("word")), Seq("word"))
     val cand = ix.postings
@@ -503,6 +549,22 @@ object TextIndex {
     "q_bm25_proximity" -> ((s, dir) =>
       proximityTopDocs(queryDocs(s, dir), positionsPersisted(s, dir))),
 
+    // L7k: typo-tolerant BM25 over the persisted index — every query word
+    // longer than 3 chars is MUTATED (last char dropped), so most query
+    // terms are out-of-vocabulary and only the deletion-variant expansion
+    // (edit distance ≤ 1 against the stored vocab) recovers them; exact
+    // search over the same mutated queries would near-empty. The oracle
+    // replays the mutation, both variant neighborhoods, the levenshtein
+    // refine, and the BM25 arithmetic from raw text.
+    "q_bm25_fuzzy" -> ((s, dir) => {
+      val q = T.documents(s, dir).filter(col("doc_id") < 5)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", transform(TextAnalysis.tokens(col("text")),
+            w => when(length(w) > 3, w.substr(lit(1), length(w) - 1))
+              .otherwise(w))).as("qtext"))
+      bm25FuzzyTopK(q, persisted(s, dir))
+    }),
+
     // L7j: sparse TF-IDF cosine top-10 over the persisted index — the
     // vector-space scorer next to BM25, df-pruned to bound the posting
     // self-join. The synthetic corpus has a ~31-word vocabulary with most
@@ -672,6 +734,66 @@ object TextIndex {
         |  FROM cov c JOIN nw USING (qid)
         |  WHERE c.cover = nw.nw GROUP BY 1, 2)
         |SELECT qid, doc AS doc_id, n_windows FROM hits
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the mutation, both deletion-variant neighborhoods, the levenshtein
+    // refine and the BM25 arithmetic all re-derived from raw text
+    "q_bm25_fuzzy" ->
+      """WITH bt AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |bp AS (
+        |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS word FROM bt),
+        |btf AS (
+        |  SELECT word, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+        |  FROM bp GROUP BY 1, 2, 3),
+        |bdf AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+        |bst AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sdl
+        |  FROM (SELECT DISTINCT doc_id, dl FROM btf)),
+        |fq AS (
+        |  SELECT doc_id AS qid,
+        |    unnest(list_distinct(list_transform(toks,
+        |      w -> CASE WHEN length(w) > 3 THEN substr(w, 1, length(w) - 1)
+        |           ELSE w END))) AS qword
+        |  FROM bt WHERE doc_id < 5),
+        |fqv AS (
+        |  SELECT qid, qword, qword AS variant FROM fq
+        |  UNION ALL
+        |  SELECT qid, qword, substr(qword, 1, i - 1) || substr(qword, i + 1) AS variant
+        |  FROM (SELECT qid, qword, unnest(range(1, length(qword) + 1)) AS i FROM fq)),
+        |fvv AS (
+        |  SELECT word, word AS variant FROM bdf
+        |  UNION ALL
+        |  SELECT word, substr(word, 1, i - 1) || substr(word, i + 1) AS variant
+        |  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM bdf)),
+        |fexp AS (
+        |  SELECT DISTINCT q.qid, v.word
+        |  FROM fqv q JOIN fvv v USING (variant)
+        |  WHERE levenshtein(q.qword, v.word) <= 1),
+        |bc AS (
+        |  SELECT q.qid, p.doc_id,
+        |    CAST(round(ln((CAST(bst.n - f.df AS DOUBLE) + 0.5) /
+        |                  (CAST(f.df AS DOUBLE) + 0.5) + 1.0) * 1000000, 0) AS BIGINT) *
+        |    CAST(round(CAST(p.tf AS DOUBLE) * 2.2 /
+        |                 (CAST(p.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |                   (CAST(p.dl AS DOUBLE) /
+        |                    (CAST(bst.sdl AS DOUBLE) / CAST(bst.n AS DOUBLE))))) *
+        |               1000000, 0) AS BIGINT) AS c
+        |  FROM fexp q
+        |  JOIN btf p USING (word)
+        |  JOIN bdf f USING (word)
+        |  CROSS JOIN bst
+        |  WHERE p.doc_id <> q.qid),
+        |bscored AS (
+        |  SELECT qid, doc_id, CAST(SUM(c) AS BIGINT) AS score_u
+        |  FROM bc GROUP BY 1, 2),
+        |branked AS (
+        |  SELECT qid, doc_id, score_u,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_u DESC, doc_id) AS INTEGER) AS rank
+        |  FROM bscored)
+        |SELECT qid, rank, doc_id, score_u FROM branked WHERE rank <= 10
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // tf/df/idf and both norms re-derived from raw text; query docs are
     // corpus docs (doc_id < 5), so their term stats reuse the posting CTE

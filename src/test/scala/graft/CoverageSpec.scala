@@ -194,6 +194,73 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mixture allocation: largest-remainder exact, availability cap binds, md5 fill nests") {
+    import spark.implicits._
+    // 3 sources × 10 docs; weights 5/3/2 over 17 slots:
+    // base = 85//10=8, 51//10=5, 34//10=3 (Σ16, deficit 1);
+    // remainders 5, 1, 4 → srcA gets the extra slot → quotas 9/5/3... but
+    // wait: rem = (17*w) % 10 → 85%10=5, 51%10=1, 34%10=4 → srcA +1.
+    val docs = (0L until 30L).map(k =>
+      (k, Seq("srcA", "srcB", "srcC")(k.toInt % 3), s"doc $k"))
+      .toDF("doc_id", "source", "text")
+    val got = pipeline.Sampling.allocateBySource(docs,
+      Map("srcA" -> 5, "srcB" -> 3, "srcC" -> 2), defaultWeight = 1,
+      total = 17)
+    val quotas = got.collect().groupBy(_.getString(0))
+      .map { case (s, rs) => s -> rs.length }
+    assert(quotas === Map("srcA" -> 9, "srcB" -> 5, "srcC" -> 3),
+      quotas.toString)
+    // the cap: a 100-slot ask over 10-doc sources caps at availability
+    val capped = pipeline.Sampling.allocateBySource(docs,
+      Map("srcA" -> 1), defaultWeight = 0, total = 100)
+    assert(capped.count() === 10, "quota must cap at availability")
+    // md5-prefix fill nests: the 17-slot selection ⊆ the 23-slot one
+    val ids17 = got.collect().map(_.getLong(1)).toSet
+    val ids23 = pipeline.Sampling.allocateBySource(docs,
+      Map("srcA" -> 5, "srcB" -> 3, "srcC" -> 2), 1, 23)
+      .collect().map(_.getLong(1)).toSet
+    assert(ids17.subsetOf(ids23), "fill order must nest across totals")
+    // zero-weight sources are dropped entirely
+    assert(!capped.collect().exists(r => r.getString(0) != "srcA"))
+  }
+
+  test("c-TF-IDF: within-class-frequent but corpus-rare terms win; uniform terms rank last") {
+    import spark.implicits._
+    // "alpha" dominates srcA and appears nowhere else; "common" is uniform
+    val docs = Seq(
+      (1L, "srcA", "alpha alpha alpha common"),
+      (2L, "srcA", "alpha common beta"),
+      (3L, "srcB", "gamma gamma common delta"),
+      (4L, "srcB", "gamma common epsilon")
+    ).toDF("doc_id", "source", "text")
+    // the module query's shape run directly on the planted frame
+    val toks = docs.select(col("source"),
+      explode(pipeline.TextAnalysis.tokens(col("text"))).as("word"))
+    val ctf = toks.groupBy("source", "word").agg(count(lit(1)).as("ctf"))
+    val lens = ctf.groupBy("source").agg(sum("ctf").as("len_s"))
+    val fw = ctf.groupBy("word").agg(sum("ctf").as("f_w"))
+    val tot = lens.agg(sum("len_s").as("sl"), count(lit(1)).as("c"))
+    val scored = ctf.join(lens, "source").join(fw, "word")
+      .crossJoin(tot)
+      .withColumn("tfn_u", round(col("ctf").cast("double") /
+        col("len_s").cast("double") * lit(1e6), 0).cast("long"))
+      .withColumn("idf_u", round(log(lit(1.0) +
+        (col("sl").cast("double") / col("c").cast("double")) /
+          col("f_w").cast("double")) * lit(1e6), 0).cast("long"))
+      .withColumn("score_u", col("tfn_u") * col("idf_u"))
+    val top = scored.collect()
+      .groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.maxBy(r2 => (r2.getAs[Long]("score_u"),
+        r2.getAs[String]("word"))).getAs[String]("word") }
+    assert(top === Map("srcA" -> "alpha", "srcB" -> "gamma"), top.toString)
+    // the uniform word scores strictly below each class's distinctive term
+    val bySrcWord = scored.collect()
+      .map(r2 => (r2.getAs[String]("source"), r2.getAs[String]("word")) ->
+        r2.getAs[Long]("score_u")).toMap
+    assert(bySrcWord(("srcA", "common")) < bySrcWord(("srcA", "alpha")))
+    assert(bySrcWord(("srcB", "common")) < bySrcWord(("srcB", "gamma")))
+  }
+
   test("T8: gap interpolation — exact means on observed buckets, straight line across gaps, edges null") {
     import spark.implicits._
     // buckets (step 10): 0 → mean 2.00, 10/20 empty, 30 → mean 8.00, 40 empty

@@ -300,6 +300,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    (q_sim_ivf now reads the PERSISTED quantizer — the surviving BNLJ
     //    is the probe step's 8-row centroid broadcast only)
     //  - q_text_tfidf: 1-row corpus doc-count attach
+    //  - q_text_ctfidf: 1-row corpus-total (Σlen, class-count) attach
     //  - q_text_bm25 / q_bm25_index_search: 1-row corpus-stats (n, sdl)
     //    attach (the BM25 avgdl input)
     //  - q_retrieval_hybrid: the same 1-row stats attaches from BOTH fused
@@ -320,8 +321,10 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    round as q_bpe_train, over the appended word-count table
     //  - q_text_cosine_sparse: the 1-row corpus-count (stats.n) attach
     //    that prices the df-pruning gate — same family as q_text_bm25
+    //  - q_bm25_fuzzy: the same 1-row stats attach as q_bm25_index_search,
+    //    reached through the deletion-variant expansion (itself a hash join)
     val bnljOk = Set(
-      "q_bm25_append_search", "q_bm25_index_search",
+      "q_bm25_append_search", "q_bm25_fuzzy", "q_bm25_index_search",
       "q_text_cosine_sparse",
       "q_bpe_append_train", "q_bpe_tokenize", "q_bpe_train",
       "q_nb_confusion", "q_nb_model_append", "q_nb_model_build",
@@ -332,7 +335,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_pq_rerank", "q_retrieval_hybrid", "q_sim_ivf", "q_sim_ivf_assign",
       "q_sim_kmeans", "q_sim_topk", "q_sq8_codes", "q_sq8_ivf",
       "q_sq8_ivf_append", "q_sq8_ivf_remove", "q_sq8_topk", "q_text_bm25",
-      "q_text_tfidf")
+      "q_text_ctfidf", "q_text_tfidf")
     val cart = scala.collection.mutable.SortedSet.empty[String]
     val bnlj = scala.collection.mutable.SortedSet.empty[String]
     // sparkPlan = the planned physical tree (no AQE re-plan — the guardrail

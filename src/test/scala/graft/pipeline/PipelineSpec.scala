@@ -1308,6 +1308,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.map(_._2).contains(10L), "query doc must be excluded")
   }
 
+  test("fuzzy BM25: distance-1 typos recover the exact ranking, distance-2 words stay unmatched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the catalyst optimizer prunes columns and pushes filters down"),
+      (2L, "tungsten codegen compiles expression trees for the fast path"),
+      (3L, "unrelated filler about nothing in particular here")
+    ).toDF("doc_id", "text")
+    val ix = TextIndex.componentsOf(docs)
+    // every query word carries one typo (substitution / deletion / insert);
+    // exact BM25 finds nothing, fuzzy must retrieve doc 1
+    val typo = Seq((10L, "catalist optimzer prunez"))
+      .toDF("qid", "qtext")
+    assert(TextIndex.bm25TopK(typo, ix, 3).count() === 0,
+      "exact search over typo'd terms must be empty")
+    val fz = TextIndex.bm25FuzzyTopK(typo, ix, 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(fz.head === (1, 1L), s"fuzzy must rank doc 1 first: ${fz.toSeq}")
+    // a distance-1 typo scores identically to the clean word (qtf caps at 1)
+    val clean = Seq((10L, "catalyst optimizer prunes")).toDF("qid", "qtext")
+    def scores(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(scores(TextIndex.bm25FuzzyTopK(typo, ix, 3)) ===
+      scores(TextIndex.bm25TopK(clean, ix, 3)),
+      "distance-1 expansion must recover the clean query's exact scores")
+    // distance 2 is out of reach for the 1-deletion neighborhoods
+    val far = Seq((11L, "catalizzt")).toDF("qid", "qtext")
+    assert(TextIndex.bm25FuzzyTopK(far, ix, 3).count() === 0,
+      "distance-2 words must not match")
+  }
+
   test("phrase search: anchor coverage finds exact phrases, counts overlapping occurrences, persisted positions match") {
     import spark.implicits._
     val docs = Seq(
