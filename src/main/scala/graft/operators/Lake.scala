@@ -50,6 +50,42 @@ object Lake {
           .otherwise(col("t_" + c)).as(c)): _*)
   }
 
+  /** Full MERGE INTO / CDC-apply: `changes` carries the target's columns
+    * plus an op column ∈ {"upsert", "delete"} — the shape a change feed
+    * delivers. Semantics per key:
+    *
+    *  - matched + delete  → target row removed
+    *  - matched + upsert  → update row taken WHOLE (mergeUpsert contract)
+    *  - unmatched + upsert → inserted
+    *  - unmatched + delete → no-op (idempotent deletes, the CDC norm)
+    *
+    * The [[mergeUpsert]] duplicate-key raise applies across ALL change
+    * rows of a key regardless of op — SQL MERGE's multi-match error, so a
+    * feed carrying both a delete and an upsert for one key fails loudly
+    * instead of resolving by luck. Same scale shape: one full outer join
+    * on the key.
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    val cols = target.columns
+    val kcnt = org.apache.spark.sql.expressions.Window.partitionBy(col("u_" + key))
+    val t = target.select(cols.map(c => col(c).as("t_" + c)): _*)
+    val u = changes.select((cols.map(c => col(c).as("u_" + c)) :+
+        col(opCol).as("_u_op")): _*)
+      .withColumn("_u_present",
+        when(col("u_" + key).isNotNull && count(lit(1)).over(kcnt) > 1,
+          raise_error(concat(lit(s"applyChanges: duplicate change key $key="),
+            col("u_" + key).cast("string"))).isNull)
+          .otherwise(lit(true)))
+    t.join(u, t("t_" + key) === u("u_" + key), "full")
+      // delete rows vanish whether they matched (target row removed) or
+      // not (idempotent no-op); everything else is the upsert resolution
+      .filter(coalesce(col("_u_op") =!= "delete", lit(true)))
+      .select(cols.map(c =>
+        when(col("_u_present"), col("u_" + c))
+          .otherwise(col("t_" + c)).as(c)): _*)
+  }
+
   /** Snapshot diff (CDC between two table versions): one row per key whose
     * state changed, classified `added` / `removed` / `changed` by a full
     * outer join on the key and a whole-row comparison over `compareCols`.
@@ -103,6 +139,33 @@ object Lake {
           col("c_mktsegment"))
     }),
 
+    // LK8: full MERGE / CDC-apply — one change batch carrying updates
+    // (%7, op=upsert, %13-keys excluded so no key gets two ops), inserts
+    // (%31 new keys), deletes (%13 existing keys) and GHOST deletes
+    // (%41 keys shifted past the key space — unmatched deletes must
+    // no-op). The oracle applies the same algebra: merge the upsert set,
+    // then anti-filter the delete keys.
+    "q_merge_apply_cdc" -> ((s, dir) => {
+      val c = T.customer(s, dir)
+      val ups = c.filter(col("c_custkey") % 7 === 0 &&
+          col("c_custkey") % 13 =!= 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+      val ins = c.filter(col("c_custkey") % 31 === 0 &&
+          col("c_custkey") % 13 =!= 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_name", concat(lit("New "), col("c_name")))
+      val dels = c.filter(col("c_custkey") % 13 === 0)
+      val ghosts = c.filter(col("c_custkey") % 41 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 2000000L)
+      val changes = ups.unionAll(ins).withColumn("op", lit("upsert"))
+        .unionAll(dels.withColumn("op", lit("delete")))
+        .unionAll(ghosts.withColumn("op", lit("delete")))
+      applyChanges(c, changes, "c_custkey")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
     // LK2: snapshot diff — old vs merged-new snapshot, minus keys dropped
     // in the new version (custkey % 13 = 0): added/removed/changed rows
     // only, classified and oracle-checked.
@@ -146,6 +209,29 @@ object Lake {
          |SELECT c_custkey, c_name, c_nationkey,
          |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
          |FROM merged ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_merge_apply_cdc" ->
+      """WITH delta AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 != 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'New ' || c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 31 = 0 AND c_custkey % 13 != 0),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_custkey ELSE t.c_custkey END AS c_custkey,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+        |  FROM customer t FULL OUTER JOIN delta u ON t.c_custkey = u.c_custkey)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM merged
+        |WHERE c_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_snapshot_diff" ->
       s"""WITH $mergeBaseSql,
          |oldsnap AS (

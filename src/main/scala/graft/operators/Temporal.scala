@@ -97,7 +97,41 @@ object Temporal {
           .as("v_u"))
   }
 
+  /** Cohort retention matrix — the product-analytics classic: users are
+    * cohorted by their FIRST active bucket (epoch time div `bucketSec`,
+    * integer end to end so engines agree without date-type seams) and
+    * every (cohort, bucket-offset) cell counts the cohort's users active
+    * that far in, plus an exact basis-point retention rate
+    * (10000·n_active div n_cohort).
+    *
+    * Scale shape: one user-bucket distinct (events collapse to
+    * user-activity days first — the matrix never touches raw event rows
+    * twice), one per-user min for the cohort label, a user-keyed join of
+    * metadata-scale frames, two narrow aggs, and a broadcast of the
+    * per-cohort sizes. Nothing pairwise, nothing driver-side.
+    */
+  def cohortRetention(events: DataFrame, bucketSec: Long = 86400L): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr(s"unix_micros(ts) div ${bucketSec * 1000000L}L").as("b"))
+      .distinct()
+    val first = ev.groupBy("user_id").agg(min("b").as("cohort_b"))
+    val sizes = first.groupBy("cohort_b").agg(count(lit(1)).as("n_cohort"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_b"), (col("b") - col("cohort_b")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_b")
+      .select(col("cohort_b"), col("day_offset"), col("n_active"),
+        col("n_cohort"),
+        expr("(10000 * n_active) div n_cohort").as("retained_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // T9: daily cohort retention over the events table — every cell of
+    // the (first-active-day × day-offset) matrix hash-checked, including
+    // the integer basis-point rates.
+    "q_cohort_retention" -> ((s, dir) =>
+      cohortRetention(T.events(s, dir))),
+
     // T1: tumbling 1-hour window aggregate (≡ streaming groupBy(window(...))).
     "q_stream_tumbling" -> ((s, dir) => {
       T.events(s, dir)
@@ -231,6 +265,20 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS b FROM events),
+        |f AS (SELECT user_id, min(b) AS cohort_b FROM ev GROUP BY 1),
+        |sz AS (SELECT cohort_b, CAST(count(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT f.cohort_b, e.b - f.cohort_b AS day_offset,
+        |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |  FROM ev e JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT r.cohort_b, r.day_offset, r.n_active, sz.n_cohort,
+        |  CAST((10000 * r.n_active) // sz.n_cohort AS BIGINT) AS retained_bp
+        |FROM r JOIN sz USING (cohort_b)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+
     // Funnel as the conditional-min chain: u1 = first signup, u2 = first
     // click in (u1, u1 + 1 day], u3 = first purchase in (u2, u2 + 1 day] —
     // the same anchored-greedy definition the Spark side's sorted walk

@@ -423,7 +423,47 @@ object Dedup {
       .withColumn("contaminated", col("n_bench_spans") > 0)
   }
 
+  /** Cross-source n-gram overlap matrix — the corpus-diversity /
+    * cross-source-contamination probe: for every pair of sources, the
+    * exact Jaccard similarity of their distinct shingle-hash SETS, in
+    * exact basis points. A near-identical mirror source shows up as a
+    * ~10000 bp cell; a healthy mixture sits low.
+    *
+    * Scale shape: one corpus shingle pass collapsed to DISTINCT
+    * (source, hash-prefix) rows, then a self-equi-join on the hash whose
+    * fan-out per hash is bounded by (#sources sharing it)² ≤ S² — S is
+    * the mixture's source count (dozens), so the pair explosion is
+    * bounded by S² per hash, NEVER corpus². Set sizes broadcast. Pairs
+    * with zero shared shingles do not appear (by construction of the
+    * join), which is exactly the sparse representation a wide mixture
+    * needs.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = docs.select(col("source"),
+        explode(shingles(col("text"), n)).as("g"))
+      .select(col("source"), substring(md5(col("g")), 1, 15).as("h"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+    sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("sz").as("sz_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("sz").as("sz_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("sz_a"),
+        col("sz_b"),
+        expr("(10000 * n_inter) div (sz_a + sz_b - n_inter)")
+          .as("jaccard_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // L2l: cross-source overlap matrix — every source pair's exact
+    // shingle-set Jaccard in basis points, hash-checked cell by cell.
+    "q_dedup_source_overlap" -> ((s, dir) =>
+      sourceOverlap(T.documents(s, dir))),
+
     // L2g: benchmark decontamination — docs 0-9 stand in for the eval set;
     // remaining docs are profiled for n-gram overlap against it
     // (oracle-checked).
@@ -826,6 +866,32 @@ object Dedup {
        |FROM ranked WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |shx AS (
+        |  SELECT source,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS sh
+        |  FROM t),
+        |e AS (
+        |  SELECT DISTINCT source, substr(md5(s), 1, 15) AS h
+        |  FROM (SELECT source, unnest(sh) AS s FROM shx)),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM e GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_inter
+        |  FROM e a JOIN e b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, i.n_inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        |  CAST((10000 * i.n_inter) // (sa.sz + sb.sz - i.n_inter) AS BIGINT) AS jaccard_bp
+        |FROM inter i
+        |  JOIN sizes sa ON sa.source = i.src_a
+        |  JOIN sizes sb ON sb.source = i.src_b
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_pagerank" -> pagerankSql,
     "q_dedup_canonical" -> canonicalSql,
     "q_dedup_contamination" ->

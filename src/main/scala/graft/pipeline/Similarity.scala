@@ -61,6 +61,33 @@ object Similarity {
       .drop("_salt", "_lrank")
   }
 
+  /** Johnson–Lindenstrauss random-SIGN projection: maps a float vector to
+    * `dims` components, comp_k = Σ_d sign(k, d)·v[d], with the sign drawn
+    * from the parity of md5("rp|k|d")'s first hex char — a seeded,
+    * engine-portable ±1 matrix (the Achlioptas sparse-JL family with
+    * density 1), so the SAME projection reproduces on any engine and any
+    * rerun with no stored matrix. The projection is linear (αv ↦ α·proj),
+    * preserves pairwise geometry within the JL bound, and shrinks a
+    * 64-float embedding to `dims` doubles — the cheap-prefilter step
+    * before an exact rerank, and the classic dimensionality-reduction
+    * primitive next to SimHash (which is this, thresholded to bits).
+    *
+    * Determinism: the fold runs in index order with a DOUBLE accumulator
+    * (±1.0 · v[d]), so Spark and DuckDB produce the identical IEEE sum;
+    * each component rounds to 6 at the end (the cosineSim convention).
+    * Per-row work is dims·|v| multiply-adds in one codegen'd expression —
+    * no shuffle, no stored state.
+    */
+  def randomSignProjection(vecCol: String, dims: Int = 16): Column =
+    expr(
+      s"""transform(sequence(1, $dims), k ->
+         |  round(aggregate(sequence(1, size($vecCol)), CAST(0.0 AS DOUBLE),
+         |    (acc, d) -> acc +
+         |      (CASE WHEN ascii(substr(md5(concat('rp|', CAST(k AS STRING),
+         |                 '|', CAST(d AS STRING))), 1, 1)) % 2 = 0
+         |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
+         |      * CAST(element_at($vecCol, d) AS DOUBLE)), 6))""".stripMargin)
+
   /** Exact top-k neighbors for each row of `queries` (qid, qvec) among
     * `corpus` (id, vec), ranked by cosine rounded to 6 (deterministic).
     */
@@ -775,6 +802,16 @@ object Similarity {
     }),
 
     // L3: exact cosine top-5 for 5 probe vectors (oracle-checked).
+    // L3j: JL random-sign projection — every projected component of the
+    // first 100 embeddings hash-checked against DuckDB's replay of the
+    // md5-seeded sign matrix and the in-order fold.
+    "q_sim_randproj" -> ((s, dir) =>
+      T.embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          posexplode(randomSignProjection("embedding", 16))
+            .as(Seq("k0", "comp")))
+        .select(col("vec_id"), (col("k0") + 1).as("k"), col("comp"))),
+
     "q_sim_topk" -> ((s, dir) => {
       val e = T.embeddings(s, dir)
       val probes = e.filter(col("vec_id") < 5)
@@ -1524,6 +1561,16 @@ object Similarity {
         |  FROM scored)
         |SELECT label, clabel AS assigned, count(*) AS n
         |FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sim_randproj" ->
+      """SELECT vec_id, CAST(k AS INTEGER) AS k,
+        |  round(list_sum(list_transform(generate_series(1, len(embedding)),
+        |    d -> (CASE WHEN ascii(substr(md5('rp|' || CAST(k AS VARCHAR) ||
+        |                   '|' || CAST(d AS VARCHAR)), 1, 1)) % 2 = 0
+        |          THEN 1.0 ELSE -1.0 END)
+        |         * CAST(embedding[d] AS DOUBLE))), 6) AS comp
+        |FROM embeddings CROSS JOIN generate_series(1, 16) AS t(k)
+        |WHERE vec_id < 100
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sim_topk" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),

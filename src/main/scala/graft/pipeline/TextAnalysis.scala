@@ -258,6 +258,37 @@ object TextAnalysis {
         .select(col("doc_id"), col("word").as("top_term"), col("tfidf"))
     }),
 
+    // Gopher-style quality GATE: the rule-composition step on top of
+    // q_text_quality's metrics — each document either keeps or carries the
+    // ordered list of rules it failed (word-count bounds, mean-word-length
+    // bounds, stopword floor, punctuation ceiling — the Gopher/C4 recipe
+    // shape with thresholds sized to BIND on this corpus). Every
+    // comparison is an integer cross-multiplication (word_chars < 4·n_tok
+    // instead of wc/nt < 4.0), so the verdicts hash-match cross-engine
+    // with no float seam; the stats come from the one-pass TextStatsOne
+    // expression, so the gate is one codegen'd projection — the per-row
+    // pre-filter a 100 TB curation pass runs FIRST, before anything
+    // pairwise.
+    "q_text_gate" -> ((s, dir) => {
+      val st = graft.functions.TextHashes
+        .textStatsOne(col("text"), stopwords("en"))
+      T.documents(s, dir)
+        .select(col("doc_id"), length(col("text")).as("len"), st.as("st"))
+        .select(col("doc_id"),
+          concat(
+            when(col("st.n_tokens") < 30, lit("few_words;")).otherwise(""),
+            when(col("st.n_tokens") > 10000, lit("many_words;")).otherwise(""),
+            when(col("st.word_chars") < col("st.n_tokens") * 4,
+              lit("short_words;")).otherwise(""),
+            when(col("st.word_chars") > col("st.n_tokens") * 10,
+              lit("long_words;")).otherwise(""),
+            when(col("st.stop_hits") * 20 < col("st.n_tokens"),
+              lit("low_stopwords;")).otherwise(""),
+            when(col("st.punct") * 10 > col("len"),
+              lit("high_punct;")).otherwise("")).as("fail_reasons"))
+        .withColumn("keep", col("fail_reasons") === "")
+    }),
+
     // c-TF-IDF (the BERTopic class-TF-IDF): per SOURCE, the terms most
     // distinctive of that source vs the rest of the corpus — the standard
     // cluster/source labeling step of corpus triage. tfn = ctf/len_s
@@ -502,6 +533,31 @@ object TextAnalysis {
         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
         |  FROM scored)
         |SELECT doc_id, word AS top_term, tfidf FROM ranked WHERE rn = 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS nt,
+        |    list_sum(list_transform(toks, x -> length(x))) AS wc,
+        |    len(list_filter(toks, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','on','for'], x))) AS sh,
+        |    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS p,
+        |    length(text) AS len
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN nt < 30 THEN 'few_words;' ELSE '' END) ||
+        |    (CASE WHEN nt > 10000 THEN 'many_words;' ELSE '' END) ||
+        |    (CASE WHEN wc < nt * 4 THEN 'short_words;' ELSE '' END) ||
+        |    (CASE WHEN wc > nt * 10 THEN 'long_words;' ELSE '' END) ||
+        |    (CASE WHEN sh * 20 < nt THEN 'low_stopwords;' ELSE '' END) ||
+        |    (CASE WHEN p * 10 > len THEN 'high_punct;' ELSE '' END) AS fail_reasons
+        |  FROM m)
+        |SELECT doc_id, fail_reasons, fail_reasons = '' AS keep FROM g
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_text_ctfidf" ->
       """WITH toks AS (

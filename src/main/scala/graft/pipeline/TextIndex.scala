@@ -306,17 +306,21 @@ object TextIndex {
     * touched only for matched terms — the inverted-index pruning survives
     * the fuzz.
     */
-  def bm25FuzzyTopK(queryDocs: DataFrame, ix: Components,
-      k: Int = 10): DataFrame = {
-    // {w} ∪ single-deletions of w (array_distinct — "aa" deletes to "a"
-    // once); empty strings map to {""}: the fuzzyPairsDeletes2 guard
-    def dels(c: Column): Column = when(length(c) >= 1,
+  /** {w} ∪ single-deletions of w (array_distinct — "aa" deletes to "a"
+    * once); empty strings map to {""}: the fuzzyPairsDeletes2 guard.
+    */
+  private[graft] def deletionVariants(c: Column): Column =
+    when(length(c) >= 1,
       array_distinct(concat(
         array(c),
         transform(sequence(lit(1), length(c)),
           i => concat(c.substr(lit(1), i - 1),
             c.substr(i + 1, length(c) - i))))))
       .otherwise(array(c))
+
+  def bm25FuzzyTopK(queryDocs: DataFrame, ix: Components,
+      k: Int = 10): DataFrame = {
+    def dels(c: Column): Column = deletionVariants(c)
     val qw = queryDocs.select(col("qid"),
       explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("qword"))
     val qv = qw.withColumn("variant", explode(dels(col("qword"))))

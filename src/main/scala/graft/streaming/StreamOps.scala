@@ -300,6 +300,54 @@ object StreamOps {
         col("t.doc").as("doc_id"), col("t.score_u").as("score_u"))
   }
 
+  /** Streaming typo-tolerant BM25 against the persisted index — the
+    * stream twin of [[graft.pipeline.TextIndex.bm25FuzzyTopK]]: each
+    * arriving query word emits its 1-deletion neighborhood (a per-row
+    * map, stream-legal), stream-static joins the STATIC vocab-variant
+    * table on the variant key, and the levenshtein refine keeps edit
+    * distance ≤ 1. The expansion dedupes per (qid, word) with a
+    * watermark-evicted dropDuplicates (all of a query's expansions share
+    * its event time, so the time column rides the key and state stays
+    * in-flight-queries-sized), then the scoring/top-k tail is the
+    * [[bm25SearchStream]] chained-window shape verbatim. Static-side
+    * cost: (len+1)× the vocab — at 100 TB persisted as one more index
+    * component.
+    */
+  def fuzzySearchStream(queryDocs: DataFrame,
+      ix: graft.pipeline.TextIndex.Components, k: Int = 10,
+      tsCol: String = "ts", windowLen: String = "10 minutes"): DataFrame = {
+    import graft.pipeline.{TextAnalysis, TextIndex}
+    val vv = ix.vocab.select(col("word"))
+      .withColumn("variant", explode(TextIndex.deletionVariants(col("word"))))
+    val qt = queryDocs
+      .withWatermark(tsCol, "10 minutes")
+      .select(col("qid"), col(tsCol),
+        explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("qword"))
+      .withColumn("variant",
+        explode(TextIndex.deletionVariants(col("qword"))))
+      .join(vv, Seq("variant"))
+      .filter(levenshtein(col("qword"), col("word")) <= 1)
+      .dropDuplicates("qid", "word", tsCol)
+      .select(col("qid"), col(tsCol), col("word"))
+    val scored = qt
+      .join(ix.postings, Seq("word"))
+      .filter(col("doc") =!= col("qid"))
+      .join(ix.vocab.withColumnRenamed("df", "__df"), Seq("word"))
+      .crossJoin(broadcast(ix.stats))
+      .withColumn("__c", TextIndex.contributionU(col("tf"), col("__df"),
+        col("dl"), col("n"), col("sdl")))
+      .groupBy(window(col(tsCol), windowLen), col("qid"), col("doc"))
+      .agg(sum("__c").as("score_u"))
+    scored
+      .groupBy(window(col("window"), windowLen), col("qid"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("score_u")).as("ns"), col("doc"), col("score_u")))),
+        1, k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("t.doc").as("doc_id"), col("t.score_u").as("score_u"))
+  }
+
   /** Streaming exact-phrase lookup against the PERSISTED positional
     * postings — the retrieval family's contamination-probe member as a
     * stream: each arriving query doc's leading trigram stream-static joins

@@ -553,6 +553,31 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(operators.Lake.mergeUpsert(t, nulls, "k").count() === 4)
   }
 
+  test("LK: applyChanges — matched deletes remove, ghost deletes no-op, mixed ops on one key raise") {
+    import spark.implicits._
+    val t = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "bal")
+    val ch = Seq(
+      (2L, "b2", 25L, "upsert"),  // matched update
+      (4L, "d", 40L, "upsert"),   // insert
+      (1L, "a", 10L, "delete"),   // matched delete
+      (9L, "x", 0L, "delete"))    // ghost delete → no-op
+      .toDF("k", "name", "bal", "op")
+    val got = operators.Lake.applyChanges(t, ch, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((2L, "b2", 25L), (3L, "c", 30L), (4L, "d", 40L)),
+      got.toString)
+    // a delete AND an upsert for one key = SQL MERGE multi-match → raise
+    val conflict = Seq((2L, "b2", 25L, "upsert"), (2L, "b", 20L, "delete"))
+      .toDF("k", "name", "bal", "op")
+    val e = intercept[Exception] {
+      operators.Lake.applyChanges(t, conflict, "k").collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("duplicate change key")), e.toString)
+  }
+
   test("VO: sq8_asym_sim validates ALL children types and rejects null elements") {
     import functions.VectorOps.sq8AsymSim
     import spark.implicits._

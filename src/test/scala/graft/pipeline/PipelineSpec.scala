@@ -1308,6 +1308,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.map(_._2).contains(10L), "query doc must be excluded")
   }
 
+  test("random-sign projection: linear, deterministic, and sign-balanced") {
+    import spark.implicits._
+    // exact binary fractions → the fold and the doubling are both exact,
+    // so round-to-6 is the identity and linearity checks bit-for-bit
+    val v = Array(0.5f, 0.25f, 1.0f, 0.125f)
+    val df = Seq((1L, v), (2L, v.map(_ * 2))).toDF("vec_id", "embedding")
+    val proj = df.select(col("vec_id"),
+      Similarity.randomSignProjection("embedding", 8).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(proj(1L).length === 8)
+    assert(proj(2L) === proj(1L).map(_ * 2), "projection must be linear")
+    // deterministic across invocations (seeded md5 signs, no RNG state)
+    val again = df.filter($"vec_id" === 1L).select(
+      Similarity.randomSignProjection("embedding", 8).as("p"))
+      .collect()(0).getSeq[Double](0)
+    assert(again === proj(1L))
+    // the sign matrix is not degenerate: components differ across k
+    assert(proj(1L).distinct.length > 1, proj(1L).toString)
+  }
+
+  test("source overlap: identical sources hit 10000 bp, disjoint sources emit no pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mirror1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "mirror2", "alpha beta gamma delta epsilon zeta"), // exact copy
+      (3L, "other", "one two three four five six seven")      // disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("jaccard_bp")))
+    assert(got.toSeq === Seq(("mirror1", "mirror2", 10000L)), got.toSeq.toString)
+  }
+
   test("fuzzy BM25: distance-1 typos recover the exact ranking, distance-2 words stay unmatched") {
     import spark.implicits._
     val docs = Seq(

@@ -143,6 +143,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
   }
 
+  test("stream-static fuzzy bm25: typo'd streamed queries return exactly the batch fuzzy top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val ix = graft.pipeline.TextIndex.persisted(spark, sf)
+    // the q_bm25_fuzzy mutation: every word longer than 3 chars loses its
+    // last char, so the deletion-variant expansion is load-bearing
+    def mutate(t: String): String = t.toLowerCase.trim
+      .split("\\s+").map(w => if (w.length > 3) w.dropRight(1) else w)
+      .mkString(" ")
+    val qdocs = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 3)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), mutate(r.getString(1))))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.fuzzySearchStream(
+      input.toDF().toDF("qid", "ts", "qtext"), ix)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("fuzzy_out").start()
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:05")
+    input.addData(qdocs.map { case (id, t) => (id, t0, t) }.toSeq)
+    q.processAllAvailable()
+    input.addData((999L, Timestamp.valueOf("2024-01-01 12:00:00"), "catalyst"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT qid, rank, doc_id, score_u FROM fuzzy_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val batchQ = qdocs.toSeq.toDF("qid", "qtext")
+    val batch = graft.pipeline.TextIndex.bm25FuzzyTopK(batchQ, ix, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.nonEmpty, "fuzzy batch result must not be vacuous")
+    assert(got === batch,
+      s"stream ∖ batch: ${got -- batch}; batch ∖ stream: ${batch -- got}")
+    assert(!got.exists(_._1 == 999L), "unflushed window must not emit")
+  }
+
   test("stream-static bm25 lookup: streamed query docs return exactly the batch top-k") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
