@@ -115,6 +115,35 @@ object Lake {
         +: compareCols.flatMap(c => Seq(col("o_" + c), col("n_" + c))): _*)
   }
 
+  /** Incremental materialized-view maintenance for distributive
+    * aggregates: fold a CDC batch ([[snapshotDiff]] rows — `change_type`
+    * + o_/n_ copies of the group and value columns) into an existing
+    * per-group (cnt, sum_v) aggregate WITHOUT touching the base table.
+    * Every change row becomes ± contributions — removed: (−1, −old);
+    * added: (+1, +new); changed: both, against the OLD and NEW group
+    * respectively, so group migrations maintain correctly — and one
+    * narrow re-aggregation merges them with the old state. Groups whose
+    * count reaches zero drop (the view never carries empty groups).
+    *
+    * This is the lakehouse materialized-view loop closed over the E111
+    * change feed: maintain cost ∝ |changes|, never |base|. Values should
+    * be exact integers (cents) — the maintained view must EQUAL the
+    * from-scratch aggregate bit-for-bit, which is what the oracle checks.
+    */
+  def maintainAgg(oldAgg: DataFrame, cdc: DataFrame,
+      groupO: String, groupN: String,
+      valO: String, valN: String): DataFrame = {
+    val minus = cdc.filter(col("change_type").isin("removed", "changed"))
+      .select(col(groupO).as("grp"), lit(-1L).as("cnt"),
+        (-col(valO)).cast("long").as("sum_v"))
+    val plus = cdc.filter(col("change_type").isin("added", "changed"))
+      .select(col(groupN).as("grp"), lit(1L).as("cnt"),
+        col(valN).cast("long").as("sum_v"))
+    oldAgg.unionByName(minus).unionByName(plus)
+      .groupBy("grp").agg(sum("cnt").as("cnt"), sum("sum_v").as("sum_v"))
+      .filter(col("cnt") > 0)
+  }
+
   /** The deterministic delta used by both queries: same-key balance bumps
     * for custkey % 7 = 0, brand-new keys (custkey + 1000000) for
     * custkey % 31 = 0. Derived from the customer table itself so the oracle
@@ -185,7 +214,7 @@ object Lake {
   )
 
   /** Shared oracle CTE: the same deterministic delta + merged snapshot. */
-  private val mergeBaseSql =
+  private[operators] val mergeBaseSql =
     """delta AS (
       |  SELECT c_custkey, c_name, c_nationkey,
       |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment

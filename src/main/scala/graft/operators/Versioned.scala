@@ -246,7 +246,11 @@ object Versioned {
     */
   def commitPartitioned(df: DataFrame, dir: String, partCol: String): Int = {
     val v = claimNext(dir)
-    df.write.partitionBy(partCol).mode("overwrite").parquet(s"$dir/v$v/data")
+    // cluster rows to their partition before the write: each hive dir gets
+    // one file instead of one per producing task — the small-file posture
+    // a 100 TB partitioned commit needs
+    df.repartition(col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(s"$dir/v$v/data")
     val parts = Option(new java.io.File(s"$dir/v$v/data").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
@@ -301,8 +305,8 @@ object Versioned {
       case None => updates
     }
     val v = claimNext(dir)
-    merged.write.partitionBy(partCol).mode("overwrite")
-      .parquet(s"$dir/v$v/data")
+    merged.repartition(col(partCol)).write.partitionBy(partCol)
+      .mode("overwrite").parquet(s"$dir/v$v/data")
     val newParts = Option(new java.io.File(s"$dir/v$v/data").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
@@ -596,13 +600,35 @@ object Versioned {
     // which is exactly the oracle.
     "q_lake_skipping" -> ((s, dir) => {
       val c = graft.Tables.customer(s, dir)
-        .withColumn("ck_bucket", floor(col("c_custkey") / 50).cast("long"))
+        .withColumn("ck_bucket", floor(col("c_custkey") / 100).cast("long"))
       val d = tableDir(dir + "#skip")
       commitPartitionedStats(s, c, d, "ck_bucket", "c_custkey")
       readPartitionedPruned(s, d, 0, "c_custkey", 60L, 140L)
         .select(col("c_custkey"), col("c_name"),
           floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
           col("ck_bucket").cast("long").as("ck_bucket"))
+    }),
+
+    // LK9: incremental materialized-view maintenance — a per-segment
+    // (count, sum-cents) aggregate built once at v0, then maintained
+    // through BOTH commits by folding each version-step's REAL CDC rows
+    // ([[changes]]) via [[Lake.maintainAgg]]. The oracle recomputes the
+    // aggregate from scratch over the final logical snapshot — a hash
+    // match proves maintain ∘ maintain ≡ recompute, with maintain cost
+    // proportional to the change sets, never the base.
+    "q_lake_incr_mv" -> ((s, dir) => {
+      val d = buildHistory(s, dir)
+      def cents(v: Int): DataFrame = readAt(s, d, v)
+        .withColumn("acctbal_c", floor(col("c_acctbal") * 100).cast("long"))
+      val agg0 = cents(0).groupBy(col("c_mktsegment").as("grp"))
+        .agg(count(lit(1)).as("cnt"), sum("acctbal_c").as("sum_v"))
+      val comp = Seq("c_mktsegment", "acctbal_c")
+      val cdc1 = Lake.snapshotDiff(cents(0), cents(1), "c_custkey", comp)
+      val cdc2 = Lake.snapshotDiff(cents(1), cents(2), "c_custkey", comp)
+      val m1 = Lake.maintainAgg(agg0, cdc1, "o_c_mktsegment",
+        "n_c_mktsegment", "o_acctbal_c", "n_acctbal_c")
+      Lake.maintainAgg(m1, cdc2, "o_c_mktsegment", "n_c_mktsegment",
+        "o_acctbal_c", "n_acctbal_c")
     }),
 
     // LK4: CDC across the whole retained history — changes(v0, v2) with the
@@ -624,6 +650,14 @@ object Versioned {
   val oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> Lake.oracles("q_merge_upsert"),
     "q_lake_changes" -> Lake.oracles("q_snapshot_diff"),
+    // the incrementally maintained view must equal the from-scratch
+    // aggregate over the final logical snapshot (merge, then delete %13)
+    "q_lake_incr_mv" ->
+      s"""WITH ${Lake.mergeBaseSql}
+         |SELECT c_mktsegment AS grp, CAST(count(*) AS BIGINT) AS cnt,
+         |  CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_v
+         |FROM merged WHERE c_custkey % 13 != 0
+         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // merge-on-read must equal the logical filter of both chained deletes
     "q_lake_delete_dv" ->
       """SELECT c_custkey, c_name, c_nationkey,
@@ -636,7 +670,7 @@ object Versioned {
     "q_lake_skipping" ->
       """SELECT c_custkey, c_name,
         |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c,
-        |  CAST(FLOOR(c_custkey / 50) AS BIGINT) AS ck_bucket
+        |  CAST(FLOOR(c_custkey / 100) AS BIGINT) AS ck_bucket
         |FROM customer
         |WHERE c_custkey BETWEEN 60 AND 140
         |ORDER BY ALL NULLS FIRST""".stripMargin,

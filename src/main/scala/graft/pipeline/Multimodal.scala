@@ -693,6 +693,96 @@ object Multimodal {
       }
   }
 
+  /** 64-bit difference hash (dHash) — the perceptual image fingerprint
+    * bridging the multimodal tier to the dedup family: decode (real
+    * JDK/VP8L codecs, the [[pixelStats]] seam), integer-luminance
+    * box-downsample to a 9×8 grid, bit i set iff cell (cy, cx) is
+    * strictly brighter than its right neighbor. Re-encodes and small
+    * edits land within a few bits of Hamming distance; unrelated images
+    * are ~32 bits apart.
+    *
+    * Exactness: luminance is the integer 299r+587g+114b, cell means are
+    * never divided — brightness comparisons cross-multiply (sum_l·cnt_r >
+    * sum_r·cnt_l), so the hash is a pure integer function of the pixels
+    * (no float, no rounding, engine/platform-stable). Streams one pixel
+    * row at a time like [[pixelStats]]; cells a tiny image never touches
+    * stay (0, 0) and compare false — deterministic. None when no codec
+    * decodes the payload (the documented codec ceiling).
+    */
+  def dHash(content: Array[Byte]): Option[Long] = {
+    val gw = 9; val gh = 8
+    def fold(w: Int, h: Int, rowAt: Int => Array[Int]): Option[Long] = {
+      if (w <= 0 || h <= 0) return None
+      val sums = Array.ofDim[Long](gh, gw)
+      val cnts = Array.ofDim[Long](gh, gw)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(gh - 1, y * gh / h)
+        val row = rowAt(y)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(gw - 1, x * gw / w)
+          val p = row(x)
+          sums(cy)(cx) += 299L * ((p >> 16) & 0xff) +
+            587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+          cnts(cy)(cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L; var i = 0; var cy = 0
+      while (cy < gh) {
+        var cx = 0
+        while (cx < gw - 1) {
+          if (sums(cy)(cx) * cnts(cy)(cx + 1) >
+              sums(cy)(cx + 1) * cnts(cy)(cx)) bits |= 1L << i
+          i += 1; cx += 1
+        }
+        cy += 1
+      }
+      Some(bits)
+    }
+    def viaVp8l: Option[Long] = Vp8l.decode(content).flatMap {
+      case (w, h, px) =>
+        val r = new Array[Int](w)
+        fold(w, h, y => { System.arraycopy(px, y * w, r, 0, w); r })
+    }
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) viaVp8l
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val row = new Array[Int](w)
+        fold(w, h, y => { img.getRGB(0, y, w, 1, row, 0, w); row })
+      }
+    } catch { case scala.util.control.NonFatal(_) => viaVp8l }
+  }
+
+  /** Near-duplicate image pairs from dHash fingerprints, banded: the 64
+    * bits split into 4 × 16-bit keys, candidates equi-join on any shared
+    * (band, key) — by pigeonhole, every pair within Hamming distance 3 is
+    * guaranteed a shared band — and the exact popcount refine keeps
+    * `hamming ≤ maxDist`. Same scale algebra as the MinHash-LSH pipeline:
+    * a hash join on band keys, never an all-pairs cross.
+    */
+  def dHashPairs(hashes: DataFrame, idCol: String = "media_id",
+      hashCol: String = "dhash", maxDist: Int = 3): DataFrame = {
+    val banded = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .withColumn("band", explode(sequence(lit(0), lit(3))))
+      .withColumn("bkey",
+        expr("shiftright(h, band * 16)").bitwiseAND(lit(0xffffL)))
+    banded.select(col("id").as("id_a"), col("h").as("h_a"),
+        col("band"), col("bkey"))
+      .join(banded.select(col("id").as("id_b"), col("h").as("h_b"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Resized media record (decode → scale stub). */
   case class ResizedMedia(media_id: Long, width: Int, height: Int,
       content: Array[Byte])

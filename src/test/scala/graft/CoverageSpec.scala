@@ -578,6 +578,24 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("duplicate change key")), e.toString)
   }
 
+  test("LK: maintainAgg — adds, removes, group migrations, and zero-count groups drop") {
+    import spark.implicits._
+    // view over (grp, v): A = {10, 20}, B = {5}
+    val agg0 = Seq(("A", 2L, 30L), ("B", 1L, 5L)).toDF("grp", "cnt", "sum_v")
+    // cdc: remove A/10; change B/5 → A/7 (group migration); add C/100
+    val cdc = Seq(
+      ("removed", "A", null.asInstanceOf[String], java.lang.Long.valueOf(10L), null.asInstanceOf[java.lang.Long]),
+      ("changed", "B", "A", java.lang.Long.valueOf(5L), java.lang.Long.valueOf(7L)),
+      ("added", null.asInstanceOf[String], "C", null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(100L))
+    ).toDF("change_type", "o_grp", "n_grp", "o_v", "n_v")
+    val got = operators.Lake.maintainAgg(agg0, cdc, "o_grp", "n_grp",
+      "o_v", "n_v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // A: (2-1-0+1, 30-10-0+7) = (2, 27); B: (1-1, 5-5) = 0 → drops;
+    // C: (1, 100)
+    assert(got === Set(("A", 2L, 27L), ("C", 1L, 100L)), got.toString)
+  }
+
   test("VO: sq8_asym_sim validates ALL children types and rejects null elements") {
     import functions.VectorOps.sq8AsymSim
     import spark.implicits._

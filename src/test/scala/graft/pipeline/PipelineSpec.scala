@@ -263,6 +263,58 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.pixelStats("not an image".getBytes) === None)
   }
 
+  test("multimodal: dHash — format/brightness invariant, edit-local, banded pairs find near-dups") {
+    import spark.implicits._
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    // a deterministic 36x32 gradient-ish image with real structure
+    def base(shift: Int, edit: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(36, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 36) {
+        val v0 = (x * 7 + (y / 4) * 13 + (x * y) % 23) % 200
+        val v = math.min(255, v0 + shift)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      if (edit) for (y <- 0 until 8; x <- 0 until 4)
+        img.setRGB(x, y, 0xffffff) // local patch edit
+      img
+    }
+    val png = encode(base(0, edit = false), "png")
+    val bmp = encode(base(0, edit = false), "bmp")
+    val bright = encode(base(30, edit = false), "png")
+    val edited = encode(base(0, edit = true), "png")
+    val Some(hPng) = Multimodal.dHash(png)
+    // format-invariant: same pixels, different container → identical hash
+    assert(Multimodal.dHash(bmp) === Some(hPng))
+    // brightness-shift invariant: relative cell order survives +30
+    // (saturation clamps only the top of the 0..199 ramp)
+    val Some(hBright) = Multimodal.dHash(bright)
+    assert(java.lang.Long.bitCount(hPng ^ hBright) <= 3,
+      s"brightness shift moved ${java.lang.Long.bitCount(hPng ^ hBright)} bits")
+    // a local patch edit flips few bits; the pair survives banding at d<=3
+    val Some(hEdit) = Multimodal.dHash(edited)
+    val dEdit = java.lang.Long.bitCount(hPng ^ hEdit)
+    assert(dEdit >= 1 && dEdit <= 3, s"local edit distance $dEdit")
+    // an unrelated image is far away
+    val noise = new java.awt.image.BufferedImage(36, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 36)
+      noise.setRGB(x, y, if ((x * 31 + y * 17) % 2 == 0) 0xffffff else 0)
+    val Some(hNoise) = Multimodal.dHash(encode(noise, "png"))
+    assert(java.lang.Long.bitCount(hPng ^ hNoise) > 10)
+    // non-image payloads decode to None
+    assert(Multimodal.dHash("not an image".getBytes) === None)
+    // banded pair join: the near-dups pair up, the noise image does not
+    val hashes = Seq((1L, hPng), (2L, hEdit), (3L, hNoise))
+      .toDF("media_id", "dhash")
+    val pairs = Multimodal.dHashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), pairs.toString)
+  }
+
   test("multimodal: real JPEG pixel decode via the JDK's baseline reader") {
     // JPEG is the dominant web-corpus image format and the JDK ships its
     // own baseline codec — so the decode is REAL here, not the hash stub.
