@@ -319,13 +319,16 @@ object TextIndex {
       .otherwise(array(c))
 
   def bm25FuzzyTopK(queryDocs: DataFrame, ix: Components,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, variants: Option[DataFrame] = None): DataFrame = {
     def dels(c: Column): Column = deletionVariants(c)
     val qw = queryDocs.select(col("qid"),
       explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("qword"))
     val qv = qw.withColumn("variant", explode(dels(col("qword"))))
-    val vv = ix.vocab.select(col("word"))
-      .withColumn("variant", explode(dels(col("word"))))
+    // vocab-side neighborhood: the persisted `variants` component when
+    // given (the production path — no per-query vocab re-expansion), else
+    // derived in-query from ix.vocab (the oracle-anchor / append path)
+    val vv = variants.getOrElse(ix.vocab.select(col("word"))
+      .withColumn("variant", explode(dels(col("word")))))
     val expanded = vv.join(broadcast(qv), Seq("variant"))
       .filter(levenshtein(col("qword"), col("word")) <= 1)
       .select("qid", "word").distinct()
@@ -403,8 +406,15 @@ object TextIndex {
     statsOf(p).write.mode("overwrite").parquet(s"$vd/stats")
     positionsOf(T.documents(spark, sfDir))
       .write.mode("overwrite").parquet(s"$vd/positions")
+    // the fuzzy-search component: each vocab word's 1-deletion
+    // neighborhood, precomputed so typo-tolerant queries never re-expand
+    // the vocabulary (the E124 "(len+1)× the vocab" cost paid at build)
+    spark.read.parquet(s"$vd/vocab").select(col("word"))
+      .withColumn("variant", explode(deletionVariants(col("word"))))
+      .write.mode("overwrite").parquet(s"$vd/variants")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(vd, "_meta"),
-      "scoring=bm25\nk1=1.2\nb=0.75\nidf=lucene\npositions=1-based\n")
+      "scoring=bm25\nk1=1.2\nb=0.75\nidf=lucene\npositions=1-based\n" +
+        "variants=delete1\n")
   }
 
   /** Tombstoned doc ids for `sfDir`'s index, if any. */
@@ -489,6 +499,18 @@ object TextIndex {
     s.read.parquet(s"$pd/positions")
   }
 
+  /** The persisted (word, variant) deletion neighborhood — same one-time
+    * artifact-schema evolution as [[positionsPersisted]]: a version built
+    * before the component existed rebuilds once.
+    */
+  def variantsPersisted(s: SparkSession, sfDir: String): DataFrame = {
+    val vd = ensure(s, sfDir)
+    val pd =
+      if (new java.io.File(s"$vd/variants").exists()) vd
+      else rebuild(s, sfDir)
+    s.read.parquet(s"$pd/variants")
+  }
+
   // ---- declared queries --------------------------------------------------
 
   private def queryDocs(s: SparkSession, dir: String): DataFrame =
@@ -566,7 +588,8 @@ object TextIndex {
           concat_ws(" ", transform(TextAnalysis.tokens(col("text")),
             w => when(length(w) > 3, w.substr(lit(1), length(w) - 1))
               .otherwise(w))).as("qtext"))
-      bm25FuzzyTopK(q, persisted(s, dir))
+      bm25FuzzyTopK(q, persisted(s, dir),
+        variants = Some(variantsPersisted(s, dir)))
     }),
 
     // L7j: sparse TF-IDF cosine top-10 over the persisted index — the

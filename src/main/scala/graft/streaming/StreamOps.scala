@@ -315,10 +315,11 @@ object StreamOps {
     */
   def fuzzySearchStream(queryDocs: DataFrame,
       ix: graft.pipeline.TextIndex.Components, k: Int = 10,
-      tsCol: String = "ts", windowLen: String = "10 minutes"): DataFrame = {
+      tsCol: String = "ts", windowLen: String = "10 minutes",
+      variants: Option[DataFrame] = None): DataFrame = {
     import graft.pipeline.{TextAnalysis, TextIndex}
-    val vv = ix.vocab.select(col("word"))
-      .withColumn("variant", explode(TextIndex.deletionVariants(col("word"))))
+    val vv = variants.getOrElse(ix.vocab.select(col("word"))
+      .withColumn("variant", explode(TextIndex.deletionVariants(col("word")))))
     val qt = queryDocs
       .withWatermark(tsCol, "10 minutes")
       .select(col("qid"), col(tsCol),

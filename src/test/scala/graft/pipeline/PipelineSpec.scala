@@ -1344,6 +1344,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(pers.postings) === rows(fresh.postings))
     assert(rows(pers.vocab) === rows(fresh.vocab))
     assert(rows(pers.stats) === rows(fresh.stats))
+    // the fuzzy-search component: persisted (word, variant) neighborhood
+    // equals the in-query derivation from the same vocab
+    import org.apache.spark.sql.functions.{col, explode}
+    assert(rows(TextIndex.variantsPersisted(spark, sf)) ===
+      rows(fresh.vocab.select(col("word")).withColumn("variant",
+        explode(TextIndex.deletionVariants(col("word"))))))
     // planted relevance: the only corpus doc sharing the query's rare terms
     // must rank first; a doc sharing only stop-like common terms ranks below
     val docs = Seq(
