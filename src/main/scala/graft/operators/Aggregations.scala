@@ -15,7 +15,25 @@ import org.apache.spark.sql.functions._
 object Aggregations {
   import Det._
 
+  /** Equi-width histogram over an exact-cents value: bucket = cents div
+    * width, with per-bucket count and exact min/max — the profiling
+    * primitive engines expose as `histogram()`/`width_bucket`. One narrow
+    * aggregation; empty buckets are absent (sparse form).
+    */
+  def equiWidthHistogram(df: org.apache.spark.sql.DataFrame,
+      centsCol: org.apache.spark.sql.Column, widthCents: Long)
+      : org.apache.spark.sql.DataFrame =
+    df.select(centsCol.as("__c"))
+      .groupBy(expr(s"__c div ${widthCents}L").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("__c")).as("min_c"),
+        max(col("__c")).as("max_c"))
+
   val queries: Map[String, Q] = Map(
+    // A13: equi-width histogram of l_extendedprice in $100 buckets —
+    // bucket ids, counts, and exact in-bucket extrema hash-checked.
+    "q_histogram" -> ((s, dir) =>
+      equiWidthHistogram(T.lineitem(s, dir), cents(col("l_extendedprice")),
+        10000L)),
     // A1: TPC-H Q1 shape — grouped sum/avg/count.
     "q_agg_group" -> ((s, dir) => {
       T.lineitem(s, dir)
@@ -213,6 +231,13 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cc
+        |  FROM lineitem)
+        |SELECT cc // 10000 AS bucket, count(*) AS n,
+        |  CAST(min(cc) AS BIGINT) AS min_c, CAST(max(cc) AS BIGINT) AS max_c
+        |FROM c GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // the exact count is re-derived; TRUE asserts the Spark-side sketch
     // honored its 3·rsd bound (see the query's doc comment)
     "q_approx_distinct" ->

@@ -458,7 +458,67 @@ object Dedup {
           .as("jaccard_bp"))
   }
 
+  /** EXACT set-similarity join via prefix filtering (the AllPairs/PPJoin
+    * principle — Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search") — the exact counterpart of the approximate MinHash-LSH
+    * pipeline: emits EVERY pair with shingle-set Jaccard ≥ num/den, no
+    * probabilistic recall. Each doc's distinct shingle hashes sort into
+    * one GLOBAL canonical order (ascending 60-bit md5 value); a doc of
+    * size s exposes only its first s − ⌈t·s⌉ + 1 hashes as candidate
+    * keys. Prefix-filtering guarantee: J(A,B) ≥ t ⟹ |A∩B| ≥
+    * t·max(|A|,|B|), and two sets with overlap ≥ α must intersect within
+    * their (size − α + 1)-prefixes — so the candidate equi-join on prefix
+    * hashes misses nothing, and the exact integer verify
+    * (inter·den ≥ num·union) keeps only true pairs. Returns
+    * (doc_a, doc_b, n_inter, n_union, jaccard_bp).
+    *
+    * Scale shape: candidate fan-out is bounded by the prefix length
+    * ((1−t)·s + 1 per doc — at t = ½, half the LSH pipeline's band
+    * replication) times the per-hash doc frequency; the verify joins the
+    * two docs' hash ARRAYS only for candidates, exactly the LSH verify
+    * stage. The n² spelling exists only as this row's DuckDB oracle — a
+    * hash match against it PROVES completeness on the corpus, which no
+    * LSH row can claim.
+    */
+  def setSimJoinExact(docs: DataFrame, tNum: Int, tDen: Int,
+      n: Int = 3): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(col("sh"),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
+        .as("hv"))
+      .withColumn("sz", size(col("hv")).cast("long"))
+    // prefix length s − ⌈t·s⌉ + 1, integer: ceil(a/b) = (a + b − 1) div b
+    val pfx = sets.withColumn("plen",
+      (col("sz") - expr(s"(${tNum}L * sz + ${tDen}L - 1) div ${tDen}L")
+        + lit(1L)).cast("int"))
+      .select(col("doc_id"), explode(expr("slice(hv, 1, plen)")).as("h"))
+    val cand = pfx.select(col("doc_id").as("doc_a"), col("h"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"),
+        col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hv").as("hv_b"),
+        col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("hv_a"), col("hv_b"))).cast("long"))
+      .withColumn("n_union", col("sz_a") + col("sz_b") - col("n_inter"))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_union"),
+        expr("(10000 * n_inter) div n_union").as("jaccard_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // L2m: EXACT set-similarity join at Jaccard ≥ 1/2 — the oracle is the
+    // naive n² spelling, so the hash match proves the prefix filter's
+    // completeness claim on this corpus, pair for pair.
+    "q_dedup_setsim" -> ((s, dir) =>
+      setSimJoinExact(T.documents(s, dir), 1, 2)),
+
     // L2l: cross-source overlap matrix — every source pair's exact
     // shingle-set Jaccard in basis points, hash-checked cell by cell.
     "q_dedup_source_overlap" -> ((s, dir) =>
@@ -866,6 +926,34 @@ object Dedup {
        |FROM ranked WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the naive n² spelling IS the oracle: a hash match proves the prefix
+    // filter found every pair (completeness), not just true ones
+    "q_dedup_setsim" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |shx AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS sh
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(sh,
+        |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hv
+        |  FROM shx WHERE len(sh) > 0),
+        |sized AS (SELECT doc_id, hv, CAST(len(hv) AS BIGINT) AS sz FROM hs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.hv, b.hv)) AS BIGINT) AS n_inter,
+        |    a.sz + b.sz - CAST(len(list_intersect(a.hv, b.hv)) AS BIGINT) AS n_union
+        |  FROM sized a JOIN sized b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, n_inter, n_union,
+        |  CAST((10000 * n_inter) // n_union AS BIGINT) AS jaccard_bp
+        |FROM pairs WHERE n_inter * 2 >= n_union * 1
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_dedup_source_overlap" ->
       """WITH t AS (
         |  SELECT source,

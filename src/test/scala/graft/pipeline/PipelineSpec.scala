@@ -1386,6 +1386,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(proj(1L).distinct.length > 1, proj(1L).toString)
   }
 
+  test("exact set-sim join: prefix filter finds EVERY Jaccard>=1/2 pair (vs naive n²)") {
+    import spark.implicits._
+    val docs = T.documents(spark, "/root/testdata/sf0.001")
+    val blocked = Dedup.setSimJoinExact(docs, 1, 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exhaustive spelling over the same md5-hash sets
+    val sets = docs
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), array_distinct(transform(col("sh"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("hv"))
+    val naive = sets.select(col("doc_id").as("doc_a"), col("hv").as("a"))
+      .crossJoin(sets.select(col("doc_id").as("doc_b"), col("hv").as("b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("i", size(array_intersect(col("a"), col("b"))))
+      .withColumn("u", size(col("a")) + size(col("b")) - col("i"))
+      .filter(col("i") * 2 >= col("u"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === naive,
+      s"missed: ${naive -- blocked}; extra: ${blocked -- naive}")
+    assert(naive.nonEmpty) // must not pass vacuously
+  }
+
   test("source overlap: identical sources hit 10000 bp, disjoint sources emit no pair") {
     import spark.implicits._
     val docs = Seq(
