@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables => T}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,7 +125,41 @@ object Temporal {
         expr("(10000 * n_active) div n_cohort").as("retained_bp"))
   }
 
+  /** Per-key 3σ outlier detection with NO float seam: the classic
+    * anomaly gate (|v − μ| > 3σ) decided entirely in integer arithmetic.
+    * With per-key n, S = Σc, Q = Σc² over exact cents, the test
+    * (c − S/n)² > 9·(nQ − S²)/n² cross-multiplies to
+    * (n·c − S)² > 9·(n·Q − S²) — both sides exact integers, computed in
+    * DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) so the squares can't
+    * overflow 64 bits at scale. One narrow per-key aggregation broadcast
+    * back over the rows; engines agree bit-for-bit because no division
+    * or square root ever happens.
+    */
+  def sigmaOutliers(e: DataFrame, keyCol: String, centsCol: Column,
+      sigmas: Int = 3): DataFrame = {
+    val rows = e.withColumn("__c", centsCol)
+    val st = rows.groupBy(keyCol).agg(count(lit(1)).as("n"),
+      sum("__c").as("sv"), sum(expr("__c * __c")).as("q"))
+    rows.join(broadcast(st), Seq(keyCol))
+      .filter(expr(
+        s"""(CAST(n AS DECIMAL(38,0)) * CAST(__c AS DECIMAL(38,0))
+           |   - CAST(sv AS DECIMAL(38,0))) *
+           |(CAST(n AS DECIMAL(38,0)) * CAST(__c AS DECIMAL(38,0))
+           |   - CAST(sv AS DECIMAL(38,0)))
+           | > CAST(${sigmas * sigmas} AS DECIMAL(38,0)) *
+           |   (CAST(n AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))
+           |    - CAST(sv AS DECIMAL(38,0)) * CAST(sv AS DECIMAL(38,0)))"""
+          .stripMargin))
+  }
+
   val queries: Map[String, Q] = Map(
+    // T10: per-event-type 3σ outliers over exact value cents — the flagged
+    // row set hash-checked with zero float operations on either engine.
+    "q_ts_outliers" -> ((s, dir) =>
+      sigmaOutliers(T.events(s, dir), "event_type",
+        floor(col("value") * 100).cast("long"), 3)
+        .select(col("event_id"), col("event_type"), col("__c").as("value_c"))),
+
     // T9: daily cohort retention over the events table — every cell of
     // the (first-active-day × day-offset) matrix hash-checked, including
     // the integer basis-point rates.
@@ -265,6 +299,22 @@ object Temporal {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ts_outliers" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS value_c
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(value_c) AS BIGINT) AS sv,
+        |    CAST(SUM(value_c * value_c) AS BIGINT) AS q
+        |  FROM c GROUP BY 1)
+        |SELECT c.event_id, c.event_type, c.value_c
+        |FROM c JOIN st USING (event_type)
+        |WHERE (CAST(n AS HUGEINT) * value_c - sv) *
+        |      (CAST(n AS HUGEINT) * value_c - sv)
+        |      > 9 * (CAST(n AS HUGEINT) * q - CAST(sv AS HUGEINT) * sv)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_cohort_retention" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS b FROM events),

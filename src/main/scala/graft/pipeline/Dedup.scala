@@ -512,7 +512,78 @@ object Dedup {
         expr("(10000 * n_inter) div n_union").as("jaccard_bp"))
   }
 
+  /** EXACT containment join — the ASYMMETRIC sibling of
+    * [[setSimJoinExact]] for quote/subset detection: emits (a, b) when
+    * C(a→b) = |A∩B|/|A| ≥ num/den, i.e. at least that fraction of doc
+    * a's shingles appear in doc b (a long doc quoting a short one scores
+    * high a→b while Jaccard stays low). Prefix filtering applies on the
+    * CONTAINED side only: C ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, so a's
+    * (|A| − ⌈t·|A|⌉ + 1)-prefix must hit B somewhere — the b side
+    * exposes its FULL hash list (the inverted-index posture: b is the
+    * indexed corpus, a the probe set). Verify is the exact integer
+    * inter·den ≥ ⌈t·|A|⌉-free form inter·den ≥ num·szA. Returns
+    * (doc_a, doc_b, n_inter, sz_a, containment_bp), a ≠ b, both
+    * directions distinct.
+    */
+  def containmentJoinExact(docs: DataFrame, tNum: Int, tDen: Int,
+      n: Int = 3): DataFrame = {
+    val sets = docs
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), array_sort(array_distinct(
+        transform(col("sh"),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
+        .as("hv"))
+      .withColumn("sz", size(col("hv")).cast("long"))
+    val pfx = sets.withColumn("plen",
+      (col("sz") - expr(s"(${tNum}L * sz + ${tDen}L - 1) div ${tDen}L")
+        + lit(1L)).cast("int"))
+      .select(col("doc_id").as("doc_a"),
+        explode(expr("slice(hv, 1, plen)")).as("h"))
+    val full = sets.select(col("doc_id").as("doc_b"),
+      explode(col("hv")).as("h"))
+    val cand = pfx.join(full, Seq("h"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"),
+        col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("hv").as("hv_b")),
+        Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("hv_a"), col("hv_b"))).cast("long"))
+      .filter(col("n_inter") * tDen >= col("sz_a") * tNum)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("sz_a"),
+        expr("(10000 * n_inter) div sz_a").as("containment_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // L2n: EXACT containment join at C ≥ 3/4 — naive-n² oracle again, so
+    // the hash match certifies the asymmetric prefix filter's
+    // completeness; the output includes both directions where they hold.
+    "q_dedup_containment_join" -> ((s, dir) =>
+      containmentJoinExact(T.documents(s, dir), 3, 4)),
+
+    // L2o: shingle novelty curve — per doc, the fraction of its distinct
+    // shingles NOT seen in any earlier doc (first_seen = min doc_id per
+    // shingle): the running-originality metric of an ordered ingest.
+    // One explode + a per-shingle min + a per-doc ratio in basis points.
+    "q_text_novelty" -> ((s, dir) => {
+      val sh = T.documents(s, dir)
+        .select(col("doc_id"),
+          explode(shingles(col("text"))).as("g"))
+        .select(col("doc_id"), substring(md5(col("g")), 1, 15).as("h"))
+        .distinct()
+      val first = sh.groupBy("h").agg(min("doc_id").as("first_seen"))
+      sh.join(first, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_seen") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("(10000 * n_novel) div n_shingles").as("novelty_bp"))
+    }),
+
     // L2m: EXACT set-similarity join at Jaccard ≥ 1/2 — the oracle is the
     // naive n² spelling, so the hash match proves the prefix filter's
     // completeness claim on this corpus, pair for pair.
@@ -926,6 +997,54 @@ object Dedup {
        |FROM ranked WHERE rn = 1 ORDER BY ALL NULLS FIRST""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // asymmetric completeness certificate: naive ordered-pairs spelling
+    "q_dedup_containment_join" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |shx AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS sh
+        |  FROM t),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(sh,
+        |      s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS hv
+        |  FROM shx WHERE len(sh) > 0),
+        |sized AS (SELECT doc_id, hv, CAST(len(hv) AS BIGINT) AS sz FROM hs),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.hv, b.hv)) AS BIGINT) AS n_inter,
+        |    a.sz AS sz_a
+        |  FROM sized a JOIN sized b ON a.doc_id <> b.doc_id)
+        |SELECT doc_a, doc_b, n_inter, sz_a,
+        |  CAST((10000 * n_inter) // sz_a AS BIGINT) AS containment_bp
+        |FROM pairs WHERE n_inter * 4 >= sz_a * 3
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_text_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |shx AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN []
+        |         ELSE list_transform(generate_series(1, len(toks) - 2),
+        |           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS sh
+        |  FROM t),
+        |e AS (
+        |  SELECT DISTINCT doc_id, substr(md5(s), 1, 15) AS h
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shx)),
+        |f AS (SELECT h, min(doc_id) AS first_seen FROM e GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_seen = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST((10000 * SUM(CASE WHEN f.first_seen = e.doc_id THEN 1 ELSE 0 END))
+        |       // count(*) AS BIGINT) AS novelty_bp
+        |FROM e JOIN f USING (h)
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     // the naive n² spelling IS the oracle: a hash match proves the prefix
     // filter found every pair (completeness), not just true ones
     "q_dedup_setsim" ->

@@ -1411,6 +1411,80 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(naive.nonEmpty) // must not pass vacuously
   }
 
+  test("containment join: a quoted doc scores 10000 bp one-way; completeness vs naive") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, small),                                      // the quote
+      (2L, s"intro words then $small and a long tail of extra material"),
+      (3L, "entirely different content with nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentJoinExact(docs, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("containment_bp")))
+      .toSet
+    // every shingle of doc 1 appears in doc 2 → C(1→2) = 10000; the long
+    // doc is NOT contained in the short one at 3/4
+    assert(got.exists(t => t._1 == 1L && t._2 == 2L && t._3 == 10000L),
+      got.toString)
+    assert(!got.exists(t => t._1 == 2L && t._2 == 1L), got.toString)
+    assert(!got.exists(t => t._1 == 3L || t._2 == 3L), got.toString)
+    // completeness on the corpus slice: blocked ≡ naive ordered pairs
+    val corpus = T.documents(spark, "/root/testdata/sf0.001")
+    val sets = corpus
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), array_distinct(transform(col("sh"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("hv"))
+    val naive = sets.select(col("doc_id").as("doc_a"), col("hv").as("a"))
+      .crossJoin(sets.select(col("doc_id").as("doc_b"), col("hv").as("b")))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .withColumn("i", size(array_intersect(col("a"), col("b"))))
+      .filter(col("i") * 4 >= size(col("a")) * 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.containmentJoinExact(corpus, 3, 4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === naive,
+      s"missed: ${naive -- blocked}; extra: ${blocked -- naive}")
+    assert(naive.nonEmpty)
+  }
+
+  test("novelty curve: first doc is all-novel, an exact duplicate is zero-novel") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of doc 1
+      (3L, "alpha beta gamma plus fresh new material here")
+    ).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"))).as("g"))
+      .select(col("doc_id"), substring(md5(col("g")), 1, 15).as("h"))
+      .distinct()
+    val first = sh.groupBy("h").agg(min("doc_id").as("first_seen"))
+    val bp = sh.join(first, Seq("h")).groupBy("doc_id")
+      .agg((expr("10000 * sum(CASE WHEN first_seen = doc_id THEN 1 ELSE 0 END)")
+        / count(lit(1))).cast("long").as("novelty_bp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bp(1L) === 10000L && bp(2L) === 0L, bp.toString)
+    assert(bp(3L) > 0L && bp(3L) < 10000L, bp.toString)
+  }
+
+  test("sigma outliers: integer 3σ test flags exactly the planted spike, strict at the boundary") {
+    import spark.implicits._
+    // [0]*10 + [100]: the spike is >3σ; everything else is not
+    val e1 = ((1L to 10L).map(i => (i, "k", 0L)) :+ (11L, "k", 100L))
+      .toDF("event_id", "event_type", "c")
+    val got = graft.operators.Temporal.sigmaOutliers(e1, "event_type",
+      col("c"), 3).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(11L), got.toString)
+    // {0, 100}: each point sits at exactly 1σ — strictly-greater excludes
+    val e2 = Seq((1L, "k", 0L), (2L, "k", 100L))
+      .toDF("event_id", "event_type", "c")
+    assert(graft.operators.Temporal.sigmaOutliers(e2, "event_type",
+      col("c"), 1).count() === 0)
+  }
+
   test("source overlap: identical sources hit 10000 bp, disjoint sources emit no pair") {
     import spark.implicits._
     val docs = Seq(
