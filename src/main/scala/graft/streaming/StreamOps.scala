@@ -766,4 +766,31 @@ object StreamOps {
           }
       }
   }
+
+  /** Streaming materialized-view maintenance — the stream twin of
+    * [[graft.operators.Lake.maintainAgg]]: a STREAM of CDC rows
+    * (snapshotDiff shape) folds into a continuously-maintained per-group
+    * (cnt, sum_v) aggregate. Each change row becomes the same ±
+    * contributions as the batch fold (removed −, added +, changed both —
+    * group migrations included), and one stateful streaming aggregation
+    * keeps the running totals: state = one row per LIVE GROUP, never the
+    * base table, and each micro-batch's work ∝ its change rows. Run with
+    * `outputMode("complete")` (the MV is the aggregate's full state) or
+    * `update` (emit only groups a batch touched); bootstrap by replaying
+    * the initial snapshot as an all-"added" first batch — the standard
+    * change-feed bootstrap, and exactly how [[graft.operators.Versioned
+    * .commitCdc]] emits a table's first commit.
+    */
+  def maintainAggStream(cdc: DataFrame, groupO: String, groupN: String,
+      valO: String, valN: String): DataFrame = {
+    val minus = cdc.filter(col("change_type").isin("removed", "changed"))
+      .select(col(groupO).as("grp"), lit(-1L).as("cnt"),
+        (-col(valO)).cast("long").as("sum_v"))
+    val plus = cdc.filter(col("change_type").isin("added", "changed"))
+      .select(col(groupN).as("grp"), lit(1L).as("cnt"),
+        col(valN).cast("long").as("sum_v"))
+    minus.unionByName(plus)
+      .groupBy("grp").agg(sum("cnt").as("cnt"), sum("sum_v").as("sum_v"))
+      .filter(col("cnt") > 0)
+  }
 }

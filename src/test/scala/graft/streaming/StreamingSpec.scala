@@ -656,6 +656,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((10L, 1L, 1L), (10L, 2L, 2L)))
   }
 
+  test("streaming MV maintenance: the CDC feed folds into the live aggregate, migrations and drops included") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-vt-mv").toString
+    // create → rewrite (b migrates to b2, c appears) → delete (a gone)
+    Versioned.commitCdc(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "bal"),
+      dir, "k", Seq("name", "bal"))
+    Versioned.commitCdc(spark,
+      Seq((1L, "a", 10L), (2L, "b2", 25L), (3L, "c", 30L))
+        .toDF("k", "name", "bal"),
+      dir, "k", Seq("name", "bal"))
+    Versioned.commitCdc(spark,
+      Seq((2L, "b2", 25L), (3L, "c", 30L)).toDF("k", "name", "bal"),
+      dir, "k", Seq("name", "bal"))
+    val schema = Versioned.changes(spark, dir, 0, 1, "k", Seq("name", "bal"))
+      .withColumn("commit_version", lit(1)).schema
+    val q = StreamOps.maintainAggStream(
+      Versioned.cdcStream(spark, dir, schema),
+      "o_name", "n_name", "o_bal", "n_bal")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("mv_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mv_out").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the live MV equals a per-name aggregate over the latest snapshot:
+    // "a" dropped (count hit zero), "b" migrated to "b2"
+    val direct = Versioned.readLatest(spark, dir)
+      .groupBy("name").agg(count(lit(1)).as("cnt"), sum("bal").as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got === direct, s"stream MV $got != direct $direct")
+    assert(got === Map("b2" -> ((1L, 25L)), "c" -> ((1L, 30L))), got.toString)
+  }
+
   test("streaming versioned-table CDC: the change feed replays each commit as a micro-batch") {
     import spark.implicits._
     import graft.operators.Versioned
