@@ -480,16 +480,31 @@ object Dedup {
     * hash match against it PROVES completeness on the corpus, which no
     * LSH row can claim.
     */
+  /** Per-doc distinct hash sets laid out in the FREQUENCY-ordered global
+    * canonical order (df asc, hash asc) — the AllPairs optimization that
+    * makes prefix filtering effective: any global total order preserves
+    * the completeness guarantee, and putting the RAREST hashes first
+    * means each doc's exposed prefix is its least-common shingles, so the
+    * candidate join's Σ df² collapses (on a stop-word-dense corpus the
+    * value-ordered spelling degenerates toward all-pairs; this one does
+    * not). One extra linear df aggregation at build.
+    */
+  private def freqOrderedSets(docs: DataFrame, n: Int): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val dfq = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
+    ex.join(dfq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(expr("transform(sort_array(collect_list(struct(dfh, h))), s -> s.h)")
+        .as("hv"), count(lit(1)).as("sz"))
+  }
+
   def setSimJoinExact(docs: DataFrame, tNum: Int, tDen: Int,
       n: Int = 3): DataFrame = {
-    val sets = docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), array_sort(array_distinct(
-        transform(col("sh"),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
-        .as("hv"))
-      .withColumn("sz", size(col("hv")).cast("long"))
+    val sets = freqOrderedSets(docs, n)
     // prefix length s − ⌈t·s⌉ + 1, integer: ceil(a/b) = (a + b − 1) div b
     val pfx = sets.withColumn("plen",
       (col("sz") - expr(s"(${tNum}L * sz + ${tDen}L - 1) div ${tDen}L")
@@ -527,14 +542,7 @@ object Dedup {
     */
   def containmentJoinExact(docs: DataFrame, tNum: Int, tDen: Int,
       n: Int = 3): DataFrame = {
-    val sets = docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), array_sort(array_distinct(
-        transform(col("sh"),
-          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))))
-        .as("hv"))
-      .withColumn("sz", size(col("hv")).cast("long"))
+    val sets = freqOrderedSets(docs, n)
     val pfx = sets.withColumn("plen",
       (col("sz") - expr(s"(${tNum}L * sz + ${tDen}L - 1) div ${tDen}L")
         + lit(1L)).cast("int"))
