@@ -88,6 +88,45 @@ object Similarity {
          |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)
          |      * CAST(element_at($vecCol, d) AS DOUBLE)), 6))""".stripMargin)
 
+  /** Banded sign-code ANN over the JL projection — [[randomSignProjection]]
+    * put to work as an index: each vector's 16 projected components
+    * collapse to a 16-bit SIGN CODE (bit k = comp_k > 0 — SimHash in the
+    * projected space), the code splits into two 8-bit bands, candidates
+    * come from a hash join on any shared (band, key), and the exact
+    * cosine rerank runs on candidates only. Fully deterministic (seeded
+    * md5 signs, rounded components). Sign-banding recalls NEAR-DUPLICATE
+    * vectors (per-plane agreement p ≈ 1 − θ/π, so an 8-bit band holds
+    * p⁸ — strong for sim ≥ 0.9, negligible for the weakly-similar
+    * neighbors this corpus's embeddings have), which is why the declared
+    * ANN rows ride the multi-table hyperplane LSH / IVF family instead
+    * and this operator is unit-verified on planted near-dups.
+    *
+    * Scale shape: the corpus is scanned once to code it (persisted as an
+    * index component at 100 TB — the VectorIndex posture), candidates
+    * come from an equi-join on band keys — never a cross — and the
+    * rerank touches candidates only.
+    */
+  def randProjBucketedTopK(probes: DataFrame, corpus: DataFrame,
+      k: Int = 5): DataFrame = {
+    def bands(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("pp", randomSignProjection(vecCol, 16))
+        .withColumn("band", explode(sequence(lit(0), lit(1))))
+        .withColumn("bkey", expr(
+          """aggregate(sequence(0, 7), 0, (acc, i) ->
+            |  acc + IF(element_at(pp, band * 8 + i + 1) > 0D,
+            |           CAST(shiftleft(1, i) AS INT), 0))""".stripMargin))
+    val qb = bands(probes, "qvec").select(col("qid"), col("band"), col("bkey"))
+    val cb = bands(corpus, "vec").select(col("vec_id"), col("band"), col("bkey"))
+    val cand = cb.join(broadcast(qb), Seq("band", "bkey"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id").distinct()
+    val scored = cand
+      .join(broadcast(probes), Seq("qid"))
+      .join(corpus, Seq("vec_id"))
+      .withColumn("sim", round(cosine(col("qvec"), col("vec")), 6))
+    topKPerQuery(scored, k, "sim").select("qid", "rank", "vec_id", "sim")
+  }
+
   /** Exact top-k neighbors for each row of `queries` (qid, qvec) among
     * `corpus` (id, vec), ranked by cosine rounded to 6 (deterministic).
     */

@@ -1366,6 +1366,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.map(_._2).contains(10L), "query doc must be excluded")
   }
 
+  test("JL-bucketed ANN: planted near-dup twins collide in a sign band and rerank exactly") {
+    import spark.implicits._
+    // base vectors with exact binary components; twins = base with one
+    // small component nudge (cosine ~0.99 → sign codes agree)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(d => (((seed * 37 + d * 17) % 101) - 50).toFloat)
+    val corpus = (0 until 40).map { i =>
+      val base = vec(i / 2)
+      // odd ids are a near-dup twin of the preceding even id
+      if (i % 2 == 1) base(0) += 0.25f
+      (i.toLong, base)
+    }.toDF("vec_id", "vec")
+    val probes = corpus.filter($"vec_id" % 2 === 0 && $"vec_id" < 6)
+      .select($"vec_id".as("qid"), $"vec".as("qvec"))
+    val byQ = Similarity.randProjBucketedTopK(probes, corpus, 3)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // each probe's rank-1 neighbor is its planted twin (qid + 1)
+    assert(byQ === Map(0L -> 1L, 2L -> 3L, 4L -> 5L), byQ.toString)
+  }
+
   test("random-sign projection: linear, deterministic, and sign-balanced") {
     import spark.implicits._
     // exact binary fractions → the fold and the doubling are both exact,
