@@ -138,8 +138,13 @@ object Temporal {
   def sigmaOutliers(e: DataFrame, keyCol: String, centsCol: Column,
       sigmas: Int = 3): DataFrame = {
     val rows = e.withColumn("__c", centsCol)
+    // Σc² accumulates in DECIMAL(38,0) from the first multiply: at 1e9
+    // rows of 1e5-cent values the long spelling would sit within 10× of
+    // Int64 overflow — the 128-bit sum never does
     val st = rows.groupBy(keyCol).agg(count(lit(1)).as("n"),
-      sum("__c").as("sv"), sum(expr("__c * __c")).as("q"))
+      sum("__c").as("sv"),
+      sum(expr("CAST(__c AS DECIMAL(38,0)) * CAST(__c AS DECIMAL(38,0))"))
+        .as("q"))
     rows.join(broadcast(st), Seq(keyCol))
       .filter(expr(
         s"""(CAST(n AS DECIMAL(38,0)) * CAST(__c AS DECIMAL(38,0))
@@ -307,7 +312,7 @@ object Temporal {
         |st AS (
         |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |    CAST(SUM(value_c) AS BIGINT) AS sv,
-        |    CAST(SUM(value_c * value_c) AS BIGINT) AS q
+        |    SUM(CAST(value_c AS HUGEINT) * value_c) AS q
         |  FROM c GROUP BY 1)
         |SELECT c.event_id, c.event_type, c.value_c
         |FROM c JOIN st USING (event_type)
