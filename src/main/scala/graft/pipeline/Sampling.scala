@@ -167,7 +167,40 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("rn"), col("quota"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * each doc draws the deterministic uniform u = (md5₃₂(id) + 1)/2³² ∈
+    * (0, 1] and keys on u^(1/w); the k largest keys are a weighted
+    * without-replacement sample (P(first pick) = wᵢ/Σw — the one-pass
+    * priority formulation of weighted sampling). Fully reproducible:
+    * same ids → same sample, any engine, any partitioning. Keys round to
+    * 6 before ranking (ties broken by doc_id) so the 1-ulp pow/ln seam
+    * between engines cannot reorder; weights clamp to ≥ 1.
+    *
+    * Scale shape: a per-row key + TakeOrdered top-k (no global sort
+    * materializes; Spark plans TakeOrderedAndProject) and a window over
+    * only the k winners for the rank column.
+    */
+  def weightedSample(docs: DataFrame, weight: Column, k: Int): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    val w = greatest(weight.cast("double"), lit(1.0))
+    val keyed = docs
+      .withColumn("w", weight.cast("long"))
+      .withColumn("pri", round(pow(u, lit(1.0) / w), 6))
+      .select(col("doc_id"), col("w"), col("pri"))
+      .orderBy(col("pri").desc, col("doc_id"))
+      .limit(k)
+    keyed.withColumn("rk", row_number().over(
+      Window.orderBy(col("pri").desc, col("doc_id"))))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Weighted reservoir: 50 docs drawn without replacement with
+    // P ∝ n_chars — the full kept set (ids, weights, keys, ranks)
+    // hash-checked, proving the priority formula and the ordering.
+    "q_sample_weighted" -> ((s, dir) =>
+      weightedSample(T.documents(s, dir), col("n_chars"), 50)),
+
     // Stratified reproducible sample: English kept at 80%, the rest at 20%
     // — the rebalancing step of corpus curation, exactly reproducible in any
     // engine (oracle-checked).
@@ -269,6 +302,19 @@ object Sampling {
         |      - n_tokens AS start
         |  FROM t)
         |SELECT doc_id, source, n_tokens, start FROM s WHERE start < 700
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH p AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    round(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+        |            / 4294967296.0,
+        |          1.0 / GREATEST(CAST(n_chars AS DOUBLE), 1.0)), 6) AS pri
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w, pri,
+        |    CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS INTEGER) AS rk
+        |  FROM p)
+        |SELECT doc_id, w, pri, rk FROM r WHERE rk <= 50
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sample_allocation" ->
       """WITH srcs AS (

@@ -1366,6 +1366,26 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.map(_._2).contains(10L), "query doc must be excluded")
   }
 
+  test("weighted sample: heavy-weight docs dominate the draw; sample is deterministic") {
+    import spark.implicits._
+    // 10 heavy docs (w = 100000) among 100 light (w = 1): the A-ES key
+    // u^(1/w) puts every heavy doc at ~1.0, so a k=10 draw is almost
+    // exactly the heavy set (deterministic given the md5 uniforms)
+    val docs = ((0L until 10L).map(i => (i, 100000L)) ++
+      (100L until 200L).map(i => (i, 1L))).toDF("doc_id", "n_chars")
+    val pick = Sampling.weightedSample(docs, col("n_chars"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(pick.count(_ < 10L) >= 9, s"heavy docs must dominate: $pick")
+    // deterministic across invocations
+    val again = Sampling.weightedSample(docs, col("n_chars"), 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === pick)
+    // the plan takes top-k without a global sort (TakeOrderedAndProject)
+    val plan = Sampling.weightedSample(docs, col("n_chars"), 10)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
   test("JL-bucketed ANN: planted near-dup twins collide in a sign band and rerank exactly") {
     import spark.implicits._
     // base vectors with exact binary components; twins = base with one
