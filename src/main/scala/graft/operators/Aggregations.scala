@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, Q, Tables => T}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.4 A1–A12: hash aggregation surface.
@@ -34,6 +35,26 @@ object Aggregations {
     "q_histogram" -> ((s, dir) =>
       equiWidthHistogram(T.lineitem(s, dir), cents(col("l_extendedprice")),
         10000L)),
+
+    // A14: Pareto / cumulative-contribution analysis — parts ranked by
+    // exact-cents revenue with a running cumulative and the classic
+    // 80%-head flag, decided by integer cross-multiplication
+    // ((cum − own) · 5 < total · 4, so the crossing row is IN). The
+    // ordered window runs over the part-level AGGREGATE (dimension
+    // cardinality, not fact rows) with an explicit ROWS frame so both
+    // engines walk identical frames; the total rides an unpartitioned
+    // window sum, no broadcast attach.
+    "q_pareto" -> ((s, dir) => {
+      val r = T.lineitem(s, dir).groupBy("l_partkey")
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
+      val byRev = Window.orderBy(col("rev_c").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.withColumn("cum_c", sum("rev_c").over(byRev))
+        .withColumn("tot", sum("rev_c").over(Window.partitionBy()))
+        .select(col("l_partkey"), col("rev_c"), col("cum_c"),
+          ((col("cum_c") - col("rev_c")) * 5 < col("tot") * 4)
+            .as("in_head80"))
+    }),
     // A1: TPC-H Q1 shape — grouped sum/avg/count.
     "q_agg_group" -> ((s, dir) => {
       T.lineitem(s, dir)
@@ -231,6 +252,20 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pareto" ->
+      """WITH r AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT l_partkey, rev_c,
+        |    CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+        |    CAST(SUM(rev_c) OVER () AS BIGINT) AS tot
+        |  FROM r)
+        |SELECT l_partkey, rev_c, cum_c,
+        |  (cum_c - rev_c) * 5 < tot * 4 AS in_head80
+        |FROM w ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_histogram" ->
       """WITH c AS (
         |  SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cc
