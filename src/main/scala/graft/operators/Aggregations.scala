@@ -16,6 +16,50 @@ import org.apache.spark.sql.functions._
 object Aggregations {
   import Det._
 
+  /** Distributed running (prefix) sum over a TOTAL order — the two-phase
+    * rewrite of `SUM(x) OVER (ORDER BY ...)`, whose direct spelling is a
+    * single-task sort-and-scan over the whole input (the WindowExec
+    * "No Partition Defined" scale-killer):
+    *
+    *  1. range-repartition on the order (partition boundaries respect the
+    *     total order, so partition i's rows all precede partition i+1's);
+    *  2. per-partition partial totals — a METADATA-SCALE collect, one row
+    *     per range partition (the Versioned manifest/zone-map posture) —
+    *     prefix-summed driver-side into a broadcast offset table;
+    *  3. a partition-LOCAL running sum (window partitioned by the range
+    *     partition id) plus the partition's offset.
+    *
+    * All integer arithmetic, so phase order cannot change the result: the
+    * output is row-identical to the single-partition window at any
+    * partition count. Also returns the grand total as `totCol` (the
+    * driver-side Σ of the partial totals — no second pass).
+    */
+  def runningSumRanged(df: org.apache.spark.sql.DataFrame, valCol: String,
+      tieCol: String, cumCol: String, totCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val ranged = df
+      .repartitionByRange(n, col(valCol).desc, col(tieCol).asc)
+      .withColumn("__pid", spark_partition_id())
+    // one row per range partition: the per-partition partial sums
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col(valCol)).as("__t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
+    val grand = acc
+    val offDf = s.createDataFrame(offs.toIndexedSeq).toDF("__pid", "__off")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__pid")
+      .orderBy(col(valCol).desc, col(tieCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(cumCol, sum(col(valCol)).over(w) + col("__off"))
+      .withColumn(totCol, lit(grand))
+      .drop("__pid", "__off")
+  }
+
   /** Equi-width histogram over an exact-cents value: bucket = cents div
     * width, with per-bucket count and exact min/max — the profiling
     * primitive engines expose as `histogram()`/`width_bucket`. One narrow
@@ -39,18 +83,16 @@ object Aggregations {
     // A14: Pareto / cumulative-contribution analysis — parts ranked by
     // exact-cents revenue with a running cumulative and the classic
     // 80%-head flag, decided by integer cross-multiplication
-    // ((cum − own) · 5 < total · 4, so the crossing row is IN). The
-    // ordered window runs over the part-level AGGREGATE (dimension
-    // cardinality, not fact rows) with an explicit ROWS frame so both
-    // engines walk identical frames; the total rides an unpartitioned
-    // window sum, no broadcast attach.
+    // ((cum − own) · 5 < total · 4, so the crossing row is IN). The part
+    // dimension GROWS with SF, so the running sum is the two-phase
+    // [[runningSumRanged]] rewrite (range partitions + broadcast offsets
+    // + partition-local windows) — no single-task ordered window anywhere
+    // in the plan; the oracle spells the same total order as one
+    // unpartitioned window, which the integer arithmetic matches exactly.
     "q_pareto" -> ((s, dir) => {
       val r = T.lineitem(s, dir).groupBy("l_partkey")
         .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
-      val byRev = Window.orderBy(col("rev_c").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      r.withColumn("cum_c", sum("rev_c").over(byRev))
-        .withColumn("tot", sum("rev_c").over(Window.partitionBy()))
+      runningSumRanged(r, "rev_c", "l_partkey", "cum_c", "tot")
         .select(col("l_partkey"), col("rev_c"), col("cum_c"),
           ((col("cum_c") - col("rev_c")) * 5 < col("tot") * 4)
             .as("in_head80"))

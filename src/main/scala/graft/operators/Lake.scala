@@ -174,6 +174,15 @@ object Lake {
     // (%41 keys shifted past the key space — unmatched deletes must
     // no-op). The oracle applies the same algebra: merge the upsert set,
     // then anti-filter the delete keys.
+    //
+    // Key-space ceiling (the +1000000/+2000000 convention, shared with
+    // customerDelta): the shifts assume max(c_custkey) < 1000000, true up
+    // to sf ≈ 6 (c_custkey ≤ 150000·sf; testdata tops out at the sf1
+    // probe). Past that, ghost keys would collide with insert keys
+    // (tripping the duplicate-change-key raise — a loud failure, not a
+    // silent divergence) and insert keys with real customers. A
+    // larger-SF deployment derives the shifts from max(c_custkey)
+    // (maxKey / 2·maxKey) on both sides instead.
     "q_merge_apply_cdc" -> ((s, dir) => {
       val c = T.customer(s, dir)
       val ups = c.filter(col("c_custkey") % 7 === 0 &&

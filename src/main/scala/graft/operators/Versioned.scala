@@ -593,11 +593,11 @@ object Versioned {
     }),
 
     // LK7: zone-map partition skipping — customer partitioned by the
-    // planted cluster key floor(custkey/50) with per-partition min/max of
-    // c_custkey in the version's `_stats` sidecar; the range read prunes
-    // to the ~3 admitting partitions DRIVER-SIDE (unit asserts the pruned
-    // manifest subset) and must still row-equal the full-table filter,
-    // which is exactly the oracle.
+    // planted cluster key floor(custkey/100) with per-partition min/max of
+    // c_custkey in the version's `_stats` sidecar; the range read [60, 140]
+    // prunes to the 2 admitting partitions (buckets 0 and 1) DRIVER-SIDE
+    // (unit asserts the pruned manifest subset) and must still row-equal
+    // the full-table filter, which is exactly the oracle.
     "q_lake_skipping" -> ((s, dir) => {
       val c = graft.Tables.customer(s, dir)
         .withColumn("ck_bucket", floor(col("c_custkey") / 100).cast("long"))

@@ -703,12 +703,27 @@ object Multimodal {
     *
     * Exactness: luminance is the integer 299r+587g+114b, cell means are
     * never divided — brightness comparisons cross-multiply (sum_l·cnt_r >
-    * sum_r·cnt_l), so the hash is a pure integer function of the pixels
-    * (no float, no rounding, engine/platform-stable). Streams one pixel
-    * row at a time like [[pixelStats]]; cells a tiny image never touches
-    * stay (0, 0) and compare false — deterministic. None when no codec
-    * decodes the payload (the documented codec ceiling).
+    * sum_r·cnt_l) in 128 bits ([[cmpProducts]]: a cell's luminance sum
+    * times its neighbor's pixel count exceeds 2⁶³ around ~0.4 gigapixel,
+    * which would silently flip bits under Long arithmetic), so the hash is
+    * a pure integer function of the pixels (no float, no rounding,
+    * engine/platform-stable at any image size). Streams one pixel row at
+    * a time like [[pixelStats]]; cells a tiny image never touches stay
+    * (0, 0) and compare false — deterministic. None when no codec decodes
+    * the payload (the documented codec ceiling).
     */
+  /** sign(a·b − c·d) over non-negative longs in 128-bit arithmetic
+    * (`Math.multiplyHigh` + unsigned low words) — the dHash brightness
+    * comparison without the Long overflow a ~0.4-gigapixel image would
+    * hit under 64-bit products.
+    */
+  private[pipeline] def cmpProducts(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hiL = Math.multiplyHigh(a, b); val loL = a * b
+    val hiR = Math.multiplyHigh(c, d); val loR = c * d
+    if (hiL != hiR) java.lang.Long.compare(hiL, hiR)
+    else java.lang.Long.compareUnsigned(loL, loR)
+  }
+
   def dHash(content: Array[Byte]): Option[Long] = {
     val gw = 9; val gh = 8
     def fold(w: Int, h: Int, rowAt: Int => Array[Int]): Option[Long] = {
@@ -734,8 +749,8 @@ object Multimodal {
       while (cy < gh) {
         var cx = 0
         while (cx < gw - 1) {
-          if (sums(cy)(cx) * cnts(cy)(cx + 1) >
-              sums(cy)(cx + 1) * cnts(cy)(cx)) bits |= 1L << i
+          if (cmpProducts(sums(cy)(cx), cnts(cy)(cx + 1),
+              sums(cy)(cx + 1), cnts(cy)(cx)) > 0) bits |= 1L << i
           i += 1; cx += 1
         }
         cy += 1

@@ -173,8 +173,12 @@ object Sampling {
     * without-replacement sample (P(first pick) = wᵢ/Σw — the one-pass
     * priority formulation of weighted sampling). Fully reproducible:
     * same ids → same sample, any engine, any partitioning. Keys round to
-    * 6 before ranking (ties broken by doc_id) so the 1-ulp pow/ln seam
-    * between engines cannot reorder; weights clamp to ≥ 1.
+    * 6 before ranking so the 1-ulp pow/ln seam between engines cannot
+    * reorder; weights clamp to ≥ 1. Ties at the rounded key break on a
+    * SECOND independent hash (md5 of the doc id), then doc_id — with
+    * large weights many keys cluster at 1.0 after rounding, and a raw
+    * doc_id tie-break would bias the clustered tail toward low ids
+    * instead of a weight-independent uniform pick.
     *
     * Scale shape: a per-row key + TakeOrdered top-k (no global sort
     * materializes; Spark plans TakeOrderedAndProject) and a window over
@@ -184,14 +188,15 @@ object Sampling {
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(1.0)) / lit(4294967296.0)
     val w = greatest(weight.cast("double"), lit(1.0))
+    val tie = md5(col("doc_id").cast("string"))
     val keyed = docs
       .withColumn("w", weight.cast("long"))
       .withColumn("pri", round(pow(u, lit(1.0) / w), 6))
       .select(col("doc_id"), col("w"), col("pri"))
-      .orderBy(col("pri").desc, col("doc_id"))
+      .orderBy(col("pri").desc, tie, col("doc_id"))
       .limit(k)
     keyed.withColumn("rk", row_number().over(
-      Window.orderBy(col("pri").desc, col("doc_id"))))
+      Window.orderBy(col("pri").desc, tie, col("doc_id"))))
   }
 
   val queries: Map[String, Q] = Map(
@@ -312,7 +317,8 @@ object Sampling {
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, w, pri,
-        |    CAST(row_number() OVER (ORDER BY pri DESC, doc_id) AS INTEGER) AS rk
+        |    CAST(row_number() OVER (ORDER BY pri DESC,
+        |      md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
         |  FROM p)
         |SELECT doc_id, w, pri, rk FROM r WHERE rk <= 50
         |ORDER BY ALL NULLS FIRST""".stripMargin,

@@ -198,8 +198,8 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     // 3 sources × 10 docs; weights 5/3/2 over 17 slots:
     // base = 85//10=8, 51//10=5, 34//10=3 (Σ16, deficit 1);
-    // remainders 5, 1, 4 → srcA gets the extra slot → quotas 9/5/3... but
-    // wait: rem = (17*w) % 10 → 85%10=5, 51%10=1, 34%10=4 → srcA +1.
+    // remainders rem = (17*w) % 10 → 5, 1, 4 → srcA takes the extra slot
+    // → quotas 9/5/3.
     val docs = (0L until 30L).map(k =>
       (k, Seq("srcA", "srcB", "srcC")(k.toInt % 3), s"doc $k"))
       .toDF("doc_id", "source", "text")

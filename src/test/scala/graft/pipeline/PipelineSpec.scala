@@ -315,6 +315,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs === Set((1L, 2L)), pairs.toString)
   }
 
+  test("multimodal: dHash brightness compare is 128-bit exact past Long overflow") {
+    // A ~0.4-gigapixel image's cell sums (≤ 255000·n) times neighbor counts
+    // overflow 64-bit products; cmpProducts must still order correctly.
+    // Planted ORDER INVERSION under naive Long math: left = 2⁶³−2 (stays
+    // positive), right = 2⁶³+2 (wraps negative) — a signed 64-bit compare
+    // would call left the brighter cell; the true order is left < right.
+    val q = 4611686018427387904L // 2⁶²
+    assert(Multimodal.cmpProducts(2L, q - 1, 2L, q + 1) < 0)
+    assert(Multimodal.cmpProducts(2L, q + 1, 2L, q - 1) > 0)
+    // equal overflowing products, and a*a just past sqrt(Long.MaxValue)
+    val a = 3037000500L
+    assert(Multimodal.cmpProducts(a, a, a, a) === 0)
+    assert(Multimodal.cmpProducts(a, a, a - 1, a) > 0)
+    assert(Multimodal.cmpProducts(a - 1, a, a, a) < 0)
+    // 64-bit sanity: small operands agree with plain Long compare
+    assert(Multimodal.cmpProducts(7L, 3L, 4L, 5L) > 0)
+    assert(Multimodal.cmpProducts(2L, 3L, 4L, 5L) < 0)
+  }
+
   test("multimodal: real JPEG pixel decode via the JDK's baseline reader") {
     // JPEG is the dominant web-corpus image format and the JDK ships its
     // own baseline codec — so the decode is REAL here, not the hash stub.
