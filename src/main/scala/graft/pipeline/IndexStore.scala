@@ -30,6 +30,12 @@ private[pipeline] object IndexStore {
     * exercise both sides of the gate without 30-minute sleeps.
     */
   private[pipeline] var sweepGraceMs: Long = 30L * 60 * 1000
+
+  /** Builder-claim staleness bound: a `_build._claim` older than this is
+    * treated as abandoned (crashed builder) and taken over. A var only so
+    * the takeover unit doesn't sleep 10 minutes.
+    */
+  private[pipeline] var claimTimeoutMs: Long = 10L * 60 * 1000
 }
 
 private[pipeline] final class IndexStore(envVar: String, defaultName: String,
@@ -85,6 +91,57 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
   private def markerPath(d: String) =
     java.nio.file.Paths.get(d, "_GRAFT_INDEX")
 
+  // ---- cross-process builder claim (the Versioned claim/seal posture) ----
+  //
+  // The JVM `lock` above serializes same-process builders; two PROCESSES
+  // sharing one artifact dir additionally serialize on `_build._claim`,
+  // created with `Files.createFile` (O_EXCL — atomic on POSIX filesystems
+  // and HDFS-style stores with atomic create-if-absent, exactly the
+  // `Versioned.claimNext` protocol). The winner builds and swaps the
+  // marker; a loser spins until the claim frees, then re-checks the marker
+  // — so concurrent `ensure()` calls from N processes build ONCE. A
+  // crashed builder's orphan claim is taken over once it is older than
+  // `claimTimeoutMs` (delete + re-race; the delete itself can race, but
+  // only one re-creator wins the O_EXCL create). Readers never touch the
+  // claim: they resolve the marker, which only ever swaps atomically to a
+  // COMPLETE version, so a reader is never blocked by (or exposed to) a
+  // build in progress.
+
+  private def claimPath(d: String) =
+    java.nio.file.Paths.get(d, "_build._claim")
+
+  /** Block until this process holds the exclusive builder claim on `d`. */
+  private def acquireClaim(d: String): Unit = {
+    import java.nio.file.Files
+    val p = claimPath(d)
+    while (true) {
+      try {
+        Files.createFile(p)
+        // informational only — claim identity is the file's existence
+        try Files.writeString(p,
+          s"${ProcessHandle.current().pid()}:${System.currentTimeMillis()}")
+        catch { case _: Throwable => () }
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try {
+              val age = System.currentTimeMillis() -
+                Files.getLastModifiedTime(p).toMillis
+              age > IndexStore.claimTimeoutMs
+            } catch { case _: Throwable => false } // vanished → just re-race
+          if (stale) { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () }
+          else Thread.sleep(25)
+      }
+    }
+  }
+
+  private def releaseClaim(d: String): Unit = {
+    try java.nio.file.Files.deleteIfExists(claimPath(d))
+    catch { case _: Throwable => () }
+    ()
+  }
+
   /** The complete version dir the marker points at, if its fingerprint
     * matches the current source. Marker format: `<fingerprint>\n<version>`.
     */
@@ -117,11 +174,21 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
 
   /** Build-if-absent: reuse a fresh index, rebuild a missing/stale one.
     * Returns the current VERSION dir. Idempotent and cheap when fresh
-    * (metadata only).
+    * (metadata only). Cross-process: stale callers race for the builder
+    * claim; the winner builds, the losers wait and re-check the marker —
+    * N processes ensure() → one build.
     */
   def ensure(sfDir: String)(build: String => Unit): String = lock.synchronized {
     val d = dir(sfDir)
-    currentVersion(d, sfDir).getOrElse(rebuild(sfDir)(build))
+    currentVersion(d, sfDir).getOrElse {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+      acquireClaim(d)
+      try
+        // double-check under the claim: the process we raced may have
+        // built exactly the version we need while we waited
+        currentVersion(d, sfDir).getOrElse(rebuildClaimed(sfDir)(build))
+      finally releaseClaim(d)
+    }
   }
 
   // per-JVM monotonic tiebreak for same-millisecond rebuilds
@@ -129,9 +196,21 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
 
   /** Unconditional build + persist into a fresh immutable version dir, then
     * marker swap by atomic move — concurrent readers (any process) keep
-    * resolving a complete version throughout. Returns the new version dir.
+    * resolving a complete version throughout. Cross-process mutators
+    * (rebuild / append / remove / compact from different JVMs) serialize
+    * on the builder claim — without it, two concurrent marker swaps could
+    * silently drop one mutation's effect. Returns the new version dir.
     */
   def rebuild(sfDir: String)(build: String => Unit): String = lock.synchronized {
+    val d = dir(sfDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    acquireClaim(d)
+    try rebuildClaimed(sfDir)(build)
+    finally releaseClaim(d)
+  }
+
+  /** [[rebuild]] body — caller must hold the JVM lock AND the claim. */
+  private def rebuildClaimed(sfDir: String)(build: String => Unit): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val d = dir(sfDir)
     Files.createDirectories(Paths.get(d))
@@ -165,17 +244,23 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
     lock.synchronized {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val d = dir(sfDir)
-      val m = markerPath(d)
-      val fp = java.nio.file.Files.readString(m).split("\n", 2)(0)
-      val v = f"v-${System.currentTimeMillis()}%015d-${seq.incrementAndGet()}%06d-${ProcessHandle.current().pid()}"
-      val vd = s"$d/$v"
-      build(vd)
-      val tmp = Paths.get(d, s".marker-$v")
-      Files.writeString(tmp, fp + "\n" + v)
-      Files.move(tmp, m, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-      sweepOldVersions(d, keep = Set(v))
-      vd
+      acquireClaim(d)
+      try {
+        val m = markerPath(d)
+        // the served-marker read happens UNDER the claim: a concurrent
+        // mutator's swap either fully precedes (we inherit its version's
+        // fingerprint) or fully follows this rewrite
+        val fp = java.nio.file.Files.readString(m).split("\n", 2)(0)
+        val v = f"v-${System.currentTimeMillis()}%015d-${seq.incrementAndGet()}%06d-${ProcessHandle.current().pid()}"
+        val vd = s"$d/$v"
+        build(vd)
+        val tmp = Paths.get(d, s".marker-$v")
+        Files.writeString(tmp, fp + "\n" + v)
+        Files.move(tmp, m, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        sweepOldVersions(d, keep = Set(v))
+        vd
+      } finally releaseClaim(d)
     }
 
   /** Versions younger than this are never swept, whatever their position —

@@ -693,6 +693,18 @@ object Multimodal {
       }
   }
 
+  /** sign(a·b − c·d) over non-negative longs in 128-bit arithmetic
+    * (`Math.multiplyHigh` + unsigned low words) — the dHash brightness
+    * comparison without the Long overflow a ~0.4-gigapixel image would
+    * hit under 64-bit products.
+    */
+  private[pipeline] def cmpProducts(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hiL = Math.multiplyHigh(a, b); val loL = a * b
+    val hiR = Math.multiplyHigh(c, d); val loR = c * d
+    if (hiL != hiR) java.lang.Long.compare(hiL, hiR)
+    else java.lang.Long.compareUnsigned(loL, loR)
+  }
+
   /** 64-bit difference hash (dHash) — the perceptual image fingerprint
     * bridging the multimodal tier to the dedup family: decode (real
     * JDK/VP8L codecs, the [[pixelStats]] seam), integer-luminance
@@ -712,18 +724,6 @@ object Multimodal {
     * (0, 0) and compare false — deterministic. None when no codec decodes
     * the payload (the documented codec ceiling).
     */
-  /** sign(a·b − c·d) over non-negative longs in 128-bit arithmetic
-    * (`Math.multiplyHigh` + unsigned low words) — the dHash brightness
-    * comparison without the Long overflow a ~0.4-gigapixel image would
-    * hit under 64-bit products.
-    */
-  private[pipeline] def cmpProducts(a: Long, b: Long, c: Long, d: Long): Int = {
-    val hiL = Math.multiplyHigh(a, b); val loL = a * b
-    val hiR = Math.multiplyHigh(c, d); val loR = c * d
-    if (hiL != hiR) java.lang.Long.compare(hiL, hiR)
-    else java.lang.Long.compareUnsigned(loL, loR)
-  }
-
   def dHash(content: Array[Byte]): Option[Long] = {
     val gw = 9; val gh = 8
     def fold(w: Int, h: Int, rowAt: Int => Array[Int]): Option[Long] = {

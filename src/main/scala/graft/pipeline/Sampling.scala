@@ -175,10 +175,15 @@ object Sampling {
     * same ids → same sample, any engine, any partitioning. Keys round to
     * 6 before ranking so the 1-ulp pow/ln seam between engines cannot
     * reorder; weights clamp to ≥ 1. Ties at the rounded key break on a
-    * SECOND independent hash (md5 of the doc id), then doc_id — with
+    * SECOND, SALTED hash (md5 of "tie|" + doc id), then doc_id — with
     * large weights many keys cluster at 1.0 after rounding, and a raw
     * doc_id tie-break would bias the clustered tail toward low ids
-    * instead of a weight-independent uniform pick.
+    * instead of a weight-independent uniform pick. The salt matters:
+    * the unsalted md5(doc_id) is the very string whose first 8 hex
+    * chars define u, so ordering ties by it orders by u ascending —
+    * within a rounded-pri cluster higher-weight docs reach lower u, and
+    * the tie-break would be weight-BIASED. Prefixing "tie|" makes the
+    * tie digest independent of the u digest.
     *
     * Scale shape: a per-row key + TakeOrdered top-k (no global sort
     * materializes; Spark plans TakeOrderedAndProject) and a window over
@@ -188,7 +193,7 @@ object Sampling {
     val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(1.0)) / lit(4294967296.0)
     val w = greatest(weight.cast("double"), lit(1.0))
-    val tie = md5(col("doc_id").cast("string"))
+    val tie = md5(concat(lit("tie|"), col("doc_id").cast("string")))
     val keyed = docs
       .withColumn("w", weight.cast("long"))
       .withColumn("pri", round(pow(u, lit(1.0) / w), 6))
@@ -318,7 +323,7 @@ object Sampling {
         |r AS (
         |  SELECT doc_id, w, pri,
         |    CAST(row_number() OVER (ORDER BY pri DESC,
-        |      md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |      md5('tie|' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
         |  FROM p)
         |SELECT doc_id, w, pri, rk FROM r WHERE rk <= 50
         |ORDER BY ALL NULLS FIRST""".stripMargin,

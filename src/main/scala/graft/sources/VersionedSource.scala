@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** SQL-visible reader for [[graft.operators.Versioned]] tables — the
+  * catalog surface a lakehouse tier needs beyond the programmatic API
+  * (reference parity note: the reference exposes its storage through the
+  * Hive catalog, `AvroFromXmlSerde.scala:13`; here the versioned store
+  * registers as a Spark data source the same way the XML side does,
+  * `graft.xml.DefaultSource`):
+  *
+  * {{{
+  *   spark.read.format("graft.versioned").load(dir)                  // latest
+  *   spark.read.format("graft.versioned")
+  *     .option("versionAsOf", 1).load(dir)                           // time travel
+  *   spark.read.format("graft.versioned")
+  *     .option("changesFrom", 0).option("changesTo", 2)
+  *     .option("key", "k").option("compareCols", "a,b").load(dir)    // CDC
+  *   // DDL (SQL-visible):
+  *   //   CREATE TEMPORARY VIEW t USING `graft.versioned`
+  *   //   OPTIONS (path '<dir>', versionAsOf '1')
+  * }}}
+  *
+  * Snapshot reads resolve through [[graft.operators.Versioned.readAtDv]],
+  * which uniformly serves flat, partition-manifest, and deletion-vector
+  * histories (a DV chain anti-joins on top of its nearest materialized
+  * base; a `_manifest` base stitches per-owner pruned scans).
+  *
+  * Scale shape: the relation delegates to the SAME DataFrame plans the
+  * programmatic API builds, with requested columns and translatable
+  * filters applied to the delegate BEFORE execution — so column pruning
+  * and predicate pushdown reach the underlying parquet scans (the inner
+  * plan's `PushedFilters`/`ReadSchema`), and `needConversion = false`
+  * hands Spark the delegate's internal rows without a per-row
+  * Row↔InternalRow round trip. Untranslated filters are simply not
+  * pushed; Spark re-evaluates every filter above the scan (the default
+  * `unhandledFilters` contract), so pushdown is an optimization, never a
+  * correctness dependency.
+  */
+class VersionedSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft.versioned"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val dir = parameters.getOrElse("path",
+      sys.error("graft.versioned requires a 'path' (or .load(dir))"))
+    new VersionedRelation(ctx, dir, parameters)
+  }
+}
+
+private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
+    params: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
+
+  import graft.operators.Versioned
+
+  private def intOpt(name: String): Option[Int] = params.get(name).map { v =>
+    v.toIntOption.getOrElse(
+      sys.error(s"graft.versioned: option '$name' must be an int, got '$v'"))
+  }
+
+  private lazy val delegate: DataFrame = intOpt("changesFrom") match {
+    case Some(v0) =>
+      val key = params.getOrElse("key",
+        sys.error("graft.versioned: CDC reads require the 'key' option"))
+      val compare = params.get("compareCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(sys.error(
+          "graft.versioned: CDC reads require 'compareCols' (comma-separated)"))
+      Versioned.changes(ctx.sparkSession, dir, v0,
+        intOpt("changesTo").getOrElse(Versioned.latest(dir)), key, compare)
+    case None =>
+      val v = intOpt("versionAsOf").getOrElse(Versioned.latest(dir))
+      Versioned.readAtDv(ctx.sparkSession, dir, v)
+  }
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = delegate.schema
+  // rows handed back are the delegate plan's InternalRows (see class doc)
+  override def needConversion: Boolean = false
+
+  /** Best-effort v1-Filter → Column translation for pushdown into the
+    * delegate plan. None = not translatable; the filter is skipped here
+    * and still applied by Spark above the scan.
+    */
+  private def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(toColumn)
+      .foldLeft(delegate)((df, c) => df.filter(c))
+    // always project to exactly the requested columns — an empty request
+    // (count(*)) becomes a zero-column projection, as the contract expects
+    val pruned = filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    // needConversion = false: Spark consumes these as InternalRow
+    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}

@@ -443,6 +443,83 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getAs[Long]("k")).toSet === Set(2L, 3L))
   }
 
+  test("LK: graft.versioned data source — DDL view, time travel, DV resolution, CDC, pushdown") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtds").toString
+    val t = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "name", "bal")
+    assert(operators.Versioned.commit(t, dir) === 0)
+    val u = Seq((2L, "b2", 25L), (5L, "e", 50L)).toDF("k", "name", "bal")
+    assert(operators.Versioned.upsert(spark, dir, u, "k") === 1)
+    assert(operators.Versioned.deleteWhereDv(spark, dir,
+      col("k") === 1, "k") === 2)
+    def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("k")).toSet
+    // default read = latest, DV-resolved
+    assert(ks(spark.read.format("graft.versioned").load(dir)) ===
+      Set(2L, 3L, 4L, 5L))
+    // time travel through the option
+    assert(ks(spark.read.format("graft.versioned")
+      .option("versionAsOf", 0).load(dir)) === Set(1L, 2L, 3L, 4L))
+    assert(ks(spark.read.format("graft.versioned")
+      .option("versionAsOf", 1).load(dir)) === Set(1L, 2L, 3L, 4L, 5L))
+    // SQL-visible: DDL temp view over the source
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW vt_ds USING `graft.versioned` " +
+      s"OPTIONS (path '$dir', versionAsOf '1')")
+    val viaSql = spark.sql("SELECT k, name FROM vt_ds WHERE bal >= 25 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql === Seq((2L, "b2"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // count(*) exercises the empty-projection path
+    assert(spark.sql("SELECT count(*) FROM vt_ds").collect()(0).getLong(0) === 5)
+    // pushdown: the translated filter reaches the inner parquet scan
+    val planned = spark.read.format("graft.versioned")
+      .option("versionAsOf", 1).load(dir).filter(col("bal") >= 25)
+    val leafScans = planned.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    assert(leafScans.exists(l => l.contains("PushedFilters") && l.contains("bal")),
+      s"expected bal filter pushed into the delegate scan:\n${leafScans.mkString("\n")}")
+    // CDC read through the source
+    val cdc = spark.read.format("graft.versioned")
+      .option("changesFrom", 0).option("changesTo", 1)
+      .option("key", "k").option("compareCols", "name,bal").load(dir)
+      .select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cdc === Map(2L -> "changed", 5L -> "added"))
+  }
+
+  test("LK: DV deletes over a PARTITIONED base — readAtDv stitches the manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtdvp").toString
+    val t = Seq((1L, "a", "P1"), (2L, "b", "P1"), (3L, "c", "P2"),
+      (4L, "d", "P3")).toDF("k", "name", "seg")
+    assert(operators.Versioned.commitPartitioned(t, dir, "seg") === 0)
+    // v1: CoW upsert touching P1 only — the base manifest now references
+    // TWO owning versions, so a flat read of either version dir would be
+    // a partial snapshot (the round-10 readAtDv defect)
+    val u = Seq((2L, "b2", "P1"), (5L, "e", "P1")).toDF("k", "name", "seg")
+    assert(operators.Versioned.upsertPartitioned(spark, dir, u, "k", "seg")
+      === 1)
+    // v2/v3: chained DV deletes on top of the stitched partitioned base
+    assert(operators.Versioned.deleteWhereDv(spark, dir,
+      col("k") === 3, "k") === 2)
+    assert(operators.Versioned.deleteWhereDv(spark, dir,
+      col("name") === "b2", "k") === 3)
+    assert(operators.Versioned.isDvVersion(dir, 2) &&
+      operators.Versioned.isDvVersion(dir, 3))
+    def ks(v: Int): Set[Long] =
+      operators.Versioned.readAtDv(spark, dir, v).collect()
+        .map(_.getAs[Long]("k")).toSet
+    // base resolution walks to v1 (partitioned) and stitches all partitions
+    assert(ks(1) === Set(1L, 2L, 4L, 5L, 3L))
+    assert(ks(2) === Set(1L, 2L, 4L, 5L))
+    assert(ks(3) === Set(1L, 4L, 5L))
+    // the stitched DV read carries the full schema incl. the partition col
+    val cols = operators.Versioned.readAtDv(spark, dir, 3).columns.toSet
+    assert(cols === Set("k", "name", "seg"))
+    // compact folds the chain; post-compact reads agree
+    assert(operators.Versioned.compactDv(spark, dir) === 4)
+    assert(ks(4) === Set(1L, 4L, 5L))
+  }
+
   test("LK: zone-map skipping — range reads prune partitions driver-side, upserts refresh stats") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vtzm").toString
@@ -623,6 +700,80 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     val e2 = intercept[Exception](run(nullElem))
     assert(e2.toString.contains("dense") ||
       Option(e2.getCause).exists(_.getMessage.contains("dense")), e2.toString)
+  }
+
+  test("A14: runningSumRanged is deterministic and row-identical to the single-partition window at forced-bucketing scale") {
+    // 60k rows with heavy value ties at 4 shuffle partitions: the boundary
+    // sample rate p = 60000/(128*4) ≈ 117 > 1, so the deterministic
+    // hash-sample path genuinely samples (the regime where the old
+    // repartitionByRange spelling could draw different reservoir bounds
+    // per job and silently corrupt the prefix sums).
+    import org.apache.spark.sql.expressions.Window
+    val n = 60000L
+    val df = spark.range(1, n + 1).toDF("id")
+      .withColumn("v", (col("id") * 2654435761L) % 1000L)
+    def run() = operators.Aggregations
+      .runningSumRanged(df, "v", "id", "cum", "tot")
+    val got = run()
+    // the two-phase plan must not contain any unpartitioned (single-task)
+    // window — that is the scale-killer the rewrite removes
+    val wins = got.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"expected only bucket-partitioned windows:\n${got.queryExecution.sparkPlan}")
+    val grand = df.agg(sum("v")).collect()(0).getLong(0)
+    val w = Window.orderBy(col("v").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .withColumn("tot", lit(grand))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    def snap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val g1 = snap(got)
+    assert(g1.size === n.toInt)
+    assert(g1 === want, "two-phase prefix sum diverged from the single-partition window")
+    // determinism: a fresh invocation (fresh sample, fresh totals job)
+    // reproduces the result bit-for-bit
+    assert(snap(run()) === g1, "second invocation diverged")
+  }
+
+  test("LK: multi-column zone maps — conjunctive pruning, null-column prune, no-stats conservatism") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtzm3").toString
+    // bucket = k/10; second stats column v correlates with k except bucket
+    // 7 where it is entirely NULL (the null-count prune case)
+    val t = (0L until 100L).map { k =>
+      val v: java.lang.Long = if (k / 10 == 7) null else java.lang.Long.valueOf(k * 2)
+      (k, v, k / 10)
+    }.toDF("k", "v", "bkt")
+    assert(operators.Versioned.commitPartitionedStatsMulti(spark, t, dir,
+      "bkt", Seq("k", "v")) === 0)
+    val zm = operators.Versioned.zoneMapMulti(dir, 0)
+    assert(zm("3")("k") === ((Some((30L, 39L)), 0L)))
+    assert(zm("7")("v") === ((None, 10L))) // all-null column: no min/max
+    // conjunctive pruning: k ∈ [35,44] admits buckets 3,4; v ∈ [70,85]
+    // admits only bucket 3 (v = 2k → [70,85] ⇒ k ∈ [35,42])
+    val kept = operators.Versioned.prunedPartitionsMulti(dir, 0,
+      Seq(("k", 35L, 44L), ("v", 70L, 85L)))
+    assert(kept.keySet === Set("3", "4"), kept.toString)
+    // on v alone, bucket 7 (all-null v) is PRUNED even though k admits it
+    val keptNull = operators.Versioned.prunedPartitionsMulti(dir, 0,
+      Seq(("v", 140L, 159L)))
+    assert(!keptNull.keySet.contains("7"), keptNull.toString)
+    // the pruned read equals the logical filter exactly
+    val got = operators.Versioned.readPartitionedPrunedMulti(spark, dir, 0,
+      Seq(("k", 35L, 44L), ("v", 70L, 85L)))
+      .collect().map(_.getAs[Long]("k")).toSet
+    assert(got === (35L to 42L).toSet)
+    // untracked predicate columns keep every partition (conservatism)
+    val keptU = operators.Versioned.prunedPartitionsMulti(dir, 0,
+      Seq(("nope", 0L, 1L)))
+    assert(keptU.size === 10)
+    // all pruned → empty frame with the table schema
+    val empty = operators.Versioned.readPartitionedPrunedMulti(spark, dir, 0,
+      Seq(("k", 5000L, 6000L)))
+    assert(empty.count() === 0 && empty.columns.toSet === Set("k", "v", "bkt"))
   }
 
   test("SparkEntry contract: every oracle key has a query; entry returns rows") {

@@ -336,8 +336,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_sim_kmeans", "q_sim_topk", "q_sq8_codes", "q_sq8_ivf",
       "q_sq8_ivf_append", "q_sq8_ivf_remove", "q_sq8_topk", "q_text_bm25",
       "q_text_ctfidf", "q_text_tfidf")
+    // Unpartitioned (single-task) windows — the "No Partition Defined"
+    // WindowExec that serializes the whole input through one task. Every
+    // surviving entry is a documented METADATA-SCALE window (input bounded
+    // by config/grouping cardinality, never the corpus):
+    //  - q_sample_allocation: windows over the per-source COUNT frame
+    //    (one row per source — a few dozen rows)
+    //  - q_sample_weighted: the rank window over the k=50 TakeOrdered
+    //    winners only (the corpus-sized phase is the TakeOrdered itself)
+    //  - q_ts_interpolate: windows over the dense resample GRID (one row
+    //    per time bucket — calendar-bounded, never event-sized; the only
+    //    event-sized pass is the bucket aggregation before it)
+    // q_pareto is deliberately NOT here: its running sum is the two-phase
+    // runningSumRanged rewrite whose windows are bucket-partitioned.
+    val winOk = Set(
+      "q_sample_allocation", "q_sample_weighted", "q_ts_interpolate")
     val cart = scala.collection.mutable.SortedSet.empty[String]
     val bnlj = scala.collection.mutable.SortedSet.empty[String]
+    val winGlobal = scala.collection.mutable.SortedSet.empty[String]
     // sparkPlan = the planned physical tree (no AQE re-plan — the guardrail
     // pins what the optimizer CHOSE, which is what survives a scale-up).
     // Caveats on "the whole plan is swept":
@@ -352,15 +368,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.Ckpt.off.set(true)
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val p = fn(spark, sf).queryExecution.sparkPlan.toString
+        val plan = fn(spark, sf).queryExecution.sparkPlan
+        val p = plan.toString
         if (p.contains("CartesianProduct")) cart += name
         if (p.contains("BroadcastNestedLoopJoin")) bnlj += name
+        val hasGlobalWin = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }.nonEmpty
+        if (hasGlobalWin) winGlobal += name
       }
     } finally graft.Ckpt.off.set(false)
     assert(cart.toSet === cartesianOk,
       s"cartesian set drifted: got $cart, pinned $cartesianOk")
     assert(bnlj.toSet === bnljOk,
       s"nested-loop set drifted: got $bnlj, pinned $bnljOk")
+    assert(winGlobal.toSet === winOk,
+      s"single-task window set drifted: got $winGlobal, pinned $winOk")
   }
 
   test("whole-stage codegen covers the scan-filter-project pipeline") {
