@@ -23,6 +23,8 @@ import org.apache.spark.sql.types.StructType
   *   // DDL (SQL-visible):
   *   //   CREATE TEMPORARY VIEW t USING `graft.versioned`
   *   //   OPTIONS (path '<dir>', versionAsOf '1')
+  *   df.write.format("graft.versioned").mode("append").save(dir) // commit
+  *   // INSERT INTO t SELECT ...                                 // commit
   * }}}
   *
   * Snapshot reads resolve through [[graft.operators.Versioned.readAtDv]],
@@ -41,7 +43,8 @@ import org.apache.spark.sql.types.StructType
   * `unhandledFilters` contract), so pushdown is an optimization, never a
   * correctness dependency.
   */
-class VersionedSource extends RelationProvider with DataSourceRegister {
+class VersionedSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft.versioned"
 
   override def createRelation(ctx: SQLContext,
@@ -50,10 +53,37 @@ class VersionedSource extends RelationProvider with DataSourceRegister {
       sys.error("graft.versioned requires a 'path' (or .load(dir))"))
     new VersionedRelation(ctx, dir, parameters)
   }
+
+  /** Write path: every save COMMITS a new immutable version through the
+    * claim/seal protocol — `Append` and `Overwrite` are deliberately the
+    * same operation, because a version IS a full snapshot and overwrite
+    * never truncates history (the lakehouse posture: old versions stay
+    * time-travelable until [[graft.operators.Versioned.vacuum]]).
+    * `ErrorIfExists` refuses when the table already has a committed
+    * version; `Ignore` is then a no-op.
+    */
+  override def createRelation(ctx: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val dir = parameters.getOrElse("path",
+      sys.error("graft.versioned requires a 'path' (or .save(dir))"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val exists = graft.operators.Versioned.latest(dir) >= 0
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        sys.error(s"graft.versioned: $dir already has committed versions")
+      case SaveMode.Ignore if exists => ()
+      case _ => graft.operators.Versioned.commit(data, dir); ()
+    }
+    new VersionedRelation(ctx, dir, parameters - "versionAsOf")
+  }
 }
 
 private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
-    params: Map[String, String]) extends BaseRelation with PrunedFilteredScan {
+    params: Map[String, String]) extends BaseRelation
+    with PrunedFilteredScan with InsertableRelation {
 
   import graft.operators.Versioned
 
@@ -103,6 +133,16 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
     case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
     case Not(c) => toColumn(c).map(!_)
     case _ => None
+  }
+
+  /** `INSERT INTO <view>` over the DDL surface: commits a new version
+    * (same contract as the writer — overwrite also commits, history
+    * stays). The view keeps serving the version it resolved at creation;
+    * re-create it (or read without `versionAsOf`) to see the new commit.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    graft.operators.Versioned.commit(data, dir)
+    ()
   }
 
   override def buildScan(requiredColumns: Array[String],

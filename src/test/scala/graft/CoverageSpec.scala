@@ -484,6 +484,31 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("k", "change_type").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(cdc === Map(2L -> "changed", 5L -> "added"))
+    // write path: save() commits a new version; history stays readable
+    val snap = spark.read.format("graft.versioned").load(dir)
+    snap.filter(col("k") =!= 3).write.format("graft.versioned")
+      .mode("append").save(dir)
+    assert(operators.Versioned.latest(dir) === 3)
+    assert(ks(spark.read.format("graft.versioned").load(dir)) ===
+      Set(2L, 4L, 5L))
+    assert(ks(spark.read.format("graft.versioned")
+      .option("versionAsOf", 0).load(dir)) === Set(1L, 2L, 3L, 4L))
+    // INSERT INTO through the DDL view commits another version
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW vt_w USING `graft.versioned` " +
+      s"OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO vt_w SELECT k, name, bal FROM vt_w WHERE k >= 4")
+    assert(operators.Versioned.latest(dir) === 4)
+    assert(ks(spark.read.format("graft.versioned").load(dir)) === Set(4L, 5L))
+    // a fresh dir with errorifexists: first save commits, second raises
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-vtds2").toString
+    t.write.format("graft.versioned").mode("errorifexists").save(dir2)
+    assert(operators.Versioned.latest(dir2) === 0)
+    intercept[Exception] {
+      t.write.format("graft.versioned").mode("errorifexists").save(dir2)
+    }
+    // ignore: no-op on an existing table
+    t.write.format("graft.versioned").mode("ignore").save(dir2)
+    assert(operators.Versioned.latest(dir2) === 0)
   }
 
   test("LK: DV deletes over a PARTITIONED base — readAtDv stitches the manifest") {
