@@ -264,16 +264,35 @@ object TextIndex {
   private[graft] def contributionU(tf: Column, df: Column, dl: Column,
       n: Column, sdl: Column): Column = {
     val avgdl = sdl.cast("double") / n.cast("double")
-    val idfU = round(
-      log(((n - df).cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5))
-        + lit(1.0)) * lit(1e6), 0).cast("long")
     val wtfU = round(
       tf.cast("double") * lit(2.2) /
         (tf.cast("double") + lit(1.2) *
           (lit(0.25) + lit(0.75) * (dl.cast("double") / avgdl))) * lit(1e6),
       0).cast("long")
-    idfU * wtfU
+    idfUCol(df, n) * wtfU
   }
+
+  private def idfUCol(df: Column, n: Column): Column = round(
+    log(((n - df).cast("double") + lit(0.5)) / (df.cast("double") + lit(0.5))
+      + lit(1.0)) * lit(1e6), 0).cast("long")
+
+  /** An avgdl-FREE upper bound on a posting's `wtf_u`: wtf is increasing
+    * in avgdl with supremum tf·(k1+1)/(tf + k1·(1−b)) = tf·2.2/(tf+0.3)
+    * as avgdl→∞, and monotone in tf — so round(maxTf·2.2/(maxTf+0.3)·1e6)
+    * bounds every contribution of the word at ANY corpus length profile.
+    * That independence is what makes the persisted per-term bound safe
+    * across appends (avgdl drifts) and tombstones (bounds only loosen).
+    */
+  private def wtfUbCol(maxTf: Column): Column = round(
+    maxTf.cast("double") * lit(2.2) / (maxTf.cast("double") + lit(0.3))
+      * lit(1e6), 0).cast("long")
+
+  /** Per-word maximum term frequency (word, max_tf) — the max-score
+    * pruning component. Merges EXACTLY under append (max of maxes) and
+    * only loosens under tombstoning, unlike a baked wtf bound.
+    */
+  def maxTfOf(postings: DataFrame): DataFrame =
+    postings.groupBy("word").agg(max(col("tf")).as("max_tf"))
 
   /** BM25 top-k: for each query document (qid, qtext), the k highest-scoring
     * corpus documents. Returns (qid, rank, doc_id, score_u).
@@ -339,21 +358,133 @@ object TextIndex {
     * shared by the exact and fuzzy entry points. Query side broadcast;
     * the only shuffle is the per-(qid, doc) candidate aggregation.
     */
-  private def scoreTerms(qt: DataFrame, ix: Components, k: Int): DataFrame = {
+  private def scoreTerms(qt: DataFrame, ix: Components, k: Int): DataFrame =
+    rankTopK(candidates(qt, ix).groupBy("qid", "doc")
+      .agg(sum("__c").as("score_u")), k)
+
+  /** The per-(qid, word, doc) candidate rows with their exact integer
+    * contribution `__c` — postings touched only for query terms.
+    */
+  private def candidates(qt: DataFrame, ix: Components): DataFrame = {
     val qdf = ix.vocab
       .join(broadcast(qt.select("word").dropDuplicates("word")), Seq("word"))
-    val cand = ix.postings
+    ix.postings
       .join(broadcast(qt), Seq("word"))
       .filter(col("doc") =!= col("qid"))
       .join(broadcast(qdf), Seq("word"))
       .crossJoin(broadcast(ix.stats))
-    val scored = cand
       .withColumn("__c", contributionU(col("tf"), col("df"), col("dl"),
         col("n"), col("sdl")))
-      .groupBy("qid", "doc").agg(sum("__c").as("score_u"))
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("score_u").desc, col("doc"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("doc").as("doc_id"), col("score_u"))
+  }
+
+  /** Max-score (WAND-lite) BM25 top-k — LOSSLESS pruning of the scoring
+    * aggregation via the persisted per-term `max_tf` bound:
+    *
+    *  1. per query term, an upper-bound contribution
+    *     `maxc = idf_u · wtfUb(max_tf)` (integer, avgdl-free — see
+    *     [[wtfUbCol]]); terms rank by impact and the minimal desc prefix
+    *     reaching half the total marks the HIGH set (a per-qid window over
+    *     the handful of query terms — metadata-scale);
+    *  2. phase A scores EXACTLY (all matched terms) only the docs that
+    *     match ≥ 1 high term — the candidate aggregation and rank window
+    *     shuffle only those docs;
+    *  3. certification, per qid: a doc outside phase A scores at most
+    *     `ub_low = Σ maxc(low terms)`; if phase A produced a k-th score θ
+    *     with `ub_low < θ` (STRICT — an excluded doc tying θ could still
+    *     win the doc-asc tie-break), phase A's top-k IS the global top-k;
+    *  4. any qid that fails certification falls back to full scoring —
+    *     so the result is row-identical to [[bm25TopK]] ALWAYS — and a
+    *     cost gate skips phase A entirely for queries whose impact
+    *     profile is too flat to plausibly certify (this corpus's
+    *     degenerate ~31-word vocabulary gates out, so the declared row
+    *     costs plain scoring plus the metadata-scale bounds; the planted
+    *     Zipf unit pins the certified path — pruning pays off exactly
+    *     where real Zipfian vocabularies live, the E120 note's dual).
+    *
+    * Staleness safety: `max_tf` merges exactly under append and only
+    * loosens under tombstoning; `idf_u` uses the same vocab frame the
+    * scorer uses — so `maxc` upper-bounds every `__c` the aggregation can
+    * produce, at any index staleness, and certification stays lossless.
+    */
+  def bm25TopKMaxScore(queryDocs: DataFrame, ix: Components,
+      maxTf: DataFrame, k: Int = 10): DataFrame = {
+    val qt = queryDocs.select(col("qid"),
+      explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("word"))
+    scoreTermsMaxScore(qt, ix, maxTf, k)._1
+  }
+
+  /** [[bm25TopKMaxScore]] core; also returns (certified, fallback) qid
+    * counts so the planted unit can assert which path ran.
+    */
+  private[pipeline] def scoreTermsMaxScore(qt: DataFrame, ix: Components,
+      maxTf: DataFrame, k: Int): (DataFrame, Int, Int) = {
+    // per-(qid, term) upper bound — query-terms-sized, so the windows and
+    // collects below are all metadata-scale
+    val ub = qt.join(ix.vocab, Seq("word"))
+      .join(maxTf, Seq("word"))
+      .crossJoin(broadcast(ix.stats))
+      .withColumn("maxc", idfUCol(col("df"), col("n")) *
+        wtfUbCol(col("max_tf")))
+      .select(col("qid"), col("word"), col("maxc"))
+    val wq = Window.partitionBy("qid").orderBy(col("maxc").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = ub
+      .withColumn("cum", sum("maxc").over(wq))
+      .withColumn("tot", sum("maxc").over(Window.partitionBy("qid")))
+      .withColumn("is_high", (col("cum") - col("maxc")) * 2 < col("tot"))
+    // cost gate (one tiny collect — one row per query): attempt pruning
+    // only where the impact profile is SKEWED enough to plausibly certify
+    // (low mass under half the single top bound). A flat profile — this
+    // corpus's degenerate vocabulary — would pay phase A and then fall
+    // back anyway; the gate sends it straight to full scoring, so the
+    // pruned entry point never costs more than the plain one plus the
+    // metadata-scale bound computation. The gate is a planner heuristic,
+    // never a correctness decision: gated-out and uncertified queries both
+    // take the exact full-scoring path.
+    val perQ = marked.groupBy("qid").agg(
+        max(col("maxc")).as("top"),
+        sum(when(!col("is_high"), col("maxc")).otherwise(0L)).as("ub_low"))
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    val attempt = perQ.filter { case (_, top, ubLow) => ubLow * 2 < top }
+      .map(_._1)
+    val allQids = qt.select("qid").distinct().collect().map(_.get(0))
+    if (attempt.isEmpty)
+      return (scoreTerms(qt, ix, k), 0, allQids.length)
+    val qtA = qt.filter(col("qid").isin(attempt.toIndexedSeq: _*))
+    val highTerms = marked.filter(col("is_high")).select("qid", "word")
+    val ubLow = marked.groupBy("qid")
+      .agg(sum(when(!col("is_high"), col("maxc")).otherwise(0L)).as("ub_low"))
+    // phase A: exact scores for docs matching >= 1 high term
+    val highDocs = ix.postings.join(broadcast(highTerms), Seq("word"))
+      .filter(col("doc") =!= col("qid"))
+      .select("qid", "doc").dropDuplicates("qid", "doc")
+    val scoredA = candidates(qtA, ix)
+      .join(highDocs, Seq("qid", "doc"), "left_semi")
+      .groupBy("qid", "doc").agg(sum("__c").as("score_u"))
+    val topA = rankTopK(scoredA, k)
+    // certification — one tiny collect (one row per attempted query)
+    val cert = topA.groupBy("qid")
+      .agg(max(when(col("rank") === k, col("score_u"))).as("kth"))
+      .join(ubLow, Seq("qid"), "left")
+      .select(col("qid"),
+        (col("kth").isNotNull && col("ub_low") < col("kth")).as("ok"))
+      .collect().map(r => r.get(0) -> r.getBoolean(1))
+    val certified = cert.filter(_._2).map(_._1)
+    val fallback = allQids.diff(certified)
+    val certDf = topA.filter(col("qid").isin(certified.toIndexedSeq: _*))
+    val result =
+      if (fallback.isEmpty) certDf
+      else if (certified.isEmpty)
+        scoreTerms(qt.filter(col("qid").isin(fallback.toIndexedSeq: _*)), ix, k)
+      else certDf.unionByName(
+        scoreTerms(qt.filter(col("qid").isin(fallback.toIndexedSeq: _*)), ix, k))
+    (result, certified.length, fallback.length)
   }
 
   /** Reciprocal-rank fusion of two ranked lists (the hybrid-retrieval
@@ -404,6 +535,8 @@ object TextIndex {
     val p = spark.read.parquet(s"$vd/postings")
     vocabOf(p).write.mode("overwrite").parquet(s"$vd/vocab")
     statsOf(p).write.mode("overwrite").parquet(s"$vd/stats")
+    // the max-score pruning component: per-word max tf (see maxTfOf)
+    maxTfOf(p).write.mode("overwrite").parquet(s"$vd/maxtf")
     positionsOf(T.documents(spark, sfDir))
       .write.mode("overwrite").parquet(s"$vd/positions")
     // the fuzzy-search component: each vocab word's 1-deletion
@@ -459,6 +592,7 @@ object TextIndex {
       val p = s.read.parquet(s"$vd/postings")
       vocabOf(p).write.mode("overwrite").parquet(s"$vd/vocab")
       statsOf(p).write.mode("overwrite").parquet(s"$vd/stats")
+      maxTfOf(p).write.mode("overwrite").parquet(s"$vd/maxtf")
       java.nio.file.Files.copy(java.nio.file.Paths.get(old, "_meta"),
         java.nio.file.Paths.get(vd, "_meta"))
       ()
@@ -499,6 +633,21 @@ object TextIndex {
     s.read.parquet(s"$pd/positions")
   }
 
+  /** The persisted (word, max_tf) max-score bound — same one-time
+    * artifact-schema evolution as [[positionsPersisted]]: a version built
+    * before the component existed rebuilds once. (Post-compact versions
+    * re-derive it from surviving postings; between tombstone and compact
+    * it only loosens, which keeps certification lossless — see
+    * [[bm25TopKMaxScore]].)
+    */
+  def maxTfPersisted(s: SparkSession, sfDir: String): DataFrame = {
+    val vd = ensure(s, sfDir)
+    val pd =
+      if (new java.io.File(s"$vd/maxtf").exists()) vd
+      else rebuild(s, sfDir)
+    s.read.parquet(s"$pd/maxtf")
+  }
+
   /** The persisted (word, variant) deletion neighborhood — same one-time
     * artifact-schema evolution as [[positionsPersisted]]: a version built
     * before the component existed rebuilds once.
@@ -530,6 +679,16 @@ object TextIndex {
     // pattern); the bench median measures SEARCH, not build.
     "q_bm25_index_search" -> ((s, dir) =>
       bm25TopK(queryDocs(s, dir), persisted(s, dir))),
+
+    // L7e: max-score (WAND-lite) BM25 through the persisted index + the
+    // per-term max_tf bound. LOSSLESS by construction (certify-or-fall-
+    // back), so the oracle is byte-identical to q_text_bm25's — a hash
+    // match certifies the pruning every round on whichever path each
+    // query takes (this corpus's degenerate flat vocabulary mostly falls
+    // back; the planted Zipf unit pins the certified path).
+    "q_bm25_maxscore" -> ((s, dir) =>
+      bm25TopKMaxScore(queryDocs(s, dir), persisted(s, dir),
+        maxTfPersisted(s, dir))),
 
     // L7c: unconditional index rebuild + a summary read over the persisted
     // postings/vocab (word, df, tf_sum) — carries the build cost in its own
@@ -680,6 +839,8 @@ object TextIndex {
     // byte-identical on purpose: hash match proves the persisted index
     // components equal the in-query derivation (see q_bm25_index_search)
     "q_bm25_index_search" -> bm25Sql,
+    // byte-identical: lossless max-score pruning cannot change the list
+    "q_bm25_maxscore" -> bm25Sql,
     // byte-identical again: append(4/5-index, 1/5-batch) must equal the
     // from-scratch full-corpus build through the whole search path
     "q_bm25_append_search" -> bm25Sql,

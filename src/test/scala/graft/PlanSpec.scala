@@ -323,8 +323,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    that prices the df-pruning gate — same family as q_text_bm25
     //  - q_bm25_fuzzy: the same 1-row stats attach as q_bm25_index_search,
     //    reached through the deletion-variant expansion (itself a hash join)
+    //  - q_bm25_maxscore: the same 1-row stats attach as
+    //    q_bm25_index_search, in the upper-bound frame, phase A, and (on
+    //    fallback) the full scorer
     val bnljOk = Set(
       "q_bm25_append_search", "q_bm25_fuzzy", "q_bm25_index_search",
+      "q_bm25_maxscore",
       "q_text_cosine_sparse",
       "q_bpe_append_train", "q_bpe_tokenize", "q_bpe_train",
       "q_nb_confusion", "q_nb_model_append", "q_nb_model_build",

@@ -1385,6 +1385,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.map(_._2).contains(10L), "query doc must be excluded")
   }
 
+  test("bm25 max-score: Zipf vocabulary certifies and prunes; flat vocabulary falls back; both row-identical to full scoring") {
+    import spark.implicits._
+    // planted Zipf shape: a rare high-impact term ("zebra", 3 docs) vs a
+    // corpus-wide stopword ("the", every doc) — the impact split marks
+    // "zebra" HIGH, phase A scores only the 3 zebra docs, and
+    // ub_low(= the stopword's tiny maxc) < the k-th zebra score certifies
+    val zipf = ((1L to 3L).map(i => (i, "zebra migration " + ("the word " * i.toInt).trim)) ++
+      (10L until 60L).map(i => (i, "the quick brown fox and the lazy dog " + i))).toDF("doc_id", "text")
+    val q = Seq((100L, "zebra the")).toDF("qid", "qtext")
+    val qt = q.select(col("qid"),
+      explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("word"))
+    val ix = TextIndex.componentsOf(zipf)
+    val mtf = TextIndex.maxTfOf(ix.postings)
+    val (res, nCert, nFall) = TextIndex.scoreTermsMaxScore(qt, ix, mtf, 2)
+    assert(nCert === 1 && nFall === 0,
+      s"the Zipf query must certify (cert=$nCert fall=$nFall)")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+    assert(rows(res) === rows(TextIndex.bm25TopK(q, ix, 2)),
+      "certified max-score must equal full scoring exactly")
+    // equal-impact terms over DISJOINT posting sets: phase A sees only the
+    // high term's docs, whose k-th score (wtf ≈ 1e6) stays BELOW the low
+    // term's avgdl-free bound (≈ 1.69e6·idf) -> certification fails,
+    // fallback runs, result still identical
+    val flat = ((1L to 20L).map(i => (i, s"alpha one two d$i")) ++
+      (30L to 49L).map(i => (i, s"beta one two d$i"))).toDF("doc_id", "text")
+    val qf = Seq((100L, "alpha beta")).toDF("qid", "qtext")
+    val qtf = qf.select(col("qid"),
+      explode(array_distinct(TextAnalysis.tokens(col("qtext")))).as("word"))
+    val ixf = TextIndex.componentsOf(flat)
+    val (resF, _, nFallF) =
+      TextIndex.scoreTermsMaxScore(qtf, ixf, TextIndex.maxTfOf(ixf.postings), 3)
+    assert(nFallF === 1, "the flat query must fall back")
+    assert(rows(resF) === rows(TextIndex.bm25TopK(qf, ixf, 3)),
+      "fallback max-score must equal full scoring exactly")
+  }
+
   test("weighted sample: heavy-weight docs dominate the draw; sample is deterministic") {
     import spark.implicits._
     // 10 heavy docs (w = 100000) among 100 light (w = 1): the A-ES key
