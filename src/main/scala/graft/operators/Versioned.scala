@@ -137,14 +137,35 @@ object Versioned {
   def readLatest(s: SparkSession, dir: String): DataFrame =
     readAt(s, dir, latest(dir))
 
+  /** Guard for snapshot-deriving mutations: a materialized commit built
+    * from a NON-DV-resolved read of a history whose tip is a DV version
+    * would silently resurrect the deleted keys (the E122 interleave
+    * contract). Fail loudly with the remedy instead of producing a wrong
+    * table. Returns the latest version for the caller's read.
+    */
+  private def requireMaterializedTip(dir: String, op: String): Int = {
+    val v = latest(dir)
+    require(v >= 0, s"$op: no committed versions in $dir")
+    require(!isDvVersion(dir, v),
+      s"$op: the latest version v$v of $dir is a deletion-vector commit; " +
+        "a snapshot-deriving mutation over a live DV chain would " +
+        "resurrect deleted keys — run compactDv first, or use " +
+        "deleteWhereDv/readAtDv for DV-aware operations")
+    v
+  }
+
   /** MERGE the updates into the latest snapshot and commit the result. */
   def upsert(s: SparkSession, dir: String, updates: DataFrame,
-      key: String): Int =
-    commit(Lake.mergeUpsert(readLatest(s, dir), updates, key), dir)
+      key: String): Int = {
+    val v = requireMaterializedTip(dir, "upsert")
+    commit(Lake.mergeUpsert(readAt(s, dir, v), updates, key), dir)
+  }
 
   /** Commit a new version without the rows matching `cond`. */
-  def deleteWhere(s: SparkSession, dir: String, cond: Column): Int =
-    commit(readLatest(s, dir).filter(!cond), dir)
+  def deleteWhere(s: SparkSession, dir: String, cond: Column): Int = {
+    val v = requireMaterializedTip(dir, "deleteWhere")
+    commit(readAt(s, dir, v).filter(!cond), dir)
+  }
 
   /** CDC between two retained versions: [[Lake.snapshotDiff]] over their
     * snapshots — added/removed/changed keys only.
@@ -289,7 +310,7 @@ object Versioned {
     */
   def upsertPartitioned(s: SparkSession, dir: String, updates: DataFrame,
       key: String, partCol: String): Int = {
-    val cur = latest(dir)
+    val cur = requireMaterializedTip(dir, "upsertPartitioned")
     val man = manifest(dir, cur)
     // metadata-scale driver list: one value per affected partition
     val affected = updates.select(col(partCol).cast("string"))
@@ -321,7 +342,8 @@ object Versioned {
     * dirs can go. Returns the version.
     */
   def compactPartitioned(s: SparkSession, dir: String, partCol: String): Int =
-    commitPartitioned(readPartitionedAt(s, dir, latest(dir)), dir, partCol)
+    commitPartitioned(readPartitionedAt(s, dir,
+      requireMaterializedTip(dir, "compactPartitioned")), dir, partCol)
 
   // ---- deletion-vector (merge-on-read) deletes ---------------------------
   //

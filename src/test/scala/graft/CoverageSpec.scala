@@ -441,6 +441,23 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a materialized read of the compacted version agrees with the DV read
     assert(operators.Versioned.readAt(spark, dir, 3).collect()
       .map(_.getAs[Long]("k")).toSet === Set(2L, 3L))
+    // snapshot-deriving mutations over a live DV tip fail LOUDLY (they
+    // would resurrect deleted keys) and name the remedy
+    val e = intercept[IllegalArgumentException] {
+      operators.Versioned.upsert(spark, dir,
+        Seq((9L, "z", 90L)).toDF("k", "name", "bal"), "k")
+    }
+    assert(e.getMessage.contains("resurrect") &&
+      e.getMessage.contains("compactDv"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      operators.Versioned.deleteWhere(spark, dir, col("k") === 3)
+    }
+    // after compacting the chain, the same mutation succeeds
+    assert(operators.Versioned.compactDv(spark, dir) === 5)
+    assert(operators.Versioned.upsert(spark, dir,
+      Seq((9L, "z", 90L)).toDF("k", "name", "bal"), "k") === 6)
+    assert(operators.Versioned.readLatest(spark, dir).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(3L, 9L))
   }
 
   test("LK: graft.versioned data source — DDL view, time travel, DV resolution, CDC, pushdown") {
