@@ -42,25 +42,40 @@ object Aggregations {
     *
     * All integer arithmetic, so phase order cannot change the result: the
     * output is row-identical to the single-partition window at any bucket
-    * count. Also returns the grand total as `totCol` (the driver-side Σ
-    * of the partial totals — no second pass). Costs one narrow count +
-    * one narrow filtered collect + the totals aggregate before the
-    * windowed pass — constant extra scans, no extra shuffles (the window
-    * and the totals agg each hash-shuffle on the bucket id exactly as the
-    * windowed pass alone would).
+    * count — including NULL `valCol` rows, which are pinned to the last
+    * bucket (matching `desc`'s nulls-last order) with their running sum
+    * coalesced to the accumulated non-null mass, exactly what the
+    * single-partition window yields for trailing nulls. Also returns the
+    * grand total as `totCol` (the driver-side Σ of the partial totals —
+    * no second pass). Costs one cached narrow key scan (shared by the
+    * count and the boundary-sample collect) + the totals aggregate before
+    * the windowed pass — constant extra scans, no extra shuffles (the
+    * window and the totals agg each hash-shuffle on the bucket id exactly
+    * as the windowed pass alone would).
     */
   def runningSumRanged(df: org.apache.spark.sql.DataFrame, valCol: String,
       tieCol: String, cumCol: String, totCol: String)
       : org.apache.spark.sql.DataFrame = {
     val s = df.sparkSession
     val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // cache the narrow key projection across its two EAGER consumers
+    // (count, then the boundary-sample collect) so the upstream plan runs
+    // once for both; unpersist is safe immediately after because nothing
+    // lazy holds the cached frame
     val keys = df.select(col(valCol).as("__v"), col(tieCol).as("__t"))
-    val cnt = keys.count()
-    // deterministic sample of order keys: ~128 per bucket in expectation
-    val p = math.max(1L, cnt / math.max(1L, 128L * n))
-    val sampled = keys
-      .filter(pmod(xxhash64(col("__t")), lit(p)) === 0)
-      .collect().map(r => (r.get(0), r.get(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled =
+      try {
+        val cnt = keys.count()
+        // deterministic sample of order keys: ~128/bucket in expectation.
+        // Null-valued keys are excluded — they are pinned to the last
+        // bucket by pidExpr below, so cuts only ever partition the
+        // non-null order prefix.
+        val p = math.max(1L, cnt / math.max(1L, 128L * n))
+        keys.filter(col("__v").isNotNull &&
+            pmod(xxhash64(col("__t")), lit(p)) === 0)
+          .collect().map(r => (r.get(0), r.get(1)))
+      } finally { keys.unpersist(false); () }
     // sort the sample in the window's total order (valCol DESC, tieCol ASC)
     // and take n-1 evenly spaced, de-duplicated cut keys
     val ord = new Ordering[(Any, Any)] {
@@ -89,17 +104,24 @@ object Aggregations {
       else (1 until n).map(i => sorted((i * sorted.length) / n))
         .distinct.sorted(ord).toSeq
     // bucket id = how many cut keys strictly precede this row — a pure,
-    // deterministic, codegen'd expression (no sampling at execution time)
-    val pidExpr = cuts
+    // deterministic, codegen'd expression (no sampling at execution time).
+    // NULL valCol rows go to the LAST bucket explicitly: the window's
+    // `desc` order sorts nulls last (Spark's desc default), but the
+    // comparison chain would evaluate to 0 for them (null comparisons)
+    // and silently misplace them in bucket 0.
+    val pidChain = cuts
       .map { case (cv, ct) =>
         when(col(valCol) < lit(cv) ||
           (col(valCol) === lit(cv) && col(tieCol) > lit(ct)), 1).otherwise(0)
       }
       .reduceOption(_ + _).getOrElse(lit(0))
+    val pidExpr =
+      when(col(valCol).isNull, lit(cuts.length)).otherwise(pidChain)
     val bucketed = df.withColumn("__pid", pidExpr)
-    // one row per bucket: the per-bucket partial sums
+    // one row per bucket: the per-bucket partial sums (0 for a bucket
+    // holding only null values — sum skips nulls)
     val totals = bucketed.groupBy("__pid")
-      .agg(sum(col(valCol)).as("__t"))
+      .agg(coalesce(sum(col(valCol)), lit(0L)).as("__t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offs = totals.map { case (pid, t) => val o = acc; acc += t; (pid, o) }
@@ -109,8 +131,13 @@ object Aggregations {
       .orderBy(col(valCol).desc, col(tieCol).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    // coalesce: a window frame holding only nulls sums to null, but its
+    // running total is exactly the bucket offset (all non-null mass
+    // accumulated earlier) — matching the single-partition window, where
+    // trailing null rows carry the grand total
     bucketed.join(broadcast(offDf), Seq("__pid"))
-      .withColumn(cumCol, sum(col(valCol)).over(w) + col("__off"))
+      .withColumn(cumCol,
+        coalesce(sum(col(valCol)).over(w), lit(0L)) + col("__off"))
       .withColumn(totCol, lit(grand))
       .drop("__pid", "__off")
   }

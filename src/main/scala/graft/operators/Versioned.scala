@@ -168,11 +168,16 @@ object Versioned {
   }
 
   /** CDC between two retained versions: [[Lake.snapshotDiff]] over their
-    * snapshots — added/removed/changed keys only.
+    * snapshots — added/removed/changed keys only. Endpoints resolve
+    * through [[readAtDv]], which serves flat, partition-manifest, and
+    * DV-tip versions uniformly (for a materialized flat version it is
+    * exactly [[readAt]] — no DVs in range — so plain histories are
+    * unchanged; a DV endpoint diffs the DV-RESOLVED snapshot, so deletes
+    * arrive as "removed" rows instead of failing the read).
     */
   def changes(s: SparkSession, dir: String, v0: Int, v1: Int, key: String,
       compareCols: Seq[String]): DataFrame =
-    Lake.snapshotDiff(readAt(s, dir, v0), readAt(s, dir, v1), key,
+    Lake.snapshotDiff(readAtDv(s, dir, v0), readAtDv(s, dir, v1), key,
       compareCols)
 
   /** The change-feed directory: one parquet file set per CDC-enabled
@@ -286,14 +291,26 @@ object Versioned {
     * source (the `isin` filter binds the Hive-style partition column), so
     * a version that owns 3 of 10 000 partitions contributes a 3-dir scan.
     */
-  def readPartitionedAt(s: SparkSession, dir: String, v: Int): DataFrame = {
-    val byVer = manifest(dir, v).groupBy(_._2)
-    byVer.toSeq.sortBy(_._1).map { case (owner, ps) =>
+  def readPartitionedAt(s: SparkSession, dir: String, v: Int): DataFrame =
+    readManifestSubset(s, dir, v, manifest(dir, v))
+
+  /** One pruned scan per owning version over `kept` (partition → owner),
+    * unioned — the shared read core of [[readPartitionedAt]] and both
+    * zone-map-pruned readers. All partitions pruned → an empty frame in
+    * the table's schema.
+    */
+  private def readManifestSubset(s: SparkSession, dir: String, v: Int,
+      kept: Map[String, Int]): DataFrame =
+    kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (owner, ps) =>
       val partCol = firstPartCol(dir, owner)
       s.read.parquet(s"$dir/v$owner/data")
         .filter(col(partCol).isin(ps.keys.toSeq: _*))
-    }.reduce(_ unionByName _)
-  }
+    }.reduceOption(_ unionByName _)
+      .getOrElse {
+        val (_, o0) = manifest(dir, v).headOption
+          .getOrElse(sys.error(s"empty manifest in $dir@v$v"))
+        s.read.parquet(s"$dir/v$o0/data").limit(0)
+      }
 
   private def firstPartCol(dir: String, v: Int): String =
     Option(new java.io.File(s"$dir/v$v/data").listFiles())
@@ -521,22 +538,9 @@ object Versioned {
     * [[readPartitionedAt]] read, at the cost of the surviving partitions.
     */
   def readPartitionedPruned(s: SparkSession, dir: String, v: Int,
-      statsCol: String, lo: Long, hi: Long): DataFrame = {
-    val kept = prunedPartitions(dir, v, lo, hi)
-    val byVer = kept.groupBy(_._2)
-    byVer.toSeq.sortBy(_._1).map { case (owner, ps) =>
-      val partCol = firstPartCol(dir, owner)
-      s.read.parquet(s"$dir/v$owner/data")
-        .filter(col(partCol).isin(ps.keys.toSeq: _*))
-    }.reduceOption(_ unionByName _)
-      .getOrElse {
-        // every partition pruned: an empty frame in the table's schema
-        val (p0, o0) = manifest(dir, v).headOption
-          .getOrElse(sys.error(s"empty manifest in $dir@v$v"))
-        s.read.parquet(s"$dir/v$o0/data").limit(0)
-      }
+      statsCol: String, lo: Long, hi: Long): DataFrame =
+    readManifestSubset(s, dir, v, prunedPartitions(dir, v, lo, hi))
       .filter(col(statsCol).cast("long").between(lo, hi))
-  }
 
   // ---- multi-column zone maps ($_stats2$) --------------------------------
   //
@@ -664,19 +668,8 @@ object Versioned {
   def readPartitionedPrunedMulti(s: SparkSession, dir: String, v: Int,
       preds: Seq[(String, Long, Long)]): DataFrame = {
     require(preds.nonEmpty, "preds must be non-empty")
-    val kept = prunedPartitionsMulti(dir, v, preds)
-    val base = kept.groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (owner, ps) =>
-        val partCol = firstPartCol(dir, owner)
-        s.read.parquet(s"$dir/v$owner/data")
-          .filter(col(partCol).isin(ps.keys.toSeq: _*))
-      }
-      .reduceOption(_ unionByName _)
-      .getOrElse {
-        val (_, o0) = manifest(dir, v).headOption
-          .getOrElse(sys.error(s"empty manifest in $dir@v$v"))
-        s.read.parquet(s"$dir/v$o0/data").limit(0)
-      }
+    val base = readManifestSubset(s, dir, v,
+      prunedPartitionsMulti(dir, v, preds))
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c).cast("long").between(lo, hi))
     }

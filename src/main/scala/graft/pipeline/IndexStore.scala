@@ -99,48 +99,83 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
   // and HDFS-style stores with atomic create-if-absent, exactly the
   // `Versioned.claimNext` protocol). The winner builds and swaps the
   // marker; a loser spins until the claim frees, then re-checks the marker
-  // — so concurrent `ensure()` calls from N processes build ONCE. A
-  // crashed builder's orphan claim is taken over once it is older than
-  // `claimTimeoutMs` (delete + re-race; the delete itself can race, but
-  // only one re-creator wins the O_EXCL create). Readers never touch the
-  // claim: they resolve the marker, which only ever swaps atomically to a
-  // COMPLETE version, so a reader is never blocked by (or exposed to) a
-  // build in progress.
+  // — so concurrent `ensure()` calls from N processes build ONCE.
+  //
+  // Liveness without losing safety:
+  //  - the holder HEARTBEATS the claim (mtime touch every timeout/4) for
+  //    as long as its build runs, so a build longer than `claimTimeoutMs`
+  //    never looks abandoned — the timeout bounds crash detection, not
+  //    build duration;
+  //  - a crashed builder's orphan claim (no heartbeats) is taken over by
+  //    atomically RENAMING it aside (ATOMIC_MOVE — exactly one waiter's
+  //    rename succeeds; every other waiter's rename throws and re-loops),
+  //    then re-racing the O_EXCL create. A blind delete here would race:
+  //    two waiters that both judged the old claim stale could otherwise
+  //    have the second delete the first's FRESH claim, yielding two
+  //    concurrent holders.
+  //
+  // Readers never touch the claim: they resolve the marker, which only
+  // ever swaps atomically to a COMPLETE version, so a reader is never
+  // blocked by (or exposed to) a build in progress.
 
   private def claimPath(d: String) =
     java.nio.file.Paths.get(d, "_build._claim")
 
-  /** Block until this process holds the exclusive builder claim on `d`. */
-  private def acquireClaim(d: String): Unit = {
+  /** Block until this process holds the exclusive builder claim on `d`,
+    * then run `body` while a daemon heartbeat keeps the claim visibly
+    * live; always releases.
+    */
+  private def withClaim[A](d: String)(body: => A): A = {
     import java.nio.file.Files
     val p = claimPath(d)
-    while (true) {
+    while (!tryCreateClaim(p)) {
+      val stale =
+        try {
+          val age = System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis
+          age > IndexStore.claimTimeoutMs
+        } catch { case _: Throwable => false } // vanished → just re-race
+      if (stale) {
+        // exclusive takeover: exactly one waiter wins the atomic rename
+        try {
+          val aside = p.resolveSibling(
+            s".claim-stale-${ProcessHandle.current().pid()}-${seq.incrementAndGet()}")
+          Files.move(p, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(aside); ()
+        } catch { case _: Throwable => () } // lost the rename race → re-loop
+      } else Thread.sleep(25)
+    }
+    // heartbeat: touch the claim so a long build never reads as abandoned
+    val beat = new Thread(() => {
       try {
-        Files.createFile(p)
-        // informational only — claim identity is the file's existence
-        try Files.writeString(p,
-          s"${ProcessHandle.current().pid()}:${System.currentTimeMillis()}")
-        catch { case _: Throwable => () }
-        return
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          val stale =
-            try {
-              val age = System.currentTimeMillis() -
-                Files.getLastModifiedTime(p).toMillis
-              age > IndexStore.claimTimeoutMs
-            } catch { case _: Throwable => false } // vanished → just re-race
-          if (stale) { try Files.deleteIfExists(p) catch { case _: Throwable => () }; () }
-          else Thread.sleep(25)
-      }
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(50L, IndexStore.claimTimeoutMs / 4))
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+        }
+      } catch { case _: Throwable => () } // interrupt or deleted claim: stop
+    })
+    beat.setDaemon(true)
+    beat.start()
+    try body
+    finally {
+      beat.interrupt()
+      try Files.deleteIfExists(p) catch { case _: Throwable => () }
     }
   }
 
-  private def releaseClaim(d: String): Unit = {
-    try java.nio.file.Files.deleteIfExists(claimPath(d))
-    catch { case _: Throwable => () }
-    ()
-  }
+  private def tryCreateClaim(p: java.nio.file.Path): Boolean =
+    try {
+      java.nio.file.Files.createFile(p)
+      // informational only — claim identity is the file's existence
+      try java.nio.file.Files.writeString(p,
+        s"${ProcessHandle.current().pid()}:${System.currentTimeMillis()}")
+      catch { case _: Throwable => () }
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
 
   /** The complete version dir the marker points at, if its fingerprint
     * matches the current source. Marker format: `<fingerprint>\n<version>`.
@@ -182,12 +217,11 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
     val d = dir(sfDir)
     currentVersion(d, sfDir).getOrElse {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
-      acquireClaim(d)
-      try
+      withClaim(d) {
         // double-check under the claim: the process we raced may have
         // built exactly the version we need while we waited
         currentVersion(d, sfDir).getOrElse(rebuildClaimed(sfDir)(build))
-      finally releaseClaim(d)
+      }
     }
   }
 
@@ -204,9 +238,7 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
   def rebuild(sfDir: String)(build: String => Unit): String = lock.synchronized {
     val d = dir(sfDir)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
-    acquireClaim(d)
-    try rebuildClaimed(sfDir)(build)
-    finally releaseClaim(d)
+    withClaim(d) { rebuildClaimed(sfDir)(build) }
   }
 
   /** [[rebuild]] body — caller must hold the JVM lock AND the claim. */
@@ -244,8 +276,7 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
     lock.synchronized {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val d = dir(sfDir)
-      acquireClaim(d)
-      try {
+      withClaim(d) {
         val m = markerPath(d)
         // the served-marker read happens UNDER the claim: a concurrent
         // mutator's swap either fully precedes (we inherit its version's
@@ -260,7 +291,7 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
           StandardCopyOption.ATOMIC_MOVE)
         sweepOldVersions(d, keep = Set(v))
         vd
-      } finally releaseClaim(d)
+      }
     }
 
   /** Versions younger than this are never swept, whatever their position —

@@ -438,44 +438,55 @@ object TextIndex {
       .withColumn("cum", sum("maxc").over(wq))
       .withColumn("tot", sum("maxc").over(Window.partitionBy("qid")))
       .withColumn("is_high", (col("cum") - col("maxc")) * 2 < col("tot"))
-    // cost gate (one tiny collect — one row per query): attempt pruning
-    // only where the impact profile is SKEWED enough to plausibly certify
-    // (low mass under half the single top bound). A flat profile — this
-    // corpus's degenerate vocabulary — would pay phase A and then fall
-    // back anyway; the gate sends it straight to full scoring, so the
-    // pruned entry point never costs more than the plain one plus the
-    // metadata-scale bound computation. The gate is a planner heuristic,
-    // never a correctness decision: gated-out and uncertified queries both
-    // take the exact full-scoring path.
-    val perQ = marked.groupBy("qid").agg(
-        max(col("maxc")).as("top"),
-        sum(when(!col("is_high"), col("maxc")).otherwise(0L)).as("ub_low"))
-      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
-    val attempt = perQ.filter { case (_, top, ubLow) => ubLow * 2 < top }
-      .map(_._1)
+    // ONE collect of the per-(query, term) bound table — query-terms-
+    // sized by contract. The cost gate, the high/low split, and the
+    // per-query low-mass bound all derive driver-side from these rows, so
+    // the vocab-scale joins above run exactly once.
+    val mRows = marked.select("qid", "word", "maxc", "is_high").collect()
+    val qidType = marked.schema("qid").dataType
+    val byQid = mRows.groupBy(_.get(0))
+    val ubLowMap = byQid.map { case (q, rs) =>
+      q -> rs.filter(!_.getBoolean(3)).map(_.getLong(2)).sum }
+    val topMap = byQid.map { case (q, rs) => q -> rs.map(_.getLong(2)).max }
+    // cost gate: attempt pruning only where the impact profile is SKEWED
+    // enough to plausibly certify (low mass under half the single top
+    // bound). A flat profile — this corpus's degenerate vocabulary —
+    // would pay phase A and then fall back anyway; the gate sends it
+    // straight to full scoring, so the pruned entry point never costs
+    // more than the plain one plus the metadata-scale bounds. The gate is
+    // a planner heuristic, never a correctness decision: gated-out and
+    // uncertified queries both take the exact full-scoring path.
+    val attempt = ubLowMap.keys
+      .filter(q => ubLowMap(q) * 2 < topMap(q)).toArray
     val allQids = qt.select("qid").distinct().collect().map(_.get(0))
     if (attempt.isEmpty)
       return (scoreTerms(qt, ix, k), 0, allQids.length)
     val qtA = qt.filter(col("qid").isin(attempt.toIndexedSeq: _*))
-    val highTerms = marked.filter(col("is_high")).select("qid", "word")
-    val ubLow = marked.groupBy("qid")
-      .agg(sum(when(!col("is_high"), col("maxc")).otherwise(0L)).as("ub_low"))
+    // the high-term list is already on the driver: rebuild it as a local
+    // broadcastable frame instead of re-running the bound pipeline
+    val highRows = mRows
+      .filter(r => r.getBoolean(3) && attempt.contains(r.get(0)))
+      .map(r => org.apache.spark.sql.Row(r.get(0), r.getString(1)))
+    val highDf = qt.sparkSession.createDataFrame(
+      java.util.Arrays.asList(highRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid", qidType),
+        org.apache.spark.sql.types.StructField("word",
+          org.apache.spark.sql.types.StringType))))
     // phase A: exact scores for docs matching >= 1 high term
-    val highDocs = ix.postings.join(broadcast(highTerms), Seq("word"))
+    val highDocs = ix.postings.join(broadcast(highDf), Seq("word"))
       .filter(col("doc") =!= col("qid"))
       .select("qid", "doc").dropDuplicates("qid", "doc")
     val scoredA = candidates(qtA, ix)
       .join(highDocs, Seq("qid", "doc"), "left_semi")
       .groupBy("qid", "doc").agg(sum("__c").as("score_u"))
     val topA = rankTopK(scoredA, k)
-    // certification — one tiny collect (one row per attempted query)
-    val cert = topA.groupBy("qid")
-      .agg(max(when(col("rank") === k, col("score_u"))).as("kth"))
-      .join(ubLow, Seq("qid"), "left")
-      .select(col("qid"),
-        (col("kth").isNotNull && col("ub_low") < col("kth")).as("ok"))
-      .collect().map(r => r.get(0) -> r.getBoolean(1))
-    val certified = cert.filter(_._2).map(_._1)
+    // certification — one tiny collect (the k-th row per attempted query)
+    val kth = topA.filter(col("rank") === k)
+      .select("qid", "score_u").collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val certified = attempt
+      .filter(q => kth.get(q).exists(th => ubLowMap(q) < th))
     val fallback = allQids.diff(certified)
     val certDf = topA.filter(col("qid").isin(certified.toIndexedSeq: _*))
     val result =

@@ -23,8 +23,11 @@ import org.apache.spark.sql.types.StructType
   *   // DDL (SQL-visible):
   *   //   CREATE TEMPORARY VIEW t USING `graft.versioned`
   *   //   OPTIONS (path '<dir>', versionAsOf '1')
-  *   df.write.format("graft.versioned").mode("append").save(dir) // commit
-  *   // INSERT INTO t SELECT ...                                 // commit
+  *   df.write.format("graft.versioned").mode("append").save(dir)
+  *   //   → commits latest ∪ df (existing rows survive)
+  *   df.write.format("graft.versioned").mode("overwrite").save(dir)
+  *   //   → commits df as the next full snapshot (history retained)
+  *   // INSERT INTO t ... appends; INSERT OVERWRITE TABLE t ... replaces
   * }}}
   *
   * Snapshot reads resolve through [[graft.operators.Versioned.readAtDv]],
@@ -55,12 +58,16 @@ class VersionedSource extends RelationProvider
   }
 
   /** Write path: every save COMMITS a new immutable version through the
-    * claim/seal protocol — `Append` and `Overwrite` are deliberately the
-    * same operation, because a version IS a full snapshot and overwrite
-    * never truncates history (the lakehouse posture: old versions stay
-    * time-travelable until [[graft.operators.Versioned.vacuum]]).
-    * `ErrorIfExists` refuses when the table already has a committed
-    * version; `Ignore` is then a no-op.
+    * claim/seal protocol, and overwrite never truncates history (the
+    * lakehouse posture: old versions stay time-travelable until
+    * [[graft.operators.Versioned.vacuum]]):
+    *
+    *  - `Append` commits the DV-resolved latest snapshot PLUS the new
+    *    rows (the SQL append contract — existing rows survive; on an
+    *    empty table it is the initial commit);
+    *  - `Overwrite` commits the new rows as the complete next snapshot;
+    *  - `ErrorIfExists` refuses when the table already has a committed
+    *    version; `Ignore` is then a no-op.
     */
   override def createRelation(ctx: SQLContext,
       mode: org.apache.spark.sql.SaveMode,
@@ -75,9 +82,23 @@ class VersionedSource extends RelationProvider
       case SaveMode.ErrorIfExists if exists =>
         sys.error(s"graft.versioned: $dir already has committed versions")
       case SaveMode.Ignore if exists => ()
+      case SaveMode.Append if exists =>
+        VersionedSource.commitAppend(ctx, dir, data)
       case _ => graft.operators.Versioned.commit(data, dir); ()
     }
     new VersionedRelation(ctx, dir, parameters - "versionAsOf")
+  }
+}
+
+private[sources] object VersionedSource {
+  /** Append = DV-resolved latest ∪ new rows, committed as the next
+    * version (`unionByName` fails loudly on a schema mismatch).
+    */
+  def commitAppend(ctx: SQLContext, dir: String, data: DataFrame): Unit = {
+    val cur = graft.operators.Versioned.readAtDv(ctx.sparkSession, dir,
+      graft.operators.Versioned.latest(dir))
+    graft.operators.Versioned.commit(cur.unionByName(data), dir)
+    ()
   }
 }
 
@@ -135,14 +156,17 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
     case _ => None
   }
 
-  /** `INSERT INTO <view>` over the DDL surface: commits a new version
-    * (same contract as the writer — overwrite also commits, history
-    * stays). The view keeps serving the version it resolved at creation;
+  /** `INSERT INTO <view>` over the DDL surface: plain INSERT appends
+    * (DV-resolved latest ∪ new rows → next version — existing rows
+    * survive, the SQL contract); `INSERT OVERWRITE` commits the new rows
+    * as the complete next snapshot. History stays time-travelable either
+    * way. The view keeps serving the version it resolved at creation;
     * re-create it (or read without `versionAsOf`) to see the new commit.
     */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    graft.operators.Versioned.commit(data, dir)
-    ()
+    if (overwrite || graft.operators.Versioned.latest(dir) < 0) {
+      graft.operators.Versioned.commit(data, dir); ()
+    } else VersionedSource.commitAppend(ctx, dir, data)
   }
 
   override def buildScan(requiredColumns: Array[String],

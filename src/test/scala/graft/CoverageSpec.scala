@@ -501,21 +501,45 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("k", "change_type").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(cdc === Map(2L -> "changed", 5L -> "added"))
-    // write path: save() commits a new version; history stays readable
+    // CDC with a DV-tip endpoint resolves through readAtDv: the DV delete
+    // arrives as a "removed" row instead of failing the snapshot read
+    val cdcDv = spark.read.format("graft.versioned")
+      .option("changesFrom", 1).option("changesTo", 2)
+      .option("key", "k").option("compareCols", "name,bal").load(dir)
+      .select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cdcDv === Map(1L -> "removed"))
+    // write path: overwrite commits the given rows as the next full
+    // snapshot; history stays time-travelable
     val snap = spark.read.format("graft.versioned").load(dir)
     snap.filter(col("k") =!= 3).write.format("graft.versioned")
-      .mode("append").save(dir)
+      .mode("overwrite").save(dir)
     assert(operators.Versioned.latest(dir) === 3)
     assert(ks(spark.read.format("graft.versioned").load(dir)) ===
       Set(2L, 4L, 5L))
     assert(ks(spark.read.format("graft.versioned")
       .option("versionAsOf", 0).load(dir)) === Set(1L, 2L, 3L, 4L))
-    // INSERT INTO through the DDL view commits another version
+    // append PRESERVES existing rows (the SQL append contract)
+    Seq((9L, "z", 90L)).toDF("k", "name", "bal")
+      .write.format("graft.versioned").mode("append").save(dir)
+    assert(operators.Versioned.latest(dir) === 4)
+    assert(ks(spark.read.format("graft.versioned").load(dir)) ===
+      Set(2L, 4L, 5L, 9L))
+    // INSERT INTO through the DDL view appends too
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW vt_w USING `graft.versioned` " +
       s"OPTIONS (path '$dir')")
-    spark.sql("INSERT INTO vt_w SELECT k, name, bal FROM vt_w WHERE k >= 4")
-    assert(operators.Versioned.latest(dir) === 4)
-    assert(ks(spark.read.format("graft.versioned").load(dir)) === Set(4L, 5L))
+    spark.sql("INSERT INTO vt_w VALUES " +
+      "(CAST(10 AS BIGINT), 'w', CAST(100 AS BIGINT))")
+    assert(operators.Versioned.latest(dir) === 5)
+    assert(ks(spark.read.format("graft.versioned").load(dir)) ===
+      Set(2L, 4L, 5L, 9L, 10L))
+    // INSERT OVERWRITE replaces the snapshot (history intact)
+    spark.sql("INSERT OVERWRITE TABLE vt_w VALUES " +
+      "(CAST(20 AS BIGINT), 'v', CAST(200 AS BIGINT))")
+    assert(operators.Versioned.latest(dir) === 6)
+    assert(ks(spark.read.format("graft.versioned").load(dir)) === Set(20L))
+    assert(ks(spark.read.format("graft.versioned")
+      .option("versionAsOf", 5).load(dir)) === Set(2L, 4L, 5L, 9L, 10L))
     // a fresh dir with errorifexists: first save commits, second raises
     val dir2 = java.nio.file.Files.createTempDirectory("graft-vtds2").toString
     t.write.format("graft.versioned").mode("errorifexists").save(dir2)
@@ -778,6 +802,19 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     // determinism: a fresh invocation (fresh sample, fresh totals job)
     // reproduces the result bit-for-bit
     assert(snap(run()) === g1, "second invocation diverged")
+    // NULL values: pinned to the last bucket (desc = nulls last), running
+    // sum carries the accumulated non-null mass — row-identical to the
+    // single-partition window's trailing-null semantics
+    val withNulls = df.withColumn("v",
+      when(col("id") % 97 === 0, lit(null).cast("long")).otherwise(col("v")))
+    val gotN = snap(operators.Aggregations
+      .runningSumRanged(withNulls, "v", "id", "cum", "tot"))
+    val grandN = withNulls.agg(sum("v")).collect()(0).getLong(0)
+    val wantN = withNulls
+      .withColumn("cum", coalesce(sum("v").over(w), lit(0L)))
+      .withColumn("tot", lit(grandN))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(gotN === wantN, "null-value rows diverged from the window reference")
   }
 
   test("LK: multi-column zone maps — conjunctive pruning, null-column prune, no-stats conservatism") {

@@ -86,6 +86,37 @@ class IndexStoreSpec extends AnyFunSuite {
       new java.io.File(served.get, "component.parquet").exists())
   }
 
+  test("heartbeat keeps a long build's claim live past the timeout — no mid-build takeover") {
+    val (a, b, _) = freshStore("heartbeat")
+    val corpus = freshCorpus()
+    val old = IndexStore.claimTimeoutMs
+    IndexStore.claimTimeoutMs = 200 // build below runs 4x longer than this
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger()
+      val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def slowBuild(vd: String): Unit = {
+        val t0 = System.nanoTime()
+        builds.incrementAndGet()
+        Thread.sleep(800) // >> claimTimeoutMs: only the heartbeat keeps it
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(vd))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(vd, "component.parquet"), "built")
+        spans.add((t0, System.nanoTime())); ()
+      }
+      val t1 = new Thread(() => { a.rebuild(corpus)(slowBuild); () })
+      t1.start()
+      Thread.sleep(150) // let A win the claim and enter its long build
+      val t2 = new Thread(() => { b.rebuild(corpus)(slowBuild); () })
+      t2.start()
+      t1.join(30000); t2.join(30000)
+      import scala.jdk.CollectionConverters._
+      assert(builds.get() === 2)
+      val sorted = spans.asScala.toSeq.sortBy(_._1)
+      assert(sorted(0)._2 <= sorted(1)._1,
+        "the second builder took over a live (heartbeated) claim mid-build")
+    } finally IndexStore.claimTimeoutMs = old
+  }
+
   test("orphan claim from a crashed builder is taken over after the timeout") {
     val (a, _, _) = freshStore("takeover")
     val corpus = freshCorpus()
