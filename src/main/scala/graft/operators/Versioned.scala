@@ -116,9 +116,21 @@ object Versioned {
     * travel to a vacuumed version stops working — exactly the lakehouse
     * VACUUM contract, where retention bounds history, not correctness of
     * retained reads.
+    *
+    * Chain-aware: when the latest version is a deletion-vector or append
+    * (delta) commit, its nearest materialized BASE and every chain link
+    * above it must survive regardless of `keepLast` — removing the base
+    * would break the read of the version being served, not just history.
+    * The cut is clamped to that base, so retention can only ever shorten
+    * resolvable-but-old history, never the live chain.
     */
   def vacuum(dir: String, keepLast: Int): Unit = {
-    val cut = latest(dir) - math.max(1, keepLast) + 1
+    val tip = latest(dir)
+    val liveBase = (tip to 0 by -1)
+      .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
+        !isAddVersion(dir, w))
+      .getOrElse(0)
+    val cut = math.min(tip - math.max(1, keepLast) + 1, liveBase)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
       f.delete(); ()
@@ -138,19 +150,22 @@ object Versioned {
     readAt(s, dir, latest(dir))
 
   /** Guard for snapshot-deriving mutations: a materialized commit built
-    * from a NON-DV-resolved read of a history whose tip is a DV version
-    * would silently resurrect the deleted keys (the E122 interleave
-    * contract). Fail loudly with the remedy instead of producing a wrong
-    * table. Returns the latest version for the caller's read.
+    * from a NON-chain-resolved read of a history whose tip is a DV or
+    * append (delta) version would silently resurrect the deleted keys /
+    * drop the appended rows (the E122/E148 interleave contract). Fail
+    * loudly with the remedy instead of producing a wrong table. Returns
+    * the latest version for the caller's read.
     */
   private def requireMaterializedTip(dir: String, op: String): Int = {
     val v = latest(dir)
     require(v >= 0, s"$op: no committed versions in $dir")
-    require(!isDvVersion(dir, v),
-      s"$op: the latest version v$v of $dir is a deletion-vector commit; " +
-        "a snapshot-deriving mutation over a live DV chain would " +
-        "resurrect deleted keys — run compactDv first, or use " +
-        "deleteWhereDv/readAtDv for DV-aware operations")
+    require(!isDvVersion(dir, v) && !isAddVersion(dir, v),
+      s"$op: the latest version v$v of $dir is a " +
+        s"${if (isDvVersion(dir, v)) "deletion-vector" else "append (delta)"}" +
+        " commit; a snapshot-deriving mutation over a live DV/append " +
+        "chain would resurrect deleted keys or drop appended rows — run " +
+        "compactDv first, or use deleteWhereDv/appendRows/readAtDv for " +
+        "chain-aware operations")
     v
   }
 
@@ -411,39 +426,175 @@ object Versioned {
     v
   }
 
-  /** The table as of version `v` with deletion vectors applied: the
+  /** The table as of version `v` with the delta chain applied: the
     * nearest materialized snapshot at or below `v` — flat or partitioned
     * (a `_manifest`-bearing base stitches through [[readPartitionedAt]],
-    * so DV deletes compose with partition-manifest commits) — minus every
-    * key in the committed DVs of `(base, v]`. One base scan + one
-    * broadcast hash anti-join against the (churn-sized) DV union —
-    * pruning/pushdown on the base scan untouched.
+    * so the chain composes with partition-manifest commits) — folded
+    * through every committed DV and append version of `(base, v]` IN
+    * VERSION ORDER (a delete then an append of the same key must keep the
+    * re-appended row, and vice versa). Consecutive DV runs collapse into
+    * ONE broadcast hash anti-join against their (churn-sized) key union —
+    * a pure-DV history plans exactly as before the append extension —
+    * and each append run folds in as one `unionByName` with missing
+    * columns null-padded (the schema-evolution contract, E149).
+    * Pruning/pushdown on the base scan untouched.
     */
   def readAtDv(s: SparkSession, dir: String, v: Int): DataFrame = {
     val base = (v to 0 by -1)
-      .find(w => isCommitted(dir, w) && !isDvVersion(dir, w))
+      .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
+        !isAddVersion(dir, w))
       .getOrElse(sys.error(s"no materialized version at or below v$v in $dir"))
     val snap =
       if (java.nio.file.Files.exists(manifestPath(dir, base)))
         readPartitionedAt(s, dir, base)
       else readAt(s, dir, base)
-    val dvs = ((base + 1) to v)
-      .filter(w => isCommitted(dir, w) && isDvVersion(dir, w))
-      .map(w => s.read.parquet(dvPath(dir, w)))
-      .reduceOption(_ unionByName _)
-    dvs match {
-      case Some(d) =>
-        snap.join(broadcast(d.dropDuplicates(d.columns.head)),
+    val chain = ((base + 1) to v).filter(w => isCommitted(dir, w))
+    def antiJoin(acc: DataFrame, dvs: Seq[Int]): DataFrame =
+      if (dvs.isEmpty) acc
+      else {
+        val d = dvs.map(w => s.read.parquet(dvPath(dir, w)))
+          .reduce(_ unionByName _)
+        acc.join(broadcast(d.dropDuplicates(d.columns.head)),
           Seq(d.columns.head), "left_anti")
-      case None => snap
+      }
+    val (folded, pendingDvs) = chain.foldLeft((snap, Seq.empty[Int])) {
+      case ((acc, pend), w) =>
+        if (isDvVersion(dir, w)) (acc, pend :+ w)
+        else if (isAddVersion(dir, w))
+          (antiJoin(acc, pend).unionByName(
+            s.read.parquet(addPath(dir, w)), allowMissingColumns = true),
+            Seq.empty)
+        else (acc, pend) // unreachable: base is the nearest materialized ≤ v
     }
+    antiJoin(folded, pendingDvs)
   }
 
-  /** Fold the DV chain into a fresh materialized snapshot (OPTIMIZE).
-    * Returns the version.
+  /** Fold the DV/append chain into a fresh materialized snapshot
+    * (OPTIMIZE). Returns the version.
     */
   def compactDv(s: SparkSession, dir: String): Int =
     commit(readAtDv(s, dir, latest(dir)), dir)
+
+  // ---- append (delta) commits + ingest ----------------------------------
+  //
+  // The additive mirror of deletion vectors: an append version dir holds
+  // `_add/` — a parquet of ONLY the new rows — and no snapshot. Readers
+  // fold the chain in version order on top of the nearest materialized
+  // base ([[readAtDv]]), so commit cost is ∝ the appended batch, never
+  // table size — the shape continuous ingest at 100 TB requires (the
+  // row-level [[commit]] would rewrite the snapshot per batch). Appended
+  // batches may WIDEN the schema (extra columns): the fold null-pads both
+  // directions via `unionByName(allowMissingColumns)`, old versions keep
+  // their own schema under time travel, and the resolved read serves the
+  // union schema — engine-style additive schema evolution, with renames/
+  // drops/type changes out of contract (they are a rewrite, not an
+  // append). [[compactDv]] bounds chain length; [[vacuum]] never severs a
+  // live chain (cut clamps to the tip's base).
+
+  private def addPath(dir: String, v: Int) = s"$dir/v$v/_add"
+
+  /** Is committed version `v` an append (delta) commit (no snapshot, only
+    * an `_add` row set)?
+    */
+  def isAddVersion(dir: String, v: Int): Boolean =
+    new java.io.File(addPath(dir, v)).isDirectory
+
+  /** Append-only commit: write ONLY `df`'s rows as version N's delta.
+    * Cost ∝ batch; the first version of a table must be a [[commit]]
+    * (there is no base to append onto). Returns the version.
+    */
+  def appendRows(df: DataFrame, dir: String): Int = {
+    require(latest(dir) >= 0,
+      s"appendRows: no committed versions in $dir — the initial version " +
+        "must be a full commit")
+    val v = claimNext(dir)
+    df.write.mode("overwrite").parquet(addPath(dir, v))
+    seal(dir, v)
+    v
+  }
+
+  /** RESTORE: materialize the chain-resolved snapshot as of `v` as the
+    * next version — the roll-back-without-rewriting-history op (old
+    * versions stay time-travelable; the restored state is simply the new
+    * tip). Returns the version.
+    */
+  def restore(s: SparkSession, dir: String, v: Int): Int =
+    commit(readAtDv(s, dir, v), dir)
+
+  private def batchIdPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_batchid")
+
+  /** Exactly-once ingest primitive: append `df` tagged with the source's
+    * replay token `batchId`, or do NOTHING if a committed version already
+    * carries that token. Structured Streaming's `foreachBatch` re-runs a
+    * batch with the same id after a crash — the scan over committed
+    * `_batchid` markers (metadata-scale: one tiny file per version) makes
+    * the retry a no-op, so the sink is idempotent and the stream
+    * exactly-once end to end. A crash BETWEEN the data write and [[seal]]
+    * leaves an uncommitted claim hole whose marker [[latest]] ignores, so
+    * the replay re-appends — at-least-once at the storage layer, exactly
+    * once observably. On an empty table the first batch is the initial
+    * full commit (parquet ignores the underscore-prefixed marker file).
+    * Returns the committed version, or None for a replayed batch.
+    */
+  def appendBatchIdempotent(df: DataFrame, dir: String,
+      batchId: Long): Option[Int] = {
+    val tip = latest(dir)
+    val seen = (0 to tip).exists { w =>
+      isCommitted(dir, w) &&
+        java.nio.file.Files.exists(batchIdPath(dir, w)) &&
+        java.nio.file.Files.readString(batchIdPath(dir, w)).trim ==
+          batchId.toString
+    }
+    if (seen) None
+    else {
+      val v = claimNext(dir)
+      if (tip < 0) df.write.mode("overwrite").parquet(s"$dir/v$v")
+      else df.write.mode("overwrite").parquet(addPath(dir, v))
+      java.nio.file.Files.writeString(batchIdPath(dir, v), batchId.toString)
+      seal(dir, v)
+      Some(v)
+    }
+  }
+
+  // ---- expectations (writer-side data-quality gates) ---------------------
+
+  /** The quarantine sidecar: every [[commitExpect]] appends its rejected
+    * rows here, tagged with the violated expectation names and the
+    * version the surviving rows committed as.
+    */
+  def quarantineDir(dir: String): String = s"$dir/_quarantine"
+
+  /** Expectation-gated commit (the lakehouse CHECK-constraint posture
+    * with a quarantine instead of a failed transaction): rows satisfying
+    * EVERY named predicate commit as the next version; the rest land in
+    * [[quarantineDir]] with a comma-joined `violations` column naming
+    * each failed expectation (a NULL predicate result counts as a
+    * violation — a constraint that cannot be proven is not satisfied)
+    * and the `commit_version` they were rejected from. Two scans of `df`
+    * (valid + quarantine) — callers ingesting an expensive upstream
+    * should persist it first. Returns the committed version.
+    */
+  def commitExpect(df: DataFrame, dir: String,
+      expectations: Seq[(String, Column)]): Int = {
+    require(expectations.nonEmpty, "commitExpect: no expectations given")
+    val ok = expectations.map { case (_, p) => coalesce(p, lit(false)) }
+      .reduce(_ && _)
+    val viol = concat_ws(",", expectations.map { case (n, p) =>
+      when(!coalesce(p, lit(false)), lit(n)) }: _*)
+    val v = commit(df.filter(ok), dir)
+    df.filter(!ok).withColumn("violations", viol)
+      .withColumn("commit_version", lit(v))
+      .write.mode("append").parquet(quarantineDir(dir))
+    v
+  }
+
+  /** Every quarantined row of the table's history (empty-schema error if
+    * nothing was ever quarantined — read under an expectation-bearing
+    * history).
+    */
+  def quarantine(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(quarantineDir(dir))
 
   // ---- zone-map stats + partition skipping -------------------------------
   //
@@ -836,6 +987,70 @@ object Versioned {
         "o_acctbal_c", "n_acctbal_c")
     }),
 
+    // LK10: append (delta) commits interleaved with a DV delete — v0 =
+    // customer, v1 = append of the %31 clone rows (cost ∝ batch, the
+    // continuous-ingest shape), v2 = DV delete of custkey % 13 = 0
+    // evaluated against the v1-RESOLVED snapshot (so it deletes from both
+    // the base and the appended rows). The chain-resolved read must equal
+    // the logical (base ∪ appended) minus the deleted keys — which is
+    // exactly the oracle; a hash match proves in-order fold semantics.
+    "q_lake_append" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#append")
+      commit(c, d)
+      appendRows(c.filter(col("c_custkey") % 31 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_name", concat(lit("Appended "), col("c_name"))), d)
+      deleteWhereDv(s, d, col("c_custkey") % 13 === 0, "c_custkey")
+      readAtDv(s, d, 2)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
+    // LK11: additive schema evolution — v0 = customer (5 columns), v1 =
+    // append of %31 clone rows carrying a NEW `c_tier` column. The
+    // resolved read serves the union schema with the base rows null-padded
+    // (and time travel to v0 keeps the original 5-column schema,
+    // unit-pinned). The oracle spells the same union with an explicit
+    // CAST(NULL AS VARCHAR) — a hash match pins both the padding and the
+    // evolved column's values.
+    "q_lake_schema_evolution" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#evolve")
+      commit(c, d)
+      appendRows(c.filter(col("c_custkey") % 31 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 2000000L)
+        .withColumn("c_tier",
+          when(col("c_acctbal") >= 5000.0, lit("gold"))
+            .otherwise(lit("std"))), d)
+      readAtDv(s, d, 1)
+        .select(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"), col("c_tier"))
+    }),
+
+    // LK12: expectation-gated commit — customer rows failing any of the
+    // three named data-quality gates are diverted to the quarantine
+    // sidecar with a comma-joined list of every violated expectation
+    // (the committed snapshot = the fully-valid rows, unit-pinned). The
+    // oracle re-derives the quarantine with CASE/concat_ws over the same
+    // predicates — a hash match pins both the split and the reasons.
+    "q_lake_expectations" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#expect")
+      commitExpect(c, d, Seq(
+        "nonneg_bal" -> (col("c_acctbal") >= 0),
+        "known_segment" -> col("c_mktsegment").isin(
+          "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+        "nation_range" -> col("c_nationkey").between(0, 24)))
+      quarantine(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("violations"),
+          col("commit_version").cast("long").as("commit_version"))
+    }),
+
     // LK4: CDC across the whole retained history — changes(v0, v2) with the
     // q_snapshot_diff oracle byte-identical: the versioned store's
     // round-trip (write → read → diff) must hash-match the purely
@@ -854,6 +1069,52 @@ object Versioned {
 
   val oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> Lake.oracles("q_merge_upsert"),
+    // the chain-resolved read must equal (base ∪ appended) minus deletes
+    "q_lake_append" ->
+      """WITH appended AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'Appended ' || c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 31 = 0)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM appended WHERE NOT (c_custkey % 13 = 0)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the union schema with base rows null-padded in the evolved column
+    "q_lake_schema_evolution" ->
+      """WITH evolved AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    CAST(NULL AS VARCHAR) AS c_tier
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 2000000, c_name, c_acctbal, c_mktsegment,
+        |    CASE WHEN c_acctbal >= 5000.0 THEN 'gold' ELSE 'std' END
+        |  FROM customer WHERE c_custkey % 31 = 0)
+        |SELECT c_custkey, c_name,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |  c_mktsegment, c_tier
+        |FROM evolved ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the quarantine re-derived with the same null-as-violation semantics
+    "q_lake_expectations" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |  concat_ws(',',
+        |    CASE WHEN NOT coalesce(c_acctbal >= 0, FALSE)
+        |      THEN 'nonneg_bal' END,
+        |    CASE WHEN NOT coalesce(c_mktsegment IN ('AUTOMOBILE',
+        |      'BUILDING', 'FURNITURE', 'HOUSEHOLD', 'MACHINERY'), FALSE)
+        |      THEN 'known_segment' END,
+        |    CASE WHEN NOT coalesce(c_nationkey BETWEEN 0 AND 24, FALSE)
+        |      THEN 'nation_range' END) AS violations,
+        |  CAST(0 AS BIGINT) AS commit_version
+        |FROM customer
+        |WHERE NOT (coalesce(c_acctbal >= 0, FALSE)
+        |  AND coalesce(c_mktsegment IN ('AUTOMOBILE', 'BUILDING',
+        |    'FURNITURE', 'HOUSEHOLD', 'MACHINERY'), FALSE)
+        |  AND coalesce(c_nationkey BETWEEN 0 AND 24, FALSE))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the DataSource reader must be byte-identical to the programmatic read
     "q_lake_timetravel_sql" -> Lake.oracles("q_merge_upsert"),
     "q_lake_changes" -> Lake.oracles("q_snapshot_diff"),

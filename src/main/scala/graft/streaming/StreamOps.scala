@@ -781,6 +781,28 @@ object StreamOps {
     * change-feed bootstrap, and exactly how [[graft.operators.Versioned
     * .commitCdc]] emits a table's first commit.
     */
+  /** Exactly-once streaming ingest into a [[graft.operators.Versioned]]
+    * table (E148): every micro-batch lands as ONE append (delta) commit —
+    * cost ∝ batch rows, never table size — and a crash-replayed batch id
+    * is recognized by its committed `_batchid` marker and skipped, so the
+    * checkpoint + marker pair gives end-to-end exactly-once without a
+    * transactional sink API. `foreachBatch` is the Structured Streaming
+    * escape hatch for exactly this shape (a batch-only writer driven by a
+    * stream); downstream readers see each batch atomically via the
+    * claim/seal protocol, and the CDC/file-stream surfaces compose
+    * unchanged on top of the resulting history.
+    */
+  def versionedIngest(stream: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Versioned.appendBatchIdempotent(batch, dir, id)
+        ()
+      }
+      .start()
+
   def maintainAggStream(cdc: DataFrame, groupO: String, groupN: String,
       valO: String, valN: String): DataFrame = {
     val minus = cdc.filter(col("change_type").isin("removed", "changed"))

@@ -460,6 +460,134 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getAs[Long]("k")).toSet === Set(3L, 9L))
   }
 
+  test("LK: append (delta) commits — in-order chain fold, re-append after delete, guard, compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtadd").toString
+    val t = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "bal")
+    assert(operators.Versioned.commit(t, dir) === 0)
+    // v1: append-only commit — the version dir holds ONLY the delta rows
+    assert(operators.Versioned.appendRows(
+      Seq((4L, "d", 40L), (5L, "e", 50L)).toDF("k", "name", "bal"), dir) === 1)
+    assert(operators.Versioned.isAddVersion(dir, 1))
+    val v1files = new java.io.File(s"$dir/v1").listFiles().map(_.getName).toSet
+    assert(v1files === Set("_add"), v1files.toString)
+    // v2: DV delete evaluated against the v1-resolved snapshot — deletes
+    // from base AND appended rows
+    assert(operators.Versioned.deleteWhereDv(spark, dir,
+      col("k").isin(2L, 4L), "k") === 2)
+    // v3: re-append of a DELETED key — in-order fold must keep it (a
+    // union-then-anti-join shortcut would wrongly delete it again)
+    assert(operators.Versioned.appendRows(
+      Seq((4L, "d2", 41L)).toDF("k", "name", "bal"), dir) === 3)
+    def ks(v: Int): Set[(Long, String)] =
+      operators.Versioned.readAtDv(spark, dir, v).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"))).toSet
+    assert(ks(0) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(ks(1) === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(ks(2) === Set((1L, "a"), (3L, "c"), (5L, "e")))
+    assert(ks(3) === Set((1L, "a"), (3L, "c"), (5L, "e"), (4L, "d2")))
+    // snapshot-deriving mutations over a live APPEND tip fail loudly (they
+    // would silently drop the appended rows)
+    val e = intercept[IllegalArgumentException] {
+      operators.Versioned.upsert(spark, dir,
+        Seq((9L, "z", 90L)).toDF("k", "name", "bal"), "k")
+    }
+    assert(e.getMessage.contains("append") &&
+      e.getMessage.contains("compactDv"), e.getMessage)
+    // appendRows on an EMPTY table fails loudly (no base to append onto)
+    intercept[IllegalArgumentException] {
+      operators.Versioned.appendRows(t,
+        java.nio.file.Files.createTempDirectory("graft-vtadd-empty").toString)
+    }
+    // compact folds the whole chain into a materialized snapshot
+    assert(operators.Versioned.compactDv(spark, dir) === 4)
+    assert(!operators.Versioned.isAddVersion(dir, 4) &&
+      !operators.Versioned.isDvVersion(dir, 4))
+    assert(ks(4) === ks(3))
+    // chain-aware vacuum: with a DV/append tip, the live chain's base and
+    // links survive even when keepLast alone would remove them
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-vtvac").toString
+    operators.Versioned.commit(t, dir2)
+    operators.Versioned.appendRows(Seq((4L, "d", 40L)).toDF("k", "name", "bal"), dir2)
+    operators.Versioned.deleteWhereDv(spark, dir2, col("k") === 1, "k")
+    operators.Versioned.vacuum(dir2, 1) // tip v2 is a DV: base v0 must survive
+    assert(new java.io.File(s"$dir2/v0").exists(), "live-chain base vacuumed")
+    assert(operators.Versioned.readAtDv(spark, dir2, 2).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(2L, 3L, 4L))
+    // restore: materialize an old version as the new tip, history intact
+    assert(operators.Versioned.restore(spark, dir2, 0) === 3)
+    assert(operators.Versioned.readLatest(spark, dir2).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(1L, 2L, 3L))
+    assert(operators.Versioned.readAtDv(spark, dir2, 2).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(2L, 3L, 4L))
+  }
+
+  test("LK: schema evolution via append — union schema null-padded, time travel keeps old schema") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtevo").toString
+    val t = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    operators.Versioned.commit(t, dir)
+    // widened append: new `tier` column (and rows missing nothing)
+    operators.Versioned.appendRows(
+      Seq((3L, "c", "gold")).toDF("k", "name", "tier"), dir)
+    val resolved = operators.Versioned.readAtDv(spark, dir, 1)
+    assert(resolved.columns.toSeq === Seq("k", "name", "tier"))
+    val rows = resolved.collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("tier"))).toMap
+    assert(rows === Map(1L -> null, 2L -> null, 3L -> "gold"))
+    // time travel to the pre-evolution version keeps the ORIGINAL schema
+    assert(operators.Versioned.readAt(spark, dir, 0).columns.toSeq ===
+      Seq("k", "name"))
+    // a NARROW append (missing a base column) null-pads the other way
+    operators.Versioned.appendRows(Seq(Tuple1(4L)).toDF("k"), dir)
+    val r2 = operators.Versioned.readAtDv(spark, dir, 2).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("name"))).toMap
+    assert(r2(4L) === null && r2(1L) === "a")
+  }
+
+  test("LK: expectation-gated commit — valid rows commit, violations quarantined with reasons") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtexp").toString
+    val t = Seq(
+      (1L, "a", 10L), (2L, null.asInstanceOf[String], 20L),
+      (3L, "c", -5L), (4L, null.asInstanceOf[String], -1L))
+      .toDF("k", "name", "bal")
+    val v = operators.Versioned.commitExpect(t, dir, Seq(
+      "has_name" -> col("name").isNotNull,
+      "nonneg_bal" -> (col("bal") >= 0)))
+    assert(v === 0)
+    // committed snapshot = only the fully-valid rows
+    assert(operators.Versioned.readLatest(spark, dir).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(1L))
+    // quarantine carries every failing row with ALL its violated gates
+    val q = operators.Versioned.quarantine(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("violations"), r.getAs[Int]("commit_version")))
+      .toMap
+    assert(q === Map(
+      2L -> ("has_name", 0), 3L -> ("nonneg_bal", 0),
+      4L -> ("has_name,nonneg_bal", 0)))
+  }
+
+  test("LK: appendBatchIdempotent — replayed batch ids are no-ops, first batch bootstraps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtbid").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    val b1 = Seq((3L, "c")).toDF("k", "name")
+    // empty table: batch 0 bootstraps as the initial full commit
+    assert(operators.Versioned.appendBatchIdempotent(b0, dir, 0L) === Some(0))
+    assert(!operators.Versioned.isAddVersion(dir, 0))
+    // batch 1 lands as an append (delta) commit
+    assert(operators.Versioned.appendBatchIdempotent(b1, dir, 1L) === Some(1))
+    assert(operators.Versioned.isAddVersion(dir, 1))
+    // crash-replay of either batch id: recognized, nothing committed
+    assert(operators.Versioned.appendBatchIdempotent(b0, dir, 0L) === None)
+    assert(operators.Versioned.appendBatchIdempotent(b1, dir, 1L) === None)
+    assert(operators.Versioned.latest(dir) === 1)
+    assert(operators.Versioned.readAtDv(spark, dir, 1).count() === 3)
+  }
+
   test("LK: graft.versioned data source — DDL view, time travel, DV resolution, CDC, pushdown") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vtds").toString
