@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** A fresh per-invocation scratch dir for planted-layout demos (the
+    * `Versioned.tableDir` pattern — the query carries its own build cost).
+    */
+  private def scratchDir(sfDir: String, tag: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$sfDir#$tag".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val d = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft-joins", h)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+      f.delete(); ()
+    }
+    rm(d); d.mkdirs()
+    d.getAbsolutePath
+  }
+
   /** Scalable as-of join (J10): for each left row, the latest right row with
     * `right.time <= left.time` on the same key.
     *
@@ -312,6 +329,32 @@ object Joins {
     "q_join_fuzzy2" -> ((s, dir) =>
       fuzzyPairsDeletes2(T.part(s, dir).select("p_name").distinct(), "p_name")),
 
+    // J14: DYNAMIC PARTITION PRUNING — the implicit runtime-filter twin of
+    // J13's explicit Bloom: the fact is laid out hive-partitioned by ship
+    // month (the 100 TB date-partitioned-fact posture; the write is the
+    // planted layout, the q_lake_skipping pattern), the dim side is a
+    // filtered 3-month key set, and Catalyst injects a dynamicpruning
+    // subquery into the fact scan's PartitionFilters — only the 3 matching
+    // month dirs are ever read, with NO explicit filter on the fact in the
+    // query text. PlanSpec pins the dynamicpruning expression + the reused
+    // broadcast; the oracle (plain join semantics) proves pruning lost
+    // nothing.
+    "q_join_dpp" -> ((s, dir) => {
+      val d = scratchDir(dir, "dpp")
+      T.lineitem(s, dir)
+        .withColumn("l_ym", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("l_ym"))
+        .write.partitionBy("l_ym").mode("overwrite").parquet(d)
+      val fact = s.read.parquet(d)
+      val dim = T.orders(s, dir)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("l_ym"))
+        .filter(col("l_ym").between("1995-01", "1995-03")).distinct()
+      fact.join(dim, Seq("l_ym"))
+        .groupBy(col("l_ym"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(Det.cents(col("l_extendedprice"))).as("sum_price_c"))
+    }),
+
     // J13: Bloom-pruned semi-join — the explicit runtime-filter shape
     // (Layout.bloomPrunedSemiJoin): big side pre-filtered by a broadcast
     // Bloom filter BEFORE the shuffle, exact semi-join after. The refine
@@ -477,6 +520,20 @@ object Joins {
         |  CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // plain join semantics over the unpartitioned tables — hash equality
+    // proves the runtime partition pruning lost nothing
+    "q_join_dpp" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS l_ym
+        |  FROM orders
+        |  WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-03')
+        |SELECT l.l_ym, count(*) AS n_items,
+        |  CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM (SELECT strftime(l_shipdate, '%Y-%m') AS l_ym, l_extendedprice
+        |      FROM lineitem) l
+        |  JOIN dim ON l.l_ym = dim.l_ym
         |GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_join_star" ->
       """SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,

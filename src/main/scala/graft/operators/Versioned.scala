@@ -1051,6 +1051,34 @@ object Versioned {
           col("commit_version").cast("long").as("commit_version"))
     }),
 
+    // LK13: Z-ORDER clustered layout × multi-column zone maps — the
+    // OPTIMIZE ZORDER story: partitions are buckets of the Morton
+    // interleave of (nationkey, balance band), so each partition is tight
+    // in BOTH dimensions and the E145 conjunctive zone-map pruning
+    // actually bites on both predicates (a single-dimension layout's zone
+    // maps are useless for the other dimension — quantified in the unit).
+    // Both band and bucket ride in the output, so the oracle re-derives
+    // the full Morton spread in SQL bit ops — the z-value math itself is
+    // hash-pinned cross-engine. Bucket count is bounded by the FIXED
+    // value ranges (nationkey 0–24, acctbal bands 0–21), not the SF.
+    "q_lake_zorder" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+        .withColumn("bal_band",
+          floor((col("c_acctbal") + 1000.0) / 500.0).cast("long"))
+      val zc = c.withColumn("z_bucket",
+        shiftright(Layout.zValue(col("c_nationkey"), col("bal_band")), 4))
+      val d = tableDir(dir + "#zorder")
+      commitPartitionedStatsMulti(s, zc, d, "z_bucket",
+        Seq("c_nationkey", "bal_band"))
+      readPartitionedPrunedMulti(s, d, 0,
+        Seq(("c_nationkey", 5L, 10L), ("bal_band", 4L, 7L)))
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("bal_band").cast("long").as("bal_band"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("z_bucket").cast("long").as("z_bucket"))
+    }),
+
     // LK4: CDC across the whole retained history — changes(v0, v2) with the
     // q_snapshot_diff oracle byte-identical: the versioned store's
     // round-trip (write → read → diff) must hash-match the purely
@@ -1096,6 +1124,30 @@ object Versioned {
         |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c,
         |  c_mktsegment, c_tier
         |FROM evolved ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the pruned z-ordered read must equal the full-table conjunctive
+    // filter, with the Morton spread re-derived stage by stage in SQL bit
+    // ops (mirrors Layout.zValue's shift-or-mask chain exactly)
+    "q_lake_zorder" ->
+      """WITH b AS (
+        |  SELECT *, CAST(c_nationkey AS BIGINT) AS ax,
+        |    CAST(FLOOR((c_acctbal + 1000.0) / 500.0) AS BIGINT) AS bx
+        |  FROM customer),
+        |s1 AS (SELECT *, ((ax | (ax << 16)) & 281470681808895) AS a1,
+        |              ((bx | (bx << 16)) & 281470681808895) AS b1 FROM b),
+        |s2 AS (SELECT *, ((a1 | (a1 << 8)) & 71777214294589695) AS a2,
+        |              ((b1 | (b1 << 8)) & 71777214294589695) AS b2 FROM s1),
+        |s3 AS (SELECT *, ((a2 | (a2 << 4)) & 1085102592571150095) AS a3,
+        |              ((b2 | (b2 << 4)) & 1085102592571150095) AS b3 FROM s2),
+        |s4 AS (SELECT *, ((a3 | (a3 << 2)) & 3689348814741910323) AS a4,
+        |              ((b3 | (b3 << 2)) & 3689348814741910323) AS b4 FROM s3),
+        |s5 AS (SELECT *, ((a4 | (a4 << 1)) & 6148914691236517205) AS a5,
+        |              ((b4 | (b4 << 1)) & 6148914691236517205) AS b5 FROM s4)
+        |SELECT c_custkey, c_name, ax AS c_nationkey, bx AS bal_band,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+        |  ((a5 | (b5 << 1)) >> 4) AS z_bucket
+        |FROM s5
+        |WHERE c_nationkey BETWEEN 5 AND 10 AND bx BETWEEN 4 AND 7
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the quarantine re-derived with the same null-as-violation semantics
     "q_lake_expectations" ->
       """SELECT c_custkey, c_name,

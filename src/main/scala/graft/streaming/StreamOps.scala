@@ -803,6 +803,48 @@ object StreamOps {
       }
       .start()
 
+  /** [[versionedIngest]] with E150's expectation gates applied per batch:
+    * rows satisfying every named predicate append as the batch's delta
+    * commit; the rest land in the table's `_quarantine` sidecar tagged
+    * with the violated gate names and the batch's commit version — the
+    * streaming DLT-expectations posture. Idempotence is inherited: a
+    * replayed batch id short-circuits BEFORE either write, so neither the
+    * commit nor the quarantine double-appends. NULL predicate results
+    * count as violations, exactly as in the batch
+    * [[graft.operators.Versioned.commitExpect]].
+    *
+    * Crash seam (documented, standard for a non-transactional sidecar):
+    * the quarantine append runs AFTER the commit seals; a crash exactly
+    * between them loses that batch's quarantine rows (the replay sees the
+    * committed marker and skips). The data plane — the table itself —
+    * stays exactly-once; the quarantine is diagnostics, where at-most-once
+    * beats the double-append the opposite ordering would produce.
+    */
+  def versionedIngestExpect(stream: DataFrame, dir: String,
+      checkpoint: String, expectations: Seq[(String, org.apache.spark.sql.Column)]):
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    require(expectations.nonEmpty, "versionedIngestExpect: no expectations")
+    val ok = expectations.map { case (_, p) => coalesce(p, lit(false)) }
+      .reduce(_ && _)
+    val viol = concat_ws(",", expectations.map { case (n, p) =>
+      when(!coalesce(p, lit(false)), lit(n)) }: _*)
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Versioned
+          .appendBatchIdempotent(batch.filter(ok), dir, id)
+          .foreach { v =>
+            batch.filter(!ok).withColumn("violations", viol)
+              .withColumn("commit_version", lit(v))
+              .write.mode("append")
+              .parquet(graft.operators.Versioned.quarantineDir(dir))
+          }
+        ()
+      }
+      .start()
+  }
+
   def maintainAggStream(cdc: DataFrame, groupO: String, groupN: String,
       valO: String, valN: String): DataFrame = {
     val minus = cdc.filter(col("change_type").isin("removed", "changed"))

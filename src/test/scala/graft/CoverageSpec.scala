@@ -588,6 +588,66 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(operators.Versioned.readAtDv(spark, dir, 1).count() === 3)
   }
 
+  test("LK: z-order layout — conjunctive zone maps prune strictly more than a single-dimension layout") {
+    import spark.implicits._
+    // uniform 25×22 grid, 2 rows per cell — every (a, b) combination present
+    val rows = for (i <- 0 until 1100) yield (i.toLong, i % 25, (i / 25) % 22)
+    val df = rows.toDF("id", "a", "b")
+    val preds = Seq(("a", 5L, 10L), ("b", 4L, 7L))
+    // z-order layout: partitions are Morton-interleave buckets (tight in
+    // BOTH dims)
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zord").toString
+    val zdf = df.withColumn("pbucket",
+      shiftright(operators.Layout.zValue(col("a"), col("b")), 4))
+    operators.Versioned.commitPartitionedStatsMulti(spark, zdf, zdir,
+      "pbucket", Seq("a", "b"))
+    // single-dimension layout: partitions are b alone — every partition
+    // spans ALL of a, so the a-predicate can never prune
+    val ldir = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    val ldf = df.withColumn("pbucket", col("b"))
+    operators.Versioned.commitPartitionedStatsMulti(spark, ldf, ldir,
+      "pbucket", Seq("a", "b"))
+    def keptFrac(d: String): Double =
+      operators.Versioned.prunedPartitionsMulti(d, 0, preds).size.toDouble /
+        operators.Versioned.manifest(d, 0).size
+    val (zf, lf) = (keptFrac(zdir), keptFrac(ldir))
+    // the linear layout keeps exactly the 4/22 b-partitions; z-order also
+    // prunes on a, so its surviving fraction must be strictly smaller
+    assert(lf === 4.0 / 22, s"single-dim layout kept $lf")
+    assert(zf < lf, s"z-order kept $zf, single-dim kept $lf")
+    // both layouts serve the identical result (pruning is never a filter)
+    val want = df.filter(col("a").between(5, 10) && col("b").between(4, 7))
+      .select("id").collect().map(_.getLong(0)).toSet
+    for (d <- Seq(zdir, ldir))
+      assert(operators.Versioned.readPartitionedPrunedMulti(spark, d, 0, preds)
+        .select("id").collect().map(_.getLong(0)).toSet === want)
+  }
+
+  test("LK: ingest crash hole — a claimed-but-unsealed batch is invisible and its replay re-appends") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtcrash").toString
+    val b0 = Seq((1L, "a")).toDF("k", "name")
+    assert(operators.Versioned.appendBatchIdempotent(b0, dir, 0L) === Some(0))
+    // simulate a sink that CRASHED between the data write and seal: v1 has
+    // a claim, data, and the batch-id marker — but no commit mark
+    val b1 = Seq((2L, "b")).toDF("k", "name")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "v1._claim"))
+    b1.write.parquet(s"$dir/v1/_add")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "v1", "_batchid"), "1")
+    // the aborted slot is invisible to readers and to the marker scan
+    assert(operators.Versioned.latest(dir) === 0)
+    assert(operators.Versioned.readAtDv(spark, dir, 0).count() === 1)
+    // the checkpoint replays batch 1: the uncommitted marker must NOT
+    // suppress it — the replay claims the next number (the hole stays) and
+    // commits for real
+    assert(operators.Versioned.appendBatchIdempotent(b1, dir, 1L) === Some(2))
+    assert(operators.Versioned.readAtDv(spark, dir, 2).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(1L, 2L))
+    // and a SECOND replay of the same id is now a no-op
+    assert(operators.Versioned.appendBatchIdempotent(b1, dir, 1L) === None)
+  }
+
   test("LK: graft.versioned data source — DDL view, time travel, DV resolution, CDC, pushdown") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vtds").toString

@@ -138,6 +138,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!scanned.contains("l_returnflag=A"), "partition A should be pruned")
   }
 
+  test("dpp: the fact scan carries a dynamicpruning partition filter from the dim side") {
+    val p = plan("q_join_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in the fact scan:\n$p")
+    assert(p.contains("PartitionFilters") && p.contains("l_ym"),
+      s"expected the pruning to bind the l_ym partition column:\n$p")
+  }
+
   test("contamination: benchmark hashes broadcast — corpus side never shuffles for the join") {
     val p = plan("q_dedup_contamination")
     assert(p.contains("BroadcastHashJoin"),

@@ -773,4 +773,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // travel and chain-resolved reads like any other versioned table
     assert(Versioned.readAt(spark, dir, 0).count() === 2)
   }
+
+  test("E148/E150: versionedIngestExpect — per-batch gates, quarantine reasons, replay skips both writes") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtinge").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vtinge-ck").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val q = StreamOps.versionedIngestExpect(
+      input.toDF().toDF("k", "name", "bal"), dir, ckpt, Seq(
+        "has_name" -> col("name").isNotNull,
+        "nonneg_bal" -> (col("bal") >= 0L)))
+    input.addData((1L, "a", 10L), (2L, null.asInstanceOf[String], 20L))
+    q.processAllAvailable()
+    input.addData((3L, "c", -5L), (4L, "d", 40L))
+    q.processAllAvailable()
+    q.stop()
+    // only the fully-valid rows reached the table (batch 0 bootstraps,
+    // batch 1 appends)
+    assert(Versioned.readAtDv(spark, dir, Versioned.latest(dir)).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(1L, 4L))
+    // quarantine carries each reject with its gate name and batch version
+    val quar = Versioned.quarantine(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("violations"), r.getAs[Int]("commit_version")))
+      .toMap
+    assert(quar === Map(2L -> ("has_name", 0), 3L -> ("nonneg_bal", 1)))
+    // crash-replay of a committed batch: neither the table NOR the
+    // quarantine double-appends (idempotence short-circuits both writes)
+    assert(Versioned.appendBatchIdempotent(
+      Seq((4L, "d", 40L)).toDF("k", "name", "bal"), dir, 1L) === None)
+    assert(Versioned.quarantine(spark, dir).count() === 2)
+  }
 }
