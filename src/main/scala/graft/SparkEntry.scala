@@ -30,6 +30,7 @@ object SparkEntry {
     (pipeline.TextAnalysis.queries, pipeline.TextAnalysis.oracles),
     (pipeline.TextIndex.queries, pipeline.TextIndex.oracles),
     (pipeline.Bpe.queries, pipeline.Bpe.oracles),
+    (pipeline.Unigram.queries, pipeline.Unigram.oracles),
     (pipeline.NaiveBayes.queries, pipeline.NaiveBayes.oracles),
     (pipeline.Multimodal.queries, pipeline.Multimodal.oracles),
     (pipeline.Web.queries, pipeline.Web.oracles)

@@ -1762,4 +1762,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       rm(new java.io.File(TextIndex.dir(dir)))
     }
   }
+
+  test("unigram: Viterbi is DP-optimal (beats greedy) and ties break by piece count then segmentation") {
+    import spark.implicits._
+    def seg(word: String, vocab: Seq[(String, Long)]): (String, Long, Long) = {
+      val words = Seq((word, 1L)).toDF("w", "wc")
+      val v = vocab.toDF("p", "lpu")
+      val r = Unigram.viterbiSegment(words, v).collect()(0)
+      (r.getAs[String]("seg"), r.getAs[Long]("score_u"),
+        r.getAs[Long]("n_pieces"))
+    }
+    // greedy-longest would take "abc" (score -20); DP finds ab|c = -11
+    assert(seg("abc", Seq(("abc", -20L), ("ab", -1L), ("c", -10L),
+      ("a", -5L), ("b", -5L))) === ("ab|c", -11L, 2L))
+    // score tie (aa = a|a = -2): fewer pieces wins
+    assert(seg("aa", Seq(("aa", -2L), ("a", -1L))) === ("aa", -2L, 1L))
+    // score AND piece-count tie (aa|b = a|ab = -6, both 2 pieces):
+    // lexicographically smaller segmentation STRING wins — 'a' (0x61)
+    // sorts before the '|' separator (0x7c), so "aa|b" < "a|ab"
+    assert(seg("aab", Seq(("aa", -3L), ("ab", -3L), ("a", -3L),
+      ("b", -3L))) === ("aa|b", -6L, 2L))
+    // unreachable word (no vocab coverage) drops instead of mis-scoring
+    val none = Unigram.viterbiSegment(Seq(("xyz", 1L)).toDF("w", "wc"),
+      Seq(("a", -1L)).toDF("p", "lpu"))
+    assert(none.count() === 0)
+  }
+
+  test("unigram: corpus segmentations reassemble their words; refined vocab covers every piece") {
+    val docs = T.documents(spark, sf)
+    val vocab = Unigram.trainVocab(docs)
+    val segs = Unigram.viterbiSegment(Unigram.wordCounts(docs), vocab)
+    val rows = segs.select("w", "seg").collect()
+    assert(rows.nonEmpty)
+    // lossless: removing separators recovers the word exactly
+    rows.foreach { r =>
+      assert(r.getString(1).replace("|", "") === r.getString(0),
+        s"segmentation ${r.getString(1)} does not spell ${r.getString(0)}")
+    }
+    // closure: every piece used by a segmentation is in the refined vocab
+    val used = rows.flatMap(_.getString(1).split('|')).toSet
+    val have = vocab.select("p").collect().map(_.getString(0)).toSet
+    assert(used.subsetOf(have), s"pieces missing from vocab: ${used -- have}")
+  }
 }
