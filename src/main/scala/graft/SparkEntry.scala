@@ -21,6 +21,7 @@ object SparkEntry {
     (operators.Functions.queries, operators.Functions.oracles),
     (operators.Temporal.queries, operators.Temporal.oracles),
     (operators.Lake.queries, operators.Lake.oracles),
+    (operators.Profile.queries, operators.Profile.oracles),
     (operators.Versioned.queries, operators.Versioned.oracles),
     (operators.Subqueries.queries, operators.Subqueries.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),

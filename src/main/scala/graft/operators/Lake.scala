@@ -144,6 +144,85 @@ object Lake {
       .filter(col("cnt") > 0)
   }
 
+  /** SCD Type 2 merge — the history-preserving dimension maintenance every
+    * warehouse runs nightly (Kimball's slowly-changing-dimension type 2,
+    * the `MERGE`-with-history pattern Delta/Iceberg users hand-roll):
+    * `target` carries the dimension's natural key, its attributes, and the
+    * SCD bookkeeping columns `valid_from: long`, `valid_to: long?`,
+    * `is_current: boolean`; `updates` carries key + attributes only (the
+    * incoming batch's ABSOLUTE state per key). At batch time `ts`:
+    *
+    *  - a CURRENT row whose `compareCols` differ from its update is CLOSED
+    *    (`valid_to = ts`, `is_current = false`) and the update opens as the
+    *    new current row (`valid_from = ts`, open-ended) — taken WHOLE, the
+    *    [[mergeUpsert]] contract, so an update may set non-compared
+    *    attributes (even to null);
+    *  - a current row whose update matches on every compared column is
+    *    UNTOUCHED — re-delivering yesterday's state creates no history
+    *    churn (idempotent re-delivery, the property that keeps a replayed
+    *    feed from doubling the dimension);
+    *  - an update key with no current row (brand-new, or closed without a
+    *    successor) INSERTS as current at `ts`;
+    *  - current rows with no update, and all HISTORY rows
+    *    (`is_current = false`), pass through untouched.
+    *
+    * Duplicate non-null update keys raise in-plan (SQL MERGE multi-match);
+    * a null-key update never equi-joins and inserts as its own row.
+    *
+    * Scale shape: history rows pass through WITHOUT entering the join —
+    * only the current slice (≤ one row per live key) joins the batch, one
+    * equi-shuffle per side (the batch side broadcasts under AQE when
+    * small), and the close+open fan-out is a single codegen'd
+    * explode-of-struct-pair projection over the joined row — never a
+    * second join or a self-union of the joined frame. Output row count =
+    * |target| + |changed| + |new keys|.
+    */
+  def scdType2(target: DataFrame, updates: DataFrame, key: String,
+      compareCols: Seq[String], ts: Long): DataFrame = {
+    val scdCols = Seq("valid_from", "valid_to", "is_current")
+    val attrCols = target.columns.filterNot(scdCols.contains)
+    require(scdCols.forall(target.columns.contains),
+      s"scdType2: target must carry ${scdCols.mkString(", ")}")
+    require(attrCols.toSet == updates.columns.toSet,
+      s"scdType2: updates columns ${updates.columns.mkString(",")} must " +
+        s"equal target attribute columns ${attrCols.mkString(",")}")
+    val hist = target.filter(!col("is_current"))
+    val curr = target.filter(col("is_current"))
+    val kcnt = org.apache.spark.sql.expressions.Window.partitionBy(col("u_" + key))
+    val t = curr.select(target.columns.map(c => col(c).as("t_" + c)): _*)
+      .withColumn("_t_present", lit(true))
+    val u = updates.select(attrCols.map(c => col(c).as("u_" + c)): _*)
+      .withColumn("_u_present",
+        when(col("u_" + key).isNotNull && count(lit(1)).over(kcnt) > 1,
+          raise_error(concat(lit(s"scdType2: duplicate update key $key="),
+            col("u_" + key).cast("string"))).isNull)
+          .otherwise(lit(true)))
+    val changed = compareCols.map(c => !(col("t_" + c) <=> col("u_" + c)))
+      .reduce(_ || _)
+    // null-safe gates: after the full outer join the presence flags are
+    // null on the absent side, and `when` treats a null gate as false
+    val closing = col("_t_present") && col("_u_present") && changed
+    val opening = col("_u_present") && (col("_t_present").isNull || changed)
+    val contRow = struct(
+      attrCols.map(c => col("t_" + c).as(c)) ++ Seq(
+        col("t_valid_from").as("valid_from"),
+        when(closing, lit(ts)).otherwise(col("t_valid_to")).as("valid_to"),
+        (!coalesce(closing, lit(false))).as("is_current")): _*)
+    val openRow = struct(
+      attrCols.map(c => col("u_" + c).as(c)) ++ Seq(
+        lit(ts).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current")): _*)
+    t.join(u, t("t_" + key) === u("u_" + key), "full")
+      .select(explode(array(
+        when(col("_t_present"), contRow),
+        when(coalesce(opening, lit(false)), openRow))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.*"))
+      .unionByName(hist.select(
+        (attrCols ++ scdCols).map(col): _*))
+  }
+
   /** The deterministic delta used by both queries: same-key balance bumps
     * for custkey % 7 = 0, brand-new keys (custkey + 1000000) for
     * custkey % 31 = 0. Derived from the customer table itself so the oracle
@@ -219,6 +298,39 @@ object Lake {
         .select(col("c_custkey"), col("change_type"),
           col("o_c_name"), col("n_c_name"),
           col("o_acctbal_c"), col("n_acctbal_c"))
+    }),
+
+    // LK14: SCD Type 2 — two update batches folded into a history-keeping
+    // dimension. Batch ts=1 bumps %7 balances (+$100) and inserts %31 new
+    // keys; batch ts=2 bumps %14 again (+$200 on top) and RE-DELIVERS the
+    // unchanged ts=1 state for the other %7 keys (which must create no
+    // history churn). The full final dimension — every closed epoch, every
+    // open row, validity interval endpoints and currency flags — is
+    // re-derived branch-by-branch in the oracle and hash-checked.
+    "q_scd2" -> ((s, dir) => {
+      val orig = T.customer(s, dir).select(col("c_custkey"), col("c_name"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"))
+      val dim0 = orig
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+      val upd1 = orig.filter(col("c_custkey") % 7 === 0)
+        .withColumn("acctbal_c", col("acctbal_c") + 10000L)
+        .unionAll(orig.filter(col("c_custkey") % 31 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("c_name", concat(lit("New "), col("c_name"))))
+      val dim1 = scdType2(dim0, upd1, "c_custkey",
+        Seq("c_name", "acctbal_c"), ts = 1L)
+      val upd2 = orig.filter(col("c_custkey") % 14 === 0)
+        .withColumn("acctbal_c", col("acctbal_c") + 30000L)
+        .unionAll(orig.filter(col("c_custkey") % 7 === 0 &&
+            col("c_custkey") % 14 =!= 0)
+          .withColumn("acctbal_c", col("acctbal_c") + 10000L))
+      scdType2(dim1, upd2, "c_custkey",
+        Seq("c_name", "acctbal_c"), ts = 2L)
+        .select(col("c_custkey"), col("c_name"), col("acctbal_c"),
+          col("valid_from"), col("valid_to"),
+          col("is_current").cast("int").as("is_current"))
     })
   )
 
@@ -290,6 +402,31 @@ object Lake {
          |    o.acctbal_c AS o_acctbal_c, n.acctbal_c AS n_acctbal_c
          |  FROM oldsnap o FULL OUTER JOIN newsnap n ON o.c_custkey = n.c_custkey)
          |SELECT * FROM d WHERE change_type IS NOT NULL
-         |ORDER BY ALL NULLS FIRST""".stripMargin
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_scd2" ->
+      """WITH orig AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c
+        |  FROM customer)
+        |SELECT c_custkey, c_name, acctbal_c,
+        |  CAST(0 AS BIGINT) AS valid_from,
+        |  CAST(CASE WHEN c_custkey % 7 = 0 THEN 1 END AS BIGINT) AS valid_to,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END AS is_current
+        |FROM orig
+        |UNION ALL
+        |SELECT c_custkey, c_name, acctbal_c + 10000,
+        |  CAST(1 AS BIGINT),
+        |  CAST(CASE WHEN c_custkey % 14 = 0 THEN 2 END AS BIGINT),
+        |  CASE WHEN c_custkey % 14 = 0 THEN 0 ELSE 1 END
+        |FROM orig WHERE c_custkey % 7 = 0
+        |UNION ALL
+        |SELECT c_custkey, c_name, acctbal_c + 30000,
+        |  CAST(2 AS BIGINT), CAST(NULL AS BIGINT), 1
+        |FROM orig WHERE c_custkey % 14 = 0
+        |UNION ALL
+        |SELECT c_custkey + 1000000, 'New ' || c_name, acctbal_c,
+        |  CAST(1 AS BIGINT), CAST(NULL AS BIGINT), 1
+        |FROM orig WHERE c_custkey % 31 = 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

@@ -100,9 +100,17 @@ object Versioned {
     -1 // unreachable
   }
 
-  /** Durable commit mark + best-effort `_latest` hint (steps 2–3 above). */
+  /** Durable commit mark + best-effort `_latest` hint (steps 2–3 above).
+    * The mark file carries the commit's wall-clock epoch-millis — the
+    * record [[versionAtTime]] resolves `timestampAsOf` reads against.
+    * Creation is still O_EXCL-atomic (`CREATE_NEW`), and readers that
+    * only care about existence ([[isCommitted]]) never parse it.
+    */
   private def seal(dir: String, v: Int): Unit = {
-    java.nio.file.Files.createFile(commitMarkPath(dir, v))
+    java.nio.file.Files.write(commitMarkPath(dir, v),
+      System.currentTimeMillis().toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
     val tmp = java.nio.file.Paths.get(dir, s".latest-$v")
     java.nio.file.Files.writeString(tmp, v.toString)
     java.nio.file.Files.move(tmp, markerPath(dir),
@@ -148,6 +156,44 @@ object Versioned {
   /** The latest snapshot. */
   def readLatest(s: SparkSession, dir: String): DataFrame =
     readAt(s, dir, latest(dir))
+
+  // ---- timestamp-based time travel --------------------------------------
+
+  /** Version `v`'s commit wall-clock (epoch millis), recorded in its
+    * commit mark by [[seal]]. None for an uncommitted version or a mark
+    * predating timestamp recording (an empty legacy mark file).
+    */
+  def commitTimeOf(dir: String, v: Int): Option[Long] = {
+    val p = commitMarkPath(dir, v)
+    if (!java.nio.file.Files.exists(p)) None
+    else java.nio.file.Files.readString(p).trim.toLongOption
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the newest committed version whose
+    * commit time is ≤ `tsMillis` — the Delta/Iceberg timestamp-travel
+    * contract. Versions without a recorded time (legacy empty marks) are
+    * treated as older than any timestamp, so travel into a partially
+    * legacy history resolves to the newest legacy version rather than
+    * failing. Errors when `tsMillis` predates the whole history (nothing
+    * existed yet — the standard loud failure, matching Delta). Commit
+    * times come from each committer's wall clock; [[latest]]-monotonic
+    * version ORDER is what the resolution scans, so clock skew between
+    * committers can only shift which boundary version a mid-skew
+    * timestamp lands on, never un-order history.
+    */
+  def versionAtTime(dir: String, tsMillis: Long): Int = {
+    val tip = latest(dir)
+    val v = (tip to 0 by -1).find(w => isCommitted(dir, w) &&
+      commitTimeOf(dir, w).forall(_ <= tsMillis))
+    v.getOrElse(sys.error(s"versionAtTime: $tsMillis predates the first " +
+      s"committed version of $dir"))
+  }
+
+  /** Time travel by wall clock: the chain-resolved table as of the newest
+    * version committed at or before `tsMillis`.
+    */
+  def readAtTimestamp(s: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readAtDv(s, dir, versionAtTime(dir, tsMillis))
 
   /** Guard for snapshot-deriving mutations: a materialized commit built
     * from a NON-chain-resolved read of a history whose tip is a DV or
@@ -408,7 +454,7 @@ object Versioned {
   def isDvVersion(dir: String, v: Int): Boolean =
     new java.io.File(dvPath(dir, v)).isDirectory
 
-  private def isCommitted(dir: String, v: Int): Boolean =
+  private[graft] def isCommitted(dir: String, v: Int): Boolean =
     java.nio.file.Files.exists(commitMarkPath(dir, v))
 
   /** Merge-on-read delete: write ONLY the keys of the latest logical
@@ -439,15 +485,23 @@ object Versioned {
     * columns null-padded (the schema-evolution contract, E149).
     * Pruning/pushdown on the base scan untouched.
     */
+  /** Materialized version `v`'s own rows, manifest-aware: a partitioned
+    * (`_manifest`-bearing) version stitches its per-owner scans, a flat
+    * version is one parquet read. The raw-version read shared by the
+    * chain fold below and the streaming source's changes-from mode.
+    */
+  private[graft] def readPartitionedOrFlatAt(s: SparkSession, dir: String,
+      v: Int): DataFrame =
+    if (java.nio.file.Files.exists(manifestPath(dir, v)))
+      readPartitionedAt(s, dir, v)
+    else readAt(s, dir, v)
+
   def readAtDv(s: SparkSession, dir: String, v: Int): DataFrame = {
     val base = (v to 0 by -1)
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
         !isAddVersion(dir, w))
       .getOrElse(sys.error(s"no materialized version at or below v$v in $dir"))
-    val snap =
-      if (java.nio.file.Files.exists(manifestPath(dir, base)))
-        readPartitionedAt(s, dir, base)
-      else readAt(s, dir, base)
+    val snap = readPartitionedOrFlatAt(s, dir, base)
     val chain = ((base + 1) to v).filter(w => isCommitted(dir, w))
     def antiJoin(acc: DataFrame, dvs: Seq[Int]): DataFrame =
       if (dvs.isEmpty) acc
@@ -491,7 +545,7 @@ object Versioned {
   // append). [[compactDv]] bounds chain length; [[vacuum]] never severs a
   // live chain (cut clamps to the tip's base).
 
-  private def addPath(dir: String, v: Int) = s"$dir/v$v/_add"
+  private[graft] def addPath(dir: String, v: Int) = s"$dir/v$v/_add"
 
   /** Is committed version `v` an append (delta) commit (no snapshot, only
     * an `_add` row set)?

@@ -47,8 +47,46 @@ import org.apache.spark.sql.types.StructType
   * correctness dependency.
   */
 class VersionedSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "graft.versioned"
+
+  // ---- streaming source (see [[VersionedStreamSource]]) -----------------
+
+  private def opt(parameters: Map[String, String], name: String) =
+    parameters.get(name.toLowerCase).orElse(parameters.get(name))
+
+  private def streamSchema(ctx: SQLContext, schema: Option[StructType],
+      parameters: Map[String, String]): StructType =
+    schema.getOrElse {
+      val dir = opt(parameters, "path").getOrElse(
+        sys.error("graft.versioned requires a 'path' (or .load(dir))"))
+      val tip = graft.operators.Versioned.latest(dir)
+      require(tip >= 0, s"graft.versioned stream: $dir has no committed " +
+        "versions — commit an initial version or supply .schema(...)")
+      graft.operators.Versioned.readAtDv(ctx.sparkSession, dir, tip).schema
+    }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), streamSchema(ctx, schema, parameters))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val dir = opt(parameters, "path").getOrElse(
+      sys.error("graft.versioned requires a 'path' (or .load(dir))"))
+    val tip = graft.operators.Versioned.latest(dir)
+    opt(parameters, "startingVersion").map(_.toInt).foreach { sv =>
+      require(sv > tip || graft.operators.Versioned.isCommitted(dir, sv),
+        s"graft.versioned stream: startingVersion v$sv of $dir is an " +
+          "uncommitted hole — the initial snapshot batch must be a " +
+          "committed version")
+    }
+    new VersionedStreamSource(ctx, dir,
+      streamSchema(ctx, schema, parameters), parameters)
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -124,8 +162,26 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
       Versioned.changes(ctx.sparkSession, dir, v0,
         intOpt("changesTo").getOrElse(Versioned.latest(dir)), key, compare)
     case None =>
-      val v = intOpt("versionAsOf").getOrElse(Versioned.latest(dir))
+      require(intOpt("versionAsOf").isEmpty || params.get("timestampAsOf").isEmpty,
+        "graft.versioned: give versionAsOf OR timestampAsOf, not both")
+      val v = intOpt("versionAsOf")
+        .orElse(params.get("timestampAsOf").map(t =>
+          Versioned.versionAtTime(dir, parseTs(t))))
+        .getOrElse(Versioned.latest(dir))
       Versioned.readAtDv(ctx.sparkSession, dir, v)
+  }
+
+  /** `timestampAsOf` accepts epoch millis, an ISO-8601 instant, or the
+    * SQL `yyyy-mm-dd hh:mm:ss[.f...]` timestamp spelling.
+    */
+  private def parseTs(s0: String): Long = {
+    val t = s0.trim
+    t.toLongOption.getOrElse(
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.sql.Timestamp.valueOf(t).getTime
+      })
   }
 
   override def sqlContext: SQLContext = ctx

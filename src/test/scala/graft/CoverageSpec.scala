@@ -1043,6 +1043,108 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(empty.count() === 0 && empty.columns.toSet === Set("k", "v", "bkt"))
   }
 
+  test("LK: scdType2 — close+open on change, idempotent re-delivery, insert, history passthrough") {
+    import spark.implicits._
+    val dim = Seq(
+      (1L, "a", 10L, 0L, Option(5L), false), // k=1 history epoch
+      (1L, "a2", 15L, 5L, Option.empty[Long], true), // k=1 current
+      (2L, "b", 20L, 0L, Option.empty[Long], true), // k=2 current, no update
+      (4L, "d", 40L, 0L, Option(3L), false) // k=4 closed with NO successor
+    ).toDF("k", "name", "bal", "valid_from", "valid_to", "is_current")
+    val upd = Seq(
+      (1L, "a2", 99L), // changed balance → close epoch + open new
+      (2L, "b", 20L), // identical re-delivery → must create NO churn
+      (3L, "c", 30L), // brand-new key → insert current
+      (4L, "d", 44L) // key with history only → insert current
+    ).toDF("k", "name", "bal")
+    val got = operators.Lake.scdType2(dim, upd, "k", Seq("name", "bal"), 9L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .toSet
+    assert(got === Set(
+      (1L, "a", 10L, 0L, 5L, false), // history untouched
+      (1L, "a2", 15L, 5L, 9L, false), // closed at ts
+      (1L, "a2", 99L, 9L, -1L, true), // opened at ts
+      (2L, "b", 20L, 0L, -1L, true), // no churn on re-delivery
+      (3L, "c", 30L, 9L, -1L, true), // new key
+      (4L, "d", 40L, 0L, 3L, false), // old closed epoch untouched
+      (4L, "d", 44L, 9L, -1L, true))) // re-opened after closure
+    // duplicate update keys raise (SQL MERGE multi-match)
+    val dup = Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("k", "name", "bal")
+    val e = intercept[Exception] {
+      operators.Lake.scdType2(dim, dup, "k", Seq("name", "bal"), 9L).collect()
+    }
+    assert(e.getMessage.contains("duplicate update key"))
+    // a null-key update never equi-joins: it inserts as its own row
+    val nulls = Seq((Option.empty[Long], "n", 7L)).toDF("k", "name", "bal")
+    val withNull = operators.Lake.scdType2(
+      dim, nulls, "k", Seq("name", "bal"), 9L)
+    assert(withNull.filter(col("k").isNull && col("is_current")).count() === 1)
+    assert(withNull.count() === dim.count() + 1)
+  }
+
+  test("LK: timestamp time travel — versionAtTime boundary resolution, " +
+      "timestampAsOf reader option, legacy empty marks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vts").toString
+    val V = operators.Versioned
+    V.commit(Seq((1L, "a")).toDF("k", "s"), dir) // v0
+    V.appendRows(Seq((2L, "b")).toDF("k", "s"), dir) // v1
+    // real wall-clock times were recorded; plant deterministic ones
+    def plant(v: Int, t: String): Unit = {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, s"v$v._commit"), t); ()
+    }
+    plant(0, "1000"); plant(1, "2000")
+    assert(V.commitTimeOf(dir, 0) === Some(1000L))
+    intercept[Exception] { V.versionAtTime(dir, 999L) } // predates history
+    assert(V.versionAtTime(dir, 1000L) === 0)
+    assert(V.versionAtTime(dir, 1500L) === 0)
+    assert(V.versionAtTime(dir, 2000L) === 1)
+    assert(V.versionAtTime(dir, 99999L) === 1)
+    assert(V.readAtTimestamp(spark, dir, 1500L).collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+    assert(V.readAtTimestamp(spark, dir, 2500L).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    // the SQL-visible option, all three accepted spellings
+    assert(spark.read.format("graft.versioned")
+      .option("timestampAsOf", "1500").load(dir)
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+    assert(spark.read.format("graft.versioned")
+      .option("timestampAsOf",
+        java.time.Instant.ofEpochMilli(2500L).toString).load(dir)
+      .count() === 2)
+    val both = intercept[Exception] {
+      spark.read.format("graft.versioned")
+        .option("timestampAsOf", "1500").option("versionAsOf", "1")
+        .load(dir).collect()
+    }
+    assert(both.getMessage.contains("not both"))
+    // a legacy EMPTY commit mark sorts older than any timestamp
+    plant(0, "")
+    assert(V.versionAtTime(dir, 999L) === 0)
+  }
+
+  test("PR: profile — typed extrema, all-null column, one-shuffle distincts; approx agrees") {
+    import spark.implicits._
+    val df = Seq((9L, Option("b"), Option.empty[Long]),
+      (10L, Option("a"), Option.empty[Long]),
+      (2L, Option.empty[String], Option.empty[Long]))
+      .toDF("n", "s", "z")
+    val p = operators.Profile.profile(df, Seq("n", "s", "z")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))).toMap
+    // extrema computed on the ORIGINAL type: numeric min is 2, not "10"
+    assert(p("n") === ((3L, 0L, 3L, Some("2"), Some("10"))))
+    assert(p("s") === ((3L, 1L, 2L, Some("a"), Some("b"))))
+    // all-null column: 0 distinct, null extrema — never dropped
+    assert(p("z") === ((3L, 3L, 0L, None, None)))
+    val a = operators.Profile.profileApprox(df, Seq("n", "s", "z"), 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a("n") === 3L && a("s") === 2L && a("z") === 0L)
+  }
+
   test("SparkEntry contract: every oracle key has a query; entry returns rows") {
     val qs = SparkEntry.queries.keySet
     val orphan = SparkEntry.oracleSql.keySet.diff(qs)

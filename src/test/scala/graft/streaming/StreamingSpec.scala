@@ -806,4 +806,146 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq((4L, "d", 40L)).toDF("k", "name", "bal"), dir, 1L) === None)
     assert(Versioned.quarantine(spark, dir).count() === 2)
   }
+
+  test("E155: graft.versioned streaming source — snapshot + appends, live " +
+      "commits picked up, schema aligned to creation time") {
+    import graft.operators.Versioned
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vsrc").toString
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir) // v0
+    Versioned.appendRows(Seq((3L, "c")).toDF("k", "s"), dir) // v1
+    val q = spark.readStream.format("graft.versioned").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_out").start()
+    q.processAllAvailable()
+    def got(): Set[(Long, Option[String])] =
+      spark.table("vsrc_out").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toSet
+    assert(got() === Set(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c")))
+    // a commit landing while the stream runs is served by the next batch
+    Versioned.appendRows(Seq((4L, "d")).toDF("k", "s"), dir) // v2
+    q.processAllAvailable()
+    assert(got().contains(4L -> Some("d")))
+    // additive evolution mid-stream: the extra column is dropped (the
+    // stream keeps its creation-time schema), the row still arrives; a
+    // NARROW append null-pads the missing column
+    Versioned.appendRows(Seq((5L, "e", 99L)).toDF("k", "s", "extra"), dir)
+    Versioned.appendRows(Seq(Tuple1(6L)).toDF("k"), dir)
+    q.processAllAvailable()
+    assert(got().contains(5L -> Some("e")) && got().contains(6L -> None))
+    q.stop()
+  }
+
+  test("E155: startingVersion tails history; maxVersionsPerTrigger bounds " +
+      "each micro-batch to one commit") {
+    import graft.operators.Versioned
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vsrc2").toString
+    Versioned.commit(Seq((1L, "a")).toDF("k", "s"), dir) // v0
+    Versioned.appendRows(Seq((2L, "b")).toDF("k", "s"), dir) // v1
+    Versioned.appendRows(Seq((3L, "c")).toDF("k", "s"), dir) // v2
+    // tail from v2: the v0 snapshot and v1 delta are NOT served
+    val tail = spark.readStream.format("graft.versioned")
+      .option("startingVersion", "2").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_tail").start()
+    tail.processAllAvailable()
+    assert(spark.table("vsrc_tail").collect().map(_.getLong(0)).toSet
+      === Set(3L))
+    tail.stop()
+    // rate-limited changes-from-v0 drain: one version per micro-batch →
+    // three non-empty batches (v0's own data, then each delta), content
+    // complete
+    val lim = spark.readStream.format("graft.versioned")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_lim").start()
+    lim.processAllAvailable()
+    assert(spark.table("vsrc_lim").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+    val nonEmpty = lim.recentProgress.count(_.numInputRows > 0)
+    assert(nonEmpty >= 3, s"expected >=3 rate-limited batches, $nonEmpty")
+    lim.stop()
+    // DEFAULT mode bootstraps the whole history as ONE snapshot batch
+    // even under the rate limit (the snapshot is one plan, not a range)
+    val snap = spark.readStream.format("graft.versioned")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_snap").start()
+    snap.processAllAvailable()
+    assert(spark.table("vsrc_snap").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+    assert(snap.recentProgress.count(_.numInputRows > 0) === 1)
+    snap.stop()
+    // an uncommitted startingVersion hole is rejected at stream creation
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.versioned")
+        .option("startingVersion", "1")
+        .load(java.nio.file.Files.createTempDirectory("vsrc2b").toString)
+    }
+    assert(e.getMessage.contains("no committed versions"))
+  }
+
+  test("E155: a deletion-vector commit mid-stream fails the query unless " +
+      "ignoreDeletes; snapshot commits need ignoreChanges") {
+    import graft.operators.Versioned
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vsrc3").toString
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir) // v0
+    Versioned.appendRows(Seq((3L, "c")).toDF("k", "s"), dir) // v1
+    Versioned.deleteWhereDv(spark, dir, col("k") === 1L, "k") // v2 (DV)
+    Versioned.appendRows(Seq((4L, "d")).toDF("k", "s"), dir) // v3
+    // changes-from mode crossing the DV version without opt-in fails
+    val fail = spark.readStream.format("graft.versioned")
+      .option("startingVersion", "0").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_fail").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      fail.processAllAvailable()
+    }
+    assert(e.getMessage.contains("deletion-vector") ||
+      Option(e.getCause).exists(_.getMessage.contains("deletion-vector")))
+    // opted in: the DV commit is skipped (append-only consumers see no
+    // deletes — Delta's ignoreDeletes contract), all change rows arrive
+    val ok = spark.readStream.format("graft.versioned")
+      .option("startingVersion", "0")
+      .option("ignoreDeletes", "true").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_ok").start()
+    ok.processAllAvailable()
+    assert(spark.table("vsrc_ok").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 4L))
+    ok.stop()
+    // DEFAULT mode instead FOLDS the delete into its bootstrap snapshot
+    // (no opt-in needed to start on a history containing deletes) — and a
+    // DV landing while the stream RUNS is the failure case
+    val live = spark.readStream.format("graft.versioned").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_live").start()
+    live.processAllAvailable()
+    assert(spark.table("vsrc_live").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L, 4L)) // k=1 deleted by the folded DV
+    Versioned.deleteWhereDv(spark, dir, col("k") === 2L, "k") // v4, mid-stream
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      live.processAllAvailable()
+    }
+    assert(e2.getMessage.contains("deletion-vector") ||
+      Option(e2.getCause).exists(_.getMessage.contains("deletion-vector")))
+    // a materialized snapshot (compact) is a CHANGE commit: skipped only
+    // under ignoreChanges
+    Versioned.compactDv(spark, dir) // v5 (materialized)
+    Versioned.appendRows(Seq((5L, "e")).toDF("k", "s"), dir) // v6
+    val chg = spark.readStream.format("graft.versioned")
+      .option("startingVersion", "0")
+      .option("ignoreDeletes", "true").option("ignoreChanges", "true")
+      .load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_chg").start()
+    chg.processAllAvailable()
+    // v0 data + v1/v3/v6 deltas; v2/v4 (DV) and v5 (snapshot) skipped
+    assert(spark.table("vsrc_chg").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 4L, 5L))
+    chg.stop()
+  }
 }
