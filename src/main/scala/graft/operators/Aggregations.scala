@@ -297,6 +297,39 @@ object Aggregations {
             lit(3 * 0.01) * col("n_parts")).as("approx_ok"))
     }),
 
+    // A15: heavy hitters (frequent items) — the Count-Min-Sketch member of
+    // the sketch family (Cormode-Muthukrishnan), certified against the
+    // exact counts like q_approx_distinct certifies HLL. The exact side is
+    // the oracle anchor: parts whose line count reaches 1.4× the mean
+    // count per key, decided by integer cross-multiplication
+    // (cnt·n_keys·5 ≥ 7·n_total — exact at any SF, and mean-relative so
+    // the hitter set is non-empty at every SF the driver runs). The
+    // sketch side is the 100 TB path: `stat.countMinSketch` runs ONE
+    // pass of fixed-width mergeable partial sketches (treeAggregate — no
+    // shuffle at all, memory = width·depth counters regardless of key
+    // cardinality), and the broadcast sketch answers point estimates.
+    // `cms_ok` certifies the CMS contract on every heavy hitter: estimates
+    // never undercount and overcount by at most eps·N (eps = 1e-3, depth 5
+    // at confidence 0.99, fixed seed → deterministic). The probe udf is
+    // the documented sketch-probe seam (the Layout.scala mightContain
+    // mold): a CountMinSketch lookup has no Catalyst expression, and the
+    // udf rides over only the heavy-hitter rows, never the table.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val keys = T.lineitem(s, dir).select(col("l_partkey"))
+      val cms = keys.stat.countMinSketch("l_partkey", 0.001, 0.99, 42)
+      val b = s.sparkContext.broadcast(cms)
+      val est = udf((k: Long) => b.value.estimateCount(k))
+      val tot = keys.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("l_partkey")).as("n_keys"))
+      keys.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * col("n_keys") * 5 >= col("n_total") * 7)
+        .withColumn("e", est(col("l_partkey").cast("long")))
+        .select(col("l_partkey"), col("cnt"),
+          (col("e") >= col("cnt") &&
+            col("e") <= col("cnt") + lit(0.001) * col("n_total")).as("cms_ok"))
+    }),
+
     // A11: collect_list / collect_set, sorted for determinism and joined to
     // strings (the driver's pandas hash compare can't sort array columns).
     "q_agg_collect" -> ((s, dir) => {
@@ -414,6 +447,15 @@ object Aggregations {
       """SELECT l_returnflag,
         |  count(DISTINCT l_partkey) AS n_parts, TRUE AS approx_ok
         |FROM lineitem GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin,
+    // exact heavy-hitter set re-derived; TRUE asserts the Spark-side CMS
+    // honored its (no-undercount, ≤ eps·N overcount) bound per hitter
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT count(*) AS n_total,
+        |  count(DISTINCT l_partkey) AS n_keys FROM lineitem),
+        |c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+        |SELECT c.l_partkey, c.cnt, TRUE AS cms_ok
+        |FROM c, t WHERE c.cnt * t.n_keys * 5 >= t.n_total * 7
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_agg_group" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(SUM(${sqlCents("l_quantity")}) AS BIGINT) AS sum_qty_c,

@@ -215,17 +215,23 @@ object Versioned {
     v
   }
 
-  /** MERGE the updates into the latest snapshot and commit the result. */
+  /** MERGE the updates into the latest snapshot and commit the result.
+    * The tip read resolves through [[readAtDv]] — identical to [[readAt]]
+    * for a flat materialized tip (no chain in range) and the resolution a
+    * shallow-clone pointer tip needs.
+    */
   def upsert(s: SparkSession, dir: String, updates: DataFrame,
       key: String): Int = {
     val v = requireMaterializedTip(dir, "upsert")
-    commit(Lake.mergeUpsert(readAt(s, dir, v), updates, key), dir)
+    commit(Lake.mergeUpsert(readAtDv(s, dir, v), updates, key), dir)
   }
 
-  /** Commit a new version without the rows matching `cond`. */
+  /** Commit a new version without the rows matching `cond` (tip read is
+    * chain/clone-aware, see [[upsert]]).
+    */
   def deleteWhere(s: SparkSession, dir: String, cond: Column): Int = {
     val v = requireMaterializedTip(dir, "deleteWhere")
-    commit(readAt(s, dir, v).filter(!cond), dir)
+    commit(readAtDv(s, dir, v).filter(!cond), dir)
   }
 
   /** CDC between two retained versions: [[Lake.snapshotDiff]] over their
@@ -485,14 +491,21 @@ object Versioned {
     * columns null-padded (the schema-evolution contract, E149).
     * Pruning/pushdown on the base scan untouched.
     */
-  /** Materialized version `v`'s own rows, manifest-aware: a partitioned
-    * (`_manifest`-bearing) version stitches its per-owner scans, a flat
-    * version is one parquet read. The raw-version read shared by the
-    * chain fold below and the streaming source's changes-from mode.
+  /** Materialized version `v`'s own rows, manifest-aware and
+    * clone-aware: a shallow-clone pointer recursively resolves the
+    * recorded SOURCE snapshot through [[readAtDv]] (frozen at clone
+    * time), a partitioned (`_manifest`-bearing) version stitches its
+    * per-owner scans, a flat version is one parquet read. The
+    * raw-version read shared by the chain fold below and the streaming
+    * source's changes-from mode.
     */
   private[graft] def readPartitionedOrFlatAt(s: SparkSession, dir: String,
       v: Int): DataFrame =
-    if (java.nio.file.Files.exists(manifestPath(dir, v)))
+    if (isCloneVersion(dir, v)) {
+      val ref = java.nio.file.Files.readString(clonePath(dir, v))
+        .split("\n", 2)
+      readAtDv(s, ref(0).trim, ref(1).trim.toInt)
+    } else if (java.nio.file.Files.exists(manifestPath(dir, v)))
       readPartitionedAt(s, dir, v)
     else readAt(s, dir, v)
 
@@ -574,6 +587,60 @@ object Versioned {
     */
   def restore(s: SparkSession, dir: String, v: Int): Int =
     commit(readAtDv(s, dir, v), dir)
+
+  // ---- shallow clone -----------------------------------------------------
+  //
+  // The zero-copy table fork (Delta SHALLOW CLONE / Iceberg snapshot-ref
+  // posture): the clone's first version is a METADATA-ONLY pointer at the
+  // source's chain-resolved snapshot — no data files move, so forking a
+  // 100 TB table costs one tiny file. The clone then diverges freely:
+  // DV deletes, appends, upserts, expectations all stack on top of the
+  // pointer exactly as they would on a materialized base, and the source
+  // never observes them. Reads resolve the pointer recursively through
+  // [[readAtDv]] (so cloning a clone, or a source whose tip is itself a
+  // DV/append chain, both work — the pointer records the RESOLVED source
+  // version, freezing the clone against later source commits).
+  //
+  // Lifecycle contract (the documented Delta hazard, inherited): the
+  // clone depends on the source RETAINING the pointed-to version — a
+  // [[vacuum]] of the SOURCE below that version breaks the clone's reads
+  // (loudly: the base resolution fails). [[compactDv]] on the clone
+  // materializes the resolved snapshot and DETACHES it from the source;
+  // partitioned mutations (`upsertPartitioned`/`compactPartitioned`)
+  // require a manifest-bearing tip and thus a detach-then-repartition
+  // first (they fail loudly on a pointer tip).
+
+  private def clonePath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_clone")
+
+  /** Is committed version `v` a shallow-clone pointer (no data, only a
+    * `_clone` source reference)?
+    */
+  def isCloneVersion(dir: String, v: Int): Boolean =
+    java.nio.file.Files.exists(clonePath(dir, v))
+
+  /** Fork `srcDir`'s current chain-resolved snapshot into `dstDir` as a
+    * metadata-only pointer version. Returns the clone's version number
+    * (0 for a fresh destination — but any table may adopt a clone
+    * pointer as its next version, which is the RESTORE-from-another-table
+    * shape). Self-clones are rejected: a pointer into its own directory
+    * at the current tip would recurse at read time.
+    */
+  def cloneShallow(s: SparkSession, srcDir: String, dstDir: String): Int = {
+    val srcV = latest(srcDir)
+    require(srcV >= 0, s"cloneShallow: no committed versions in $srcDir")
+    val srcCanon = new java.io.File(srcDir).getCanonicalPath
+    require(srcCanon != new java.io.File(dstDir).getCanonicalPath,
+      "cloneShallow: source and destination are the same table")
+    new java.io.File(dstDir).mkdirs()
+    val v = claimNext(dstDir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dstDir, s"v$v"))
+    java.nio.file.Files.writeString(clonePath(dstDir, v),
+      s"$srcCanon\n$srcV")
+    seal(dstDir, v)
+    v
+  }
 
   private def batchIdPath(dir: String, v: Int) =
     java.nio.file.Paths.get(dir, s"v$v", "_batchid")
@@ -880,6 +947,104 @@ object Versioned {
     }
   }
 
+  // ---- per-partition Bloom membership sidecar (point-lookup skipping) ----
+  //
+  // Zone maps prune RANGE predicates on clustered columns; a point lookup
+  // on a column uncorrelated with the layout (find these 3 keys in a
+  // 10 000-partition table) gets nothing from min/max — every partition's
+  // range admits almost any key. The Delta "bloom filter index" posture
+  // closes that: each partitioned commit can carry a `_bloom` sidecar
+  // with ONE Bloom filter per partition over a chosen key column, built
+  // in a single narrow aggregation ([[graft.functions.BloomAgg]] — the
+  // shuffle carries partial filters, never keys) and stored base64 at
+  // manifest metadata scale. A point/IN lookup probes the filters
+  // DRIVER-SIDE and plans a scan over only the partitions that might
+  // contain any probed key (no-false-negative guarantee: a partition
+  // holding a key is always admitted; false positives only cost an extra
+  // scanned partition). The residual IN filter keeps results exact.
+
+  private def bloomPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_bloom")
+
+  /** Version `v`'s Bloom sidecar: partition value → serialized filter
+    * bytes. Empty if `v` wrote no filters.
+    */
+  def bloomMap(dir: String, v: Int): Map[String, Array[Byte]] = {
+    val p = bloomPath(dir, v)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala
+        .filter(_.nonEmpty)
+        .map { l =>
+          val f = l.split('\t')
+          f(0) -> java.util.Base64.getDecoder.decode(f(1))
+        }.toMap
+    }
+  }
+
+  private def writeBloomMap(s: SparkSession, dir: String, v: Int,
+      df: DataFrame, partCol: String, keyCol: String,
+      expectedPerPart: Long, fpp: Double): Unit = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomAgg(expectedPerPart, fpp))
+    // metadata-scale collect: one (partition, filter) row per partition
+    val rows = df.groupBy(col(partCol).cast("string").as("__p"))
+      .agg(agg(col(keyCol).cast("long")).as("__b"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    val body = rows.sortBy(_._1).map { case (p, b) =>
+      s"$p\t${java.util.Base64.getEncoder.encodeToString(b)}"
+    }.mkString("\n")
+    java.nio.file.Files.writeString(bloomPath(dir, v), body)
+    ()
+  }
+
+  /** [[commitPartitioned]] that also records a per-partition Bloom filter
+    * over `keyCol` (must cast to long). `expectedPerPart`/`fpp` size the
+    * filters (all partitions share one shape so partials merge). Returns
+    * the version.
+    */
+  def commitPartitionedBloom(s: SparkSession, df: DataFrame, dir: String,
+      partCol: String, keyCol: String, expectedPerPart: Long = 100000L,
+      fpp: Double = 0.01): Int = {
+    val v = commitPartitioned(df, dir, partCol)
+    writeBloomMap(s, dir, v, df, partCol, keyCol, expectedPerPart, fpp)
+    v
+  }
+
+  /** The live partitions of version `v` that might contain ANY of `keys`
+    * per their Bloom filters (no-stats partitions conservatively kept),
+    * as partition value → owning version.
+    */
+  def prunedPartitionsBloom(dir: String, v: Int,
+      keys: Seq[Long]): Map[String, Int] = {
+    val man = manifest(dir, v)
+    val maps = scala.collection.mutable.Map
+      .empty[Int, Map[String, org.apache.spark.util.sketch.BloomFilter]]
+    man.filter { case (p, owner) =>
+      val bm = maps.getOrElseUpdate(owner,
+        bloomMap(dir, owner).map { case (k, b) =>
+          k -> graft.functions.BloomAgg.read(b)
+        })
+      bm.get(p).forall(f => keys.exists(f.mightContainLong))
+    }
+  }
+
+  /** Point-lookup read: the table as of `v` filtered to `keyCol IN keys`,
+    * scanning ONLY the partitions whose Bloom filter admits at least one
+    * probed key — row-identical to filtering the full
+    * [[readPartitionedAt]] read. At 100 TB this is the "find 3 keys in
+    * 10 000 partitions" path: the sidecar probe is driver-side metadata,
+    * the planned scan is the admitted partitions only.
+    */
+  def readPartitionedPoint(s: SparkSession, dir: String, v: Int,
+      keyCol: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    readManifestSubset(s, dir, v, prunedPartitionsBloom(dir, v, keys))
+      .filter(col(keyCol).cast("long").isin(keys: _*))
+  }
+
   // ---- declared queries ---------------------------------------------------
 
   /** A fresh per-invocation table dir (idempotent rebuild — the query
@@ -1133,6 +1298,50 @@ object Versioned {
           col("z_bucket").cast("long").as("z_bucket"))
     }),
 
+    // LK13: Bloom point-lookup skipping — customer partitioned by
+    // nationkey (a layout UNCORRELATED with custkey, where zone maps on
+    // the key are useless: every partition's [min, max] spans the key
+    // space) with a per-partition Bloom filter over c_custkey in the
+    // version's `_bloom` sidecar. The 3-key IN lookup probes the filters
+    // driver-side and scans only the admitting partitions (≤ 3 of 25
+    // plus any false positives — the unit pins the pruning), and must
+    // still row-equal the full-table IN filter, which is the oracle.
+    "q_lake_bloom_point" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#bloom")
+      commitPartitionedBloom(s, c, d, "c_nationkey", "c_custkey")
+      readPartitionedPoint(s, d, 0, "c_custkey", Seq(7L, 77L, 143L))
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
+    // LK12: shallow clone — the src table builds the standard v0/v1/v2
+    // history, the clone forks it as ONE metadata pointer file (zero data
+    // copied), then diverges with a DV delete of nationkey ∈ {3, 7}. The
+    // result binds BOTH sides: the clone side proves the pointer resolves
+    // the source's chain-resolved snapshot and stacks its own mutations
+    // on top; the src side (read AFTER the clone's delete) proves the
+    // fork is isolated — the source never observes clone mutations. The
+    // oracle re-derives both sides from the merge algebra.
+    "q_lake_clone" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val src = tableDir(dir + "#clonesrc")
+      commit(c, src)
+      upsert(s, src, Lake.customerDelta(c), "c_custkey")
+      deleteWhere(s, src, col("c_custkey") % 13 === 0)
+      val dst = tableDir(dir + "#clonedst")
+      cloneShallow(s, src, dst)
+      deleteWhereDv(s, dst, col("c_nationkey").isin(3, 7), "c_custkey")
+      def shape(df: DataFrame, side: String): DataFrame =
+        df.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"), lit(side).as("side"))
+      shape(readAtDv(s, dst, 1), "clone")
+        .unionByName(shape(readLatest(s, src), "src"))
+    }),
+
     // LK4: CDC across the whole retained history — changes(v0, v2) with the
     // q_snapshot_diff oracle byte-identical: the versioned store's
     // round-trip (write → read → diff) must hash-match the purely
@@ -1151,6 +1360,27 @@ object Versioned {
 
   val oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> Lake.oracles("q_merge_upsert"),
+    // the bloom-pruned point read must equal the full-table IN filter
+    "q_lake_bloom_point" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM customer WHERE c_custkey IN (7, 77, 143)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // both sides re-derived from the merge algebra: src = merged minus
+    // %13 deletes; clone = src additionally minus nationkey ∈ {3, 7}
+    "q_lake_clone" ->
+      s"""WITH ${Lake.mergeBaseSql},
+         |src AS (
+         |  SELECT c_custkey, c_name, c_nationkey,
+         |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+         |    c_mktsegment
+         |  FROM merged WHERE NOT (c_custkey % 13 = 0))
+         |SELECT *, 'clone' AS side FROM src
+         |WHERE NOT (c_nationkey IN (3, 7))
+         |UNION ALL
+         |SELECT *, 'src' AS side FROM src
+         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the chain-resolved read must equal (base ∪ appended) minus deletes
     "q_lake_append" ->
       """WITH appended AS (

@@ -1005,6 +1005,105 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(gotN === wantN, "null-value rows diverged from the window reference")
   }
 
+  test("LK: shallow clone — zero-copy fork, chain resolution, divergence isolation, detach") {
+    import spark.implicits._
+    import operators.Versioned
+    val base = java.nio.file.Files.createTempDirectory("graft-clone").toString
+    val src = s"$base/src"; val dst = s"$base/dst"
+    val dst2 = s"$base/dst2"; val dst3 = s"$base/dst3"
+    new java.io.File(src).mkdirs()
+    val df = spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+    Versioned.commit(df, src) // v0
+    // source tip is a live DV chain: the pointer must record the RESOLVED
+    // snapshot, not a raw version dir
+    Versioned.deleteWhereDv(spark, src, col("id") >= 90, "id") // v1
+    assert(Versioned.cloneShallow(spark, src, dst) === 0)
+    assert(Versioned.isCloneVersion(dst, 0))
+    assert(Versioned.readAtDv(spark, dst, 0).count() === 90)
+    // zero-copy: the clone version dir holds ONLY the pointer file
+    val v0files = new java.io.File(s"$dst/v0").listFiles().map(_.getName)
+    assert(v0files.toSet === Set("_clone"), s"expected metadata only: ${v0files.toSeq}")
+    // divergence: a DV delete on the clone never reaches the source
+    Versioned.deleteWhereDv(spark, dst, col("id") < 10, "id")
+    assert(Versioned.readAtDv(spark, dst, 1).count() === 80)
+    assert(Versioned.readAtDv(spark, src, 1).count() === 90)
+    // snapshot-deriving mutation over a clone-pointer tip: upsert resolves
+    // the pointer (chain-aware tip read) and commits a materialized v1
+    Versioned.cloneShallow(spark, src, dst2)
+    Versioned.upsert(spark, dst2, Seq((0L, 999L)).toDF("id", "v"), "id")
+    val up = Versioned.readAt(spark, dst2, 1)
+    assert(up.count() === 90)
+    assert(up.filter(col("id") === 0).select("v").head().getLong(0) === 999L)
+    // clone of a clone: the pointer resolves recursively
+    Versioned.cloneShallow(spark, dst, dst3)
+    assert(Versioned.readAtDv(spark, dst3, 0).count() === 80)
+    // self-clone is rejected
+    intercept[IllegalArgumentException] {
+      Versioned.cloneShallow(spark, src, src)
+    }
+    // compactDv DETACHES: the new tip is a materialized local snapshot
+    val mv = Versioned.compactDv(spark, dst)
+    assert(!Versioned.isCloneVersion(dst, mv))
+    assert(Versioned.readAt(spark, dst, mv).count() === 80)
+  }
+
+  test("LK: bloom point-lookup sidecar — no false negatives, real pruning, exact residual") {
+    import operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // 2000 keys spread over 20 partitions by an uncorrelated hash — every
+    // partition's key RANGE spans ~the whole space, so zone maps cannot
+    // prune a point lookup; the bloom sidecar must
+    val df = spark.range(0, 2000).toDF("k")
+      .withColumn("p", pmod(xxhash64(col("k")), lit(20)))
+    val v = Versioned.commitPartitionedBloom(spark, df, dir, "p", "k",
+      expectedPerPart = 1000L, fpp = 0.01)
+    // no false negatives: each probed key's true partition is admitted,
+    // and the read returns exactly the full-filter rows
+    val keys = Seq(3L, 700L, 1999L)
+    val admitted = Versioned.prunedPartitionsBloom(dir, v, keys)
+    val truth = df.filter(col("k").isin(keys: _*))
+      .select(col("p").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(truth.subsetOf(admitted.keySet), "bloom pruned a true partition")
+    // pruning is real: at fpp 1% over 20 partitions, the admitted set is
+    // far below the manifest (deterministic — Spark's bloom is seed-fixed)
+    assert(admitted.size < 10, s"no pruning: admitted ${admitted.size} of 20")
+    val got = Versioned.readPartitionedPoint(spark, dir, v, "k", keys)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === keys.toSet)
+    // a key absent from the table returns no rows even when a false
+    // positive admits a partition (the residual filter keeps it exact)
+    assert(Versioned.readPartitionedPoint(spark, dir, v, "k", Seq(999999L))
+      .count() === 0)
+  }
+
+  test("A15: count-min sketch honors its one-sided bound; planted hitter surfaces") {
+    // 20k draws over 200 keys with one planted heavy key (every 5th row):
+    // the CMS (eps = 1e-3, conf 0.99, fixed seed) must never undercount
+    // any key and never overcount by more than eps·N — the exact contract
+    // q_heavy_hitters certifies per hitter on the real table.
+    val n = 20000L
+    val df = spark.range(0, n).toDF("id")
+      .withColumn("k",
+        when(col("id") % 5 === 0, lit(7L))
+          .otherwise((col("id") * 2654435761L) % 200L))
+    val cms = df.stat.countMinSketch("k", 0.001, 0.99, 42)
+    val exact = df.groupBy("k").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      val e = cms.estimateCount(k)
+      assert(e >= c, s"CMS undercounted key $k: $e < $c")
+      assert(e <= c + (0.001 * n).toLong, s"CMS overshot eps*N on key $k")
+    }
+    // the planted key dominates: it is a heavy hitter under the 1.4x-mean
+    // integer threshold the declared row uses
+    val keys = exact.size.toLong
+    assert(exact(7L) * keys * 5 >= n * 7, "planted key not above threshold")
+    // determinism: same seed, fresh build, identical estimates
+    val cms2 = df.stat.countMinSketch("k", 0.001, 0.99, 42)
+    assert(exact.keys.forall(k => cms.estimateCount(k) === cms2.estimateCount(k)))
+  }
+
   test("LK: multi-column zone maps — conjunctive pruning, null-column prune, no-stats conservatism") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vtzm3").toString

@@ -334,11 +334,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //  - q_bm25_maxscore: the same 1-row stats attach as
     //    q_bm25_index_search, in the upper-bound frame, phase A, and (on
     //    fallback) the full scorer
+    //  - q_heavy_hitters: the 1-row (n_total, n_keys) threshold attach —
+    //    the same stats-row family as q_text_bm25; the CMS probe itself
+    //    rides only the already-filtered hitter rows
     //  - q_unigram_vocab / q_unigram_segment: the 1-row vocabulary-total
     //    attach (Σcnt for the micro-nat scores), once per EM stage — the
     //    same stats-row family as q_text_bm25; the Viterbi arc join itself
     //    is an equi-join on the piece string
     val bnljOk = Set(
+      "q_heavy_hitters",
       "q_unigram_vocab", "q_unigram_segment",
       "q_bm25_append_search", "q_bm25_fuzzy", "q_bm25_index_search",
       "q_bm25_maxscore",
