@@ -204,12 +204,79 @@ object Sampling {
       Window.orderBy(col("pri").desc, tie, col("doc_id"))))
   }
 
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): surface the raw
+    * docs most TARGET-like under hashed-n-gram bag-of-words models — the
+    * standard pretraining recipe for "find the wiki-quality slice of a
+    * web crawl". Features are per-occurrence bigrams hashed into
+    * `buckets` buckets (md5 so any engine reproduces membership — the
+    * [[hashBucket]] convention over the positional
+    * [[graft.functions.TextHashes.spanMd5Hashes]] grams); the target and
+    * raw (= whole corpus, target included — the paper's source
+    * distribution) bucket models get add-1 smoothing over the bucket
+    * count, each `ln` rounded to integer micro-nats BEFORE the subtract
+    * (the q_text_lm recipe — doc scores are then order-independent
+    * integer dot products, bitwise-reproducible cross-engine). A doc's
+    * importance score is Σ_buckets count·(ln p_target − ln p_raw); the
+    * top `k` non-target docs by (score, doc_id) are the selection. Docs
+    * under 2 tokens carry no features and never surface.
+    *
+    * Scale shape: one corpus gram pass → per-(doc, bucket) counts (one
+    * shuffle with map-side combine); the bucket models are a second agg
+    * at BUCKET cardinality (B rows — metadata-scale however large the
+    * corpus); the 1-row totals attach is the q_text_bm25 stats-row
+    * family; the B-row log-ratio table broadcast-joins back; the global
+    * top-k is TakeOrderedAndProject (per-partition heads, never a full
+    * sort) with the rank window riding only the k winners — the
+    * [[weightedSample]] posture.
+    */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int,
+      buckets: Int = 256): DataFrame = {
+    import graft.functions.TextHashes.spanMd5Hashes
+    val grams = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(spanMd5Hashes(col("text"), 2)).as("h"))
+      .withColumn("b",
+        pmod(conv(substring(col("h"), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val feats = grams.groupBy("doc_id", "is_target", "b")
+      .agg(count(lit(1)).as("n"))
+    val model = feats.groupBy("b").agg(
+      sum(when(col("is_target"), col("n")).otherwise(0L)).as("tc"),
+      sum(col("n")).as("rc"))
+    val tot = model.agg(sum("tc").as("tt"), sum("rc").as("rt"))
+    val lr = model.crossJoin(broadcast(tot))
+      .withColumn("lpt", round(log((col("tc") + 1).cast("double") /
+        (col("tt") + buckets).cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("lpr", round(log((col("rc") + 1).cast("double") /
+        (col("rt") + buckets).cast("double")) * 1e6, 0).cast("long"))
+      .select(col("b"), (col("lpt") - col("lpr")).as("lru"))
+    val scored = feats.filter(!col("is_target"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("lru")).as("score_micro"),
+        sum(col("n")).cast("long").as("n_grams"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+    scored.withColumn("rk", row_number().over(
+      Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select("doc_id", "n_grams", "score_micro", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     // Weighted reservoir: 50 docs drawn without replacement with
     // P ∝ n_chars — the full kept set (ids, weights, keys, ranks)
     // hash-checked, proving the priority formula and the ordering.
     "q_sample_weighted" -> ((s, dir) =>
       weightedSample(T.documents(s, dir), col("n_chars"), 50)),
+
+    // DSIR importance selection: target = src0's docs, raw = the whole
+    // corpus, 256 hashed-bigram buckets, top 100 raw docs surfaced. The
+    // full selection (ids, gram counts, integer micro-nat scores, ranks)
+    // is hash-checked — feature hashing, both smoothed models, the
+    // rounding recipe, the dot product, and the top-k boundary all pinned.
+    "q_dsir_select" -> ((s, dir) =>
+      dsirSelect(T.documents(s, dir), col("source") === "src0", 100)),
 
     // Stratified reproducible sample: English kept at 80%, the rest at 20%
     // — the rebalancing step of corpus curation, exactly reproducible in any
@@ -326,6 +393,42 @@ object Sampling {
         |      md5('tie|' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
         |  FROM p)
         |SELECT doc_id, w, pri, rk FROM r WHERE rk <= 50
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the full DSIR chain re-derived: positional bigrams, md5 bucket
+    // hashing, both add-1-smoothed models, per-ln micro-nat rounding,
+    // the integer dot product, and the (score DESC, doc_id) top-100 cut
+    "q_dsir_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, source = 'src0' AS is_target,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, is_target,
+        |    CAST(('0x' || substr(md5(unnest(
+        |      CASE WHEN len(toks) < 2 THEN []
+        |           ELSE list_transform(generate_series(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i + 1]) END)), 1, 8)) AS BIGINT) % 256 AS b
+        |  FROM t),
+        |f AS (SELECT doc_id, is_target, b, count(*) AS n FROM g GROUP BY 1, 2, 3),
+        |m AS (
+        |  SELECT b, SUM(CASE WHEN is_target THEN n ELSE 0 END) AS tc,
+        |    SUM(n) AS rc
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM m),
+        |lr AS (
+        |  SELECT b,
+        |    CAST(round(ln((tc + 1.0) / (tt + 256)) * 1000000, 0) AS BIGINT) -
+        |    CAST(round(ln((rc + 1.0) / (rt + 256)) * 1000000, 0) AS BIGINT) AS lru
+        |  FROM m, tot),
+        |s AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_grams,
+        |    CAST(SUM(n * lru) AS BIGINT) AS score_micro
+        |  FROM f JOIN lr USING (b) WHERE NOT is_target GROUP BY 1),
+        |top AS (
+        |  SELECT *, CAST(row_number()
+        |    OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rk
+        |  FROM s)
+        |SELECT doc_id, n_grams, score_micro, rk FROM top WHERE rk <= 100
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_sample_allocation" ->
       """WITH srcs AS (

@@ -1104,6 +1104,38 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exact.keys.forall(k => cms.estimateCount(k) === cms2.estimateCount(k)))
   }
 
+  test("SA: dsirSelect — target-like docs outrank disjoint ones, targets never surface, deterministic") {
+    import spark.implicits._
+    import pipeline.Sampling
+    // target speaks "alpha beta gamma"; raw docs: a verbatim target copy,
+    // a half-overlap doc, and two docs over disjoint vocabulary
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta", "tgt"),
+      (1L, "alpha beta gamma alpha beta gamma", "tgt"),
+      (2L, "alpha beta gamma alpha beta", "raw"), // verbatim target copy
+      (3L, "alpha beta noise junk", "raw"),       // half overlap
+      (4L, "noise junk filler noise junk", "raw"),
+      (5L, "filler junk noise filler", "raw"),
+      (6L, "x", "raw")                            // 1 token: no features
+    ).toDF("doc_id", "text", "source")
+    val got = Sampling.dsirSelect(docs, col("source") === "tgt", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    val byRank = got.sortBy(_._3).map(_._1)
+    // the verbatim target copy is the most target-like raw doc; the
+    // target docs themselves and the featureless 1-token doc never appear
+    assert(byRank.head === 2L, s"verbatim target copy should rank 1: ${byRank.toSeq}")
+    assert(byRank.toSet === Set(2L, 3L, 4L, 5L))
+    // monotone in target-gram mass: the verbatim copy beats the
+    // half-overlap doc, which beats the doc sharing zero target grams
+    // whose own grams are the most raw-typical (noise junk ×2)
+    val score = got.map(t => t._1 -> t._2).toMap
+    assert(score(2L) > score(3L) && score(3L) > score(4L))
+    // deterministic: a rerun is byte-identical
+    val again = Sampling.dsirSelect(docs, col("source") === "tgt", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("LK: multi-column zone maps — conjunctive pruning, null-column prune, no-stats conservatism") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vtzm3").toString

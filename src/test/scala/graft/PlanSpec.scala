@@ -337,11 +337,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //  - q_heavy_hitters: the 1-row (n_total, n_keys) threshold attach —
     //    the same stats-row family as q_text_bm25; the CMS probe itself
     //    rides only the already-filtered hitter rows
+    //  - q_dsir_select: the 1-row model-totals attach (tt, rt for the
+    //    smoothing denominators) — the same stats-row family as
+    //    q_text_bm25; the log-ratio table itself joins back by broadcast
+    //    HASH join on the bucket id
     //  - q_unigram_vocab / q_unigram_segment: the 1-row vocabulary-total
     //    attach (Σcnt for the micro-nat scores), once per EM stage — the
     //    same stats-row family as q_text_bm25; the Viterbi arc join itself
     //    is an equi-join on the piece string
     val bnljOk = Set(
+      "q_dsir_select",
       "q_heavy_hitters",
       "q_unigram_vocab", "q_unigram_segment",
       "q_bm25_append_search", "q_bm25_fuzzy", "q_bm25_index_search",
@@ -365,12 +370,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    (one row per source — a few dozen rows)
     //  - q_sample_weighted: the rank window over the k=50 TakeOrdered
     //    winners only (the corpus-sized phase is the TakeOrdered itself)
+    //  - q_dsir_select: the same shape — rank window over the k=100
+    //    TakeOrdered winners only
     //  - q_ts_interpolate: windows over the dense resample GRID (one row
     //    per time bucket — calendar-bounded, never event-sized; the only
     //    event-sized pass is the bucket aggregation before it)
     // q_pareto is deliberately NOT here: its running sum is the two-phase
     // runningSumRanged rewrite whose windows are bucket-partitioned.
     val winOk = Set(
+      "q_dsir_select",
       "q_sample_allocation", "q_sample_weighted", "q_ts_interpolate")
     val cart = scala.collection.mutable.SortedSet.empty[String]
     val bnlj = scala.collection.mutable.SortedSet.empty[String]
