@@ -1045,6 +1045,137 @@ object Versioned {
       .filter(col(keyCol).cast("long").isin(keys: _*))
   }
 
+  // ---- hidden partitioning (partition transforms) ------------------------
+  //
+  // The Iceberg posture: the table partitions by a TRANSFORM of a data
+  // column — month(ts), bucket(N, k), trunc(W, n) — stored under the
+  // reserved `gpart` hive key, and READERS NEVER NAME THE PARTITION
+  // COLUMN. They state predicates on the RAW column; the transform's
+  // monotonicity (month, trunc) or point algebra (bucket, any) turns
+  // them into admitted partition values DRIVER-SIDE at manifest metadata
+  // scale, and a residual raw-column filter keeps partition-edge rows
+  // exact. That is what keeps "WHERE ts BETWEEN x AND y" a 4-partition
+  // scan of a 10 000-partition table without the user ever learning the
+  // layout — the failure mode this kills is the analyst who filters on
+  // the raw column of a manually-partitioned table and silently full-
+  // scans. The derived key exists ONLY as the hive dir name (data files
+  // never carry it); hidden reads drop it after pruning. The transform
+  // is fixed at the first hidden commit (the Iceberg spec-evolution
+  // escape hatch is out of scope); later partitioned commits inherit it
+  // by the same partition-stability precondition as `upsertPartitioned`.
+  // The `_transform` sidecar is written right after the seal (the bloom
+  // sidecar posture): a crash in that window leaves a version readable
+  // by [[readPartitionedAt]] whose HIDDEN reads fail loudly.
+
+  private def transformPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_transform")
+
+  /** The `(transform, srcCol)` spec governing hidden reads at version
+    * `v`: the nearest `_transform` sidecar at or below `v`.
+    */
+  def hiddenSpec(dir: String, v: Int): (String, String) = {
+    val hit = (v to 0 by -1).map(transformPath(dir, _))
+      .find(java.nio.file.Files.exists(_))
+      .getOrElse(sys.error(s"no _transform sidecar at or below v$v in $dir"))
+    val f = java.nio.file.Files.readString(hit).split("\t", 2)
+    (f(0), f(1))
+  }
+
+  /** The partition-value expression of `transform` over raw column `c`
+    * (always stringified — hive dir names are strings):
+    * `month` → "yyyy-MM" (UTC session); `bucket:N` → md5-derived bucket
+    * of the STRING form of the key (the engine-portable
+    * `Sampling.hashBucket` convention); `trunc:W` → floor-to-multiple
+    * of W (floor division, exact for negatives via pmod).
+    */
+  private[graft] def hiddenExpr(transform: String, c: Column): Column =
+    (transform match {
+      case "month" => date_format(c, "yyyy-MM")
+      case t if t.startsWith("bucket:") =>
+        val n = t.stripPrefix("bucket:").toLong
+        pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(n))
+      case t if t.startsWith("trunc:") =>
+        val w = t.stripPrefix("trunc:").toLong
+        c.cast("long") - pmod(c.cast("long"), lit(w))
+      case t => sys.error(s"unknown partition transform: $t")
+    }).cast("string")
+
+  /** `transform` applied to one DRIVER-SIDE key (the pruning twin of
+    * [[hiddenExpr]] — must agree with it value-for-value).
+    */
+  private def hiddenLit(transform: String, k: String): String =
+    transform match {
+      case "month" => k.substring(0, 7)
+      case t if t.startsWith("bucket:") =>
+        val n = t.stripPrefix("bucket:").toLong
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val hex = d.take(4).map(b => f"$b%02x").mkString
+        (java.lang.Long.parseLong(hex, 16) % n).toString
+      case t if t.startsWith("trunc:") =>
+        val w = t.stripPrefix("trunc:").toLong
+        val v = k.toLong
+        (v - math.floorMod(v, w)).toString
+      case t => sys.error(s"unknown partition transform: $t")
+    }
+
+  /** [[commitPartitioned]] under a hidden `transform` of `srcCol`: the
+    * derived `gpart` key partitions the write, the `_transform` sidecar
+    * records the spec for the pruned readers. Returns the version.
+    */
+  def commitPartitionedHidden(df: DataFrame, dir: String, transform: String,
+      srcCol: String): Int = {
+    val v = commitPartitioned(
+      df.withColumn("gpart", hiddenExpr(transform, col(srcCol))), dir, "gpart")
+    java.nio.file.Files.writeString(transformPath(dir, v),
+      s"$transform\t$srcCol")
+    v
+  }
+
+  /** Range read over a MONOTONE hidden transform (month: `lo`/`hi` are
+    * "yyyy-MM-dd" dates, day granularity; trunc: integer strings):
+    * admitted partitions are the manifest values in
+    * [transform(lo), transform(hi)] — driver-side, metadata-scale —
+    * and the residual raw-column BETWEEN keeps edge partitions exact.
+    * Row-identical to filtering the full [[readPartitionedAt]] read.
+    */
+  def readPartitionedHiddenRange(s: SparkSession, dir: String, v: Int,
+      lo: String, hi: String): DataFrame = {
+    val (t, srcCol) = hiddenSpec(dir, v)
+    require(t == "month" || t.startsWith("trunc:"),
+      s"range pruning needs a monotone transform, got $t (use " +
+        "readPartitionedHiddenIn for point lookups)")
+    val (plo, phi) = (hiddenLit(t, lo), hiddenLit(t, hi))
+    val kept = manifest(dir, v).filter { case (p, _) =>
+      if (t == "month") p >= plo && p <= phi
+      else p.toLong >= plo.toLong && p.toLong <= phi.toLong
+    }
+    val base = readManifestSubset(s, dir, v, kept)
+    val resid =
+      if (t == "month")
+        col(srcCol).cast("date").between(lit(lo).cast("date"),
+          lit(hi).cast("date"))
+      else col(srcCol).cast("long").between(lo.toLong, hi.toLong)
+    base.filter(resid).drop("gpart")
+  }
+
+  /** Point/IN read over ANY hidden transform: admitted partitions are
+    * the transforms of the probed keys (string form — the
+    * [[hiddenExpr]] bucket convention); the residual IN keeps results
+    * exact through hash collisions.
+    */
+  def readPartitionedHiddenIn(s: SparkSession, dir: String, v: Int,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val (t, srcCol) = hiddenSpec(dir, v)
+    val want = keys.map(hiddenLit(t, _)).toSet
+    val kept = manifest(dir, v).filter { case (p, _) => want.contains(p) }
+    readManifestSubset(s, dir, v, kept)
+      .filter(col(srcCol).cast("string").isin(keys: _*))
+      .drop("gpart")
+  }
+
   // ---- declared queries ---------------------------------------------------
 
   /** A fresh per-invocation table dir (idempotent rebuild — the query
@@ -1317,6 +1448,23 @@ object Versioned {
           col("c_mktsegment"))
     }),
 
+    // LK14: hidden partitioning — orders committed under month(o_orderdate)
+    // (the reader never names the derived key), then a raw-column date
+    // range read: the transform translates the range into the 4 admitted
+    // "yyyy-MM" partitions driver-side (the unit pins the pruning), the
+    // residual BETWEEN trims the edge partitions, and the result must
+    // row-equal the full-table filter — which is the oracle.
+    "q_lake_hidden_part" -> ((s, dir) => {
+      val o = graft.Tables.orders(s, dir)
+      val d = tableDir(dir + "#hidden")
+      commitPartitionedHidden(o, d, "month", "o_orderdate")
+      readPartitionedHiddenRange(s, d, 0, "1996-02-10", "1996-05-20")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_c"),
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+    }),
+
     // LK12: shallow clone — the src table builds the standard v0/v1/v2
     // history, the clone forks it as ONE metadata pointer file (zero data
     // copied), then diverges with a DV delete of nationkey ∈ {3, 7}. The
@@ -1360,6 +1508,15 @@ object Versioned {
 
   val oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> Lake.oracles("q_merge_upsert"),
+    // the transform-pruned range read must equal the full-table filter
+    "q_lake_hidden_part" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |  BETWEEN DATE '1996-02-10' AND DATE '1996-05-20'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the bloom-pruned point read must equal the full-table IN filter
     "q_lake_bloom_point" ->
       """SELECT c_custkey, c_name,

@@ -1077,6 +1077,53 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0)
   }
 
+  test("LK: hidden partitioning — transform pruning is real, residual exact, bucket points, guards") {
+    import spark.implicits._
+    import operators.Versioned
+    // month transform over a year of daily rows: a 40-day range must plan
+    // a 3-partition scan (of 13) and still return exactly the filter rows
+    val dirM = java.nio.file.Files.createTempDirectory("graft-hpm").toString
+    val days = spark.range(0, 366).toDF("i")
+      .select(col("i"),
+        expr("timestamp '2003-01-01 00:00:00' + make_interval(0,0,0,CAST(i AS INT),0,0,0)").as("ts"))
+    Versioned.commitPartitionedHidden(days, dirM, "month", "ts")
+    assert(Versioned.manifest(dirM, 0).size === 13) // 2003-01..2004-01
+    val got = Versioned.readPartitionedHiddenRange(spark, dirM, 0,
+      "2003-03-15", "2003-04-23")
+    assert(!got.columns.contains("gpart"), "derived key must not leak")
+    assert(got.count() === 40)
+    // pruning is structural: only the 2 admitted month dirs are scanned
+    val scanned = got.queryExecution.sparkPlan.toString
+    assert(scanned.contains("gpart"), "partition key filter missing from scan")
+    val kept = Versioned.manifest(dirM, 0).keySet
+      .filter(p => p >= "2003-03" && p <= "2003-04")
+    assert(kept.size === 2)
+    // residual correctness at the edges: first/last returned days exact
+    val dates = got.select(col("ts").cast("date").cast("string"))
+      .collect().map(_.getString(0)).sorted
+    assert(dates.head === "2003-03-15" && dates.last === "2003-04-23")
+    // bucket transform: a 2-key point lookup over 16 hash buckets scans
+    // at most 2 partitions and survives bucket collisions exactly
+    val dirB = java.nio.file.Files.createTempDirectory("graft-hpb").toString
+    val rows = spark.range(0, 400).toDF("k").withColumn("v", col("k") * 3)
+    Versioned.commitPartitionedHidden(rows, dirB, "bucket:16", "k")
+    val pt = Versioned.readPartitionedHiddenIn(spark, dirB, 0, Seq("7", "399"))
+    assert(pt.select("k").collect().map(_.getLong(0)).toSet === Set(7L, 399L))
+    // range read over a bucket transform is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Versioned.readPartitionedHiddenRange(spark, dirB, 0, "0", "10")
+    }
+    assert(e.getMessage.contains("monotone"))
+    // trunc transform: integer range pruning + residual
+    val dirT = java.nio.file.Files.createTempDirectory("graft-hpt").toString
+    Versioned.commitPartitionedHidden(rows, dirT, "trunc:100", "k")
+    assert(Versioned.manifest(dirT, 0).size === 4)
+    val tr = Versioned.readPartitionedHiddenRange(spark, dirT, 0, "150", "249")
+    assert(tr.count() === 100)
+    assert(tr.agg(min("k"), max("k")).head() ===
+      org.apache.spark.sql.Row(150L, 249L))
+  }
+
   test("A15: count-min sketch honors its one-sided bound; planted hitter surfaces") {
     // 20k draws over 200 keys with one planted heavy key (every 5th row):
     // the CMS (eps = 1e-3, conf 0.99, fixed seed) must never undercount
