@@ -136,7 +136,7 @@ object Versioned {
     val tip = latest(dir)
     val liveBase = (tip to 0 by -1)
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
-        !isAddVersion(dir, w))
+        !isAddVersion(dir, w) && !isRenameVersion(dir, w))
       .getOrElse(0)
     val cut = math.min(tip - math.max(1, keepLast) + 1, liveBase)
     def rm(f: java.io.File): Unit = {
@@ -153,9 +153,11 @@ object Versioned {
   def readAt(s: SparkSession, dir: String, v: Int): DataFrame =
     s.read.parquet(s"$dir/v$v")
 
-  /** The latest snapshot. */
+  /** The latest snapshot, chain-resolved (identical to [[readAt]] for a
+    * flat materialized tip; resolves DV/append/rename/clone tips).
+    */
   def readLatest(s: SparkSession, dir: String): DataFrame =
-    readAt(s, dir, latest(dir))
+    readAtDv(s, dir, latest(dir))
 
   // ---- timestamp-based time travel --------------------------------------
 
@@ -512,7 +514,7 @@ object Versioned {
   def readAtDv(s: SparkSession, dir: String, v: Int): DataFrame = {
     val base = (v to 0 by -1)
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
-        !isAddVersion(dir, w))
+        !isAddVersion(dir, w) && !isRenameVersion(dir, w))
       .getOrElse(sys.error(s"no materialized version at or below v$v in $dir"))
     val snap = readPartitionedOrFlatAt(s, dir, base)
     val chain = ((base + 1) to v).filter(w => isCommitted(dir, w))
@@ -531,7 +533,12 @@ object Versioned {
           (antiJoin(acc, pend).unionByName(
             s.read.parquet(addPath(dir, w)), allowMissingColumns = true),
             Seq.empty)
-        else (acc, pend) // unreachable: base is the nearest materialized ≤ v
+        else if (isRenameVersion(dir, w)) {
+          // flush pending DVs first: their key columns were recorded
+          // under the PRE-rename name this rename is about to retire
+          val (from, to) = renameOf(dir, w)
+          (antiJoin(acc, pend).withColumnRenamed(from, to), Seq.empty)
+        } else (acc, pend) // unreachable: base is the nearest materialized ≤ v
     }
     antiJoin(folded, pendingDvs)
   }
@@ -1045,6 +1052,56 @@ object Versioned {
       .filter(col(keyCol).cast("long").isin(keys: _*))
   }
 
+  // ---- column-mapping renames (zero-copy schema evolution) ---------------
+  //
+  // The Delta column-mapping posture, completing the schema-evolution
+  // story next to E149's additive widening: a RENAME is a metadata-only
+  // version (`_rename` sidecar, no data) — renaming a column of a 100 TB
+  // table costs one tiny file, never a rewrite. Readers at or above the
+  // rename see the new name; time travel below it keeps the old name
+  // (each version serves its creation-time schema, the E149 contract).
+  // The chain fold applies renames in version order, flushing any
+  // pending deletion vectors first (their key columns were recorded
+  // under pre-rename names); appends after the rename carry the new
+  // name. Drops/type changes stay out of contract (a rewrite, not an
+  // annotation). Snapshot-deriving mutations over a rename tip are fine
+  // (the tip read chain-resolves); the STREAMING source fails loudly at
+  // a rename version — a running stream's schema is fixed at start, and
+  // silently null-padding the old name would corrupt every later batch,
+  // so the stream must be restarted to observe the renamed schema (the
+  // Delta column-mapping streaming contract). CDC between versions that
+  // straddle a rename fails naturally on the key-column name.
+
+  private def renamePath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_rename")
+
+  /** Is committed version `v` a metadata-only column rename? */
+  def isRenameVersion(dir: String, v: Int): Boolean =
+    java.nio.file.Files.exists(renamePath(dir, v))
+
+  private[graft] def renameOf(dir: String, v: Int): (String, String) = {
+    val f = java.nio.file.Files.readString(renamePath(dir, v)).split("\t", 2)
+    (f(0), f(1))
+  }
+
+  /** Commit a metadata-only rename of column `from` to `to` (validated
+    * against the chain-resolved tip schema). Returns the version.
+    */
+  def renameColumn(s: SparkSession, dir: String, from: String,
+      to: String): Int = {
+    val tip = latest(dir)
+    require(tip >= 0, s"renameColumn: no committed versions in $dir")
+    val cols = readAtDv(s, dir, tip).columns.toSet
+    require(cols.contains(from), s"renameColumn: no column '$from' in $dir")
+    require(!cols.contains(to), s"renameColumn: column '$to' already exists")
+    val v = claimNext(dir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, s"v$v"))
+    java.nio.file.Files.writeString(renamePath(dir, v), s"$from\t$to")
+    seal(dir, v)
+    v
+  }
+
   // ---- hidden partitioning (partition transforms) ------------------------
   //
   // The Iceberg posture: the table partitions by a TRANSFORM of a data
@@ -1448,6 +1505,29 @@ object Versioned {
           col("c_mktsegment"))
     }),
 
+    // LK15: column-mapping rename — v0 commits customer, v1 DV-deletes
+    // %13 (keys recorded under the OLD name), v2 renames
+    // c_acctbal→balance as ONE metadata file, v3 DV-deletes nationkey
+    // ∈ {3, 7} (keys under the per-key column, recorded POST-rename).
+    // The latest read must serve the renamed schema with both delete
+    // generations applied — the fold flushes pre-rename DVs before the
+    // rename. The oracle re-derives it all from the raw table with the
+    // rename as a plain alias, so the zero-copy annotation must be
+    // indistinguishable from a full rewrite.
+    "q_lake_rename" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#rename")
+      commit(c, d)
+      deleteWhereDv(s, d, col("c_custkey") % 13 === 0, "c_custkey")
+      renameColumn(s, d, "c_acctbal", "balance")
+      deleteWhereDv(s, d, col("c_nationkey").isin(3, 7), "c_custkey")
+      readAtDv(s, d, 3)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          floor(col("balance") * 100).cast("long").as("balance_c"),
+          col("c_mktsegment"))
+    }),
+
     // LK14: hidden partitioning — orders committed under month(o_orderdate)
     // (the reader never names the derived key), then a raw-column date
     // range read: the transform translates the range into the 4 admitted
@@ -1508,6 +1588,14 @@ object Versioned {
 
   val oracles: Map[String, String] = Map(
     "q_lake_timetravel" -> Lake.oracles("q_merge_upsert"),
+    // the rename-annotated chain read must equal the aliased rewrite
+    "q_lake_rename" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS balance_c, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 13 = 0) AND NOT (c_nationkey IN (3, 7))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the transform-pruned range read must equal the full-table filter
     "q_lake_hidden_part" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

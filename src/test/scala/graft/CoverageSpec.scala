@@ -1077,6 +1077,52 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0)
   }
 
+  test("LK: column rename — zero-copy, time travel keeps old name, chain composes, guards") {
+    import spark.implicits._
+    import operators.Versioned
+    val base = java.nio.file.Files.createTempDirectory("graft-ren").toString
+    val dir = s"$base/t"; new java.io.File(dir).mkdirs()
+    val df = spark.range(0, 100).toDF("id").withColumn("v", col("id") * 2)
+    Versioned.commit(df, dir)                                  // v0
+    Versioned.deleteWhereDv(spark, dir, col("id") >= 90, "id") // v1
+    val rv = Versioned.renameColumn(spark, dir, "v", "val")    // v2
+    assert(rv === 2 && Versioned.isRenameVersion(dir, 2))
+    // zero-copy: the rename version dir holds ONLY the annotation
+    assert(new java.io.File(s"$dir/v2").listFiles().map(_.getName).toSet
+      === Set("_rename"))
+    // latest serves the renamed schema with the pre-rename DV applied
+    val cur = Versioned.readAtDv(spark, dir, 2)
+    assert(cur.columns.toSeq === Seq("id", "val"))
+    assert(cur.count() === 90)
+    // time travel below the rename keeps the creation-time name
+    assert(Versioned.readAtDv(spark, dir, 1).columns.toSeq === Seq("id", "v"))
+    // appends after the rename carry the new name; DVs compose across it
+    Versioned.appendRows(Seq((200L, 400L)).toDF("id", "val"), dir) // v3
+    Versioned.deleteWhereDv(spark, dir, col("id") === 0, "id")     // v4
+    val r4 = Versioned.readAtDv(spark, dir, 4)
+    assert(r4.columns.toSeq === Seq("id", "val"))
+    assert(r4.count() === 90) // 90 − 1 deleted + 1 appended
+    assert(r4.filter(col("id") === 200).select("val").head().getLong(0) === 400L)
+    // validation: unknown source and occupied destination raise
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "val", "id")
+    }
+    // a snapshot-deriving mutation over a rename TIP chain-resolves
+    val dir2 = s"$base/t2"; new java.io.File(dir2).mkdirs()
+    Versioned.commit(df, dir2)
+    Versioned.renameColumn(spark, dir2, "v", "val")
+    Versioned.upsert(spark, dir2, Seq((0L, 999L)).toDF("id", "val"), "id")
+    val up = Versioned.readAt(spark, dir2, 2)
+    assert(up.columns.toSet === Set("id", "val"))
+    assert(up.filter(col("id") === 0).select("val").head().getLong(0) === 999L)
+    // vacuum clamps to the live base below the rename chain
+    Versioned.vacuum(dir, 1)
+    assert(Versioned.readAtDv(spark, dir, 4).count() === 90)
+  }
+
   test("LK: hidden partitioning — transform pruning is real, residual exact, bucket points, guards") {
     import spark.implicits._
     import operators.Versioned

@@ -887,6 +887,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("no committed versions"))
   }
 
+  test("E164: a column-mapping rename mid-stream fails the query loudly (no opt-out)") {
+    import graft.operators.Versioned
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vsrc-ren").toString
+    Versioned.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir) // v0
+    val q = spark.readStream.format("graft.versioned").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_ren").start()
+    q.processAllAvailable()
+    assert(spark.table("vsrc_ren").count() === 2)
+    Versioned.renameColumn(spark, dir, "s", "txt") // v1, mid-stream
+    Versioned.appendRows(Seq((3L, "c")).toDF("k", "txt"), dir) // v2
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    // even ignoreChanges+ignoreDeletes must not skip it: the retired
+    // column would silently null-pad in every later batch
+    assert(e.getMessage.contains("rename") ||
+      Option(e.getCause).exists(_.getMessage.contains("rename")))
+    // a RESTARTED stream past the rename serves the new schema
+    val q2 = spark.readStream.format("graft.versioned")
+      .option("startingVersion", "2").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsrc_ren2").start()
+    q2.processAllAvailable()
+    val rows = spark.table("vsrc_ren2")
+    assert(rows.columns.toSeq === Seq("k", "txt"))
+    assert(rows.collect().map(_.getLong(0)).toSet === Set(3L))
+    q2.stop()
+  }
+
   test("E155: a deletion-vector commit mid-stream fails the query unless " +
       "ignoreDeletes; snapshot commits need ignoreChanges") {
     import graft.operators.Versioned
