@@ -86,6 +86,130 @@ object Lake {
           .otherwise(col("t_" + c)).as(c)): _*)
   }
 
+  // ---- multi-clause conditional MERGE -------------------------------------
+
+  /** One WHEN clause of [[mergeConditional]]. Clause conditions and
+    * SET / VALUES expressions reference the two join sides through
+    * [[tcol]] (target) and [[scol]] (source); a clause with no condition
+    * always fires for its branch. Clauses are evaluated IN ORDER and the
+    * first whose condition holds wins — the SQL/Delta MERGE clause-order
+    * contract.
+    */
+  sealed trait MergeAction { def cond: Option[Column] }
+
+  /** WHEN [NOT] MATCHED [BY SOURCE] ... THEN UPDATE SET: columns named in
+    * `set` take their expression; every other column keeps its target
+    * value.
+    */
+  final case class MergeUpdate(set: Map[String, Column],
+      cond: Option[Column] = None) extends MergeAction
+
+  /** WHEN MATCHED / WHEN NOT MATCHED BY SOURCE ... THEN DELETE. */
+  final case class MergeDelete(cond: Option[Column] = None) extends MergeAction
+
+  /** WHEN NOT MATCHED ... THEN INSERT: columns named in `values` take
+    * their expression; unnamed columns insert as typed nulls.
+    */
+  final case class MergeInsert(values: Map[String, Column],
+      cond: Option[Column] = None) extends MergeAction
+
+  /** Target-side column reference inside a [[mergeConditional]] clause. */
+  def tcol(c: String): Column = col("__t_" + c)
+
+  /** Source-side column reference inside a [[mergeConditional]] clause. */
+  def scol(c: String): Column = col("__s_" + c)
+
+  /** Multi-clause conditional MERGE INTO — the full SQL:2003 /
+    * Delta-`whenMatched(cond)` surface that [[mergeUpsert]] (one
+    * unconditional whole-row upsert) and [[applyChanges]] (op-column CDC)
+    * don't cover: per-clause predicates over BOTH sides, column-level SET
+    * expressions, conditional inserts, and `WHEN NOT MATCHED BY SOURCE`
+    * update/delete over target-only rows. Per row:
+    *
+    *  - MATCHED (key in both): the first `whenMatched` clause whose
+    *    condition holds applies ([[MergeUpdate]] rewrites its SET columns,
+    *    [[MergeDelete]] drops the row); none → target row kept unchanged;
+    *  - NOT MATCHED (source-only): the first firing [[MergeInsert]]
+    *    inserts; none → the source row is ignored;
+    *  - NOT MATCHED BY SOURCE (target-only): the first firing clause
+    *    updates/deletes; none → kept. A null-KEY source row never
+    *    equi-joins (SQL null semantics) and resolves as source-only.
+    *
+    * Duplicate non-null source keys raise in-plan (the SQL MERGE
+    * multi-match error, the [[mergeUpsert]] guard). Scale shape: ONE full
+    * outer equi-join on the key (the source side broadcasts under AQE
+    * when small); clause resolution is a single integer `CASE` column and
+    * per-column `CASE` chains — all codegen'd projections, no second
+    * join, no window over data, no driver state.
+    */
+  def mergeConditional(target: DataFrame, source: DataFrame, key: String,
+      whenMatched: Seq[MergeAction] = Nil,
+      whenNotMatched: Seq[MergeInsert] = Nil,
+      whenNotMatchedBySource: Seq[MergeAction] = Nil): DataFrame = {
+    require(whenMatched.forall(!_.isInstanceOf[MergeInsert]),
+      "mergeConditional: whenMatched clauses must be update/delete")
+    require(whenNotMatchedBySource.forall(!_.isInstanceOf[MergeInsert]),
+      "mergeConditional: whenNotMatchedBySource clauses must be update/delete")
+    val cols = target.columns
+    require(source.columns.contains(key),
+      s"mergeConditional: source must carry the key column $key")
+    val kcnt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s_" + key))
+    val t = target.select(cols.map(c => col(c).as("__t_" + c)): _*)
+      .withColumn("__t_present", lit(true))
+    val s = source.select(
+        source.columns.map(c => col(c).as("__s_" + c)): _*)
+      .withColumn("__s_present",
+        when(col("__s_" + key).isNotNull && count(lit(1)).over(kcnt) > 1,
+          raise_error(concat(lit(s"mergeConditional: duplicate source key " +
+            s"$key="), col("__s_" + key).cast("string"))).isNull)
+          .otherwise(lit(true)))
+    // first-true-wins clause index per branch: matched → 100+i,
+    // source-only inserts → 200+i, target-only → 300+i; −1 = keep the
+    // target row untouched, −2 = unmatched source row with no insert
+    def firstOf(clauses: Seq[MergeAction], base: Int, default: Int): Column =
+      clauses.zipWithIndex.reverse.foldLeft(lit(default)) {
+        case (els, (a, i)) =>
+          when(a.cond.getOrElse(lit(true)), lit(base + i)).otherwise(els)
+      }
+    val act =
+      when(coalesce(col("__t_present"), lit(false)) &&
+          coalesce(col("__s_present"), lit(false)),
+        firstOf(whenMatched, 100, -1))
+      .when(coalesce(col("__s_present"), lit(false)),
+        firstOf(whenNotMatched, 200, -2))
+      .otherwise(firstOf(whenNotMatchedBySource, 300, -1))
+    val dropCodes: Seq[Int] = -2 +:
+      (whenMatched.zipWithIndex.collect {
+        case (_: MergeDelete, i) => 100 + i } ++
+       whenNotMatchedBySource.zipWithIndex.collect {
+         case (_: MergeDelete, i) => 300 + i })
+    val joined = t.join(s, t("__t_" + key) === s("__s_" + key), "full")
+      .withColumn("__act", act)
+      .filter(!col("__act").isin(dropCodes: _*))
+    joined.select(cols.map { c =>
+      val keep = col("__t_" + c)
+      val e0 = whenMatched.zipWithIndex.foldLeft(keep) {
+        case (els, (MergeUpdate(set, _), i)) =>
+          when(col("__act") === (100 + i), set.getOrElse(c, keep))
+            .otherwise(els)
+        case (els, _) => els // deletes were filtered above
+      }
+      val e1 = whenNotMatched.zipWithIndex.foldLeft(e0) {
+        case (els, (MergeInsert(values, _), i)) =>
+          when(col("__act") === (200 + i),
+            values.getOrElse(c,
+              lit(null).cast(target.schema(c).dataType))).otherwise(els)
+      }
+      whenNotMatchedBySource.zipWithIndex.foldLeft(e1) {
+        case (els, (MergeUpdate(set, _), i)) =>
+          when(col("__act") === (300 + i), set.getOrElse(c, keep))
+            .otherwise(els)
+        case (els, _) => els
+      }.as(c)
+    }: _*)
+  }
+
   /** Snapshot diff (CDC between two table versions): one row per key whose
     * state changed, classified `added` / `removed` / `changed` by a full
     * outer join on the key and a whole-row comparison over `compareCols`.
@@ -283,6 +407,34 @@ object Lake {
           col("c_mktsegment"))
     }),
 
+    // LK16: multi-clause conditional MERGE — one statement carrying all
+    // five clause kinds over the shared deterministic delta (%7 bumps,
+    // %31 new keys): matched & bumped-balance < $1000 → DELETE (clause 1
+    // fires first); matched otherwise → UPDATE (balance +$50, segment
+    // VIP); source-only → INSERT only even keys; target-only %11 →
+    // UPDATE segment STALE; target-only %17 → DELETE — a key divisible
+    // by both 11 and 17 goes STALE, not deleted, proving clause order.
+    // The oracle re-derives every branch as explicit set algebra.
+    "q_merge_multi" -> ((s, dir) => {
+      val c = T.customer(s, dir)
+      mergeConditional(c, customerDelta(c), "c_custkey",
+        whenMatched = Seq(
+          MergeDelete(Some(scol("c_acctbal") < 1000.0)),
+          MergeUpdate(Map(
+            "c_acctbal" -> (scol("c_acctbal") + 50.0),
+            "c_mktsegment" -> lit("VIP")))),
+        whenNotMatched = Seq(
+          MergeInsert(c.columns.map(x => x -> scol(x)).toMap,
+            Some(scol("c_custkey") % 2 === 0))),
+        whenNotMatchedBySource = Seq(
+          MergeUpdate(Map("c_mktsegment" -> lit("STALE")),
+            Some(tcol("c_custkey") % 11 === 0)),
+          MergeDelete(Some(tcol("c_custkey") % 17 === 0))))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
     // LK2: snapshot diff — old vs merged-new snapshot, minus keys dropped
     // in the new version (custkey % 13 = 0): added/removed/changed rows
     // only, classified and oracle-checked.
@@ -359,6 +511,41 @@ object Lake {
          |SELECT c_custkey, c_name, c_nationkey,
          |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
          |FROM merged ORDER BY ALL NULLS FIRST""".stripMargin,
+    // every branch of the five-clause merge as explicit set algebra:
+    // matched = %7 keys (the delta's bump set, all present in customer),
+    // source-only = the +1000000 insert keys, target-only = the rest
+    "q_merge_multi" ->
+      """WITH delta AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'New ' || c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 31 = 0),
+        |matched AS (
+        |  SELECT t.c_custkey, t.c_name, t.c_nationkey,
+        |    u.c_acctbal + 50.0 AS c_acctbal, 'VIP' AS c_mktsegment
+        |  FROM customer t JOIN delta u ON t.c_custkey = u.c_custkey
+        |  WHERE NOT (u.c_acctbal < 1000.0)),
+        |inserted AS (
+        |  SELECT u.* FROM delta u
+        |  WHERE u.c_custkey NOT IN (SELECT c_custkey FROM customer)
+        |    AND u.c_custkey % 2 = 0),
+        |bysource AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+        |    CASE WHEN c_custkey % 11 = 0 THEN 'STALE'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |  WHERE c_custkey % 7 != 0
+        |    AND NOT (c_custkey % 11 != 0 AND c_custkey % 17 = 0)),
+        |final AS (
+        |  SELECT * FROM matched UNION ALL
+        |  SELECT * FROM inserted UNION ALL
+        |  SELECT * FROM bysource)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM final ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_merge_apply_cdc" ->
       """WITH delta AS (
         |  SELECT c_custkey, c_name, c_nationkey,

@@ -909,6 +909,62 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(msgs(e).exists(_.contains("duplicate change key")), e.toString)
   }
 
+  test("LK: mergeConditional — clause order wins, conditional insert, by-source update/delete, null-key insert, dup raise") {
+    import spark.implicits._
+    import operators.Lake
+    import operators.Lake.{MergeUpdate, MergeDelete, MergeInsert, tcol, scol}
+    // target keys: 1..6; source: 1 (matched, low), 2 (matched, high),
+    // 10 (new, even), 11 (new, odd), null (never equi-joins → insert)
+    val t = Seq((1L, 5L, "t"), (2L, 50L, "t"), (3L, 0L, "t"),
+      (4L, 0L, "t"), (5L, 0L, "t"), (6L, 0L, "t")).toDF("k", "bal", "seg")
+    val srcRows = Seq((Some(1L), 7L), (Some(2L), 70L), (Some(10L), 1L),
+      (Some(11L), 1L), (None, 99L))
+    val s = srcRows.toDF("k", "bal")
+    val got = Lake.mergeConditional(t, s, "k",
+      whenMatched = Seq(
+        MergeDelete(Some(scol("bal") < 10L)),          // fires for k=1
+        MergeUpdate(Map("bal" -> scol("bal"), "seg" -> lit("upd")))),
+      whenNotMatched = Seq(
+        MergeInsert(Map("k" -> scol("k"), "bal" -> scol("bal"),
+          "seg" -> lit("ins")))),                      // uncond → null key inserts
+      whenNotMatchedBySource = Seq(
+        // k=3 hits BOTH by-source clauses → the update wins by order
+        MergeUpdate(Map("seg" -> lit("stale")), Some(tcol("k") % 3 === 0)),
+        MergeDelete(Some(tcol("k") % 4 === 0))))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getLong(1), r.getString(2))).toSet
+    assert(got === Set(
+      (Some(2L), 70L, "upd"),    // matched, second clause
+      (Some(3L), 0L, "stale"),   // by-source: update beats delete by order
+      (Some(5L), 0L, "t"),       // by-source: no clause → kept
+      (Some(6L), 0L, "stale"),   // %3 by-source update
+      (Some(10L), 1L, "ins"), (Some(11L), 1L, "ins"),
+      (None, 99L, "ins")         // null key = source-only insert
+      // k=1 deleted (matched clause 1), k=4 deleted (by-source clause 2)
+    ), got.toString)
+    // conditional insert: unmatched rows failing every insert cond vanish
+    val gated = Lake.mergeConditional(t, s, "k",
+      whenNotMatched = Seq(MergeInsert(
+        Map("k" -> scol("k"), "bal" -> scol("bal"), "seg" -> lit("i")),
+        Some(scol("k") % 2 === 0))))
+    assert(gated.filter(col("seg") === "i").collect()
+      .map(_.getLong(0)).toSet === Set(10L)) // 11 odd, null%2=null → dropped
+    // unnamed insert column → typed null
+    val sparse = Lake.mergeConditional(t, s.filter(col("k") === 10L), "k",
+      whenNotMatched = Seq(MergeInsert(Map("k" -> scol("k")))))
+    val ins10 = sparse.filter(col("k") === 10L).collect().head
+    assert(ins10.isNullAt(1) && ins10.isNullAt(2))
+    // duplicate source keys raise (SQL MERGE multi-match)
+    val dup = Seq((2L, 1L), (2L, 2L)).toDF("k", "bal")
+    val e = intercept[Exception] {
+      Lake.mergeConditional(t, dup, "k",
+        whenMatched = Seq(MergeUpdate(Map("bal" -> scol("bal"))))).collect()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Nil else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("duplicate source key")), e.toString)
+  }
+
   test("LK: maintainAgg — adds, removes, group migrations, and zero-count groups drop") {
     import spark.implicits._
     // view over (grp, v): A = {10, 20}, B = {5}
