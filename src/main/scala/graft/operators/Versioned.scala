@@ -863,16 +863,36 @@ object Versioned {
     }
   }
 
+  private def rowsPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_rows")
+
+  /** Version `v`'s per-partition row counts (written alongside `_stats2`
+    * by every multi-column-stats commit). Empty if `v` recorded none.
+    */
+  def rowCounts(dir: String, v: Int): Map[String, Long] = {
+    val p = rowsPath(dir, v)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala
+        .filter(_.nonEmpty)
+        .map { l =>
+          val t = l.lastIndexOf('\t')
+          l.substring(0, t) -> l.substring(t + 1).toLong
+        }.toMap
+    }
+  }
+
   private def writeZoneMapMulti(s: SparkSession, dir: String, v: Int,
       df: DataFrame, partCol: String, statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty, "statsCols must be non-empty")
     // metadata-scale collect: one row per written partition, all columns'
-    // stats in ONE narrow aggregation pass
+    // stats AND the partition row count in ONE narrow aggregation pass
     val aggs = statsCols.flatMap { c =>
       Seq(min(col(c).cast("long")).as(s"__lo_$c"),
         max(col(c).cast("long")).as(s"__hi_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"))
-    }
+    } :+ count(lit(1)).as("__rows")
     val rows = df.groupBy(col(partCol).cast("string").as("__p"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -887,7 +907,80 @@ object Versioned {
       }
     }.sorted.mkString("\n")
     java.nio.file.Files.writeString(stats2Path(dir, v), body)
+    val rbody = rows.map(r => s"${r.getString(0)}\t${r.getAs[Long]("__rows")}")
+      .sorted.mkString("\n")
+    java.nio.file.Files.writeString(rowsPath(dir, v), rbody)
     ()
+  }
+
+  /** Metadata-only aggregates — the Delta/Iceberg stats-served query
+    * posture: `COUNT(*)`, `MIN`, `MAX`, and null counts over the WHOLE
+    * table as of version `v`, answered entirely from the manifest and the
+    * `_stats2`/`_rows` sidecars its owning versions wrote — ZERO executor
+    * tasks, zero data files opened. At 100 TB, `SELECT count(*), min(k),
+    * max(k) FROM t` becomes a driver-side read of a few KB of metadata.
+    *
+    * Correct by construction, never stale: each owning commit writes its
+    * sidecars transactionally with its data (sealed together), and the
+    * manifest maps every live partition to the owner whose sidecar
+    * describes exactly the bytes it committed — so the fold over
+    * (manifest, owner sidecars) describes precisely the rows a full scan
+    * of version `v` would read. Fails loudly if any owned partition lacks
+    * a row count or a requested column's stats (a table committed without
+    * [[commitPartitionedStatsMulti]]/[[upsertPartitionedStatsMulti]]) —
+    * stats-serving is opt-in at write time, never a silent guess.
+    *
+    * Returns ONE row: `row_cnt`, then `min_<c>`, `max_<c>`, `nulls_<c>`
+    * per requested column (min/max null when the column is entirely null
+    * — SQL aggregate semantics).
+    */
+  def aggFromStats(s: SparkSession, dir: String, v: Int,
+      statsCols: Seq[String]): DataFrame = {
+    require(statsCols.nonEmpty, "statsCols must be non-empty")
+    require(java.nio.file.Files.exists(manifestPath(dir, v)),
+      s"aggFromStats: v$v of $dir is not a partitioned commit")
+    val man = manifest(dir, v)
+    val zms = scala.collection.mutable.Map
+      .empty[Int, Map[String, Map[String, (Option[(Long, Long)], Long)]]]
+    val rcs = scala.collection.mutable.Map.empty[Int, Map[String, Long]]
+    var rows = 0L
+    val mins = scala.collection.mutable.Map
+      .empty[String, Option[Long]].withDefaultValue(None)
+    val maxs = scala.collection.mutable.Map
+      .empty[String, Option[Long]].withDefaultValue(None)
+    val nulls = scala.collection.mutable.Map
+      .empty[String, Long].withDefaultValue(0L)
+    man.foreach { case (p, owner) =>
+      rows += rcs.getOrElseUpdate(owner, rowCounts(dir, owner))
+        .getOrElse(p, sys.error(s"aggFromStats: no row count for " +
+          s"partition $p (owner v$owner) in $dir — commit with " +
+          "commitPartitionedStatsMulti/upsertPartitionedStatsMulti"))
+      val byCol = zms.getOrElseUpdate(owner, zoneMapMulti(dir, owner))
+        .getOrElse(p, sys.error(s"aggFromStats: no column stats for " +
+          s"partition $p (owner v$owner) in $dir"))
+      statsCols.foreach { c =>
+        val (mm, nn) = byCol.getOrElse(c, sys.error(s"aggFromStats: no " +
+          s"stats for column $c in partition $p (owner v$owner) of $dir"))
+        nulls(c) += nn
+        mm.foreach { case (mn, mx) =>
+          mins(c) = Some(mins(c).fold(mn)(math.min(_, mn)))
+          maxs(c) = Some(maxs(c).fold(mx)(math.max(_, mx)))
+        }
+      }
+    }
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    val fields = StructField("row_cnt", LongType, nullable = false) +:
+      statsCols.flatMap(c => Seq(
+        StructField(s"min_$c", LongType, nullable = true),
+        StructField(s"max_$c", LongType, nullable = true),
+        StructField(s"nulls_$c", LongType, nullable = false)))
+    val vals: Seq[Any] = Long.box(rows) +: statsCols.flatMap(c => Seq(
+      mins(c).map(Long.box).orNull, maxs(c).map(Long.box).orNull,
+      Long.box(nulls(c))))
+    s.createDataFrame(
+      java.util.Collections.singletonList(
+        org.apache.spark.sql.Row(vals: _*)),
+      StructType(fields.toArray))
   }
 
   /** [[commitPartitioned]] that also records the multi-column zone map of
@@ -1372,6 +1465,32 @@ object Versioned {
           col("ck_bucket").cast("long").as("ck_bucket"))
     }),
 
+    // LK17: metadata-only aggregates — customer committed partitioned
+    // with multi-column stats, then a CoW upsert restricted to one
+    // partition (so the manifest spans TWO owning versions); count/min/
+    // max/null-counts over the final table are answered ENTIRELY from
+    // the sidecars (zero data files opened — the read is driver-side
+    // manifest metadata) and must hash-equal the oracle's full scan of
+    // the same logical snapshot.
+    "q_lake_stats_agg" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+        .withColumn("acctbal_c", floor(col("c_acctbal") * 100).cast("long"))
+      val d = tableDir(dir + "#statsagg")
+      commitPartitionedStatsMulti(s, c, d, "c_mktsegment",
+        Seq("c_custkey", "acctbal_c"))
+      val delta = c.filter(col("c_mktsegment") === "BUILDING" &&
+          (col("c_custkey") % 7 === 0))
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(c.filter(col("c_mktsegment") === "BUILDING" &&
+            (col("c_custkey") % 31 === 0))
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("c_name", concat(lit("New "), col("c_name"))))
+        .withColumn("acctbal_c", floor(col("c_acctbal") * 100).cast("long"))
+      upsertPartitionedStatsMulti(s, d, delta, "c_custkey",
+        "c_mktsegment", Seq("c_custkey", "acctbal_c"))
+      aggFromStats(s, d, 1, Seq("c_custkey", "acctbal_c"))
+    }),
+
     // LK9: incremental materialized-view maintenance — a per-segment
     // (count, sum-cents) aggregate built once at v0, then maintained
     // through BOTH commits by folding each version-step's REAL CDC rows
@@ -1734,6 +1853,34 @@ object Versioned {
         |FROM customer
         |WHERE c_custkey BETWEEN 60 AND 140
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    // the sidecar-served aggregates must equal a full scan of the same
+    // logical snapshot (the q_lake_partitioned merge algebra)
+    "q_lake_stats_agg" ->
+      """WITH delta AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+        |  FROM customer
+        |  WHERE c_custkey % 7 = 0 AND c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'New ' || c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer
+        |  WHERE c_custkey % 31 = 0 AND c_mktsegment = 'BUILDING'),
+        |merged AS (
+        |  SELECT
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_custkey ELSE t.c_custkey END AS c_custkey,
+        |    CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+        |  FROM customer t FULL OUTER JOIN delta u ON t.c_custkey = u.c_custkey)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS row_cnt,
+        |  CAST(MIN(c_custkey) AS BIGINT) AS min_c_custkey,
+        |  CAST(MAX(c_custkey) AS BIGINT) AS max_c_custkey,
+        |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nulls_c_custkey,
+        |  CAST(MIN(FLOOR(c_acctbal * 100)) AS BIGINT) AS min_acctbal_c,
+        |  CAST(MAX(FLOOR(c_acctbal * 100)) AS BIGINT) AS max_acctbal_c,
+        |  CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nulls_acctbal_c
+        |FROM merged ORDER BY ALL NULLS FIRST""".stripMargin,
     // the full-table merge with the delta restricted to one partition —
     // what the manifest-stitched read must reproduce exactly
     "q_lake_partitioned" ->

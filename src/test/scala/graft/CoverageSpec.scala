@@ -1133,6 +1133,58 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() === 0)
   }
 
+  test("LK: stats-served aggregates — zero-scan count/min/max/nulls, upsert refresh, all-null column, loud gaps") {
+    import spark.implicits._
+    import operators.Versioned
+    val base = java.nio.file.Files.createTempDirectory("graft-sagg").toString
+    val dir = s"$base/t"; new java.io.File(dir).mkdirs()
+    // two partitions; v has nulls in both; w is ENTIRELY null
+    val df = Seq(
+      (1L, Some(10L), "a"), (2L, None, "a"), (3L, Some(30L), "a"),
+      (4L, Some(-5L), "b"), (5L, None, "b"))
+      .toDF("id", "v", "p")
+      .withColumn("w", lit(null).cast("long"))
+    Versioned.commitPartitionedStatsMulti(spark, df, dir, "p",
+      Seq("v", "w"))                                             // v0
+    val a0 = Versioned.aggFromStats(spark, dir, 0, Seq("v", "w"))
+    assert(a0.columns.toSeq === Seq("row_cnt", "min_v", "max_v", "nulls_v",
+      "min_w", "max_w", "nulls_w"))
+    val r0 = a0.collect().head
+    assert(r0.getLong(0) === 5L && r0.getLong(1) === -5L &&
+      r0.getLong(2) === 30L && r0.getLong(3) === 2L)
+    // all-null column: SQL aggregate semantics — null min/max, full nulls
+    assert(r0.isNullAt(4) && r0.isNullAt(5) && r0.getLong(6) === 5L)
+    // CoW upsert touching only partition b: stats refresh per-owner and
+    // the manifest fold must equal a full scan of the merged table
+    val upd = Seq((4L, Some(100L), "b"), (6L, None, "b")).toDF("id", "v", "p")
+      .withColumn("w", lit(null).cast("long"))
+    Versioned.upsertPartitionedStatsMulti(spark, dir, upd, "id", "p",
+      Seq("v", "w"))                                             // v1
+    val r1 = Versioned.aggFromStats(spark, dir, 1, Seq("v", "w"))
+      .collect().head
+    val scan = Versioned.readPartitionedAt(spark, dir, 1)
+      .agg(count(lit(1)), min("v"), max("v"),
+        sum(when(col("v").isNull, 1L).otherwise(0L))).collect().head
+    assert(r1.getLong(0) === scan.getLong(0) &&
+      r1.getLong(1) === scan.getLong(1) &&
+      r1.getLong(2) === scan.getLong(2) &&
+      r1.getLong(3) === scan.getLong(3))
+    assert(r1.getLong(0) === 6L && r1.getLong(2) === 100L)
+    // a table committed WITHOUT stats fails loudly, never guesses
+    val dir2 = s"$base/nostats"; new java.io.File(dir2).mkdirs()
+    Versioned.commitPartitioned(df, dir2, "p")
+    val e = intercept[RuntimeException] {
+      Versioned.aggFromStats(spark, dir2, 0, Seq("v"))
+    }
+    assert(e.getMessage.contains("no row count"), e.getMessage)
+    // and a non-partitioned version is refused up front
+    val dir3 = s"$base/flat"; new java.io.File(dir3).mkdirs()
+    Versioned.commit(df, dir3)
+    intercept[IllegalArgumentException] {
+      Versioned.aggFromStats(spark, dir3, 0, Seq("v"))
+    }
+  }
+
   test("LK: column rename — zero-copy, time travel keeps old name, chain composes, guards") {
     import spark.implicits._
     import operators.Versioned
