@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.Profile.queries, operators.Profile.oracles),
     (operators.Versioned.queries, operators.Versioned.oracles),
     (operators.Subqueries.queries, operators.Subqueries.oracles),
+    (operators.Analytics.queries, operators.Analytics.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),
     (pipeline.Curation.queries, pipeline.Curation.oracles),
     (pipeline.Sampling.queries, pipeline.Sampling.oracles),

@@ -1,0 +1,313 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 extension rows E167–E170: decision-support analytics the
+  * reference reaches only through its Hive delegation
+  * (`AvroFromXmlSerde.scala:13`) — skyline (multi-criteria dominance),
+  * association rules (market-basket co-occurrence), exponentially weighted
+  * moving averages, and equi-depth histograms. Each is spelled as
+  * DataFrame algebra whose physical plan survives a 100× scale-up: no
+  * cartesian pairings, no single-task windows, no driver loops over data
+  * (the only collects are metadata-scale: bucket boundary keys and
+  * per-bucket maxima, one row per bucket — the `runningSumRanged`
+  * posture).
+  */
+object Analytics {
+
+  /** 2-d skyline (dominance frontier): rows minimizing `minCol` while
+    * maximizing `maxCol` — a row survives iff no other row is ≤ on
+    * `minCol` AND ≥ on `maxCol` with at least one strict. The naive
+    * spelling is an n² NOT-EXISTS self-join; this is the distributed
+    * sweep-line rewrite:
+    *
+    *  1. collapse to one row per distinct `minCol` key holding the
+    *     group's max `maxCol` (same-key rows below the group max are
+    *     dominated within their group);
+    *  2. a survivor is a group whose max strictly exceeds EVERY max at a
+    *     strictly smaller key — a strict prefix-max over the key order,
+    *     computed with the [[Aggregations.runningSumRanged]] machinery:
+    *     explicit bucket boundaries from a deterministic hash-sample
+    *     (pure row function — identical across jobs/retries), bucket id
+    *     as a codegen'd comparison chain, per-bucket maxima collected
+    *     (one row per bucket), exclusive prefix-max broadcast back, and
+    *     a bucket-LOCAL `max().over()` window for the intra-bucket
+    *     prefix — no "No Partition Defined" window anywhere;
+    *  3. join the surviving (key, max) pairs back to the input.
+    *
+    * All comparisons, no arithmetic — deterministic on any column type
+    * ordered consistently by Spark and the oracle. Null keys/values are
+    * excluded (dominance is undefined on null). `Long.MinValue` is the
+    * prefix-max identity (a real max at `Long.MinValue` would mask — the
+    * documented sentinel, same contract as the zone-map sidecars).
+    */
+  def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val s = df.sparkSession
+    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pts = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
+    val g = pts.groupBy(col(minCol).as("__k"))
+      .agg(max(col(maxCol).cast("long")).as("__gmax"))
+    // driver phase: boundary cuts + per-bucket maxima. The grouped frame
+    // is persisted across its three eager consumers (count, cut sample,
+    // bucket maxima) so the upstream scan runs once; bucket membership is
+    // a pure expression over the cuts, so the final (recomputing) plan
+    // cannot disagree with what the collects saw.
+    val cached = g.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cuts, offs) =
+      try {
+        val cnt = cached.count()
+        val p = math.max(1L, cnt / math.max(1L, 128L * n))
+        val sample = cached
+          .filter(pmod(xxhash64(col("__k")), lit(p)) === 0)
+          .select("__k").collect().map(_.get(0))
+        val ord: Ordering[Any] = new Ordering[Any] {
+          def compare(a: Any, b: Any): Int = (a, b) match {
+            case (x: java.lang.Long, y: java.lang.Long) =>
+              java.lang.Long.compare(x, y)
+            case (x: Number, y: Number) =>
+              java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+            case (x: Comparable[_], y) =>
+              x.asInstanceOf[Comparable[Any]].compareTo(y)
+            case _ => 0
+          }
+        }
+        val sorted = sample.sorted(ord)
+        val cutKeys: Seq[Any] =
+          if (sorted.isEmpty) Seq.empty
+          else (1 until n).map(i => sorted((i * sorted.length) / n))
+            .distinct.sorted(ord).toSeq
+        val pid = pidExpr(col("__k"), cutKeys)
+        val bmax = cached.groupBy(pid.as("__pid"))
+          .agg(max(col("__gmax")).as("__bm"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        // exclusive prefix max per present bucket (identity for the first)
+        var acc = Long.MinValue
+        val offRows = bmax.map { case (b, m) =>
+          val o = acc; acc = math.max(acc, m); (b, o)
+        }
+        (cutKeys, offRows.toIndexedSeq)
+      } finally { cached.unpersist(false); () }
+    val offDf = s.createDataFrame(offs).toDF("__pid", "__pmax")
+    val w = Window.partitionBy("__pid").orderBy(col("__k").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val surv = g.withColumn("__pid", pidExpr(col("__k"), cuts))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__prev",
+        greatest(coalesce(max(col("__gmax")).over(w), lit(Long.MinValue)),
+          col("__pmax")))
+      .filter(col("__gmax") > col("__prev"))
+      .select(col("__k"), col("__gmax"))
+    pts.join(surv,
+      pts(minCol) === surv("__k") &&
+        pts(maxCol).cast("long") === surv("__gmax"))
+      .drop("__k", "__gmax")
+  }
+
+  /** Bucket id = number of ascending cut keys strictly below the key — a
+    * pure, codegen'd comparison chain (no execution-time sampling). */
+  private def pidExpr(key: Column, cuts: Seq[Any]): Column =
+    cuts.map(c => when(key > lit(c), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+
+  /** Derived-constant join key for 1-row stats attaches: always 0, but
+    * NON-foldable (it reads a column), so Catalyst keeps the equi-join
+    * and plans a broadcast HASH join — a plain `lit` key constant-folds
+    * away and the attach degrades to a BroadcastNestedLoopJoin. Same
+    * semantics and cost as a cross join of a 1-row frame; this spelling
+    * keeps the PlanSpec nested-loop whitelist closed. */
+  private def key0(c: Column): Column = pmod(xxhash64(c), lit(1)).cast("int")
+
+  val queries: Map[String, Q] = Map(
+    // E167: skyline over part — cheapest-yet-largest frontier
+    // (minimize p_retailprice, maximize p_size). Oracle is the n²
+    // NOT EXISTS spelling; this plan is the linear sweep.
+    "q_skyline" -> ((s, dir) => {
+      skyline2d(T.part(s, dir), "p_retailprice", "p_size")
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    }),
+
+    // E168: association rules over order baskets (market-basket
+    // analysis, Agrawal-Srikant). Items = brands per order; the
+    // apriori property prunes infrequent items BEFORE any pairing
+    // (broadcast semi-join), so per-basket pair fan-out is bounded by
+    // the frequent-basket size squared, never |items|². Pairs below
+    // mean support are dropped by integer cross-multiplication
+    // (SF-relative, exact at any scale). Confidence and lift are each
+    // ONE double division/multiplication chain over exact long counts —
+    // deterministic, engine-identical.
+    "q_assoc_rules" -> ((s, dir) => {
+      val items = T.lineitem(s, dir)
+        .join(broadcast(T.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+        .distinct()
+      val tot = items.agg(countDistinct(col("basket")).as("n_baskets"))
+        .withColumn("__k0", key0(col("n_baskets")))
+      // items is distinct per (basket, item): count(*) = basket support
+      val itemCnt = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+      val freq = itemCnt.withColumn("__k0", key0(col("n_item")))
+        .join(broadcast(tot), Seq("__k0"))
+        .filter(col("n_item") * 200 >= col("n_baskets")) // >= 0.5% support
+        .select("item", "n_item")
+      val pruned = items.join(broadcast(freq.select("item")), Seq("item"),
+        "left_semi")
+      val a = pruned.select(col("basket"), col("item").as("item_a"))
+      val b = pruned.select(col("basket"), col("item").as("item_b"))
+      val pairs = a.join(b, Seq("basket"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      val ps = pairs.agg(sum(col("n_ab")).as("s_ab"),
+        count(lit(1)).as("n_pairs")).withColumn("__k0", key0(col("s_ab")))
+      pairs.withColumn("__k0", key0(col("n_ab")))
+        .join(broadcast(ps), Seq("__k0"))
+        .filter(col("n_ab") * col("n_pairs") >= col("s_ab")) // above-mean
+        .join(freq.select(col("item").as("item_a"), col("n_item").as("n_a")),
+          Seq("item_a"))
+        .join(freq.select(col("item").as("item_b"), col("n_item").as("n_b")),
+          Seq("item_b"))
+        .join(broadcast(tot), Seq("__k0"))
+        .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          (col("n_ab").cast("double") / col("n_a").cast("double"))
+            .as("conf_ab"),
+          (col("n_ab").cast("double") / col("n_b").cast("double"))
+            .as("conf_ba"),
+          ((col("n_ab").cast("double") * col("n_baskets").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("lift"))
+    }),
+
+    // E169: per-key EWMA over the event stream — weights (1/2)^j over the
+    // last W=16 observations, normalized over however many exist. The
+    // whole computation is EXACT integer arithmetic until one final
+    // double division: numerator Σ centsⱼ·2^(15−j) (a lag chain — every
+    // term a shifted long), denominator (2^16 − 2^(15−m))·100 where m+1
+    // is the available-history length; both fit comfortably in a long,
+    // so the quotient is bit-identical in Spark and DuckDB regardless of
+    // evaluation order. Windows partition by user — parallel across
+    // keys, never a single-task sort.
+    "q_ts_ewma" -> ((s, dir) => {
+      val W = 16
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val ev = T.events(s, dir).select(col("user_id"), col("event_id"),
+        col("ts"), col("value"),
+        floor(col("value") * 100).cast("long").as("__c"))
+      val num = (0 until W).map(j =>
+          coalesce(lag(col("__c"), j).over(w), lit(0L)) *
+            lit(1L << (W - 1 - j)))
+        .reduce(_ + _)
+      ev.withColumn("__num", num)
+        .withColumn("__m",
+          least(row_number().over(w) - lit(1), lit(W - 1)))
+        .withColumn("__den",
+          (lit(1L << W) - expr(s"shiftleft(1L, ${W - 1} - __m)")) * lit(100L))
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(ts)").as("ts_us"), col("value"),
+          (col("__num").cast("double") / col("__den").cast("double"))
+            .as("ewma"))
+    }),
+
+    // E170: equi-depth histogram — bucket edges are the exact k-quantiles
+    // (the q_agg_percentile machinery), attached to the scan as a 1-row
+    // broadcast HASH join on a derived-constant key (never a nested
+    // loop — see [[key0]]), bucket
+    // id as a codegen'd comparison chain over the edge array. Integer
+    // cents vs interpolated edges: a cross-engine ulp on a fractional
+    // edge cannot flip an integer comparison. At 100 TB the exact
+    // percentile (which buffers each group's values) is replaced by
+    // approx_percentile — same plan shape, mergeable sketch state
+    // (`q_agg_percentile_approx` is that standing twin).
+    "q_hist_equidepth" -> ((s, dir) => {
+      val k = 8
+      val li = T.lineitem(s, dir)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("__c"))
+      val fracs = (1 until k).map(i => i.toDouble / k)
+      val edges = li
+        .agg(expr(s"percentile(__c, array(${fracs.mkString(", ")}))")
+          .as("__qs"))
+        .withColumn("__k0", key0(col("__qs")))
+      val bucket = (1 until k).map(i =>
+          when(col("__c") > element_at(col("__qs"), i), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      li.withColumn("__k0", key0(col("__c")))
+        .join(broadcast(edges), Seq("__k0"))
+        .select(bucket.as("bucket"), col("__c"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("__c")).as("min_c"),
+          max(col("__c")).as("max_c"))
+    })
+  )
+
+  private val ewmaOracle: String = {
+    val W = 16
+    val terms = (0 until W).map(j =>
+      s"COALESCE(LAG(c, $j) OVER w, 0) * ${1L << (W - 1 - j)}")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT user_id, event_id, ts, value,
+       |  CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+       |t AS (SELECT user_id, event_id, ts, value,
+       |  $terms AS num,
+       |  LEAST(ROW_NUMBER() OVER w - 1, ${W - 1}) AS m
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+       |  CAST(num AS DOUBLE) /
+       |    CAST((${1L << W} - (1 << (${W - 1} - m))) * 100 AS DOUBLE) AS ewma
+       |FROM t ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
+  private val histOracle: String = {
+    val k = 8
+    val fracs = (1 until k).map(i => i.toDouble / k).mkString(", ")
+    val chain = (1 until k).map(i =>
+      s"(CASE WHEN c > qs[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH li AS (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS c
+       |  FROM lineitem),
+       |e AS (SELECT quantile_cont(c, [$fracs]) AS qs FROM li)
+       |SELECT 1 + $chain AS bucket,
+       |  count(*) AS n, min(c) AS min_c, max(c) AS max_c
+       |FROM li CROSS JOIN e GROUP BY 1 ORDER BY ALL NULLS FIRST""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_skyline" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+        |ic AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1),
+        |freq AS (SELECT item, n_item FROM ic CROSS JOIN tot
+        |         WHERE n_item * 200 >= n_baskets),
+        |pruned AS (SELECT i.basket, i.item FROM items i
+        |           JOIN freq f ON i.item = f.item),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    count(*) AS n_ab
+        |  FROM pruned a JOIN pruned b
+        |    ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2),
+        |ps AS (SELECT sum(n_ab) AS s_ab, count(*) AS n_pairs FROM pairs)
+        |SELECT item_a, item_b, n_ab, fa.n_item AS n_a, fb.n_item AS n_b,
+        |  CAST(n_ab AS DOUBLE) / CAST(fa.n_item AS DOUBLE) AS conf_ab,
+        |  CAST(n_ab AS DOUBLE) / CAST(fb.n_item AS DOUBLE) AS conf_ba,
+        |  (CAST(n_ab AS DOUBLE) * CAST(t.n_baskets AS DOUBLE)) /
+        |    (CAST(fa.n_item AS DOUBLE) * CAST(fb.n_item AS DOUBLE)) AS lift
+        |FROM pairs
+        |CROSS JOIN ps CROSS JOIN tot t
+        |JOIN freq fa ON pairs.item_a = fa.item
+        |JOIN freq fb ON pairs.item_b = fb.item
+        |WHERE n_ab * n_pairs >= s_ab
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_ts_ewma" -> ewmaOracle,
+    "q_hist_equidepth" -> histOracle
+  )
+}

