@@ -211,6 +211,57 @@ object Analytics {
             .as("ewma"))
     }),
 
+    // E171: theta-sketch distinct-count SET ALGEBRA — the sketch-family
+    // member HLL cannot be (theta sketches close under intersect / AnotB
+    // with error bounds): |A∩B|, |A∪B|, |A∖B| over the per-flag partkey
+    // sets WITHOUT joining the sets. One narrow partial/final aggregation
+    // builds a sketch per flag (graft.functions.ThetaSketchAgg, a native
+    // TypedImperativeAggregate — shuffle carries KB partial sketches,
+    // never keys); the driver combines THREE compact sketches (manifest-
+    // scale); the certification join re-derives the exact counts in one
+    // narrow agg and `theta_ok` asserts every estimate's 3-σ bounds
+    // contain exact — the q_approx_distinct/q_heavy_hitters pattern, so
+    // the advertised error contract is hash-proved every round.
+    "q_theta_sets" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      import graft.functions.{ThetaSketch, ThetaSketchAgg}
+      val li = T.lineitem(s, dir)
+        .select(col("l_returnflag").as("f"), col("l_partkey").as("k"))
+      val sk = li.groupBy("f")
+        .agg(column(ThetaSketchAgg(expression(col("k")))
+          .toAggregateExpression()).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val ops = Seq(
+        ("A&N", ThetaSketch.intersect(sk("A"), sk("N"))),
+        ("A&R", ThetaSketch.intersect(sk("A"), sk("R"))),
+        ("N&R", ThetaSketch.intersect(sk("N"), sk("R"))),
+        ("A|N|R", ThetaSketch.union(ThetaSketch.union(sk("A"), sk("N")),
+          sk("R"))),
+        ("A-N", ThetaSketch.aNotB(sk("A"), sk("N"))))
+      val estDf = s.createDataFrame(ops.map { case (op, bytes) =>
+        val (e, lb, ub) = ThetaSketch.bounds(bytes, 3)
+        (op, e, lb, ub)
+      }).toDF("op", "est", "lb", "ub")
+      val flagBit = (name: String) =>
+        max(when(col("f") === name, 1).otherwise(0)).as(name.toLowerCase)
+      val g = li.distinct().groupBy("k")
+        .agg(flagBit("A"), flagBit("N"), flagBit("R"))
+      val both = (x: String, y: String) =>
+        sum(when(col(x) === 1 && col(y) === 1, 1L).otherwise(0L))
+      val exact = g.agg(
+        both("a", "n").as("i_an"), both("a", "r").as("i_ar"),
+        both("n", "r").as("i_nr"), count(lit(1)).as("u_anr"),
+        sum(when(col("a") === 1 && col("n") === 0, 1L).otherwise(0L))
+          .as("d_an"))
+      val ex = exact.select(expr(
+        "stack(5, 'A&N', i_an, 'A&R', i_ar, 'N&R', i_nr, " +
+          "'A|N|R', u_anr, 'A-N', d_an) as (op, n_exact)"))
+      ex.join(broadcast(estDf), Seq("op"))
+        .select(col("op"), col("n_exact"),
+          (col("lb") <= col("n_exact").cast("double") &&
+            col("n_exact").cast("double") <= col("ub")).as("theta_ok"))
+    }),
+
     // E170: equi-depth histogram — bucket edges are the exact k-quantiles
     // (the q_agg_percentile machinery), attached to the scan as a 1-row
     // broadcast HASH join on a derived-constant key (never a nested
@@ -308,6 +359,26 @@ object Analytics {
         |WHERE n_ab * n_pairs >= s_ab
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_ts_ewma" -> ewmaOracle,
-    "q_hist_equidepth" -> histOracle
+    "q_hist_equidepth" -> histOracle,
+    // exact set-algebra counts re-derived; TRUE asserts every theta
+    // estimate's 3-σ bounds contain exact (the q_approx_distinct pattern)
+    "q_theta_sets" ->
+      """WITH p AS (SELECT DISTINCT l_returnflag AS f, l_partkey AS k
+        |  FROM lineitem),
+        |g AS (SELECT k,
+        |  max(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS a,
+        |  max(CASE WHEN f = 'N' THEN 1 ELSE 0 END) AS n,
+        |  max(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS r
+        |  FROM p GROUP BY 1)
+        |SELECT 'A&N' AS op, CAST(sum(CASE WHEN a = 1 AND n = 1 THEN 1
+        |  ELSE 0 END) AS BIGINT) AS n_exact, TRUE AS theta_ok FROM g
+        |UNION ALL SELECT 'A&R', CAST(sum(CASE WHEN a = 1 AND r = 1 THEN 1
+        |  ELSE 0 END) AS BIGINT), TRUE FROM g
+        |UNION ALL SELECT 'N&R', CAST(sum(CASE WHEN n = 1 AND r = 1 THEN 1
+        |  ELSE 0 END) AS BIGINT), TRUE FROM g
+        |UNION ALL SELECT 'A|N|R', count(*), TRUE FROM g
+        |UNION ALL SELECT 'A-N', CAST(sum(CASE WHEN a = 1 AND n = 0 THEN 1
+        |  ELSE 0 END) AS BIGINT), TRUE FROM g
+        |ORDER BY ALL NULLS FIRST""".stripMargin
   )
 }

@@ -132,6 +132,42 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(xy.getDouble(4) === 2.0)     // lift = 25·100 / (50·25)
   }
 
+  test("theta sketch: exact mode gives exact set algebra; partitioning never changes bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import functions.{ThetaSketch, ThetaSketchAgg}
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      df.agg(column(ThetaSketchAgg(expression(col("k")))
+        .toAggregateExpression()).as("sk"))
+        .collect()(0).getAs[Array[Byte]](0)
+    val a = (1L to 1000L).toDF("k")
+    val b = (501L to 1500L).toDF("k")
+    val ska = sketchOf(a); val skb = sketchOf(b)
+    // < 2^12 nominal entries -> exact mode: estimates are exact counts
+    assert(ThetaSketch.estimate(ThetaSketch.intersect(ska, skb)) === 500.0)
+    assert(ThetaSketch.estimate(ThetaSketch.union(ska, skb)) === 1500.0)
+    assert(ThetaSketch.estimate(ThetaSketch.aNotB(ska, skb)) === 500.0)
+    // merge-order insensitivity: 8-partition partials vs 1 partition,
+    // plus duplicated rows (multiset -> set), give byte-identical sketches
+    val ska8 = sketchOf(a.union(a).repartition(8))
+    assert(java.util.Arrays.equals(ska, ska8))
+  }
+
+  test("theta sketch: estimation mode bounds contain exact (certified)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import functions.{ThetaSketch, ThetaSketchAgg}
+    val n = 50000L
+    val df = (1L to n).toDF("k").repartition(8)
+    val sk = df.agg(column(ThetaSketchAgg(expression(col("k")), lgK = 9)
+      .toAggregateExpression()).as("sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val (est, lb, ub) = ThetaSketch.bounds(sk, 3)
+    assert(est !== n.toDouble)          // genuinely estimating, not exact
+    assert(lb <= n && n <= ub, s"bounds [$lb, $ub] miss exact $n")
+    assert(math.abs(est - n) / n < 0.2) // lgK=9 keeps 512 entries: ~4.4% rse
+  }
+
   test("q_assoc_rules keeps only above-mean-support pairs and is non-empty") {
     val r = operators.Analytics.queries("q_assoc_rules")(spark,
       "/root/testdata/sf0.001").collect()
