@@ -526,21 +526,50 @@ object Versioned {
         acc.join(broadcast(d.dropDuplicates(d.columns.head)),
           Seq(d.columns.head), "left_anti")
       }
-    val (folded, pendingDvs) = chain.foldLeft((snap, Seq.empty[Int])) {
-      case ((acc, pend), w) =>
-        if (isDvVersion(dir, w)) (acc, pend :+ w)
-        else if (isAddVersion(dir, w))
-          (antiJoin(acc, pend).unionByName(
-            s.read.parquet(addPath(dir, w)), allowMissingColumns = true),
-            Seq.empty)
-        else if (isRenameVersion(dir, w)) {
-          // flush pending DVs first: their key columns were recorded
-          // under the PRE-rename name this rename is about to retire
-          val (from, to) = renameOf(dir, w)
-          (antiJoin(acc, pend).withColumnRenamed(from, to), Seq.empty)
-        } else (acc, pend) // unreachable: base is the nearest materialized ≤ v
-    }
-    antiJoin(folded, pendingDvs)
+    // Coalesce CONSECUTIVE append versions with identical column layout
+    // (names + types; nullability ignored — parquet stores optional
+    // either way) into ONE multi-path scan: a 10k-batch ingest chain of
+    // stable schema folds to a single scan node instead of a 10k-deep
+    // union tree (plan size ∝ schema-change/DV/rename boundaries, never
+    // commit count — the log-checkpoint read posture). Schema equality is
+    // decided from parquet footers, a driver-side metadata read per
+    // version. Batching never crosses a DV or rename boundary, so fold
+    // order is exactly the per-version fold's.
+    def layoutOf(w: Int) =
+      s.read.parquet(addPath(dir, w)).schema.map(f => (f.name, f.dataType))
+    def readAdds(ws: Seq[Int]): DataFrame =
+      s.read.parquet(ws.map(w => addPath(dir, w)): _*)
+    val (folded, pendingDvs, pendingAdds) =
+      chain.foldLeft((snap, Seq.empty[Int], Seq.empty[Int])) {
+        case ((acc, pend, adds), w) =>
+          if (isDvVersion(dir, w)) {
+            // an append batch is pinned BELOW the DVs that follow it
+            val flushed = if (adds.isEmpty) acc
+              else acc.unionByName(readAdds(adds), allowMissingColumns = true)
+            (flushed, pend :+ w, Seq.empty)
+          } else if (isAddVersion(dir, w)) {
+            if (adds.nonEmpty && layoutOf(adds.head) == layoutOf(w))
+              (antiJoin(acc, pend), Seq.empty, adds :+ w)
+            else {
+              val flushed = if (adds.isEmpty) antiJoin(acc, pend)
+                else antiJoin(acc, pend)
+                  .unionByName(readAdds(adds), allowMissingColumns = true)
+              (flushed, Seq.empty, Seq(w))
+            }
+          } else if (isRenameVersion(dir, w)) {
+            // flush pending adds, then pending DVs: DV key columns were
+            // recorded under the PRE-rename name this rename retires
+            val withAdds = if (adds.isEmpty) acc
+              else acc.unionByName(readAdds(adds), allowMissingColumns = true)
+            val (from, to) = renameOf(dir, w)
+            (antiJoin(withAdds, pend).withColumnRenamed(from, to),
+              Seq.empty, Seq.empty)
+          } else (acc, pend, adds) // unreachable: base is nearest materialized
+      }
+    val withAdds = if (pendingAdds.isEmpty) folded
+      else folded.unionByName(readAdds(pendingAdds),
+        allowMissingColumns = true)
+    antiJoin(withAdds, pendingDvs)
   }
 
   /** Fold the DV/append chain into a fresh materialized snapshot

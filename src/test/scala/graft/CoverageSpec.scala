@@ -523,6 +523,41 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getAs[Long]("k")).toSet === Set(2L, 3L, 4L))
   }
 
+  test("LK: append-chain scan coalescing — plan size tracks boundaries, not commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtcoal").toString
+    def rows(ks: Long*) = ks.map(k => (k, s"n$k", k * 10L)).toDF("k", "name", "bal")
+    assert(operators.Versioned.commit(rows(1, 2, 3), dir) === 0)
+    // v1..v4: four same-schema appends (one ingest batch each)
+    (4L to 7L).foreach(k => operators.Versioned.appendRows(rows(k), dir))
+    // v5: a DV delete pins the batches below it
+    operators.Versioned.deleteWhereDv(spark, dir, col("k") === 2, "k")
+    // v6, v7: two more same-schema appends ABOVE the DV (must not merge
+    // with v1..v4 — the delete applies only to rows below it)
+    operators.Versioned.appendRows(rows(8), dir)
+    operators.Versioned.appendRows(rows(9), dir)
+    // v8: widened append — schema boundary, its own scan
+    operators.Versioned.appendRows(
+      Seq((10L, "n10", 100L, "gold")).toDF("k", "name", "bal", "tier"), dir)
+    val resolved = operators.Versioned.readAtDv(spark, dir, 8)
+    assert(resolved.collect().map(r =>
+        (r.getAs[Long]("k"), r.getAs[String]("tier"))).toSet ===
+      ((1L to 10L).toSet - 2L).map(k => (k, if (k == 10L) "gold" else null)))
+    // the plan reads one APPEND scan per boundary group (v1-4, v6-7, v8)
+    // — not one per commit. (The tiny DV scan may appear more than once:
+    // Catalyst pushes the left-anti join into union branches, which is
+    // its call — the thing that must not grow with commit count is the
+    // append-side scan list.)
+    val addScans = resolved.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("_add"))
+        => s.relation.location.rootPaths.size
+    }.sorted
+    assert(addScans === Seq(1, 2, 4),
+      s"expected 3 coalesced append scans of sizes 1/2/4, got $addScans")
+  }
+
   test("LK: schema evolution via append — union schema null-padded, time travel keeps old schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vtevo").toString
