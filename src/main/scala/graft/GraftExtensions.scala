@@ -128,5 +128,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "cosine_lsh_bucket(vec[, planes[, table]])")
       }))
+    // NOT registered here: the theta sketch family — Spark 4.1 ships
+    // `theta_sketch_agg` / `theta_union` / `theta_intersection` /
+    // `theta_difference` / `theta_sketch_estimate` natively; injecting
+    // our own would SHADOW the built-ins (E171 uses them directly).
   }
 }

@@ -212,36 +212,44 @@ object Analytics {
     }),
 
     // E171: theta-sketch distinct-count SET ALGEBRA — the sketch-family
-    // member HLL cannot be (theta sketches close under intersect / AnotB
-    // with error bounds): |A∩B|, |A∪B|, |A∖B| over the per-flag partkey
-    // sets WITHOUT joining the sets. One narrow partial/final aggregation
-    // builds a sketch per flag (graft.functions.ThetaSketchAgg, a native
-    // TypedImperativeAggregate — shuffle carries KB partial sketches,
-    // never keys); the driver combines THREE compact sketches (manifest-
-    // scale); the certification join re-derives the exact counts in one
-    // narrow agg and `theta_ok` asserts every estimate's 3-σ bounds
-    // contain exact — the q_approx_distinct/q_heavy_hitters pattern, so
-    // the advertised error contract is hash-proved every round.
+    // member HLL cannot be (theta sketches close under intersect /
+    // difference): |A∩B|, |A∪B|, |A∖B| over the per-flag partkey sets
+    // WITHOUT joining the sets. Spark 4.1 ships the theta family
+    // NATIVELY (`theta_sketch_agg` + `theta_intersection`/`theta_union`/
+    // `theta_difference` — TypedImperativeAggregates whose shuffle
+    // carries KB partial sketches, never keys), so this row USES the
+    // built-ins: one narrow conditional aggregation builds all three
+    // per-flag sketches in a single pass, and the set algebra is
+    // column-wise expressions over the 1-row sketch frame. Certification:
+    // the exact counts are re-derived in one narrow agg and `theta_ok`
+    // asserts every estimate's 3-σ bounds contain exact — bounds read
+    // off the (standard DataSketches) sketch bytes by a probe udf over
+    // the 5 op rows only (the q_heavy_hitters CMS-probe seam; the
+    // built-in surface exposes estimates but not bounds). The
+    // q_approx_distinct pattern: the error contract is hash-proved
+    // every round. Deterministic: retained sets are the k smallest
+    // seed-fixed hashes — pure functions of the key multiset.
     "q_theta_sets" -> ((s, dir) => {
-      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-      import graft.functions.{ThetaSketch, ThetaSketchAgg}
+      import graft.functions.ThetaSketch
       val li = T.lineitem(s, dir)
         .select(col("l_returnflag").as("f"), col("l_partkey").as("k"))
-      val sk = li.groupBy("f")
-        .agg(column(ThetaSketchAgg(expression(col("k")))
-          .toAggregateExpression()).as("sk"))
-        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-      val ops = Seq(
-        ("A&N", ThetaSketch.intersect(sk("A"), sk("N"))),
-        ("A&R", ThetaSketch.intersect(sk("A"), sk("R"))),
-        ("N&R", ThetaSketch.intersect(sk("N"), sk("R"))),
-        ("A|N|R", ThetaSketch.union(ThetaSketch.union(sk("A"), sk("N")),
-          sk("R"))),
-        ("A-N", ThetaSketch.aNotB(sk("A"), sk("N"))))
-      val estDf = s.createDataFrame(ops.map { case (op, bytes) =>
-        val (e, lb, ub) = ThetaSketch.bounds(bytes, 3)
-        (op, e, lb, ub)
-      }).toDF("op", "est", "lb", "ub")
+      val sk = li.agg(
+        expr("theta_sketch_agg(CASE WHEN f = 'A' THEN k END)").as("ska"),
+        expr("theta_sketch_agg(CASE WHEN f = 'N' THEN k END)").as("skn"),
+        expr("theta_sketch_agg(CASE WHEN f = 'R' THEN k END)").as("skr"))
+      val ops = sk.select(expr(
+        "stack(5, " +
+          "'A&N',   theta_intersection(ska, skn), " +
+          "'A&R',   theta_intersection(ska, skr), " +
+          "'N&R',   theta_intersection(skn, skr), " +
+          "'A|N|R', theta_union(theta_union(ska, skn), skr), " +
+          "'A-N',   theta_difference(ska, skn)) as (op, sk)"))
+      val boundsOf = udf((b: Array[Byte]) => {
+        val (_, lb, ub) = ThetaSketch.bounds(b, 3); Array(lb, ub)
+      })
+      val estDf = ops.select(col("op"), boundsOf(col("sk")).as("b"))
+        .select(col("op"), element_at(col("b"), 1).as("lb"),
+          element_at(col("b"), 2).as("ub"))
       val flagBit = (name: String) =>
         max(when(col("f") === name, 1).otherwise(0)).as(name.toLowerCase)
       val g = li.distinct().groupBy("k")

@@ -132,35 +132,36 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(xy.getDouble(4) === 2.0)     // lift = 25·100 / (50·25)
   }
 
-  test("theta sketch: exact mode gives exact set algebra; partitioning never changes bytes") {
+  test("theta sketch (native fns): exact-mode set algebra; merge order never changes results") {
     import spark.implicits._
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import functions.{ThetaSketch, ThetaSketchAgg}
+    import functions.ThetaSketch
     def sketchOf(df: org.apache.spark.sql.DataFrame): Array[Byte] =
-      df.agg(column(ThetaSketchAgg(expression(col("k")))
-        .toAggregateExpression()).as("sk"))
+      df.agg(expr("theta_sketch_agg(k)").as("sk"))
         .collect()(0).getAs[Array[Byte]](0)
     val a = (1L to 1000L).toDF("k")
     val b = (501L to 1500L).toDF("k")
-    val ska = sketchOf(a); val skb = sketchOf(b)
-    // < 2^12 nominal entries -> exact mode: estimates are exact counts
-    assert(ThetaSketch.estimate(ThetaSketch.intersect(ska, skb)) === 500.0)
-    assert(ThetaSketch.estimate(ThetaSketch.union(ska, skb)) === 1500.0)
-    assert(ThetaSketch.estimate(ThetaSketch.aNotB(ska, skb)) === 500.0)
-    // merge-order insensitivity: 8-partition partials vs 1 partition,
-    // plus duplicated rows (multiset -> set), give byte-identical sketches
+    val r = a.agg(expr("theta_sketch_agg(k)").as("ska"))
+      .crossJoin(b.agg(expr("theta_sketch_agg(k)").as("skb")))
+      .select(
+        expr("theta_sketch_estimate(theta_intersection(ska, skb))"),
+        expr("theta_sketch_estimate(theta_union(ska, skb))"),
+        expr("theta_sketch_estimate(theta_difference(ska, skb))"))
+      .collect().head
+    // < 2^lgK nominal entries -> exact mode: estimates are exact counts
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((500L, 1500L, 500L)))
+    // merge-order insensitivity: 8-partition partials of a duplicated
+    // multiset give the same retained set -> same estimate and bounds
+    val ska = sketchOf(a)
     val ska8 = sketchOf(a.union(a).repartition(8))
-    assert(java.util.Arrays.equals(ska, ska8))
+    assert(ThetaSketch.bounds(ska, 3) === ThetaSketch.bounds(ska8, 3))
   }
 
-  test("theta sketch: estimation mode bounds contain exact (certified)") {
+  test("theta sketch (native fns): estimation mode bounds contain exact (certified)") {
     import spark.implicits._
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import functions.{ThetaSketch, ThetaSketchAgg}
+    import functions.ThetaSketch
     val n = 50000L
-    val df = (1L to n).toDF("k").repartition(8)
-    val sk = df.agg(column(ThetaSketchAgg(expression(col("k")), lgK = 9)
-      .toAggregateExpression()).as("sk"))
+    val sk = (1L to n).toDF("k").repartition(8)
+      .agg(expr("theta_sketch_agg(k, 9)").as("sk"))
       .collect()(0).getAs[Array[Byte]](0)
     val (est, lb, ub) = ThetaSketch.bounds(sk, 3)
     assert(est !== n.toDouble)          // genuinely estimating, not exact

@@ -200,4 +200,18 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.length === 5)
     assert(r2.forall(x => math.abs(x.getDouble(1) - 1.0) < 1e-12))
   }
+
+  test("native theta sketch family callable from SQL (E171 uses the built-ins, not shims)") {
+    spark.range(1, 1001).toDF("k").createOrReplaceTempView("ta_ext")
+    spark.range(501, 1501).toDF("k").createOrReplaceTempView("tb_ext")
+    val r = spark.sql(
+      """SELECT
+        |  theta_sketch_estimate(theta_intersection(a.sk, b.sk)) AS i,
+        |  theta_sketch_estimate(theta_union(a.sk, b.sk)) AS u,
+        |  theta_sketch_estimate(theta_difference(a.sk, b.sk)) AS d
+        |FROM (SELECT theta_sketch_agg(k) AS sk FROM ta_ext) a
+        |CROSS JOIN (SELECT theta_sketch_agg(k) AS sk FROM tb_ext) b""".stripMargin)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((500L, 1500L, 500L)))
+  }
 }
