@@ -666,6 +666,42 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of the batch per-key EWMA (SURVEY E169, `q_ts_ewma`):
+    * state per key = the last ≤W cents, newest first — the EXACT integer
+    * history the batch lag chain reads, so a replayed event stream emits
+    * byte-identical EWMA values WHATEVER the micro-batch boundaries (the
+    * append-≡-retrain proof posture of the NB/BPE twins). Within a batch
+    * rows fold in (tsUs, eventId) order; across batches the caller feeds
+    * per-key event time monotonically (the sessionizer twin's contract —
+    * out-of-order feeds need an upstream watermark sort, not more state).
+    * State is W longs per live key, independent of stream length.
+    *
+    * Input (userId, tsUs, eventId, cents); output (userId, eventId, ewma)
+    * with ewma = Σ centsⱼ·2^(W−1−j) / ((2^W − 2^(W−1−m))·100) — one
+    * double division over exact longs, engine- and replay-deterministic.
+    */
+  def ewmaPerKey(events: Dataset[(Long, Long, Long, Long)], w: Int = 16):
+      Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[List[Long]]) =>
+          var hist = state.getOption.getOrElse(Nil) // newest first, ≤ w
+          val out = batch.toSeq.sortBy(e => (e._2, e._3)).map {
+            case (_, _, eventId, cents) =>
+              hist = (cents :: hist).take(w)
+              val num = hist.iterator.zipWithIndex
+                .map { case (c, j) => c * (1L << (w - 1 - j)) }.sum
+              val den = ((1L << w) - (1L << (w - 1 - (hist.size - 1)))) * 100L
+              (user, eventId, num.toDouble / den.toDouble)
+          }
+          state.update(hist)
+          out.iterator
+      }
+  }
+
   /** [[runningCountsPerUser]] rewritten on Spark 4's `transformWithState` —
     * the REPLACEMENT arbitrary-state API (SPARK-46815): named typed state
     * slots (`ValueState`/`ListState`/`MapState`) with per-state TTL,

@@ -28,6 +28,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
   case class UEv(user_id: Long, ts: Timestamp)
 
+  test("streaming EWMA twin equals batch q_ts_ewma across arbitrary batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.Analytics.queries("q_ts_ewma")(spark, sf)
+      .select("user_id", "event_id", "ewma").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val evs = graft.Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"), floor(col("value") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(e => (e._2, e._3)) // global event-time order feed
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val q = StreamOps.ewmaPerKey(input.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_out").start()
+    // 317-row chunks split every key's history mid-stream repeatedly
+    evs.grouped(317).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.sql("SELECT * FROM ewma_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size === batch.size)
+    got.foreach { case (k, v) =>
+      assert(v === batch(k), s"streaming ewma diverged from batch at $k")
+    }
+  }
+
   test("T4: watermarked tumbling window — late events beyond watermark dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
