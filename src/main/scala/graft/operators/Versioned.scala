@@ -431,6 +431,41 @@ object Versioned {
     commitPartitioned(readPartitionedAt(s, dir,
       requireMaterializedTip(dir, "compactPartitioned")), dir, partCol)
 
+  /** Selective OPTIMIZE (manifest de-fragmentation — the Delta
+    * `OPTIMIZE WHERE` posture): rewrite under ONE new version only the
+    * partitions NOT owned by the manifest's majority owner; the majority
+    * owner's partitions stay zero-copy. After a long upsert history the
+    * read width (pruned scans unioned per owner version) collapses to 2
+    * at a cost ∝ the scattered partitions — where [[compactPartitioned]]
+    * rewrites the whole table. No-op (returns the tip) when the manifest
+    * already has a single owner. Stats/bloom sidecars are NOT carried
+    * (sidecars seal with their owning commit — E166's opt-in contract);
+    * re-run a stats commit if stats-serving is needed on the new tip.
+    */
+  def optimizeScattered(s: SparkSession, dir: String): Int = {
+    val cur = requireMaterializedTip(dir, "optimizeScattered")
+    require(java.nio.file.Files.exists(manifestPath(dir, cur)),
+      s"optimizeScattered: v$cur of $dir is not a partitioned version")
+    val man = manifest(dir, cur)
+    val owners = man.groupBy(_._2)
+    if (owners.size <= 1) cur
+    else {
+      // majority by partition count, version as the deterministic tie-break
+      val majority = owners.maxBy { case (o, ps) => (ps.size, o) }._1
+      val scattered = man.filter(_._2 != majority)
+      val partCol = firstPartCol(dir, majority)
+      val moved = readManifestSubset(s, dir, cur, scattered)
+      val v = claimNext(dir)
+      moved.repartition(col(partCol))
+        .write.partitionBy(partCol).mode("overwrite")
+        .parquet(s"$dir/v$v/data")
+      writeManifest(dir, v,
+        man.map { case (p, o) => p -> (if (o == majority) o else v) })
+      seal(dir, v)
+      v
+    }
+  }
+
   // ---- deletion-vector (merge-on-read) deletes ---------------------------
   //
   // [[deleteWhere]] is copy-on-write: the surviving table is rewritten in
@@ -1424,6 +1459,27 @@ object Versioned {
           col("c_mktsegment"))
     }),
 
+    // LK5b: selective OPTIMIZE — the q_lake_partitioned history (v0 full
+    // commit + v1 one-partition upsert) de-fragmented by
+    // [[optimizeScattered]]: v2 rewrites ONLY the scattered BUILDING
+    // partition (cost ∝ 1 partition), the other four stay zero-copy on
+    // v0, and the manifest collapses to two owners. The oracle is
+    // BYTE-IDENTICAL to q_lake_partitioned's — hash-proof every round
+    // that OPTIMIZE moved bytes without changing a single row.
+    "q_lake_optimize" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#optsc")
+      commitPartitioned(c, d, "c_mktsegment")
+      upsertPartitioned(s, d,
+        Lake.customerDelta(c).filter(col("c_mktsegment") === "BUILDING"),
+        "c_custkey", "c_mktsegment")
+      val v = optimizeScattered(s, d)
+      readPartitionedAt(s, d, v)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
     // LK6: deletion-vector deletes — v0 = customer commit, v1 = DV delete
     // of custkey % 13 = 0, v2 = DV delete of nationkey ∈ {3, 7} (evaluated
     // against the v1-resolved snapshot, so chained DVs must compose). The
@@ -1911,8 +1967,14 @@ object Versioned {
         |    AS nulls_acctbal_c
         |FROM merged ORDER BY ALL NULLS FIRST""".stripMargin,
     // the full-table merge with the delta restricted to one partition —
-    // what the manifest-stitched read must reproduce exactly
-    "q_lake_partitioned" ->
+    // what the manifest-stitched read must reproduce exactly; the
+    // OPTIMIZE row reuses it verbatim (moving bytes must not move rows)
+    "q_lake_optimize" -> lakePartitionedSql,
+    "q_lake_partitioned" -> lakePartitionedSql
+  )
+
+  // lazy: referenced from the oracles map above its definition point
+  private lazy val lakePartitionedSql: String =
       """WITH delta AS (
         |  SELECT c_custkey, c_name, c_nationkey,
         |    c_acctbal + 100.0 AS c_acctbal, c_mktsegment
@@ -1934,5 +1996,4 @@ object Versioned {
         |SELECT c_custkey, c_name, c_nationkey,
         |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
         |FROM merged ORDER BY ALL NULLS FIRST""".stripMargin
-  )
 }

@@ -558,6 +558,38 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected 3 coalesced append scans of sizes 1/2/4, got $addScans")
   }
 
+  test("LK: selective OPTIMIZE — scattered partitions rewritten, majority zero-copy, no-op on one owner") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtopt").toString
+    val t = (1L to 200L).map(k => (k, k % 10, s"n$k")).toDF("k", "p", "name")
+    assert(operators.Versioned.commitPartitioned(t, dir, "p") === 0)
+    // three upserts scatter 6 partitions across v1..v3
+    Seq(Seq(0L, 1L), Seq(2L, 3L), Seq(4L, 5L)).foreach { ps =>
+      operators.Versioned.upsertPartitioned(spark, dir,
+        t.filter(col("p").isin(ps: _*)).withColumn("name",
+          org.apache.spark.sql.functions.concat_ws("", col("name"))), "k", "p")
+    }
+    val before = operators.Versioned.readPartitionedAt(spark, dir, 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(operators.Versioned.manifest(dir, 3).values.toSet.size === 4)
+    val v = operators.Versioned.optimizeScattered(spark, dir)
+    assert(v === 4)
+    val man = operators.Versioned.manifest(dir, v)
+    // manifest collapses to 2 owners; the 4 majority partitions stay on v0
+    assert(man.values.toSet === Set(0, 4))
+    assert(man.count(_._2 == 0) === 4)
+    // v4's data dir holds ONLY the 6 scattered partitions (zero-copy rest)
+    val rewritten = new java.io.File(s"$dir/v4/data").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("p="))
+    assert(rewritten === 6)
+    // rows unchanged, and a single-owner table is a no-op
+    assert(operators.Versioned.readPartitionedAt(spark, dir, v)
+      .collect().map(_.toString).sorted.toSeq === before)
+    assert(operators.Versioned.compactPartitioned(spark, dir, "p") === 5)
+    assert(operators.Versioned.optimizeScattered(spark, dir) === 5)
+  }
+
   test("LK: schema evolution via append — union schema null-padded, time travel keeps old schema") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vtevo").toString
