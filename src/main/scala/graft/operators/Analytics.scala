@@ -139,11 +139,16 @@ object Analytics {
     // ONE double division/multiplication chain over exact long counts —
     // deterministic, engine-identical.
     "q_assoc_rules" -> ((s, dir) => {
-      val items = T.lineitem(s, dir)
+      // the basket-item table feeds FIVE consumers (totals, item counts,
+      // both pairing sides, the semi-join) — checkpoint it once so the
+      // scan+join+distinct runs once, not five times (the iterative-
+      // operator Ckpt posture; a production pipeline would persist this
+      // table between the stages)
+      val items = graft.Ckpt(T.lineitem(s, dir)
         .join(broadcast(T.part(s, dir)),
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-        .distinct()
+        .distinct())
       val tot = items.agg(countDistinct(col("basket")).as("n_baskets"))
         .withColumn("__k0", key0(col("n_baskets")))
       // items is distinct per (basket, item): count(*) = basket support
@@ -282,8 +287,10 @@ object Analytics {
     // (`q_agg_percentile_approx` is that standing twin).
     "q_hist_equidepth" -> ((s, dir) => {
       val k = 8
-      val li = T.lineitem(s, dir)
-        .select(floor(col("l_extendedprice") * 100).cast("long").as("__c"))
+      // two consumers (the edge aggregation and the bucketing scan) share
+      // one checkpointed narrow projection of the cents column
+      val li = graft.Ckpt(T.lineitem(s, dir)
+        .select(floor(col("l_extendedprice") * 100).cast("long").as("__c")))
       val fracs = (1 until k).map(i => i.toDouble / k)
       val edges = li
         .agg(expr(s"percentile(__c, array(${fracs.mkString(", ")}))")
