@@ -275,6 +275,71 @@ object Analytics {
             col("n_exact").cast("double") <= col("ub")).as("theta_ok"))
     }),
 
+    // E175: per-key least-squares trend — the regr_slope/regr_intercept
+    // surface spelled ORACLE-EXACT: x = the per-key observation index
+    // (rank in (ts, event_id) order), y = integer cents, and the normal
+    // equations stay in EXACT integer sums (Σx, Σy, Σxy, Σx² as longs;
+    // slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy·den −
+    // num·Σx)/(n·den)) until ONE double division each — the zero-float-
+    // seam recipe, engine-identical where the built-in regr_* aggregates
+    // sum doubles in partition order. Products stay < 2^53 while
+    // per-key history n·x²·y < 9e15 (n ≈ 1e4 at cents ≤ 1e5); beyond
+    // that the E140 DECIMAL(38,0) widening applies. The built-ins are
+    // unit-pinned to agree within 1e-9 (they run at 100 TB; this row is
+    // their standing certification). One shuffle per key for the window
+    // rank, one narrow agg.
+    "q_trend_bykey" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      T.events(s, dir)
+        .select(col("user_id"),
+          (row_number().over(w) - lit(1)).cast("long").as("__x"),
+          floor(col("value") * 100).cast("long").as("__y"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+          sum(col("__y")).as("__sy"),
+          sum(col("__x") * col("__y")).as("__sxy"),
+          sum(col("__x") * col("__x")).as("__sxx"))
+        .filter(col("n") >= 2)
+        .withColumn("__num",
+          col("n") * col("__sxy") - col("__sx") * col("__sy"))
+        .withColumn("__den",
+          col("n") * col("__sxx") - col("__sx") * col("__sx"))
+        .select(col("user_id"), col("n"),
+          (col("__num").cast("double") / col("__den").cast("double"))
+            .as("slope_c"),
+          ((col("__sy") * col("__den") - col("__num") * col("__sx"))
+            .cast("double") /
+            (col("n") * col("__den")).cast("double")).as("intercept_c"))
+    }),
+
+    // E176: time-weighted average (TWAP) — the financial/observability
+    // aggregation where plain AVG over-weights dense bursts: each
+    // observation weighs its HOLDING time (seconds until the key's next
+    // observation; the last observation has no successor and zero
+    // weight). Exact integers end-to-end: Δt in whole seconds (truncating
+    // µs div — identical in both engines), products cents·Δt and both
+    // sums in longs, ONE double division at the end. Per-key lead window
+    // + one narrow agg; keys with one observation (no held interval)
+    // drop, matching the SQL NULLIF guard.
+    "q_ts_twap" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("__us").asc, col("event_id").asc)
+      T.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("__us"),
+          col("event_id"), floor(col("value") * 100).cast("long").as("__c"))
+        .withColumn("__next", lead(col("__us"), 1).over(w))
+        .withColumn("__dt", expr("(__next - __us) div 1000000"))
+        .filter(col("__dt").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(col("__c") * col("__dt")).as("__num"),
+          sum(col("__dt")).as("__den"), count(lit(1)).as("n_held"))
+        .filter(col("__den") > 0)
+        .select(col("user_id"), col("n_held"),
+          (col("__num").cast("double") / col("__den").cast("double"))
+            .as("twap_c"))
+    }),
+
     // E170: equi-depth histogram — bucket edges are the exact k-quantiles
     // (the q_agg_percentile machinery), attached to the scan as a 1-row
     // broadcast HASH join on a derived-constant key (never a nested
@@ -375,6 +440,39 @@ object Analytics {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_ts_ewma" -> ewmaOracle,
     "q_hist_equidepth" -> histOracle,
+    "q_trend_bykey" ->
+      """WITH pts AS (SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) - 1 AS BIGINT) AS x,
+        |  CAST(FLOOR(value * 100) AS BIGINT) AS y FROM events),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM pts GROUP BY 1 HAVING count(*) >= 2),
+        |d AS (SELECT user_id, n,
+        |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sy, sx
+        |  FROM s)
+        |SELECT user_id, n,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_c,
+        |  CAST(sy * den - num * sx AS DOUBLE) /
+        |    CAST(n * den AS DOUBLE) AS intercept_c
+        |FROM d ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_ts_twap" ->
+      """WITH pts AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |  CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events),
+        |held AS (SELECT user_id, c,
+        |  (LEAD(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |    - us) // 1000000 AS dt
+        |  FROM pts),
+        |agg AS (SELECT user_id,
+        |  CAST(sum(c * dt) AS BIGINT) AS num,
+        |  CAST(sum(dt) AS BIGINT) AS den,
+        |  CAST(count(*) AS BIGINT) AS n_held
+        |  FROM held WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_held,
+        |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twap_c
+        |FROM agg WHERE den > 0 ORDER BY ALL NULLS FIRST""".stripMargin,
     // exact set-algebra counts re-derived; TRUE asserts every theta
     // estimate's 3-σ bounds contain exact (the q_approx_distinct pattern)
     "q_theta_sets" ->

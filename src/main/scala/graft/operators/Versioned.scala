@@ -431,6 +431,39 @@ object Versioned {
     commitPartitioned(readPartitionedAt(s, dir,
       requireMaterializedTip(dir, "compactPartitioned")), dir, partCol)
 
+  /** DESCRIBE HISTORY: one row per committed version — (version, kind,
+    * n_rows), where `kind` classifies the commit (snapshot /
+    * partitioned / dv / append / rename / clone) and `n_rows` counts the
+    * version's OWN payload: snapshot or partition rows written, DV keys,
+    * appended rows; 0 for the metadata-only kinds. Payload counts are
+    * parquet-footer metadata reads (no chain resolution, no data scan),
+    * so the call is cheap at any table size; wall-clock commit times are
+    * available separately via [[commitTimeOf]] (excluded here so the
+    * output stays deterministic — the oracle-able slice of DESCRIBE
+    * HISTORY).
+    */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    val rows = (0 to latest(dir)).filter(isCommitted(dir, _)).map { v =>
+      val kind =
+        if (isDvVersion(dir, v)) "dv"
+        else if (isAddVersion(dir, v)) "append"
+        else if (isRenameVersion(dir, v)) "rename"
+        else if (isCloneVersion(dir, v)) "clone"
+        else if (java.nio.file.Files.exists(manifestPath(dir, v)))
+          "partitioned"
+        else "snapshot"
+      val n = kind match {
+        case "dv" => s.read.parquet(dvPath(dir, v)).count()
+        case "append" => s.read.parquet(addPath(dir, v)).count()
+        case "rename" | "clone" => 0L
+        case "partitioned" => s.read.parquet(s"$dir/v$v/data").count()
+        case _ => s.read.parquet(s"$dir/v$v").count()
+      }
+      (v, kind, n)
+    }
+    s.createDataFrame(rows).toDF("version", "kind", "n_rows")
+  }
+
   /** Selective OPTIMIZE (manifest de-fragmentation — the Delta
     * `OPTIMIZE WHERE` posture): rewrite under ONE new version only the
     * partitions NOT owned by the manifest's majority owner; the majority
@@ -1480,6 +1513,22 @@ object Versioned {
           col("c_mktsegment"))
     }),
 
+    // LK-HIST: DESCRIBE HISTORY — a 4-kind planted history (snapshot →
+    // DV delete → append → rename) introspected by [[history]]; the
+    // oracle re-derives every payload count from the raw table (the
+    // VALUES-free spelling: counts are SF-dependent), hash-pinning the
+    // kind classification AND the per-version payload sizes.
+    "q_lake_history" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#hist")
+      commit(c, d)
+      deleteWhereDv(s, d, col("c_custkey") % 13 === 0, "c_custkey")
+      appendRows(c.filter(col("c_custkey") % 31 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000), d)
+      renameColumn(s, d, "c_mktsegment", "segment")
+      history(s, d)
+    }),
+
     // LK6: deletion-vector deletes — v0 = customer commit, v1 = DV delete
     // of custkey % 13 = 0, v2 = DV delete of nationkey ∈ {3, 7} (evaluated
     // against the v1-resolved snapshot, so chained DVs must compose). The
@@ -1970,7 +2019,19 @@ object Versioned {
     // what the manifest-stitched read must reproduce exactly; the
     // OPTIMIZE row reuses it verbatim (moving bytes must not move rows)
     "q_lake_optimize" -> lakePartitionedSql,
-    "q_lake_partitioned" -> lakePartitionedSql
+    "q_lake_partitioned" -> lakePartitionedSql,
+    // every payload count re-derived from the raw table; the rename row
+    // pins that metadata-only commits carry no payload
+    "q_lake_history" ->
+      """SELECT 0 AS version, 'snapshot' AS kind,
+        |  (SELECT count(*) FROM customer) AS n_rows
+        |UNION ALL SELECT 1, 'dv',
+        |  (SELECT count(DISTINCT c_custkey) FROM customer
+        |   WHERE c_custkey % 13 = 0)
+        |UNION ALL SELECT 2, 'append',
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 31 = 0)
+        |UNION ALL SELECT 3, 'rename', 0
+        |ORDER BY ALL NULLS FIRST""".stripMargin
   )
 
   // lazy: referenced from the oracles map above its definition point

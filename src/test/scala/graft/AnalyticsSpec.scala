@@ -169,6 +169,56 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - n) / n < 0.2) // lgK=9 keeps 512 entries: ~4.4% rse
   }
 
+  test("trend: planted perfect line recovers slope/intercept exactly; built-in regr_* agrees") {
+    import spark.implicits._
+    // y = 3x + 7 over two keys with different lengths — integer normal
+    // equations must recover the line EXACTLY (num/den divide evenly)
+    val pts = (0L until 40L).map(x => (1L, x, 3 * x + 7)) ++
+      (0L until 25L).map(x => (2L, x, 3 * x + 7))
+    val df = pts.toDF("user_id", "__x", "__y")
+    val got = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"), sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .select(col("user_id"),
+        (col("num").cast("double") / col("den").cast("double")).as("slope"),
+        ((col("sy") * col("den") - col("num") * col("sx")).cast("double") /
+          (col("n") * col("den")).cast("double")).as("icept"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(1) === 3.0); assert(r.getDouble(2) === 7.0)
+    }
+    // the built-in (double-summing) regr aggregates agree within 1e-9 —
+    // they run at 100 TB; the integer spelling is their certification
+    val builtin = df.groupBy("user_id")
+      .agg(expr("regr_slope(__y, __x)").as("s"),
+        expr("regr_intercept(__y, __x)").as("i")).collect()
+    builtin.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 3.0) < 1e-9)
+      assert(math.abs(r.getDouble(2) - 7.0) < 1e-9)
+    }
+  }
+
+  test("TWAP: holding-time weights, last observation weightless") {
+    import spark.implicits._
+    // v=100 held 30 s, v=900 held 10 s, final v=555 held 0 s (dropped):
+    // twap = (100·30 + 900·10) / 40 = 300
+    val df = Seq((5L, 0L, 1L, 100L), (5L, 30000000L, 2L, 900L),
+      (5L, 40000000L, 3L, 555L)).toDF("user_id", "__us", "event_id", "__c")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("__us").asc, col("event_id").asc)
+    val got = df.withColumn("__next", lead(col("__us"), 1).over(w))
+      .withColumn("__dt", expr("(__next - __us) div 1000000"))
+      .filter(col("__dt").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(col("__c") * col("__dt")).as("num"), sum(col("__dt")).as("den"))
+      .select(col("num").cast("double") / col("den").cast("double"))
+      .collect().head.getDouble(0)
+    assert(got === 300.0)
+  }
+
   test("q_assoc_rules keeps only above-mean-support pairs and is non-empty") {
     val r = operators.Analytics.queries("q_assoc_rules")(spark,
       "/root/testdata/sf0.001").collect()
