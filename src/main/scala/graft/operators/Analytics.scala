@@ -38,18 +38,26 @@ object Analytics {
     *     prefix — no "No Partition Defined" window anywhere;
     *  3. join the surviving (key, max) pairs back to the input.
     *
-    * All comparisons, no arithmetic — deterministic on any column type
-    * ordered consistently by Spark and the oracle. Null keys/values are
-    * excluded (dominance is undefined on null). `Long.MinValue` is the
-    * prefix-max identity (a real max at `Long.MinValue` would mask — the
-    * documented sentinel, same contract as the zone-map sidecars).
+    * All comparisons, no arithmetic — `minCol` is compared on its raw
+    * type; `maxCol` is compared as DOUBLE (exact for fractional values
+    * and for integers up to 2^53 — beyond that, widen before calling;
+    * a truncating integer cast would silently keep dominated rows whose
+    * fractional maxima collide). Null keys/values are excluded
+    * (dominance is undefined on null). `-Infinity` is the prefix-max
+    * identity.
+    *
+    * The bucket-sweep scaffolding here intentionally mirrors
+    * [[Aggregations.runningSumRanged]] with a different monoid (max, not
+    * sum) and a 1-column order key — a change to either's boundary
+    * sampling or prefix-broadcast logic should be cross-checked against
+    * the other (not factored together: q_pareto's plan is hash-pinned).
     */
   def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
     val s = df.sparkSession
     val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val pts = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
     val g = pts.groupBy(col(minCol).as("__k"))
-      .agg(max(col(maxCol).cast("long")).as("__gmax"))
+      .agg(max(col(maxCol).cast("double")).as("__gmax"))
     // driver phase: boundary cuts + per-bucket maxima. The grouped frame
     // is persisted across its three eager consumers (count, cut sample,
     // bucket maxima) so the upstream scan runs once; bucket membership is
@@ -82,9 +90,9 @@ object Analytics {
         val pid = pidExpr(col("__k"), cutKeys)
         val bmax = cached.groupBy(pid.as("__pid"))
           .agg(max(col("__gmax")).as("__bm"))
-          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+          .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
         // exclusive prefix max per present bucket (identity for the first)
-        var acc = Long.MinValue
+        var acc = Double.NegativeInfinity
         val offRows = bmax.map { case (b, m) =>
           val o = acc; acc = math.max(acc, m); (b, o)
         }
@@ -96,13 +104,13 @@ object Analytics {
     val surv = g.withColumn("__pid", pidExpr(col("__k"), cuts))
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn("__prev",
-        greatest(coalesce(max(col("__gmax")).over(w), lit(Long.MinValue)),
-          col("__pmax")))
+        greatest(coalesce(max(col("__gmax")).over(w),
+          lit(Double.NegativeInfinity)), col("__pmax")))
       .filter(col("__gmax") > col("__prev"))
       .select(col("__k"), col("__gmax"))
     pts.join(surv,
       pts(minCol) === surv("__k") &&
-        pts(maxCol).cast("long") === surv("__gmax"))
+        pts(maxCol).cast("double") === surv("__gmax"))
       .drop("__k", "__gmax")
   }
 
@@ -278,13 +286,14 @@ object Analytics {
     // E175: per-key least-squares trend — the regr_slope/regr_intercept
     // surface spelled ORACLE-EXACT: x = the per-key observation index
     // (rank in (ts, event_id) order), y = integer cents, and the normal
-    // equations stay in EXACT integer sums (Σx, Σy, Σxy, Σx² as longs;
-    // slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy·den −
-    // num·Σx)/(n·den)) until ONE double division each — the zero-float-
-    // seam recipe, engine-identical where the built-in regr_* aggregates
-    // sum doubles in partition order. Products stay < 2^53 while
-    // per-key history n·x²·y < 9e15 (n ≈ 1e4 at cents ≤ 1e5); beyond
-    // that the E140 DECIMAL(38,0) widening applies. The built-ins are
+    // equations stay in EXACT integer arithmetic: per-row sums (Σx, Σy,
+    // Σxy, Σx²) in longs (safe to per-key n·x·y < 9e18), then every
+    // CROSS product — slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept =
+    // (Σy·den − num·Σx)/(n·den) — in DECIMAL(38,0)/HUGEINT (the E140
+    // widening: the intercept numerator grows like n⁵·y, past a long at
+    // n ≈ 2000 already), until ONE double division each — the zero-
+    // float-seam recipe, engine-identical where the built-in regr_*
+    // aggregates sum doubles in partition order. The built-ins are
     // unit-pinned to agree within 1e-9 (they run at 100 TB; this row is
     // their standing certification). One shuffle per key for the window
     // rank, one narrow agg.
@@ -301,11 +310,13 @@ object Analytics {
           sum(col("__x") * col("__y")).as("__sxy"),
           sum(col("__x") * col("__x")).as("__sxx"))
         .filter(col("n") >= 2)
+        .select((Seq("n", "__sx", "__sy", "__sxy", "__sxx")
+          .map(c => col(c).cast("decimal(20,0)").as(c)) :+ col("user_id")): _*)
         .withColumn("__num",
           col("n") * col("__sxy") - col("__sx") * col("__sy"))
         .withColumn("__den",
           col("n") * col("__sxx") - col("__sx") * col("__sx"))
-        .select(col("user_id"), col("n"),
+        .select(col("user_id"), col("n").cast("long").as("n"),
           (col("__num").cast("double") / col("__den").cast("double"))
             .as("slope_c"),
           ((col("__sy") * col("__den") - col("__num") * col("__sx"))
@@ -445,15 +456,15 @@ object Analytics {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id) - 1 AS BIGINT) AS x,
         |  CAST(FLOOR(value * 100) AS BIGINT) AS y FROM events),
-        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |  CAST(sum(x * y) AS BIGINT) AS sxy,
-        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        |s AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |  CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |  CAST(sum(x * x) AS HUGEINT) AS sxx
         |  FROM pts GROUP BY 1 HAVING count(*) >= 2),
         |d AS (SELECT user_id, n,
         |  n * sxy - sx * sy AS num, n * sxx - sx * sx AS den, sy, sx
         |  FROM s)
-        |SELECT user_id, n,
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_c,
         |  CAST(sy * den - num * sx AS DOUBLE) /
         |    CAST(n * den AS DOUBLE) AS intercept_c

@@ -603,8 +603,10 @@ object Versioned {
     // decided from parquet footers, a driver-side metadata read per
     // version. Batching never crosses a DV or rename boundary, so fold
     // order is exactly the per-version fold's.
-    def layoutOf(w: Int) =
-      s.read.parquet(addPath(dir, w)).schema.map(f => (f.name, f.dataType))
+    val layoutCache =
+      scala.collection.mutable.Map.empty[Int, Seq[(String, org.apache.spark.sql.types.DataType)]]
+    def layoutOf(w: Int) = layoutCache.getOrElseUpdate(w,
+      s.read.parquet(addPath(dir, w)).schema.map(f => (f.name, f.dataType)))
     def readAdds(ws: Seq[Int]): DataFrame =
       s.read.parquet(ws.map(w => addPath(dir, w)): _*)
     val (folded, pendingDvs, pendingAdds) =

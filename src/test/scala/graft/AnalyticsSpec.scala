@@ -45,6 +45,17 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("skyline2d: fractional max values are compared exactly (no integer truncation)") {
+    import spark.implicits._
+    // same price, sizes 5.9 vs 5.2: a long-truncating compare would keep
+    // both (5 == 5); the dominated 5.2 row must drop
+    val df = Seq((1L, 1.0, 5.9), (2L, 1.0, 5.2), (3L, 0.5, 5.2))
+      .toDF("id", "price", "size")
+    val got = operators.Analytics.skyline2d(df, "price", "size")
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L)) // (1.0, 5.9) and (0.5, 5.2) survive
+  }
+
   test("skyline2d: a second evaluation of the same frame is identical (pure bucket exprs)") {
     val df = Tables.part(spark, "/root/testdata/sf0.001")
     val sky = operators.Analytics.skyline2d(df, "p_retailprice", "p_size")
@@ -77,7 +88,7 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.zip(ref).foreach { case (g, r) => assert(g === r) }
   }
 
-  test("equi-depth histogram: 8 buckets, each within ±1.5% of N/8, covering N") {
+  test("equi-depth histogram: 8 buckets, each within ±15% of N/8, covering N") {
     val r = operators.Analytics.queries("q_hist_equidepth")(spark,
         "/root/testdata/sf0.001")
       .orderBy("bucket").collect()
