@@ -351,6 +351,48 @@ object Analytics {
             .as("twap_c"))
     }),
 
+    // E178: per-key rolling median — the robust moving-statistic twin of
+    // E169's EWMA (medians shrug off the spikes an exponential average
+    // chases): exact `percentile` over a BOUNDED 16-row window frame per
+    // key. Frame-bounded exact percentile is scale-safe where the global
+    // exact percentile is not (state = 16 longs per frame, any key
+    // history length); rounding to 4 matches the A12 cross-engine
+    // interpolation contract.
+    "q_ts_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("__us").asc, col("event_id").asc)
+        .rowsBetween(-15, 0)
+      T.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts)").as("__us"),
+          col("event_id"), floor(col("value") * 100).cast("long").as("__c"))
+        .withColumn("roll_med_c",
+          round(expr("percentile(__c, 0.5)").over(w), 4))
+        .select(col("user_id"), col("event_id"), col("__us").as("ts_us"),
+          col("roll_med_c"))
+    }),
+
+    // E179: first-order Markov transition matrix over event streams —
+    // the session-flow / user-journey surface: per-key consecutive
+    // event-type pairs (one lead window), counted and normalized into
+    // transition probabilities by ONE double division over exact long
+    // counts. Output is |event_type|² rows at most — metadata-scale
+    // whatever the corpus; the row totals attach by a broadcast hash
+    // join on the source state.
+    "q_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val trans = T.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n_sd"))
+      val totals = trans.groupBy("src").agg(sum(col("n_sd")).as("n_s"))
+      trans.join(broadcast(totals), Seq("src"))
+        .select(col("src"), col("dst"), col("n_sd"), col("n_s"),
+          (col("n_sd").cast("double") / col("n_s").cast("double")).as("p"))
+    }),
+
     // E170: equi-depth histogram — bucket edges are the exact k-quantiles
     // (the q_agg_percentile machinery), attached to the scan as a 1-row
     // broadcast HASH join on a derived-constant key (never a nested
@@ -451,6 +493,26 @@ object Analytics {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_ts_ewma" -> ewmaOracle,
     "q_hist_equidepth" -> histOracle,
+    "q_ts_rolling_median" ->
+      """WITH pts AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events)
+        |SELECT user_id, event_id, ts_us,
+        |  round(quantile_cont(c, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW), 4) AS roll_med_c
+        |FROM pts ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_markov_transitions" ->
+      """WITH t AS (SELECT event_type AS src,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, count(*) AS n_sd FROM t
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT src, CAST(sum(n_sd) AS BIGINT) AS n_s FROM c GROUP BY 1)
+        |SELECT c.src, c.dst, c.n_sd, s.n_s,
+        |  CAST(c.n_sd AS DOUBLE) / CAST(s.n_s AS DOUBLE) AS p
+        |FROM c JOIN s ON c.src = s.src
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_trend_bykey" ->
       """WITH pts AS (SELECT user_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id

@@ -230,6 +230,44 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === 300.0)
   }
 
+  test("rolling median: 16-row frame tracks the window, shrugging off a spike") {
+    import spark.implicits._
+    // constant 500-cent series with one 99999 spike: the rolling median
+    // stays 500 everywhere (robustness the EWMA lacks), while the frame
+    // is warm; early partial frames interpolate over what exists
+    val df = (0L until 40L).map(i =>
+      (9L, i * 1000000L, i, if (i == 20) 99999L else 500L))
+      .toDF("user_id", "__us", "event_id", "__c")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("__us").asc, col("event_id").asc).rowsBetween(-15, 0)
+    val med = df.withColumn("m", expr("percentile(__c, 0.5)").over(w))
+      .orderBy("event_id").select("m").collect().map(_.getDouble(0))
+    assert(med.forall(_ === 500.0))
+  }
+
+  test("Markov transitions: planted deterministic chain gives exact probabilities") {
+    import spark.implicits._
+    // user 1 walks A,B,A,B,A (A->B x2, B->A x2); user 2 walks A,C
+    // (A->C x1): P(A->B)=2/3, P(A->C)=1/3, P(B->A)=1
+    val rows = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (1L, 4L, "B"), (1L, 5L, "A"), (2L, 1L, "A"), (2L, 2L, "C"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("seq").asc)
+    val trans = rows.toDF("user_id", "seq", "src")
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_sd"))
+    val totals = trans.groupBy("src").agg(sum(col("n_sd")).as("n_s"))
+    val p = trans.join(totals, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("n_sd").cast("double") / col("n_s").cast("double")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(p(("A", "B")) === 2.0 / 3.0)
+    assert(p(("A", "C")) === 1.0 / 3.0)
+    assert(p(("B", "A")) === 1.0)
+  }
+
   test("q_assoc_rules keeps only above-mean-support pairs and is non-empty") {
     val r = operators.Analytics.queries("q_assoc_rules")(spark,
       "/root/testdata/sf0.001").collect()
