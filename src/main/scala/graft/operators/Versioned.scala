@@ -23,6 +23,74 @@ import org.apache.spark.sql.functions._
   */
 object Versioned {
 
+  // ---- mutator claim (read-modify-write serialization) -------------------
+  //
+  // The claim/seal protocol guarantees version-NUMBER uniqueness and
+  // complete snapshots, but not read-modify-write atomicity: two
+  // concurrent `upsertPartitioned` calls both read the SAME base
+  // manifest, and the later seal's manifest silently reverts the earlier
+  // upsert's partition pointers (a lost update) — same for any mutator
+  // that derives its new version from the tip (upsert/deleteWhere/
+  // deleteWhereDv/compact/restore/rename/optimize). Those mutators
+  // therefore serialize on an exclusive `_mutate._claim` — the E146
+  // IndexStore protocol verbatim: O_EXCL create, heartbeat while held,
+  // stale-claim takeover by atomic rename (exactly one waiter wins), and
+  // per-thread re-entrancy so compound mutators (the stats-sidecar
+  // upserts) nest without deadlock. Plain `commit`/`commitPartitioned`
+  // (self-contained full states) and `appendRows` (purely additive, no
+  // tip read) stay claim-free — concurrent appends are the designed
+  // ingest path. Readers never touch the claim.
+
+  private[graft] var mutateClaimTimeoutMs: Long = 10L * 60 * 1000
+  private val mutateSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val mutateHeld: ThreadLocal[scala.collection.mutable.Set[String]] =
+    ThreadLocal.withInitial(() => scala.collection.mutable.Set.empty[String])
+  private def mutateClaimPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_mutate._claim")
+
+  private def withMutateClaim[A](dir: String)(body: => A): A = {
+    import java.nio.file.Files
+    if (mutateHeld.get.contains(dir)) return body // re-entrant
+    val p = mutateClaimPath(dir)
+    def tryCreate(): Boolean =
+      try { Files.createDirectories(p.getParent); Files.createFile(p); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    while (!tryCreate()) {
+      val stale =
+        try {
+          System.currentTimeMillis() -
+            Files.getLastModifiedTime(p).toMillis > mutateClaimTimeoutMs
+        } catch { case _: Throwable => false } // vanished → re-race
+      if (stale) {
+        try {
+          val aside = p.resolveSibling(s".mutate-stale-" +
+            s"${ProcessHandle.current().pid()}-${mutateSeq.incrementAndGet()}")
+          Files.move(p, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(aside); ()
+        } catch { case _: Throwable => () } // lost the takeover race
+      } else Thread.sleep(20)
+    }
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(math.max(50L, mutateClaimTimeoutMs / 4))
+          Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+        }
+      } catch { case _: Throwable => () }
+    })
+    beat.setDaemon(true)
+    beat.start()
+    mutateHeld.get += dir
+    try body
+    finally {
+      mutateHeld.get -= dir
+      beat.interrupt()
+      try Files.deleteIfExists(p) catch { case _: Throwable => () }
+    }
+  }
+
   private def markerPath(dir: String) = java.nio.file.Paths.get(dir, "_latest")
   private def claimPath(dir: String, v: Int) =
     java.nio.file.Paths.get(dir, s"v$v._claim")
@@ -223,7 +291,7 @@ object Versioned {
     * shallow-clone pointer tip needs.
     */
   def upsert(s: SparkSession, dir: String, updates: DataFrame,
-      key: String): Int = {
+      key: String): Int = withMutateClaim(dir) {
     val v = requireMaterializedTip(dir, "upsert")
     commit(Lake.mergeUpsert(readAtDv(s, dir, v), updates, key), dir)
   }
@@ -231,10 +299,11 @@ object Versioned {
   /** Commit a new version without the rows matching `cond` (tip read is
     * chain/clone-aware, see [[upsert]]).
     */
-  def deleteWhere(s: SparkSession, dir: String, cond: Column): Int = {
-    val v = requireMaterializedTip(dir, "deleteWhere")
-    commit(readAtDv(s, dir, v).filter(!cond), dir)
-  }
+  def deleteWhere(s: SparkSession, dir: String, cond: Column): Int =
+    withMutateClaim(dir) {
+      val v = requireMaterializedTip(dir, "deleteWhere")
+      commit(readAtDv(s, dir, v).filter(!cond), dir)
+    }
 
   /** CDC between two retained versions: [[Lake.snapshotDiff]] over their
     * snapshots — added/removed/changed keys only. Endpoints resolve
@@ -395,7 +464,7 @@ object Versioned {
     * to the AFFECTED partitions, never the table. Returns the version.
     */
   def upsertPartitioned(s: SparkSession, dir: String, updates: DataFrame,
-      key: String, partCol: String): Int = {
+      key: String, partCol: String): Int = withMutateClaim(dir) {
     val cur = requireMaterializedTip(dir, "upsertPartitioned")
     val man = manifest(dir, cur)
     // metadata-scale driver list: one value per affected partition
@@ -428,8 +497,10 @@ object Versioned {
     * dirs can go. Returns the version.
     */
   def compactPartitioned(s: SparkSession, dir: String, partCol: String): Int =
-    commitPartitioned(readPartitionedAt(s, dir,
-      requireMaterializedTip(dir, "compactPartitioned")), dir, partCol)
+    withMutateClaim(dir) {
+      commitPartitioned(readPartitionedAt(s, dir,
+        requireMaterializedTip(dir, "compactPartitioned")), dir, partCol)
+    }
 
   /** DESCRIBE HISTORY: one row per committed version — (version, kind,
     * n_rows), where `kind` classifies the commit (snapshot /
@@ -475,7 +546,8 @@ object Versioned {
     * (sidecars seal with their owning commit — E166's opt-in contract);
     * re-run a stats commit if stats-serving is needed on the new tip.
     */
-  def optimizeScattered(s: SparkSession, dir: String): Int = {
+  def optimizeScattered(s: SparkSession, dir: String): Int =
+      withMutateClaim(dir) {
     val cur = requireMaterializedTip(dir, "optimizeScattered")
     require(java.nio.file.Files.exists(manifestPath(dir, cur)),
       s"optimizeScattered: v$cur of $dir is not a partitioned version")
@@ -539,7 +611,7 @@ object Versioned {
     * DV-resolved snapshot). Returns the version.
     */
   def deleteWhereDv(s: SparkSession, dir: String, cond: Column,
-      key: String): Int = {
+      key: String): Int = withMutateClaim(dir) {
     val keys = readAtDv(s, dir, latest(dir)).filter(cond)
       .select(col(key)).distinct()
     val v = claimNext(dir)
@@ -645,8 +717,9 @@ object Versioned {
   /** Fold the DV/append chain into a fresh materialized snapshot
     * (OPTIMIZE). Returns the version.
     */
-  def compactDv(s: SparkSession, dir: String): Int =
+  def compactDv(s: SparkSession, dir: String): Int = withMutateClaim(dir) {
     commit(readAtDv(s, dir, latest(dir)), dir)
+  }
 
   // ---- append (delta) commits + ingest ----------------------------------
   //
@@ -692,7 +765,7 @@ object Versioned {
     * tip). Returns the version.
     */
   def restore(s: SparkSession, dir: String, v: Int): Int =
-    commit(readAtDv(s, dir, v), dir)
+    withMutateClaim(dir) { commit(readAtDv(s, dir, v), dir) }
 
   // ---- shallow clone -----------------------------------------------------
   //
@@ -887,7 +960,7 @@ object Versioned {
     */
   def upsertPartitionedStats(s: SparkSession, dir: String,
       updates: DataFrame, key: String, partCol: String,
-      statsCol: String): Int = {
+      statsCol: String): Int = withMutateClaim(dir) {
     val v = upsertPartitioned(s, dir, updates, key, partCol)
     // the new version's data dir holds exactly the rewritten partitions,
     // hive-style — reading it back recovers partCol by partition inference
@@ -1098,7 +1171,7 @@ object Versioned {
     */
   def upsertPartitionedStatsMulti(s: SparkSession, dir: String,
       updates: DataFrame, key: String, partCol: String,
-      statsCols: Seq[String]): Int = {
+      statsCols: Seq[String]): Int = withMutateClaim(dir) {
     val v = upsertPartitioned(s, dir, updates, key, partCol)
     writeZoneMapMulti(s, dir, v, s.read.parquet(s"$dir/v$v/data"),
       partCol, statsCols)
@@ -1280,7 +1353,7 @@ object Versioned {
     * against the chain-resolved tip schema). Returns the version.
     */
   def renameColumn(s: SparkSession, dir: String, from: String,
-      to: String): Int = {
+      to: String): Int = withMutateClaim(dir) {
     val tip = latest(dir)
     require(tip >= 0, s"renameColumn: no committed versions in $dir")
     val cols = readAtDv(s, dir, tip).columns.toSet
