@@ -174,13 +174,15 @@ object Bench {
     // mid-sweep ~2x host slowdown (control_pre 0.915 -> control_post 1.788)
     // but nothing acted on it — the round's numbers shipped ~30% inflated
     // and a human had to hand-normalize against a quiesced rerun. Now the
-    // sweep re-runs itself (once, by default) while its controls disagree
-    // by >30% in either direction, every attempt is reported, and the
-    // attempt with the flattest controls becomes the headline. Probe
-    // harnesses that cannot afford a double sweep set
-    // SPARK_GRAFT_BENCH_MAX_ATTEMPTS=1.
+    // sweep re-runs itself (up to twice, by default) while its controls
+    // disagree by >30% in either direction, every attempt is reported, and
+    // the attempt with the flattest controls becomes the headline. Default
+    // raised 2 → 3 after round 11, where BOTH attempts' controls drifted
+    // >30% on a noisy host and the headline shipped inflated — a drifting
+    // host gets a third chance at a flat sweep. Probe harnesses that
+    // cannot afford extra sweeps set SPARK_GRAFT_BENCH_MAX_ATTEMPTS=1.
     val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_MAX_ATTEMPTS")
-      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(2)
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)
     def drift(a: Attempt): Double =
       if (math.min(a.controlPre, a.controlPost) <= 0) 1.0
       else math.max(a.controlPre, a.controlPost) /

@@ -57,7 +57,14 @@ object Aggregations {
       tieCol: String, cumCol: String, totCol: String)
       : org.apache.spark.sql.DataFrame = {
     val s = df.sparkSession
-    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // bucket count follows the shuffle parallelism but is CAPPED at 256:
+    // the bucket-id expression below is a comparison chain of n−1 terms,
+    // and a production-scale shuffle.partitions (2000+) would build an
+    // expression tree big enough to blow past codegen method limits and
+    // degrade to interpreted evaluation. 256 buckets of ~sequential
+    // prefix work is ample sweep parallelism at any scale.
+    val n = math.min(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt, 256)
     // cache the narrow key projection across its two EAGER consumers
     // (count, then the boundary-sample collect) so the upstream plan runs
     // once for both; unpersist is safe immediately after because nothing

@@ -54,7 +54,11 @@ object Analytics {
     */
   def skyline2d(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
     val s = df.sparkSession
-    val n = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // capped at 256 buckets for the same reason as runningSumRanged: the
+    // pidExpr comparison chain grows with n, and shuffle.partitions=2000
+    // would push the codegen'd expression past JVM method limits
+    val n = math.min(
+      s.conf.get("spark.sql.shuffle.partitions", "32").toInt, 256)
     val pts = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
     val g = pts.groupBy(col(minCol).as("__k"))
       .agg(max(col(maxCol).cast("double")).as("__gmax"))
@@ -257,9 +261,12 @@ object Analytics {
           "'N&R',   theta_intersection(skn, skr), " +
           "'A|N|R', theta_union(theta_union(ska, skn), skr), " +
           "'A-N',   theta_difference(ska, skn)) as (op, sk)"))
-      val boundsOf = udf((b: Array[Byte]) => {
-        val (_, lb, ub) = ThetaSketch.bounds(b, 3); Array(lb, ub)
-      })
+      // null-guarded: theta_sketch_agg over an all-NULL group yields a
+      // NULL sketch (a dataset missing a whole flag) — emit null bounds
+      // instead of NPE-ing the row
+      val boundsOf = udf((b: Array[Byte]) =>
+        if (b == null) null
+        else { val (_, lb, ub) = ThetaSketch.bounds(b, 3); Array(lb, ub) })
       val estDf = ops.select(col("op"), boundsOf(col("sk")).as("b"))
         .select(col("op"), element_at(col("b"), 1).as("lb"),
           element_at(col("b"), 2).as("ub"))

@@ -48,13 +48,37 @@ object Versioned {
   private def mutateClaimPath(dir: String) =
     java.nio.file.Paths.get(dir, "_mutate._claim")
 
-  private def withMutateClaim[A](dir: String)(body: => A): A = {
+  private[graft] def withMutateClaim[A](dir: String)(body: => A): A = {
     import java.nio.file.Files
     if (mutateHeld.get.contains(dir)) return body // re-entrant
     val p = mutateClaimPath(dir)
+    // Owner token: after a stale-claim takeover the OLD holder may still
+    // be alive (merely paused past the timeout). Its heartbeat must not
+    // refresh the NEW holder's claim file and its finally-block must not
+    // delete it — otherwise a THIRD mutator could acquire while the
+    // second still holds, breaking mutual exclusion in exactly the
+    // recovery path the takeover exists for. Every touch therefore
+    // verifies the file still carries THIS acquisition's token (pid +
+    // sequence, unique across processes and threads); a holder that
+    // observes a foreign token has lost ownership and raises after its
+    // body so the caller knows the mutation may have raced. (The
+    // verify-then-delete pair in the finally block is not atomic, but a
+    // takeover in that window requires the file to look ≥timeout stale
+    // microseconds after a heartbeat/ownership read — only reachable via
+    // another timeout-length pause exactly there.)
+    val token =
+      s"${ProcessHandle.current().pid()}-${mutateSeq.incrementAndGet()}"
+    def ownsClaim(): Boolean =
+      try Files.readString(p).trim == token
+      catch { case _: Throwable => false }
     def tryCreate(): Boolean =
-      try { Files.createDirectories(p.getParent); Files.createFile(p); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      try {
+        Files.createDirectories(p.getParent)
+        Files.write(p,
+          token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
     while (!tryCreate()) {
       val stale =
         try {
@@ -70,24 +94,34 @@ object Versioned {
         } catch { case _: Throwable => () } // lost the takeover race
       } else Thread.sleep(20)
     }
+    val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = new Thread(() => {
       try {
-        while (!Thread.interrupted()) {
+        while (!Thread.interrupted() && !lost.get) {
           Thread.sleep(math.max(50L, mutateClaimTimeoutMs / 4))
-          Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis()))
+          if (ownsClaim())
+            Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis()))
+          else lost.set(true) // taken over — stop touching it
         }
       } catch { case _: Throwable => () }
     })
     beat.setDaemon(true)
     beat.start()
     mutateHeld.get += dir
-    try body
-    finally {
+    try {
+      val r = body
+      if (lost.get)
+        sys.error(s"mutator claim on $dir was taken over mid-mutation " +
+          "(this holder was paused past the staleness timeout); the " +
+          "mutation may have raced a concurrent writer — verify the tip")
+      r
+    } finally {
       mutateHeld.get -= dir
       beat.interrupt()
-      try Files.deleteIfExists(p) catch { case _: Throwable => () }
+      try { if (ownsClaim()) Files.deleteIfExists(p); () }
+      catch { case _: Throwable => () }
     }
   }
 
@@ -507,11 +541,14 @@ object Versioned {
     * partitioned / dv / append / rename / clone) and `n_rows` counts the
     * version's OWN payload: snapshot or partition rows written, DV keys,
     * appended rows; 0 for the metadata-only kinds. Payload counts are
-    * parquet-footer metadata reads (no chain resolution, no data scan),
-    * so the call is cheap at any table size; wall-clock commit times are
-    * available separately via [[commitTimeOf]] (excluded here so the
-    * output stays deterministic — the oracle-able slice of DESCRIBE
-    * HISTORY).
+    * DIRECT parquet-footer reads on the driver ([[footerRowCount]]) —
+    * zero Spark jobs at any history length, where a per-version
+    * `read.parquet(...).count()` would launch one driver-blocking job
+    * per commit (the per-commit-linear shape the append-chain scan
+    * coalescing killed on the read path; a 10k-commit ingest chain would
+    * mean 10k sequential jobs). Wall-clock commit times are available
+    * separately via [[commitTimeOf]] (excluded here so the output stays
+    * deterministic — the oracle-able slice of DESCRIBE HISTORY).
     */
   def history(s: SparkSession, dir: String): DataFrame = {
     val rows = (0 to latest(dir)).filter(isCommitted(dir, _)).map { v =>
@@ -524,15 +561,44 @@ object Versioned {
           "partitioned"
         else "snapshot"
       val n = kind match {
-        case "dv" => s.read.parquet(dvPath(dir, v)).count()
-        case "append" => s.read.parquet(addPath(dir, v)).count()
+        case "dv" => footerRowCount(s, dvPath(dir, v))
+        case "append" => footerRowCount(s, addPath(dir, v))
         case "rename" | "clone" => 0L
-        case "partitioned" => s.read.parquet(s"$dir/v$v/data").count()
-        case _ => s.read.parquet(s"$dir/v$v").count()
+        case "partitioned" => footerRowCount(s, s"$dir/v$v/data")
+        case _ => footerRowCount(s, s"$dir/v$v")
       }
       (v, kind, n)
     }
     s.createDataFrame(rows).toDF("version", "kind", "n_rows")
+  }
+
+  /** Total row count of every parquet file under `path`, summed from the
+    * file FOOTERS on the driver (recursive Hadoop listing, so partition
+    * subdirectories are included) — a metadata read per file, no Spark
+    * job, no row materialization. The row-count sidecar posture applied
+    * to history: cost ∝ number of files, never rows.
+    */
+  private def footerRowCount(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    // manual recursion (not fs.listFiles(recursive)) so Spark's
+    // hidden-path convention holds: `_`/`.`-prefixed entries (sidecars
+    // like `_stats`/`_bloom`, `_SUCCESS`) are skipped exactly as the
+    // DataFrame reader's FileIndex would skip them
+    def walk(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).iterator.map { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) 0L
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, conf))
+          try r.getRecordCount finally r.close()
+        } else 0L
+      }.sum
+    walk(root)
   }
 
   /** Selective OPTIMIZE (manifest de-fragmentation — the Delta

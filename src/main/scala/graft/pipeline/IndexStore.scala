@@ -128,7 +128,20 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
   private def withClaim[A](d: String)(body: => A): A = {
     import java.nio.file.Files
     val p = claimPath(d)
-    while (!tryCreateClaim(p)) {
+    // Owner token (same rationale as Versioned.withMutateClaim): after a
+    // stale-claim takeover the old holder may still be alive; its
+    // heartbeat must not refresh the new holder's claim and its release
+    // must not delete it, or a third builder could acquire while the
+    // second holds. Builds land in fresh immutable version dirs and the
+    // marker swap is atomic, so a doubled build is wasted work, never a
+    // correctness hazard — the token only has to stop cross-holder file
+    // touches.
+    val token =
+      s"${ProcessHandle.current().pid()}-${seq.incrementAndGet()}"
+    def ownsClaim(): Boolean =
+      try Files.readString(p).trim == token
+      catch { case _: Throwable => false }
+    while (!tryCreateClaim(p, token)) {
       val stale =
         try {
           val age = System.currentTimeMillis() -
@@ -146,13 +159,17 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
       } else Thread.sleep(25)
     }
     // heartbeat: touch the claim so a long build never reads as abandoned
+    // — but only while it still carries OUR token (see above)
     val beat = new Thread(() => {
       try {
-        while (!Thread.interrupted()) {
+        var owned = true
+        while (!Thread.interrupted() && owned) {
           Thread.sleep(math.max(50L, IndexStore.claimTimeoutMs / 4))
-          Files.setLastModifiedTime(p,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis()))
+          if (ownsClaim())
+            Files.setLastModifiedTime(p,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis()))
+          else owned = false // taken over — never touch the new holder's file
         }
       } catch { case _: Throwable => () } // interrupt or deleted claim: stop
     })
@@ -161,17 +178,18 @@ private[pipeline] final class IndexStore(envVar: String, defaultName: String,
     try body
     finally {
       beat.interrupt()
-      try Files.deleteIfExists(p) catch { case _: Throwable => () }
+      try { if (ownsClaim()) Files.deleteIfExists(p); () }
+      catch { case _: Throwable => () }
     }
   }
 
-  private def tryCreateClaim(p: java.nio.file.Path): Boolean =
+  private def tryCreateClaim(p: java.nio.file.Path, token: String): Boolean =
     try {
-      java.nio.file.Files.createFile(p)
-      // informational only — claim identity is the file's existence
-      try java.nio.file.Files.writeString(p,
-        s"${ProcessHandle.current().pid()}:${System.currentTimeMillis()}")
-      catch { case _: Throwable => () }
+      // CREATE_NEW keeps the O_EXCL create; the token rides in the same
+      // call so every holder can verify ownership before touching the file
+      java.nio.file.Files.write(p,
+        token.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false

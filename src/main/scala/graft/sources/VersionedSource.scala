@@ -115,14 +115,23 @@ class VersionedSource extends RelationProvider
     val dir = parameters.getOrElse("path",
       sys.error("graft.versioned requires a 'path' (or .save(dir))"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    val exists = graft.operators.Versioned.latest(dir) >= 0
-    mode match {
-      case SaveMode.ErrorIfExists if exists =>
-        sys.error(s"graft.versioned: $dir already has committed versions")
-      case SaveMode.Ignore if exists => ()
-      case SaveMode.Append if exists =>
-        VersionedSource.commitAppend(ctx, dir, data)
-      case _ => graft.operators.Versioned.commit(data, dir); ()
+    // The whole mode dispatch serializes under the RMW mutator claim:
+    // Append derives its commit from the tip (read latest ∪ new rows), so
+    // two claim-free concurrent INSERTs could both read v_N and the later
+    // seal would silently drop the earlier writer's rows — the exact
+    // lost-update class `Versioned.withMutateClaim` exists for. The
+    // exists-check itself is a check-then-act (ErrorIfExists/Ignore/the
+    // initial-commit branch), so it rides inside the claim too.
+    graft.operators.Versioned.withMutateClaim(dir) {
+      val exists = graft.operators.Versioned.latest(dir) >= 0
+      mode match {
+        case SaveMode.ErrorIfExists if exists =>
+          sys.error(s"graft.versioned: $dir already has committed versions")
+        case SaveMode.Ignore if exists => ()
+        case SaveMode.Append if exists =>
+          VersionedSource.commitAppend(ctx, dir, data)
+        case _ => graft.operators.Versioned.commit(data, dir); ()
+      }
     }
     new VersionedRelation(ctx, dir, parameters - "versionAsOf")
   }
@@ -130,14 +139,17 @@ class VersionedSource extends RelationProvider
 
 private[sources] object VersionedSource {
   /** Append = DV-resolved latest ∪ new rows, committed as the next
-    * version (`unionByName` fails loudly on a schema mismatch).
+    * version (`unionByName` fails loudly on a schema mismatch). A
+    * tip-deriving read-modify-write, so it serializes under the mutator
+    * claim (re-entrant when the SaveMode dispatch already holds it).
     */
-  def commitAppend(ctx: SQLContext, dir: String, data: DataFrame): Unit = {
-    val cur = graft.operators.Versioned.readAtDv(ctx.sparkSession, dir,
-      graft.operators.Versioned.latest(dir))
-    graft.operators.Versioned.commit(cur.unionByName(data), dir)
-    ()
-  }
+  def commitAppend(ctx: SQLContext, dir: String, data: DataFrame): Unit =
+    graft.operators.Versioned.withMutateClaim(dir) {
+      val cur = graft.operators.Versioned.readAtDv(ctx.sparkSession, dir,
+        graft.operators.Versioned.latest(dir))
+      graft.operators.Versioned.commit(cur.unionByName(data), dir)
+      ()
+    }
 }
 
 private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
@@ -219,11 +231,14 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
     * way. The view keeps serving the version it resolved at creation;
     * re-create it (or read without `versionAsOf`) to see the new commit.
     */
-  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    if (overwrite || graft.operators.Versioned.latest(dir) < 0) {
-      graft.operators.Versioned.commit(data, dir); ()
-    } else VersionedSource.commitAppend(ctx, dir, data)
-  }
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    // claim-serialized: the empty-table check and the tip-deriving append
+    // are a read-modify-write against the tip (see commitAppend)
+    graft.operators.Versioned.withMutateClaim(dir) {
+      if (overwrite || graft.operators.Versioned.latest(dir) < 0) {
+        graft.operators.Versioned.commit(data, dir); ()
+      } else VersionedSource.commitAppend(ctx, dir, data)
+    }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {

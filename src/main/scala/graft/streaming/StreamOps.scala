@@ -682,6 +682,10 @@ object StreamOps {
     */
   def ewmaPerKey(events: Dataset[(Long, Long, Long, Long)], w: Int = 16):
       Dataset[(Long, Long, Double)] = {
+    // w ≥ 64 would wrap the Long shifts silently (Java shifts are mod 64)
+    // and large w risks numerator overflow (cents · 2^(w−1) · w must stay
+    // within Long); w ≤ 32 keeps cents up to ~1.3e8 exact
+    require(w >= 1 && w <= 32, s"ewmaPerKey: w must be in [1, 32], got $w")
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(),

@@ -843,6 +843,70 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(operators.Versioned.latest(dir2) === 0)
   }
 
+  test("LK: DESCRIBE HISTORY is metadata-only — zero Spark jobs regardless of history length") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-vthistmeta").toString
+    val t = (1L to 40L).map(k => (k, s"n$k")).toDF("k", "name")
+    operators.Versioned.commit(t, dir)
+    (1 to 5).foreach { i =>
+      operators.Versioned.appendRows(
+        Seq((100L + i, s"a$i")).toDF("k", "name"), dir)
+    }
+    operators.Versioned.deleteWhereDv(spark, dir, col("k") === 2, "k")
+    // payload counts come from parquet footers on the driver — a listener
+    // watching job starts must see NOTHING while history() runs, so the
+    // call stays ≤O(files) metadata reads on a 10k-commit chain, never
+    // one driver-blocking count job per version
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val h = operators.Versioned.history(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      assert(h.toSeq === Seq((0, "snapshot", 40L), (1, "append", 1L),
+        (2, "append", 1L), (3, "append", 1L), (4, "append", 1L),
+        (5, "append", 1L), (6, "dv", 1L)))
+      Thread.sleep(1000) // listener events post asynchronously
+      assert(jobs.get === 0,
+        s"history() launched ${jobs.get} Spark job(s); must be footer-only")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("LK: concurrent SQL appends never lose rows (write path under the mutator claim)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtracesql").toString
+    Seq((0L, "base")).toDF("k", "name")
+      .write.format("graft.versioned").mode("overwrite").save(dir)
+    // 8 racing SQL appends, each ONE distinct row. Append derives the new
+    // snapshot from the tip (readAtDv(latest) ∪ new rows), so without the
+    // _mutate._claim two writers could both read v_N and the later seal
+    // would silently drop the earlier writer's row.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1L to 8L).map { k =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = Seq((k, s"new$k")).toDF("k", "name")
+            .write.format("graft.versioned").mode("append").save(dir)
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(operators.Versioned.latest(dir) === 8)
+    // every writer's row survives at the tip — no lost update
+    assert(spark.read.format("graft.versioned").load(dir).collect()
+      .map(_.getAs[Long]("k")).toSet === (0L to 8L).toSet)
+    // the claim is released: a follow-up SQL append proceeds
+    Seq((9L, "new9")).toDF("k", "name")
+      .write.format("graft.versioned").mode("append").save(dir)
+    assert(operators.Versioned.latest(dir) === 9)
+  }
+
   test("LK: DV deletes over a PARTITIONED base — readAtDv stitches the manifest") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vtdvp").toString
