@@ -28,6 +28,10 @@ import org.apache.spark.sql.types.StructType
   *   df.write.format("graft.versioned").mode("overwrite").save(dir)
   *   //   → commits df as the next full snapshot (history retained)
   *   // INSERT INTO t ... appends; INSERT OVERWRITE TABLE t ... replaces
+  *   df.writeStream.format("graft.versioned")
+  *     .option("checkpointLocation", ckpt).start(dir)
+  *   //   → exactly-once streaming sink: one append commit per batch
+  *   //     (optional expectation.<name> gates, see VersionedStreamSink)
   * }}}
   *
   * Snapshot reads resolve through [[graft.operators.Versioned.readAtDv]],
@@ -48,8 +52,30 @@ import org.apache.spark.sql.types.StructType
   */
 class VersionedSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
   override def shortName(): String = "graft.versioned"
+
+  // ---- streaming sink (see [[VersionedStreamSink]]) ----------------------
+
+  override def createSink(ctx: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val dir = opt(parameters, "path").getOrElse(
+      sys.error("graft.versioned requires a 'path' (or .start(dir))"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft.versioned sink: only Append output mode is supported " +
+        s"(each micro-batch is one append commit), got $outputMode")
+    require(partitionColumns.isEmpty,
+      "graft.versioned sink: partitionBy is not supported — appends land " +
+        "as flat delta commits; use hidden partitioning on the table")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val expectations = parameters.toSeq.collect {
+      case (k, v) if k.toLowerCase.startsWith("expectation.") =>
+        k.toLowerCase.stripPrefix("expectation.") -> v
+    }.sortBy(_._1)
+    new VersionedStreamSink(dir, expectations)
+  }
 
   // ---- streaming source (see [[VersionedStreamSource]]) -----------------
 

@@ -864,25 +864,38 @@ object StreamOps {
       checkpoint: String, expectations: Seq[(String, org.apache.spark.sql.Column)]):
       org.apache.spark.sql.streaming.StreamingQuery = {
     require(expectations.nonEmpty, "versionedIngestExpect: no expectations")
-    val ok = expectations.map { case (_, p) => coalesce(p, lit(false)) }
-      .reduce(_ && _)
-    val viol = concat_ws(",", expectations.map { case (n, p) =>
-      when(!coalesce(p, lit(false)), lit(n)) }: _*)
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.Versioned
-          .appendBatchIdempotent(batch.filter(ok), dir, id)
-          .foreach { v =>
-            batch.filter(!ok).withColumn("violations", viol)
-              .withColumn("commit_version", lit(v))
-              .write.mode("append")
-              .parquet(graft.operators.Versioned.quarantineDir(dir))
-          }
-        ()
+        ingestExpectBatch(batch, dir, id, expectations)
       }
       .start()
+  }
+
+  /** One gated exactly-once ingest batch — the per-batch body shared by
+    * [[versionedIngestExpect]] and the `graft.versioned` streaming SINK
+    * ([[graft.sources.VersionedStreamSink]]): valid rows append as the
+    * batch's delta commit, rejects land in the `_quarantine` sidecar
+    * tagged with the violated gate names and the commit version; a
+    * replayed batch id short-circuits BEFORE either write.
+    */
+  private[graft] def ingestExpectBatch(batch: DataFrame, dir: String,
+      id: Long,
+      expectations: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    val ok = expectations.map { case (_, p) => coalesce(p, lit(false)) }
+      .reduce(_ && _)
+    val viol = concat_ws(",", expectations.map { case (n, p) =>
+      when(!coalesce(p, lit(false)), lit(n)) }: _*)
+    graft.operators.Versioned
+      .appendBatchIdempotent(batch.filter(ok), dir, id)
+      .foreach { v =>
+        batch.filter(!ok).withColumn("violations", viol)
+          .withColumn("commit_version", lit(v))
+          .write.mode("append")
+          .parquet(graft.operators.Versioned.quarantineDir(dir))
+      }
+    ()
   }
 
   def maintainAggStream(cdc: DataFrame, groupO: String, groupN: String,

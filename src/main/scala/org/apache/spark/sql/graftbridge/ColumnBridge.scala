@@ -23,4 +23,20 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Re-bind a streaming micro-batch DataFrame (the frame a v1 `Sink`'s
+    * `addBatch` receives, wired to the in-flight IncrementalExecution) to
+    * a standalone NON-streaming plan over the same internal rows — the
+    * exact rebinding Spark's own ForeachBatchSink performs before handing
+    * the batch to user code. Without it, re-executing the frame (e.g. a
+    * parquet write) would re-plan against streaming sources and fail.
+    */
+  def stableBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic =
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ofRows(df.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        classic.queryExecution.toRdd, classic, isStreaming = false))
+  }
 }

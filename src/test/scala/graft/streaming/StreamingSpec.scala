@@ -865,6 +865,98 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("E181: graft.versioned streaming SINK — writeStream.format e2e, one " +
+      "append commit per batch, replayed batch appends once") {
+    import graft.operators.Versioned
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vsink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vsink-ck").toString
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "name")
+      .writeStream.format("graft.versioned")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    // first batch bootstraps the table (materialized initial commit)
+    assert(Versioned.latest(dir) === 0 && !Versioned.isAddVersion(dir, 0))
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    // each later batch is ONE append (delta) commit — cost ∝ batch rows
+    assert(Versioned.latest(dir) === 1 && Versioned.isAddVersion(dir, 1))
+    q.stop()
+    assert(Versioned.readAtDv(spark, dir, 1).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(1L, 2L, 3L))
+    // crash-replay through the SINK face: re-delivering an
+    // already-committed batch id appends nothing (the _batchid marker
+    // short-circuits inside addBatch)
+    new graft.sources.VersionedStreamSink(dir, Seq.empty)
+      .addBatch(1L, Seq((3L, "c")).toDF("k", "name"))
+    assert(Versioned.latest(dir) === 1)
+    // a RESTARTED stream from the same checkpoint resumes cleanly and a
+    // new batch appends as the next commit
+    val q2 = input.toDF().toDF("k", "name")
+      .writeStream.format("graft.versioned")
+      .option("checkpointLocation", ckpt)
+      .start(dir)
+    input.addData((4L, "d"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(Versioned.latest(dir) === 2 && Versioned.isAddVersion(dir, 2))
+    assert(Versioned.readAtDv(spark, dir, 2).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(1L, 2L, 3L, 4L))
+    // source ∘ sink composition: the table the sink built streams back
+    // out through the graft.versioned SOURCE
+    val rt = spark.readStream.format("graft.versioned").load(dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vsink_rt").start()
+    rt.processAllAvailable()
+    assert(spark.table("vsink_rt").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L, 4L))
+    rt.stop()
+  }
+
+  test("E181: graft.versioned sink expectation.<name> options gate rows " +
+      "into table vs quarantine") {
+    import graft.operators.Versioned
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("vsinke").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vsinke-ck").toString
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("k", "name", "bal")
+      .writeStream.format("graft.versioned")
+      .option("checkpointLocation", ckpt)
+      .option("expectation.has_name", "name IS NOT NULL")
+      .option("expectation.nonneg_bal", "bal >= 0")
+      .start(dir)
+    input.addData((1L, "a", 10L), (2L, null.asInstanceOf[String], 20L))
+    q.processAllAvailable()
+    input.addData((3L, "c", -5L), (4L, "d", 40L))
+    q.processAllAvailable()
+    q.stop()
+    // only fully-valid rows reached the table
+    assert(Versioned.readAtDv(spark, dir, Versioned.latest(dir)).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(1L, 4L))
+    // quarantine carries each reject with its gate name and batch version
+    val quar = Versioned.quarantine(spark, dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("violations"), r.getAs[Int]("commit_version")))
+      .toMap
+    assert(quar === Map(2L -> ("has_name", 0), 3L -> ("nonneg_bal", 1)))
+    // unsupported modes fail loudly at start
+    intercept[Exception] {
+      input.toDF().toDF("k", "name", "bal")
+        .groupBy("k").count()
+        .writeStream.format("graft.versioned")
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("vsinke-ck2").toString)
+        .start(java.nio.file.Files.createTempDirectory("vsinke2").toString)
+    }
+  }
+
   test("E155: startingVersion tails history; maxVersionsPerTrigger bounds " +
       "each micro-batch to one commit") {
     import graft.operators.Versioned
