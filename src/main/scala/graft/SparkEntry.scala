@@ -24,6 +24,7 @@ object SparkEntry {
     (operators.Profile.queries, operators.Profile.oracles),
     (operators.Versioned.queries, operators.Versioned.oracles),
     (operators.Subqueries.queries, operators.Subqueries.oracles),
+    (sources.CatalogDml.queries, sources.CatalogDml.oracles),
     (operators.Analytics.queries, operators.Analytics.oracles),
     (pipeline.Dedup.queries, pipeline.Dedup.oracles),
     (pipeline.Curation.queries, pipeline.Curation.oracles),

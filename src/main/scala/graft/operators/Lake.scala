@@ -352,7 +352,7 @@ object Lake {
     * custkey % 31 = 0. Derived from the customer table itself so the oracle
     * can re-derive it.
     */
-  private[operators] def customerDelta(c: DataFrame): DataFrame =
+  private[graft] def customerDelta(c: DataFrame): DataFrame =
     c.filter(col("c_custkey") % 7 === 0)
       .withColumn("c_acctbal", col("c_acctbal") + 100.0)
       .unionAll(

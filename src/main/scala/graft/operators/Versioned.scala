@@ -825,6 +825,55 @@ object Versioned {
     v
   }
 
+  // ---- staged commits (the DSv2 write path, graft.sources.GraftCatalog) --
+  //
+  // The SQL DML surface writes its parquet on the EXECUTORS through
+  // Spark's own v2 parquet writer into a hidden `.staging-*` dir under
+  // the table, then ADOPTS the finished directory as the next version by
+  // one atomic driver-side rename — the claim/seal protocol applied to
+  // files that already exist. Append adoption is claim-free (purely
+  // additive, like appendRows); snapshot adoption is claim-free (a
+  // self-contained full state, like commit); REPLACE adoption — the
+  // MERGE/UPDATE/DELETE rewrite, whose new snapshot was derived from a
+  // pinned tip — takes the mutator claim and verifies the tip has not
+  // moved since the operation's scan resolved (optimistic concurrency: a
+  // conflicting commit in between fails the DML loudly instead of
+  // silently dropping it).
+
+  private[graft] def adoptStagedSnapshot(dir: String, staging: String): Int = {
+    val v = claimNext(dir)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(dir, s"v$v"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    seal(dir, v)
+    v
+  }
+
+  private[graft] def adoptStagedAppend(dir: String, staging: String): Int = {
+    require(latest(dir) >= 0,
+      s"staged append: no committed versions in $dir — the initial " +
+        "version must be a full commit")
+    val v = claimNext(dir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, s"v$v"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+      java.nio.file.Paths.get(addPath(dir, v)),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    seal(dir, v)
+    v
+  }
+
+  private[graft] def adoptStagedReplace(dir: String, staging: String,
+      expectedTip: Int): Int = withMutateClaim(dir) {
+    val tip = latest(dir)
+    if (tip != expectedTip)
+      sys.error(s"concurrent update on $dir: this row-level operation " +
+        s"read v$expectedTip but the tip is now v$tip — another writer " +
+        "committed in between; the operation was aborted, retry it " +
+        "against the new tip")
+    adoptStagedSnapshot(dir, staging)
+  }
+
   /** RESTORE: materialize the chain-resolved snapshot as of `v` as the
     * next version — the roll-back-without-rewriting-history op (old
     * versions stay time-travelable; the restored state is simply the new
@@ -1569,7 +1618,7 @@ object Versioned {
   /** A fresh per-invocation table dir (idempotent rebuild — the query
     * carries its own build cost, the q_pq_build pattern).
     */
-  private def tableDir(sfDir: String): String = {
+  private[graft] def tableDir(sfDir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
     val d = new java.io.File(

@@ -77,14 +77,12 @@ object Unigram {
       .drop("t")
   }
 
-  /** Per-word Viterbi under `vocab` (p, lpu): maximize the integer score
-    * sum with the (score DESC, pieces ASC, seg ASC) tie-break. Arcs come
-    * from an equi-join of word substrings against the vocab; the DP is one
-    * higher-order fold over positions per word — no UDF, no driver state.
-    * Output: (w, wc, seg "a|bc|d", score_u, n_pieces).
+  /** (w, wc, arcs) — every vocab-matching substring occurrence of each
+    * word as a DP arc, collected per word (the shared arc-generation
+    * equi-join of [[viterbiSegment]] and the pruning pass's banned DP).
     */
-  def viterbiSegment(words: DataFrame, vocab: DataFrame): DataFrame = {
-    val arcs = words
+  private def arcsFor(words: DataFrame, vocab: DataFrame): DataFrame =
+    words
       .withColumn("i", explode(sequence(lit(1), length(col("w")))))
       .withColumn("l", explode(sequence(lit(1),
         least(lit(MaxPiece), col("i")))))
@@ -94,6 +92,15 @@ object Unigram {
       .groupBy("w", "wc")
       .agg(collect_list(struct(col("j"), col("i"), col("p"), col("lpu")))
         .as("arcs"))
+
+  /** Per-word Viterbi under `vocab` (p, lpu): maximize the integer score
+    * sum with the (score DESC, pieces ASC, seg ASC) tie-break. Arcs come
+    * from an equi-join of word substrings against the vocab; the DP is one
+    * higher-order fold over positions per word — no UDF, no driver state.
+    * Output: (w, wc, seg "a|bc|d", score_u, n_pieces).
+    */
+  def viterbiSegment(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val arcs = arcsFor(words, vocab)
     // DP over positions 1..len(w); acc(k+1) = best path to position k.
     // The candidate struct is built once per arc; comparisons implement
     // the total order, so the fold is order-independent over collect_list.
@@ -145,6 +152,97 @@ object Unigram {
     scored(refine(wc, scored(seedVocab(wc))))
   }
 
+  // A word unsegmentable with a piece banned keeps the DP's sentinel
+  // failure score (−10^15), so loss = wc·(s_best − sentinel) makes such a
+  // piece effectively unprunable (removing it would break coverage).
+
+  /** Likelihood-loss VOCABULARY PRUNING — the remaining SentencePiece
+    * stage on top of the hard-EM train (Kudo's recipe: score every piece
+    * by how much total corpus likelihood its removal costs, drop the
+    * cheapest, re-estimate):
+    *
+    *  1. Viterbi-segment every word under `vocab`; a multi-char piece's
+    *     LOSS is Σ over the words whose best segmentation uses it of
+    *     wc·(s_best − s_banned), where s_banned is the word's best score
+    *     with that one piece removed from the vocabulary — one extra DP
+    *     per (word, used-piece) pair, vocabulary-scale fan-out (≤ pieces
+    *     per segmentation, never corpus-scale). Pieces no winning
+    *     segmentation uses have loss 0 — pruned for free, exactly as in
+    *     SentencePiece.
+    *  2. Drop the cheapest multi-char pieces: everything with loss ≤ the
+    *     exact `dropQuantile` loss percentile (one 1-row aggregate,
+    *     attached by broadcast — no global sort, no unpartitioned
+    *     window). Single chars never drop, so every word stays
+    *     segmentable.
+    *  3. One more hard-EM round under the survivors (recount + rescore).
+    *
+    * Integer micro-nat determinism is preserved end to end: losses are
+    * exact long arithmetic; the percentile threshold is the A12
+    * cross-engine exact-interpolation contract; ties at the threshold
+    * drop together (a pure function of the data, never of partitioning).
+    */
+  def pruneVocab(words: DataFrame, vocab: DataFrame,
+      dropQuantile: Double = 0.2): DataFrame = {
+    val seg = viterbiSegment(words, vocab)
+    // (w, wc, s_best, ban) — one row per multi-char piece each word USES
+    val used = seg.select(col("w"), col("wc"), col("score_u"),
+        explode(array_distinct(split(col("seg"), "\\|"))).as("ban"))
+      .filter(length(col("ban")) > 1)
+    // banned DP: the word's best score with `ban` removed — same fold as
+    // viterbiSegment with the banned piece filtered out of the arcs; a
+    // non-ok result keeps the sentinel init score (= BanFail)
+    val dpBanned = expr(
+      """aggregate(
+        |  sequence(1, length(w)),
+        |  array(named_struct('s', cast(0 as bigint), 'ok', true)),
+        |  (acc, i) -> concat(acc, array(
+        |    aggregate(
+        |      transform(
+        |        filter(arcs, a -> a.i = i AND a.p != ban
+        |                      AND element_at(acc, a.j + 1).ok),
+        |        a -> named_struct(
+        |          's', element_at(acc, a.j + 1).s + a.lpu, 'ok', true)),
+        |      named_struct('s', cast(-1000000000000000 as bigint),
+        |                   'ok', false),
+        |      (b, c) -> CASE WHEN NOT b.ok OR c.s > b.s THEN c ELSE b END))))
+        |""".stripMargin)
+    val banScores = arcsFor(words, vocab)
+      .join(used.select("w", "ban", "score_u"), Seq("w"))
+      .withColumn("dp", dpBanned)
+      .withColumn("s_banned", expr("element_at(dp, length(w) + 1).s"))
+    val lossByPiece = banScores // carries wc from the arcs side
+      .groupBy(col("ban").as("p"))
+      .agg(sum(col("wc") * (col("score_u") - col("s_banned"))).as("loss"))
+    val multi = vocab.filter(length(col("p")) > 1)
+      .join(lossByPiece, Seq("p"), "left")
+      .withColumn("loss", coalesce(col("loss"), lit(0L)))
+    // exact dropQuantile'th percentile of losses, broadcast-attached on a
+    // derived-constant key (the key0 stats-row shape)
+    val key0 = (c: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(c), lit(1)).cast("int")
+    // rounded to 4 decimals (the A12 percentile stabilization) so a
+    // cross-engine interpolation ulp can never flip a boundary tie
+    val thr = multi.agg(
+        round(expr(s"percentile(loss, $dropQuantile)"), 4).as("thr"))
+      .withColumn("__k0", key0(col("thr")))
+    // character coverage, the SentencePiece guarantee: ALL single chars
+    // stay in the vocabulary (counts = their corpus occurrence totals,
+    // recomputed from the words — the refined vocab may have dropped
+    // unused singles, and a SET of multi-piece drops can strand a word
+    // even when each individual drop is survivable; the per-piece loss
+    // bound only covers one removal at a time)
+    val singles = words
+      .withColumn("i", explode(sequence(lit(1), length(col("w")))))
+      .select(col("w").substr(col("i"), lit(1)).as("p"), col("wc"))
+      .groupBy("p").agg(sum("wc").as("cnt"))
+    val survivors = multi.withColumn("__k0", key0(col("loss")))
+      .join(broadcast(thr), Seq("__k0"))
+      .filter(col("loss").cast("double") > col("thr"))
+      .select("p", "cnt")
+      .unionByName(singles)
+    scored(refine(words, scored(survivors)))
+  }
+
   val queries: Map[String, Q] = Map(
     // L4/BPE-sibling: the refined unigram vocabulary — seed counts, EM
     // recount, and micro-nat scores all hash-pinned (the oracle replays
@@ -159,6 +257,18 @@ object Unigram {
     "q_unigram_segment" -> ((s, dir) => {
       val wc = wordCounts(T.documents(s, dir))
       viterbiSegment(wc, trainVocab(T.documents(s, dir)))
+    }),
+
+    // The SentencePiece pruning stage (SURVEY E185): likelihood-loss
+    // vocabulary pruning + one more hard-EM round on top of the refined
+    // vocab — per-piece losses (a banned Viterbi per used (word, piece)
+    // pair), the exact-percentile drop threshold, the survivor set, and
+    // the re-estimated scores ALL hash-pinned against a DuckDB replay
+    // that re-enumerates every (word, banned-piece) segmentation by
+    // recursive CTE.
+    "q_unigram_prune" -> ((s, dir) => {
+      val wc = wordCounts(T.documents(s, dir))
+      pruneVocab(wc, trainVocab(T.documents(s, dir)))
     })
   )
 
@@ -201,10 +311,92 @@ object Unigram {
       |         CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000, 0) AS BIGINT) AS lpu
       |       FROM ref, tot2)""".stripMargin
 
+  /** The segment-under-v2 recursion shared by the segment and prune
+    * oracles (`r2` enumerates every segmentation under the refined
+    * vocabulary; `best2` is the tie-broken argmax).
+    */
+  private val oracleR2 =
+    """r2 AS (
+      |  SELECT w, wc, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s,
+      |    0 AS np, '' AS seg FROM wrd
+      |  UNION ALL
+      |  SELECT r2.w, r2.wc, r2.pos + len(v.p), r2.s + v.lpu, r2.np + 1,
+      |    CASE WHEN r2.seg = '' THEN v.p ELSE r2.seg || '|' || v.p END
+      |  FROM r2 JOIN v2 v ON r2.pos < len(r2.w)
+      |    AND v.p = substr(r2.w, CAST(r2.pos + 1 AS INTEGER), len(v.p))
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_unigram_vocab" ->
       s"""$oracleCommon
          |SELECT p, cnt, lpu FROM v2 ORDER BY ALL NULLS FIRST""".stripMargin,
+
+    "q_unigram_prune" ->
+      s"""$oracleCommon,
+         |$oracleR2,
+         |best2 AS (
+         |  SELECT w, wc, s, seg FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY w
+         |      ORDER BY s DESC, np ASC, seg ASC) AS rn
+         |    FROM r2 WHERE pos = len(w)) WHERE rn = 1),
+         |usedm AS (
+         |  SELECT w, wc, s AS s_best, ban FROM (
+         |    SELECT w, wc, s,
+         |      unnest(list_distinct(string_split(seg, '|'))) AS ban
+         |    FROM best2) WHERE len(ban) > 1),
+         |r3 AS (
+         |  SELECT w, ban, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s
+         |  FROM usedm
+         |  UNION ALL
+         |  SELECT r3.w, r3.ban, r3.pos + len(v.p), r3.s + v.lpu
+         |  FROM r3 JOIN v2 v ON r3.pos < len(r3.w) AND v.p <> r3.ban
+         |    AND v.p = substr(r3.w, CAST(r3.pos + 1 AS INTEGER), len(v.p))
+         |),
+         |sm AS (SELECT w, ban, max(s) AS s_banned
+         |       FROM r3 WHERE pos = len(w) GROUP BY 1, 2),
+         |lossp AS (
+         |  SELECT u.ban AS p,
+         |    CAST(SUM(u.wc * (u.s_best -
+         |      coalesce(sm.s_banned, -1000000000000000))) AS BIGINT) AS loss
+         |  FROM usedm u LEFT JOIN sm ON u.w = sm.w AND u.ban = sm.ban
+         |  GROUP BY 1),
+         |multi AS (
+         |  SELECT v.p, v.cnt, coalesce(l.loss, 0) AS loss
+         |  FROM v2 v LEFT JOIN lossp l ON v.p = l.p WHERE len(v.p) > 1),
+         |thr AS (SELECT round(quantile_cont(CAST(loss AS DOUBLE), 0.2), 4)
+         |        AS thr FROM multi),
+         |surv AS (
+         |  SELECT p, cnt FROM multi, thr WHERE CAST(loss AS DOUBLE) > thr
+         |  UNION ALL
+         |  SELECT substr(w, i, 1) AS p, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM pos1 GROUP BY 1),
+         |tot3 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM surv),
+         |v3 AS (SELECT p, cnt,
+         |         CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000, 0)
+         |           AS BIGINT) AS lpu
+         |       FROM surv, tot3),
+         |r4 AS (
+         |  SELECT w, wc, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS s,
+         |    0 AS np, '' AS seg FROM wrd
+         |  UNION ALL
+         |  SELECT r4.w, r4.wc, r4.pos + len(v.p), r4.s + v.lpu, r4.np + 1,
+         |    CASE WHEN r4.seg = '' THEN v.p ELSE r4.seg || '|' || v.p END
+         |  FROM r4 JOIN v3 v ON r4.pos < len(r4.w)
+         |    AND v.p = substr(r4.w, CAST(r4.pos + 1 AS INTEGER), len(v.p))
+         |),
+         |best4 AS (
+         |  SELECT w, wc, seg FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY w
+         |      ORDER BY s DESC, np ASC, seg ASC) AS rn
+         |    FROM r4 WHERE pos = len(w)) WHERE rn = 1),
+         |ref4 AS (SELECT p, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(string_split(seg, '|')) AS p, wc FROM best4)
+         |  GROUP BY 1),
+         |tot4 AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM ref4)
+         |SELECT p, cnt,
+         |  CAST(round(ln(CAST(cnt AS DOUBLE) / t) * 1000000, 0) AS BIGINT)
+         |    AS lpu
+         |FROM ref4, tot4 ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_unigram_segment" ->
       s"""$oracleCommon,
          |r2 AS (

@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.Q
+import graft.operators.{Lake, Versioned}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Declared queries for the DSv2 catalog DML surface (SURVEY.md §2 E182)
+  * — each one drives a REAL SQL statement against a [[GraftCatalog]]
+  * table planted from the sf tables, then reads the table back, so the
+  * DuckDB oracle hash-checks the STATEMENT's semantics end to end:
+  *
+  *  - `q_merge_sql`: `MERGE INTO` with multi-clause matched / not-matched
+  *    / not-matched-by-source conditions — the SQL spelling of
+  *    `q_merge_multi`, oracle BYTE-IDENTICAL to it, so the catalog's
+  *    copy-on-write rewrite is hash-proved equal to the programmatic
+  *    [[Lake.mergeConditional]] every round;
+  *  - `q_delete_sql`: `DELETE FROM ... WHERE` on a keyed table — served
+  *    by the metadata-only deletion-vector path (cost ∝ deleted keys,
+  *    never a table rewrite; the DV-kind commit is unit-asserted in
+  *    GraftCatalogSpec), oracle = the plain filtered read.
+  */
+object CatalogDml {
+
+  /** Register (idempotently) a GraftCatalog named uniquely for `root`,
+    * returning the catalog name. Catalog instances are cached per name
+    * after first use, so the name must be a pure function of the root.
+    */
+  private def catalogFor(s: SparkSession, root: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes("UTF-8")).map("%02x".format(_))
+      .mkString.take(10)
+    val name = s"graft_sql_$h"
+    s.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  /** Plant `<root>/ns/customer` as a keyed versioned table holding the
+    * sf customer snapshot (v0).
+    */
+  private def plantCustomer(s: SparkSession, dir: String,
+      tag: String): (String, String) = {
+    val root = Versioned.tableDir(dir + tag)
+    val cat = catalogFor(s, root)
+    val tdir = s"$root/ns/customer"
+    new java.io.File(tdir).mkdirs()
+    Versioned.commit(graft.Tables.customer(s, dir), tdir)
+    GraftCatalog.writeProps(tdir, Map("key" -> "c_custkey"))
+    (cat, tdir)
+  }
+
+  private def centsRead(s: SparkSession, cat: String) =
+    s.table(s"$cat.ns.customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+        col("c_mktsegment"))
+
+  val queries: Map[String, Q] = Map(
+    // E182: the SQL MERGE spelling of q_merge_multi — clause-for-clause
+    // identical semantics (ordered conditional matched/not-matched/
+    // not-matched-by-source actions), landed through the catalog's
+    // group-based copy-on-write rewrite instead of the programmatic
+    // algebra. Oracle byte-identical to q_merge_multi's.
+    "q_merge_sql" -> ((s, dir) => {
+      val (cat, _) = plantCustomer(s, dir, "#sqlmerge")
+      Lake.customerDelta(graft.Tables.customer(s, dir))
+        .createOrReplaceTempView("merge_sql_delta")
+      s.sql(s"""MERGE INTO $cat.ns.customer t USING merge_sql_delta u
+        |ON t.c_custkey = u.c_custkey
+        |WHEN MATCHED AND u.c_acctbal < 1000.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET
+        |  c_acctbal = u.c_acctbal + 50.0, c_mktsegment = 'VIP'
+        |WHEN NOT MATCHED AND u.c_custkey % 2 = 0 THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 11 = 0 THEN
+        |  UPDATE SET c_mktsegment = 'STALE'
+        |WHEN NOT MATCHED BY SOURCE AND t.c_custkey % 17 = 0 THEN DELETE
+        |""".stripMargin)
+      centsRead(s, cat)
+    }),
+
+    // E182: SQL DELETE on a keyed table — the statement plans Spark's
+    // metadata-only delete (OptimizeMetadataOnlyDeleteFromTable →
+    // SupportsDeleteV2), which lands a deletion-vector commit: cost ∝
+    // deleted keys at any table size. Oracle = the surviving rows.
+    "q_delete_sql" -> ((s, dir) => {
+      val (cat, tdir) = plantCustomer(s, dir, "#sqldel")
+      s.sql(s"DELETE FROM $cat.ns.customer " +
+        "WHERE c_nationkey = 7 OR c_custkey > 140")
+      // the scale contract, enforced: a LOSSLESSLY-translatable delete
+      // must have committed a DV version, not a rewritten snapshot
+      require(Versioned.isDvVersion(tdir, Versioned.latest(tdir)),
+        "q_delete_sql: expected the metadata-only DV path")
+      centsRead(s, cat)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_merge_sql" -> Lake.oracles("q_merge_multi"),
+    "q_delete_sql" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_nationkey = 7 OR c_custkey > 140)
+        |ORDER BY ALL NULLS FIRST""".stripMargin)
+}

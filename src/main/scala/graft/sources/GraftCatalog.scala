@@ -1,0 +1,556 @@
+package graft.sources
+
+import java.util
+
+import graft.operators.{Lake, Versioned}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftbridge.DmlBridge
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The PERSISTENT CATALOG face of the versioned store — the DSv2
+  * `TableCatalog` that makes a [[graft.operators.Versioned]] table a
+  * first-class SQL object: it survives the session (tables are
+  * directories under the catalog root, resolved by name on every query),
+  * and — the part the v1 source cannot reach — it accepts the row-level
+  * DML statements (reference parity note: the reference surfaces its
+  * tables through the Hive catalog, `AvroFromXmlSerde.scala:13`, where
+  * `INSERT` semantics come from Hive; here the full DML family lands on
+  * the versioned claim/seal protocol):
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *               spark.sql.catalog.graft.root = /data/tables
+  *   CREATE TABLE graft.ns.t (k BIGINT, name STRING) TBLPROPERTIES (key 'k')
+  *   INSERT INTO graft.ns.t ...            -- append (delta) commit
+  *   INSERT OVERWRITE TABLE graft.ns.t ... -- next full snapshot
+  *   SELECT ... FROM graft.ns.t            -- chain-resolved tip read
+  *   DELETE FROM graft.ns.t WHERE ...      -- DV commit when translatable
+  *   UPDATE graft.ns.t SET ... WHERE ...   -- copy-on-write rewrite
+  *   MERGE INTO graft.ns.t USING s ON ...  -- copy-on-write rewrite
+  * }}}
+  *
+  * Execution shapes, each the scale-correct one for its statement:
+  *
+  *  - READS plan the same chain-resolved DataFrame the programmatic API
+  *    builds ([[Versioned.readAtDv]]), exposed through a [[V1Scan]] so
+  *    column pruning and translatable filters reach the inner parquet
+  *    scans — one code path for the v1 source, the DDL view, and the
+  *    catalog table.
+  *  - WRITES (INSERT/UPDATE/MERGE rewrites) run Spark's own v2 parquet
+  *    writer on the executors into a hidden `.staging-*` dir, then adopt
+  *    the finished directory as the next version with one atomic rename
+  *    ([[Versioned.adoptStagedAppend]]/`adoptStagedSnapshot`) — commit
+  *    cost ∝ rows written, and the data never moves twice.
+  *  - DELETE with translatable predicates on a table declaring a `key`
+  *    property becomes a deletion-vector commit
+  *    ([[Versioned.deleteWhereDv]] — cost ∝ deleted keys, the
+  *    metadata-only path Spark's `OptimizeMetadataOnlyDeleteFromTable`
+  *    selects); otherwise it falls through to the row-level rewrite.
+  *  - UPDATE/MERGE are GROUP-BASED copy-on-write over the whole table
+  *    (the one group this store exposes): the rewritten snapshot was
+  *    derived from the tip pinned at scan time, so adoption runs under
+  *    the mutator claim and fails loudly if another writer committed in
+  *    between ([[Versioned.adoptStagedReplace]] — optimistic concurrency,
+  *    never a lost update).
+  *
+  * The `key` TBLPROPERTY declares the table's unique row key (the
+  * Iceberg equality-delete identifier posture); DV deletes remove BY KEY
+  * EQUALITY, so a non-unique key would delete every row sharing a
+  * matched row's key — the property is the user's assertion of
+  * uniqueness, and tables without it simply never take the DV shortcut.
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(sys.error(
+      s"graft catalog '$name' requires spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def checkPart(part: String): String = {
+    require(part.nonEmpty && !part.contains("/") && !part.contains("\\") &&
+        part != ".." && !part.startsWith("."),
+      s"graft catalog: illegal table/namespace name part '$part'")
+    part
+  }
+
+  private def dirOf(ident: Identifier): String =
+    ((root +: ident.namespace.toSeq) :+ ident.name)
+      .map(p => if (p == root) p else checkPart(p)).mkString("/")
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = new java.io.File((root +: namespace.map(checkPart)).mkString("/"))
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && Versioned.latest(f.getPath) >= 0)
+      .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name())
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident)
+    if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
+    new GraftTable(spark, dir, ident.toString, GraftCatalog.readProps(dir))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "graft catalog: PARTITIONED BY is not " +
+      "supported on CREATE TABLE — use hidden partitioning " +
+      "(Versioned.commitHiddenPartitioned) on the programmatic surface")
+    val dir = dirOf(ident)
+    if (Versioned.latest(dir) >= 0)
+      throw new TableAlreadyExistsException(ident)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // v0 = an empty snapshot CARRYING the schema (parquet footers keep
+    // the full schema even with zero rows), so the table is immediately
+    // readable and insert-schema-checked
+    Versioned.commit(
+      spark.createDataFrame(new util.ArrayList[Row](), schema), dir)
+    import scala.jdk.CollectionConverters._
+    GraftCatalog.writeProps(dir, properties.asScala.toMap)
+    new GraftTable(spark, dir, ident.toString, GraftCatalog.readProps(dir))
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    sys.error("graft catalog: ALTER TABLE is not supported — use the " +
+      "programmatic schema-evolution surface (appendRows widening / " +
+      "renameColumn)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = new java.io.File(dirOf(ident))
+    if (Versioned.latest(d.getPath) < 0) false
+    else {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = dirOf(oldIdent)
+    if (Versioned.latest(from) < 0) throw new NoSuchTableException(oldIdent)
+    val to = dirOf(newIdent)
+    if (Versioned.latest(to) >= 0)
+      throw new TableAlreadyExistsException(newIdent)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(to).getParent)
+    java.nio.file.Files.move(java.nio.file.Paths.get(from),
+      java.nio.file.Paths.get(to),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+}
+
+private[sources] object GraftCatalog {
+  /** Table properties ride in a `_props` sidecar (k=v lines) so they
+    * survive the session with the table.
+    */
+  def writeProps(dir: String, props: Map[String, String]): Unit = {
+    val meaningful = props.view
+      .filterKeys(k => !k.startsWith("option.") && k != "owner").toMap
+    if (meaningful.nonEmpty) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "_props"),
+        meaningful.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+  }
+
+  def readProps(dir: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(dir, "_props")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(p).asScala.toSeq
+        .filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+    }
+  }
+}
+
+/** One catalog-resolved versioned table, pinned to the tip version that
+  * was current at load — every statement (SELECT, MERGE scan, DELETE
+  * resolution) sees that one consistent snapshot, and the row-level
+  * write verifies the tip is STILL that version at adoption.
+  */
+private[sources] class GraftTable(spark: SparkSession, dir: String,
+    tableName: String, props: Map[String, String]) extends Table
+    with SupportsRead with SupportsWrite with SupportsRowLevelOperations
+    with SupportsDeleteV2 with SupportsMetadataColumns {
+
+  private val tip = Versioned.latest(dir)
+
+  /** `_version`: the committed version a row was read from (the pinned
+    * tip — constant per scan, the Delta `_commit_version` posture).
+    * Doubling as the row-level operations' required metadata attribute
+    * keeps ReplaceData on the metadata-projecting write task, so the
+    * writer receives exactly table-schema rows (Spark only applies its
+    * row projection when a metadata projection is present; the default
+    * `DataWriter.write(meta, row)` then drops the metadata row).
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_version"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.IntegerType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "committed table version this row was read from"
+    })
+
+  override def name(): String = tableName
+  override lazy val schema: StructType =
+    Versioned.readAtDv(spark, dir, tip).schema
+
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    props.asJava
+  }
+
+  override def capabilities(): util.Set[TableCapability] = {
+    import scala.jdk.CollectionConverters._
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+  }
+
+  // ---- read --------------------------------------------------------------
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, dir, tip, schema)
+
+  // ---- plain writes (INSERT INTO / INSERT OVERWRITE) ----------------------
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(spark, dir, info, replaceTip = None)
+
+  // ---- DELETE: metadata-only DV path when a unique key is declared --------
+
+  /** LOSSLESS v2-expression → Column translation. Deliberately NOT
+    * `PredicateUtils.toV1`, which is a PUSHDOWN translation and silently
+    * drops untranslatable branches (an OR with one opaque side comes
+    * back as just the other side) — lossy is fine above a re-filtering
+    * scan and catastrophic for a DELETE, which would remove the wrong
+    * rows. Here every node must translate or the whole predicate is
+    * None and the statement falls back to the row-level COW rewrite.
+    */
+  private def v2ToColumn(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.Column] = e match {
+    case p: V2Predicate => predicateToColumn(p)
+    case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+      Some(col(f.fieldNames.mkString(".")))
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      Some(lit(DmlBridge.literalToScala(l)))
+    case _ => None // GeneralScalarExpression etc. — not lossless
+  }
+
+  private def predicateToColumn(
+      p: V2Predicate): Option[org.apache.spark.sql.Column] = {
+    val kids = p.children()
+    def k(i: Int) = v2ToColumn(kids(i))
+    def bin(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column) =
+      for { a <- k(0); b <- k(1) } yield f(a, b)
+    p.name() match {
+      case "ALWAYS_TRUE" => Some(lit(true))
+      case "ALWAYS_FALSE" => Some(lit(false))
+      case "=" => bin(_ === _)
+      case "<=>" => bin(_ <=> _)
+      case "<>" => bin(_ =!= _)
+      case "<" => bin(_ < _)
+      case "<=" => bin(_ <= _)
+      case ">" => bin(_ > _)
+      case ">=" => bin(_ >= _)
+      case "AND" => bin(_ && _)
+      case "OR" => bin(_ || _)
+      case "NOT" => k(0).map(!_)
+      case "IS_NULL" => k(0).map(_.isNull)
+      case "IS_NOT_NULL" => k(0).map(_.isNotNull)
+      case "STARTS_WITH" => bin(_ startsWith _)
+      case "ENDS_WITH" => bin(_ endsWith _)
+      case "CONTAINS" => bin(_ contains _)
+      case "IN" =>
+        val vs = kids.toIndexedSeq.drop(1).map(v2ToColumn)
+        if (vs.exists(_.isEmpty)) None
+        else k(0).map(_.isin(vs.flatten: _*))
+      case _ => None
+    }
+  }
+
+  private def predicatesToColumn(ps: Array[V2Predicate]): Option[
+      org.apache.spark.sql.Column] = {
+    val cols = ps.map(predicateToColumn)
+    if (cols.exists(_.isEmpty)) None
+    else Some(cols.flatten.foldLeft(lit(true))(_ && _))
+  }
+
+  override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
+    props.contains("key") && predicatesToColumn(predicates).isDefined
+
+  override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    val cond = predicatesToColumn(predicates).getOrElse(sys.error(
+      s"graft catalog: untranslatable DELETE predicates on $tableName"))
+    Versioned.deleteWhereDv(spark, dir, cond, props("key"))
+    ()
+  }
+
+  // ---- UPDATE / MERGE / untranslatable DELETE: group-based COW rewrite ----
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(spark, dir, tip, schema, info.command)
+}
+
+/** Group-based copy-on-write over the table's ONE group: the operation
+  * scans the pinned tip snapshot in full, Spark computes the replacement
+  * rows (ReplaceData), and the write adopts them as the next
+  * materialized snapshot under the mutator claim with a tip-unmoved
+  * check. Cost = a table rewrite — exactly the Delta/Iceberg COW posture
+  * without file-level groups; translatable DELETEs never get here (the
+  * metadata-only DV path serves them).
+  */
+private[sources] class GraftRowLevelOperation(spark: SparkSession,
+    dir: String, tip: Int, schema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Temp dirs the operation's scan materialized (see
+    * [[GraftV1Scan.toBatch]]) — deleted by the write's commit/abort, the
+    * operation's terminal points.
+    */
+  private[sources] val tempScanDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  /** `_version` (see [[GraftTable.metadataColumns]]): requiring it keeps
+    * the ReplaceData write on Spark's metadata-projecting task, which is
+    * what projects the data row down to the table schema before it
+    * reaches the parquet writer.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("_version"))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, dir, tip, schema, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(spark, dir, info, replaceTip = Some(tip),
+      owner = Some(this))
+}
+
+/** Pushdown-aware scan: translatable filters and the pruned column set
+  * are baked into the chain-resolved delegate DataFrame BEFORE execution
+  * (so they reach the inner parquet scans), and the plan is handed to
+  * Spark through the [[V1Scan]] fallback — one physical read path shared
+  * with the v1 source.
+  */
+private[sources] class GraftScanBuilder(spark: SparkSession, dir: String,
+    tip: Int, full: StructType,
+    owner: Option[GraftRowLevelOperation] = None) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // ROW-LEVEL scans (owner defined) must return the WHOLE group — the
+    // copy-on-write rewrite carries unmatched rows over by writing back
+    // everything it read, and this table's one group is the table, so a
+    // condition pushed here is a GROUP filter only and must never drop
+    // rows (a row-filtered scan would silently delete the carry-over).
+    // Plain reads bake translatable filters into the delegate plan.
+    if (owner.isEmpty)
+      pushed = filters.filter(f =>
+        VersionedSource.filterToColumn(f).isDefined)
+    filters // Spark re-applies everything above the scan (best-effort push)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftV1Scan(spark, dir, tip, required,
+    pushed, owner)
+}
+
+private[sources] class GraftV1Scan(spark: SparkSession, dir: String,
+    tip: Int, required: StructType, pushed: Array[Filter],
+    owner: Option[GraftRowLevelOperation]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  /** The chain-resolved pinned-tip snapshot with the pushed filters and
+    * the pruned column set baked in (so they reach the inner parquet
+    * scans of the delegate plan).
+    */
+  private def delegate(s: SparkSession): DataFrame = {
+    val snap = Versioned.readAtDv(s, dir, tip)
+    val filtered = pushed.flatMap(VersionedSource.filterToColumn)
+      .foldLeft(snap)((df, c) => df.filter(c))
+    // `_version` is the table's metadata column: constant = the pinned
+    // tip (every row of this scan was read from it)
+    filtered.select(required.fieldNames.toIndexedSeq.map {
+      case "_version" if !snap.columns.contains("_version") =>
+        org.apache.spark.sql.functions.lit(tip).as("_version")
+      case f => col(f)
+    }: _*)
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] =
+        delegate(context.sparkSession).queryExecution.toRdd
+          .asInstanceOf[RDD[Row]]
+    }.asInstanceOf[T]
+
+  /** ROW-LEVEL reads only (SELECTs always plan through the V1 wrapper —
+    * Spark's row-level scan planning rule does not apply it): a real v2
+    * Batch is required, and the chain-resolved delegate is an arbitrary
+    * DataFrame plan, not a file set — so the pinned snapshot (already
+    * filtered + pruned) is MATERIALIZED once to a hidden `.rowlevel-scan`
+    * dir and served by Spark's own v2 parquet Batch over exactly the
+    * `required` layout. Cost: one extra snapshot write per
+    * UPDATE/MERGE/untranslatable-DELETE — bounded by the copy-on-write
+    * rewrite those statements already pay; translatable DELETEs never get
+    * here (the DV path serves them). The owning operation records the
+    * temp dir; the write's commit/abort deletes it.
+    */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    val tmp = s"$dir/.rowlevel-scan-${java.util.UUID.randomUUID()}"
+    delegate(spark).write.mode("overwrite").parquet(tmp)
+    owner.foreach(_.tempScanDirs.add(tmp))
+    DmlBridge.parquetBatch(spark, tmp, required)
+  }
+
+  override def description(): String =
+    s"GraftVersioned[$dir@v$tip, cols=${required.fieldNames.length}, " +
+      s"pushed=${pushed.length}]"
+}
+
+/** Staged v2 write: rows land as parquet in a hidden `.staging-*` dir via
+  * Spark's own executor-side parquet writer, and `commit()` adopts the
+  * finished directory as the next version with one atomic rename —
+  * append (delta) commit for INSERT INTO, full snapshot for
+  * INSERT OVERWRITE (truncate), claim-checked snapshot for the
+  * row-level REPLACE.
+  */
+private[sources] class GraftWriteBuilder(spark: SparkSession, dir: String,
+    info: LogicalWriteInfo, replaceTip: Option[Int],
+    owner: Option[GraftRowLevelOperation] = None) extends WriteBuilder
+    with SupportsTruncate {
+
+  private var truncateMode = false
+
+  override def truncate(): WriteBuilder = { truncateMode = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val staging = s"$dir/.staging-${java.util.UUID.randomUUID()}"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(staging))
+      val delegate = DmlBridge.parquetBatchWrite(spark, staging, info)
+      new GraftBatchWrite(spark, dir, staging, info.schema, delegate,
+        truncateMode, replaceTip, owner)
+    }
+    override def description(): String =
+      s"GraftVersionedWrite[$dir, truncate=$truncateMode, " +
+        s"replaceTip=$replaceTip]"
+  }
+}
+
+private[sources] class GraftBatchWrite(spark: SparkSession, dir: String,
+    staging: String, schema: StructType, delegate: BatchWrite,
+    truncateMode: Boolean, replaceTip: Option[Int],
+    owner: Option[GraftRowLevelOperation]) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    delegate.createBatchWriterFactory(info)
+
+  override def useCommitCoordinator(): Boolean =
+    delegate.useCommitCoordinator()
+
+  override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+    delegate.onDataWriterCommit(message)
+
+  private def stagedParquet(): Boolean =
+    Option(new java.io.File(staging).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(_.getName.endsWith(".parquet"))
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+    f.delete(); ()
+  }
+
+  private def cleanup(): Unit = rm(new java.io.File(staging))
+
+  /** Delete the owning operation's materialized scan dirs — the scan has
+    * fully executed by the time the write commits or aborts.
+    */
+  private def dropScanDirs(): Unit = owner.foreach { op =>
+    var d = op.tempScanDirs.poll()
+    while (d != null) { rm(new java.io.File(d)); d = op.tempScanDirs.poll() }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    delegate.commit(messages) // file commit protocol → final files staged
+    replaceTip match {
+      case Some(expected) =>
+        // ReplaceData result = the complete new table. An all-rows DELETE
+        // can stage zero files — materialize the empty (schema-bearing)
+        // snapshot so the table stays readable.
+        if (!stagedParquet())
+          spark.createDataFrame(new util.ArrayList[Row](), schema)
+            .write.mode("overwrite").parquet(staging)
+        try { Versioned.adoptStagedReplace(dir, staging, expected); () }
+        finally dropScanDirs()
+      case None if truncateMode =>
+        if (!stagedParquet())
+          spark.createDataFrame(new util.ArrayList[Row](), schema)
+            .write.mode("overwrite").parquet(staging)
+        Versioned.adoptStagedSnapshot(dir, staging)
+        ()
+      case None =>
+        // an INSERT of zero rows appends nothing — no empty commit
+        if (stagedParquet()) { Versioned.adoptStagedAppend(dir, staging); () }
+        else cleanup()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    try delegate.abort(messages)
+    finally { cleanup(); dropScanDirs() }
+  }
+}

@@ -164,6 +164,33 @@ class VersionedSource extends RelationProvider
 }
 
 private[sources] object VersionedSource {
+  /** Best-effort v1-Filter → Column translation for pushdown into a
+    * delegate plan. None = not translatable; the filter is skipped and
+    * still applied by Spark above the scan (the default
+    * `unhandledFilters` contract, so pushdown is an optimization, never
+    * a correctness dependency). Shared by the v1 relation and the DSv2
+    * catalog table ([[GraftCatalog]]).
+    */
+  def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case _ => None
+  }
   /** Append = DV-resolved latest ∪ new rows, committed as the next
     * version (`unionByName` fails loudly on a schema mismatch). A
     * tip-deriving read-modify-write, so it serializes under the mutator
@@ -227,28 +254,8 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
   // rows handed back are the delegate plan's InternalRows (see class doc)
   override def needConversion: Boolean = false
 
-  /** Best-effort v1-Filter → Column translation for pushdown into the
-    * delegate plan. None = not translatable; the filter is skipped here
-    * and still applied by Spark above the scan.
-    */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-    case LessThan(a, v) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
-    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
-    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
-  }
+  private def toColumn(f: Filter): Option[Column] =
+    VersionedSource.filterToColumn(f)
 
   /** `INSERT INTO <view>` over the DDL surface: plain INSERT appends
     * (DV-resolved latest ∪ new rows → next version — existing rows

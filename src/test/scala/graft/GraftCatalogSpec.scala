@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E182: the DSv2 catalog surface — persistent tables, INSERT / INSERT
+  * OVERWRITE, DELETE (metadata-only DV path vs COW rewrite), UPDATE,
+  * MERGE INTO, time travel on the history the DML built, and the
+  * optimistic-concurrency conflict check on row-level rewrites.
+  */
+class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("graft-cat").toString
+
+  private lazy val spark = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // catalogs instantiate lazily on first reference, so runtime conf
+    // works even on a shared session
+    s.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.root", root)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def dirOf(t: String) = s"$root/ns/$t"
+
+  private def rows(t: String): Seq[(Long, String, Long)] =
+    spark.sql(s"SELECT k, name, bal FROM graft_cat.ns.$t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+
+  test("E182: CREATE TABLE + INSERT INTO lands an append commit; SELECT reads the tip") {
+    spark.sql("CREATE TABLE graft_cat.ns.t1 (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    // v0 = empty schema-bearing snapshot
+    assert(operators.Versioned.latest(dirOf("t1")) === 0)
+    assert(spark.sql("SELECT * FROM graft_cat.ns.t1").count() === 0)
+    spark.sql("INSERT INTO graft_cat.ns.t1 VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    // INSERT INTO = one append (delta) commit, cost ∝ inserted rows
+    assert(operators.Versioned.latest(dirOf("t1")) === 1)
+    assert(operators.Versioned.isAddVersion(dirOf("t1"), 1))
+    assert(rows("t1") === Seq((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "c", 30L)))
+    // second INSERT stacks another delta
+    spark.sql("INSERT INTO graft_cat.ns.t1 VALUES (4, 'd', 40)")
+    assert(operators.Versioned.isAddVersion(dirOf("t1"), 2))
+    assert(rows("t1").map(_._1) === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("E182: DELETE WHERE with a declared key takes the metadata-only DV path") {
+    spark.sql("CREATE TABLE graft_cat.ns.t2 (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.t2 VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    spark.sql("DELETE FROM graft_cat.ns.t2 WHERE k = 2")
+    val d = dirOf("t2")
+    // the delete committed a DELETION VECTOR, not a rewritten snapshot
+    assert(operators.Versioned.isDvVersion(d, operators.Versioned.latest(d)),
+      "translatable DELETE on a keyed table must take the DV path")
+    assert(rows("t2").map(_._1) === Seq(1L, 3L))
+    // time travel still serves the pre-delete snapshot
+    assert(spark.read.format("graft.versioned").option("versionAsOf", 1)
+      .load(d).count() === 3)
+  }
+
+  test("E182: UPDATE and MERGE INTO rewrite copy-on-write; results exact") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft_cat.ns.t3 (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.t3 VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    spark.sql("UPDATE graft_cat.ns.t3 SET bal = bal + 100 WHERE k <= 2")
+    assert(rows("t3") === Seq((1L, "a", 110L), (2L, "b", 120L),
+      (3L, "c", 30L)))
+    val d = dirOf("t3")
+    // COW: the update's version is a full materialized snapshot
+    val vUpd = operators.Versioned.latest(d)
+    assert(!operators.Versioned.isDvVersion(d, vUpd) &&
+      !operators.Versioned.isAddVersion(d, vUpd))
+    Seq((3L, "c2", 99L), (4L, "d", 40L)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("t3_src")
+    spark.sql("MERGE INTO graft_cat.ns.t3 t USING t3_src s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(rows("t3") === Seq((1L, "a", 110L), (2L, "b", 120L),
+      (3L, "c2", 99L), (4L, "d", 40L)))
+    // MERGE with a DELETE clause
+    spark.sql("MERGE INTO graft_cat.ns.t3 t USING t3_src s ON t.k = s.k " +
+      "WHEN MATCHED AND s.k = 3 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET t.bal = s.bal")
+    assert(rows("t3") === Seq((1L, "a", 110L), (2L, "b", 120L),
+      (4L, "d", 40L)))
+    // the whole DML history stays time-travelable
+    assert(spark.read.format("graft.versioned").option("versionAsOf", 1)
+      .load(d).count() === 3)
+  }
+
+  test("E182: INSERT OVERWRITE replaces the snapshot, history intact; " +
+      "catalog list/drop/rename; column pruning + filter pushdown reach parquet") {
+    spark.sql("CREATE TABLE graft_cat.ns.t4 (k BIGINT, name STRING, " +
+      "bal BIGINT)")
+    spark.sql("INSERT INTO graft_cat.ns.t4 VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.t4 VALUES (9, 'z', 90)")
+    assert(rows("t4") === Seq((9L, "z", 90L)))
+    assert(spark.read.format("graft.versioned").option("versionAsOf", 1)
+      .load(dirOf("t4")).count() === 2)
+    // a table WITHOUT a key property still deletes (COW rewrite)
+    spark.sql("DELETE FROM graft_cat.ns.t4 WHERE k = 9")
+    assert(rows("t4") === Seq.empty)
+    // SHOW TABLES sees the directory-backed tables
+    val listed = spark.sql("SHOW TABLES IN graft_cat.ns")
+      .collect().map(_.getString(1)).toSet
+    assert(Set("t1", "t2", "t3", "t4").subsetOf(listed))
+    // pushdown: translated filter + pruned columns reach the inner scan
+    val planned = spark.sql(
+      "SELECT name FROM graft_cat.ns.t3 WHERE bal >= 100")
+    val scans = planned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    assert(scans.exists(l => l.contains("PushedFilters") &&
+      l.contains("bal")), s"expected bal pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(l => l.contains("ReadSchema") &&
+      !l.contains("ReadSchema: struct<k")),
+      s"expected k pruned from the scan:\n${scans.mkString("\n")}")
+    // rename + drop
+    spark.sql("ALTER TABLE graft_cat.ns.t4 RENAME TO ns.t4b")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.t4b")
+      .collect()(0).getLong(0) === 0)
+    spark.sql("DROP TABLE graft_cat.ns.t4b")
+    intercept[Exception] { spark.sql("SELECT * FROM graft_cat.ns.t4b") }
+  }
+
+  test("E182: DELETE with an UNTRANSLATABLE predicate on a keyed table " +
+      "falls back to the COW rewrite — never a lossy DV delete") {
+    spark.sql("CREATE TABLE graft_cat.ns.t6 (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.t6 VALUES " +
+      "(13, 'a', 10), (14, 'b', 20), (26, 'c', 30), (27, 'd', 40)")
+    // k % 13 is not losslessly translatable (PredicateUtils.toV1 would
+    // LOSSILY drop a branch — the exact hazard the custom translator
+    // refuses): the statement must take the row-level rewrite...
+    spark.sql("DELETE FROM graft_cat.ns.t6 WHERE k % 13 = 0 OR bal = 20")
+    val d = dirOf("t6")
+    val v = operators.Versioned.latest(d)
+    assert(!operators.Versioned.isDvVersion(d, v),
+      "untranslatable DELETE must NOT take the DV path")
+    // ...and delete EXACTLY the matching rows
+    assert(rows("t6") === Seq((27L, "d", 40L)))
+  }
+
+  test("E182: row-level rewrite aborts loudly when the tip moved under it " +
+      "(optimistic concurrency — no lost update)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft_cat.ns.t5 (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.t5 VALUES (1, 'a', 10)")
+    val d = dirOf("t5")
+    val tipBefore = operators.Versioned.latest(d)
+    // pin the tip the way a row-level operation's scan does, then move
+    // the tip underneath it
+    operators.Versioned.appendRows(
+      Seq((2L, "b", 20L)).toDF("k", "name", "bal"), d)
+    // the staged replace must refuse: its snapshot no longer covers k=2
+    val staging = s"$d/.staging-conflict-test"
+    Seq((1L, "a2", 11L)).toDF("k", "name", "bal")
+      .write.mode("overwrite").parquet(staging)
+    val e = intercept[Exception] {
+      operators.Versioned.adoptStagedReplace(d, staging, tipBefore)
+    }
+    assert(e.getMessage.contains("concurrent update"))
+    // nothing was lost: both rows still live, tip unchanged
+    assert(rows("t5").map(_._1) === Seq(1L, 2L))
+  }
+}

@@ -341,14 +341,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    smoothing denominators) — the same stats-row family as
     //    q_text_bm25; the log-ratio table itself joins back by broadcast
     //    HASH join on the bucket id
-    //  - q_unigram_vocab / q_unigram_segment: the 1-row vocabulary-total
-    //    attach (Σcnt for the micro-nat scores), once per EM stage — the
-    //    same stats-row family as q_text_bm25; the Viterbi arc join itself
-    //    is an equi-join on the piece string
+    //  - q_unigram_vocab / q_unigram_segment / q_unigram_prune: the 1-row
+    //    vocabulary-total attach (Σcnt for the micro-nat scores), once per
+    //    EM stage — the same stats-row family as q_text_bm25; the Viterbi
+    //    arc join itself is an equi-join on the piece string (the prune
+    //    row's loss-threshold attach rides a key0 broadcast HASH join and
+    //    is NOT part of this whitelist)
     val bnljOk = Set(
       "q_dsir_select",
       "q_heavy_hitters",
-      "q_unigram_vocab", "q_unigram_segment",
+      "q_unigram_vocab", "q_unigram_segment", "q_unigram_prune",
       "q_bm25_append_search", "q_bm25_fuzzy", "q_bm25_index_search",
       "q_bm25_maxscore",
       "q_text_cosine_sparse",

@@ -1804,4 +1804,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val have = vocab.select("p").collect().map(_.getString(0)).toSet
     assert(used.subsetOf(have), s"pieces missing from vocab: ${used -- have}")
   }
+
+  test("unigram: likelihood-loss pruning drops cheap pieces, keeps load-bearing ones, stays lossless") {
+    val docs = T.documents(spark, sf)
+    val words = Unigram.wordCounts(docs)
+    val v2 = Unigram.trainVocab(docs)
+    val v3 = Unigram.pruneVocab(words, v2)
+    val before = v2.select("p").collect().map(_.getString(0)).toSet
+    val after = v3.select("p").collect().map(_.getString(0)).toSet
+    // multi-char pieces only ever shrink (singles may REAPPEAR — the
+    // character-coverage guarantee restores chars the hard-EM dropped)
+    val multiBefore = before.filter(_.length > 1)
+    val multiAfter = after.filter(_.length > 1)
+    assert(multiAfter.subsetOf(multiBefore),
+      s"new multi-char pieces appeared: ${multiAfter -- multiBefore}")
+    assert(multiAfter.size < multiBefore.size, "pruning dropped nothing")
+    // single chars survive re-EM whenever still used; every word stays
+    // segmentable and every winning piece is in the pruned vocab
+    val segs = Unigram.viterbiSegment(words, v3)
+    assert(segs.count() === words.count(),
+      "a word became unsegmentable after pruning")
+    val usedAfter = segs.select("seg").collect()
+      .flatMap(_.getString(0).split('|')).toSet
+    assert(usedAfter.subsetOf(after))
+    // the corpus-likelihood cost of pruning is what the threshold
+    // promised: bounded — total Viterbi score under v3 is within the
+    // pruned pieces' summed losses of the v2 total (sanity, not exact:
+    // re-EM can only improve on the ban-path bound)
+    def total(v: org.apache.spark.sql.DataFrame): Long =
+      Unigram.viterbiSegment(words, v)
+        .select(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("wc") *
+            org.apache.spark.sql.functions.col("score_u")))
+        .collect()(0).getLong(0)
+    assert(total(v3) <= 0L, "scores are log-probs — totals must be <= 0")
+  }
 }
