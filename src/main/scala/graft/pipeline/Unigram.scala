@@ -210,20 +210,30 @@ object Unigram {
       .join(used.select("w", "ban", "score_u"), Seq("w"))
       .withColumn("dp", dpBanned)
       .withColumn("s_banned", expr("element_at(dp, length(w) + 1).s"))
+    // loss accumulates in DECIMAL(38,0) (the E140 widening): a word
+    // unsegmentable under a ban contributes wc·(s_best − (−10^15)) ≈
+    // wc·10^15 — a few hundred such words already overflow a long; the
+    // per-pair difference itself stays comfortably in long range
     val lossByPiece = banScores // carries wc from the arcs side
       .groupBy(col("ban").as("p"))
-      .agg(sum(col("wc") * (col("score_u") - col("s_banned"))).as("loss"))
+      .agg(sum(col("wc").cast("decimal(38,0)") *
+        (col("score_u") - col("s_banned")).cast("decimal(38,0)"))
+        .as("loss"))
     val multi = vocab.filter(length(col("p")) > 1)
       .join(lossByPiece, Seq("p"), "left")
-      .withColumn("loss", coalesce(col("loss"), lit(0L)))
+      .withColumn("loss", coalesce(col("loss"), lit(0).cast("decimal(38,0)")))
     // exact dropQuantile'th percentile of losses, broadcast-attached on a
     // derived-constant key (the key0 stats-row shape)
     val key0 = (c: org.apache.spark.sql.Column) =>
       pmod(xxhash64(c), lit(1)).cast("int")
+    // threshold and comparisons are double-mediated in BOTH engines
+    // (sentinel-laden losses exceed 2^53, but they sit far above any 20th
+    // percentile — the interpolation happens in the small-loss region);
     // rounded to 4 decimals (the A12 percentile stabilization) so a
     // cross-engine interpolation ulp can never flip a boundary tie
     val thr = multi.agg(
-        round(expr(s"percentile(loss, $dropQuantile)"), 4).as("thr"))
+        round(expr(s"percentile(cast(loss as double), $dropQuantile)"), 4)
+          .as("thr"))
       .withColumn("__k0", key0(col("thr")))
     // character coverage, the SentencePiece guarantee: ALL single chars
     // stay in the vocabulary (counts = their corpus occurrence totals,
@@ -267,8 +277,13 @@ object Unigram {
     // that re-enumerates every (word, banned-piece) segmentation by
     // recursive CTE.
     "q_unigram_prune" -> ((s, dir) => {
-      val wc = wordCounts(T.documents(s, dir))
-      pruneVocab(wc, trainVocab(T.documents(s, dir)))
+      // the word-count table feeds FOUR consumers (train, segment, arc
+      // generation, the singles recount) and the refined vocab three —
+      // checkpoint each once so the corpus scan and the train chain run
+      // once, not per consumer (the q_assoc_rules Ckpt posture)
+      val wc = graft.Ckpt(wordCounts(T.documents(s, dir)))
+      val v2 = graft.Ckpt(scored(refine(wc, scored(seedVocab(wc)))))
+      pruneVocab(wc, v2)
     })
   )
 
@@ -356,8 +371,8 @@ object Unigram {
          |       FROM r3 WHERE pos = len(w) GROUP BY 1, 2),
          |lossp AS (
          |  SELECT u.ban AS p,
-         |    CAST(SUM(u.wc * (u.s_best -
-         |      coalesce(sm.s_banned, -1000000000000000))) AS BIGINT) AS loss
+         |    SUM(CAST(u.wc AS HUGEINT) * (u.s_best -
+         |      coalesce(sm.s_banned, -1000000000000000))) AS loss
          |  FROM usedm u LEFT JOIN sm ON u.w = sm.w AND u.ban = sm.ban
          |  GROUP BY 1),
          |multi AS (
