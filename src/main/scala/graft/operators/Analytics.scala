@@ -130,7 +130,8 @@ object Analytics {
     * away and the attach degrades to a BroadcastNestedLoopJoin. Same
     * semantics and cost as a cross join of a 1-row frame; this spelling
     * keeps the PlanSpec nested-loop whitelist closed. */
-  private def key0(c: Column): Column = pmod(xxhash64(c), lit(1)).cast("int")
+  private[graft] def key0(c: Column): Column =
+    pmod(xxhash64(c), lit(1)).cast("int")
 
   val queries: Map[String, Q] = Map(
     // E167: skyline over part — cheapest-yet-largest frontier

@@ -241,14 +241,39 @@ object Versioned {
         !isAddVersion(dir, w) && !isRenameVersion(dir, w))
       .getOrElse(0)
     val cut = math.min(tip - math.max(1, keepLast) + 1, liveBase)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(); ()
-    }
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => versionOf(f.getName).exists(_ < cut))
-      .foreach(rm)
+      .foreach(rmTree)
+    // sweep ORPHANED DML temp dirs: a row-level operation's write
+    // commit/abort deletes its own `.rowlevel-scan-*`/`.staging-*` dirs,
+    // but a plan that was built and never executed (EXPLAIN, an analyzed-
+    // then-dropped DataFrame) has no terminal callback — its temp dir
+    // leaks until vacuum. Age-gated by [[tempSweepAgeMs]] (24 h default):
+    // these dirs have NO heartbeat (unlike the claim file), so the gate
+    // is a generous bound on DML statement duration, not a liveness
+    // check — a statement still running when its temp dirs cross the
+    // threshold during a concurrent vacuum would lose them; raise the
+    // threshold for such workloads.
+    val now = System.currentTimeMillis()
+    Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter { f =>
+        (f.getName.startsWith(".rowlevel-scan-") ||
+          f.getName.startsWith(".staging-")) &&
+          now - f.lastModified() > tempSweepAgeMs
+      }
+      .foreach(rmTree)
+  }
+
+  /** Minimum age before [[vacuum]] sweeps an orphaned DML temp dir. */
+  private[graft] var tempSweepAgeMs: Long = 24L * 60 * 60 * 1000
+
+  /** Recursive local delete (shared by vacuum, drop, staging cleanup). */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      .foreach(rmTree)
+    f.delete(); ()
   }
 
   /** Time travel: the table exactly as of version `v`. */
@@ -589,7 +614,10 @@ object Versioned {
     def walk(p: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(p).iterator.map { st =>
         val name = st.getPath.getName
-        if (name.startsWith("_") || name.startsWith(".")) 0L
+        // Spark keeps '_'-names CONTAINING '=' (partition dirs like
+        // `_region=EU`); only bare '_'/'.' prefixes are hidden
+        if ((name.startsWith("_") && !name.contains("=")) ||
+            name.startsWith(".")) 0L
         else if (st.isDirectory) walk(st.getPath)
         else if (name.endsWith(".parquet")) {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1624,11 +1652,7 @@ object Versioned {
     val d = new java.io.File(
       sys.env.getOrElse("SPARK_GRAFT_VERSIONED_DIR",
         s"${sys.props("java.io.tmpdir")}/graft-versioned"), h)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-      f.delete(); ()
-    }
-    rm(d); d.mkdirs()
+    rmTree(d); d.mkdirs()
     d.getAbsolutePath
   }
 

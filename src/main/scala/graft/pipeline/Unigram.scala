@@ -99,8 +99,10 @@ object Unigram {
     * higher-order fold over positions per word — no UDF, no driver state.
     * Output: (w, wc, seg "a|bc|d", score_u, n_pieces).
     */
-  def viterbiSegment(words: DataFrame, vocab: DataFrame): DataFrame = {
-    val arcs = arcsFor(words, vocab)
+  def viterbiSegment(words: DataFrame, vocab: DataFrame): DataFrame =
+    viterbiFromArcs(arcsFor(words, vocab))
+
+  private def viterbiFromArcs(arcs: DataFrame): DataFrame = {
     // DP over positions 1..len(w); acc(k+1) = best path to position k.
     // The candidate struct is built once per arc; comparisons implement
     // the total order, so the fold is order-independent over collect_list.
@@ -183,7 +185,11 @@ object Unigram {
     */
   def pruneVocab(words: DataFrame, vocab: DataFrame,
       dropQuantile: Double = 0.2): DataFrame = {
-    val seg = viterbiSegment(words, vocab)
+    // the corpus-side arc-generation join (substring explode × vocab) is
+    // the expensive stage and feeds BOTH the winning-segmentation DP and
+    // the banned DPs — build it once, checkpointed
+    val arcs = graft.Ckpt(arcsFor(words, vocab))
+    val seg = viterbiFromArcs(arcs)
     // (w, wc, s_best, ban) — one row per multi-char piece each word USES
     val used = seg.select(col("w"), col("wc"), col("score_u"),
         explode(array_distinct(split(col("seg"), "\\|"))).as("ban"))
@@ -206,7 +212,7 @@ object Unigram {
         |                   'ok', false),
         |      (b, c) -> CASE WHEN NOT b.ok OR c.s > b.s THEN c ELSE b END))))
         |""".stripMargin)
-    val banScores = arcsFor(words, vocab)
+    val banScores = arcs
       .join(used.select("w", "ban", "score_u"), Seq("w"))
       .withColumn("dp", dpBanned)
       .withColumn("s_banned", expr("element_at(dp, length(w) + 1).s"))
@@ -223,9 +229,8 @@ object Unigram {
       .join(lossByPiece, Seq("p"), "left")
       .withColumn("loss", coalesce(col("loss"), lit(0).cast("decimal(38,0)")))
     // exact dropQuantile'th percentile of losses, broadcast-attached on a
-    // derived-constant key (the key0 stats-row shape)
-    val key0 = (c: org.apache.spark.sql.Column) =>
-      pmod(xxhash64(c), lit(1)).cast("int")
+    // derived-constant key (the shared key0 stats-row shape)
+    val key0 = graft.operators.Analytics.key0 _
     // threshold and comparisons are double-mediated in BOTH engines
     // (sentinel-laden losses exceed 2^53, but they sit far above any 20th
     // percentile — the interpolation happens in the small-loss region);

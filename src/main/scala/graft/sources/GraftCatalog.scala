@@ -138,14 +138,7 @@ class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val d = new java.io.File(dirOf(ident))
     if (Versioned.latest(d.getPath) < 0) false
-    else {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-        f.delete(); ()
-      }
-      rm(d)
-      true
-    }
+    else { Versioned.rmTree(d); true }
   }
 
   override def renameTable(oldIdent: Identifier,
@@ -315,8 +308,23 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
     val cond = predicatesToColumn(predicates).getOrElse(sys.error(
       s"graft catalog: untranslatable DELETE predicates on $tableName"))
-    Versioned.deleteWhereDv(spark, dir, cond, props("key"))
+    Versioned.deleteWhereDv(spark, dir, cond, props.getOrElse("key",
+      sys.error(s"graft catalog: DELETE-by-DV on $tableName requires the " +
+        "'key' table property")))
     ()
+  }
+
+  /** TRUNCATE TABLE: commit an EMPTY (schema-bearing) snapshot as the
+    * next version — history stays time-travelable, exactly the
+    * INSERT OVERWRITE posture with zero rows. Overridden because the
+    * SupportsDeleteV2 default delegates to `deleteWhere(ALWAYS_TRUE)`,
+    * which requires the `key` property a keyless table lacks (and a DV
+    * of every key would be table-sized — a snapshot is the right shape).
+    */
+  override def truncateTable(): Boolean = {
+    Versioned.commit(
+      spark.createDataFrame(new util.ArrayList[Row](), schema), dir)
+    true
   }
 
   // ---- UPDATE / MERGE / untranslatable DELETE: group-based COW rewrite ----
@@ -509,19 +517,17 @@ private[sources] class GraftBatchWrite(spark: SparkSession, dir: String,
       .getOrElse(Array.empty[java.io.File])
       .exists(_.getName.endsWith(".parquet"))
 
-  private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
-    f.delete(); ()
-  }
-
-  private def cleanup(): Unit = rm(new java.io.File(staging))
+  private def cleanup(): Unit =
+    Versioned.rmTree(new java.io.File(staging))
 
   /** Delete the owning operation's materialized scan dirs — the scan has
     * fully executed by the time the write commits or aborts.
     */
   private def dropScanDirs(): Unit = owner.foreach { op =>
     var d = op.tempScanDirs.poll()
-    while (d != null) { rm(new java.io.File(d)); d = op.tempScanDirs.poll() }
+    while (d != null) {
+      Versioned.rmTree(new java.io.File(d)); d = op.tempScanDirs.poll()
+    }
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

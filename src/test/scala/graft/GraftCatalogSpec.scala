@@ -140,6 +140,35 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] { spark.sql("SELECT * FROM graft_cat.ns.t4b") }
   }
 
+  test("E182: TRUNCATE TABLE commits an empty snapshot — keyless tables " +
+      "included, history intact") {
+    spark.sql("CREATE TABLE graft_cat.ns.t8 (k BIGINT, name STRING, " +
+      "bal BIGINT)") // NO key property — the DV default path must not run
+    spark.sql("INSERT INTO graft_cat.ns.t8 VALUES (1, 'a', 10), (2, 'b', 20)")
+    spark.sql("TRUNCATE TABLE graft_cat.ns.t8")
+    assert(spark.sql("SELECT * FROM graft_cat.ns.t8").count() === 0)
+    // schema preserved, pre-truncate snapshot still time-travelable
+    assert(spark.sql("SELECT * FROM graft_cat.ns.t8").columns.toSeq ===
+      Seq("k", "name", "bal"))
+    assert(spark.read.format("graft.versioned").option("versionAsOf", 1)
+      .load(dirOf("t8")).count() === 2)
+  }
+
+  test("E182: the _version metadata column is SQL-selectable and carries " +
+      "the pinned tip") {
+    spark.sql("CREATE TABLE graft_cat.ns.t7 (k BIGINT, name STRING, " +
+      "bal BIGINT)")
+    spark.sql("INSERT INTO graft_cat.ns.t7 VALUES (1, 'a', 10)")
+    spark.sql("INSERT INTO graft_cat.ns.t7 VALUES (2, 'b', 20)")
+    // tip is v2 (v0 empty snapshot + two appends); every row reports it
+    val got = spark.sql("SELECT k, _version FROM graft_cat.ns.t7 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got === Seq((1L, 2), (2L, 2)))
+    // and SELECT * does NOT leak the metadata column
+    assert(spark.sql("SELECT * FROM graft_cat.ns.t7").columns.toSeq ===
+      Seq("k", "name", "bal"))
+  }
+
   test("E182: DELETE with an UNTRANSLATABLE predicate on a keyed table " +
       "falls back to the COW rewrite — never a lossy DV delete") {
     spark.sql("CREATE TABLE graft_cat.ns.t6 (k BIGINT, name STRING, " +
