@@ -276,6 +276,51 @@ object Versioned {
     f.delete(); ()
   }
 
+  /** Approximate on-disk bytes of the chain serving version `v`: the
+    * nearest materialized base (clone pointers resolve into their
+    * source) plus every append delta in `(base, v]` — a driver-side
+    * file-length listing, no footers opened, no jobs. DV deletions are
+    * NOT subtracted (this is an upper bound), which is the conservative
+    * direction for its consumer: the v1 relation's `sizeInBytes`, where
+    * an over-estimate can only withhold a broadcast, never cause an OOM
+    * one.
+    */
+  private[graft] def approxDataBytes(dir: String, v: Int): Long = {
+    def bytesUnder(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (!f.exists()) 0L
+        else if (f.isFile) {
+          val n = f.getName
+          if ((n.startsWith("_") && !n.contains("=")) || n.startsWith("."))
+            0L
+          else f.length()
+        } else Option(f.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter { c =>
+            val n = c.getName
+            !((n.startsWith("_") && !n.contains("=")) || n.startsWith("."))
+          }
+          .map(walk).sum
+      walk(new java.io.File(path))
+    }
+    val base = (v to 0 by -1)
+      .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
+        !isAddVersion(dir, w) && !isRenameVersion(dir, w))
+      .getOrElse(return 0L)
+    val baseBytes =
+      if (isCloneVersion(dir, base)) {
+        val ref = java.nio.file.Files.readString(clonePath(dir, base))
+          .split("\n", 2)
+        approxDataBytes(ref(0).trim, ref(1).trim.toInt)
+      } else if (java.nio.file.Files.exists(manifestPath(dir, base)))
+        manifest(dir, base).groupBy(_._2).keys
+          .map(o => bytesUnder(s"$dir/v$o/data")).sum
+      else bytesUnder(s"$dir/v$base")
+    baseBytes + ((base + 1) to v)
+      .filter(w => isCommitted(dir, w) && isAddVersion(dir, w))
+      .map(w => bytesUnder(addPath(dir, w))).sum
+  }
+
   /** Time travel: the table exactly as of version `v`. */
   def readAt(s: SparkSession, dir: String, v: Int): DataFrame =
     s.read.parquet(s"$dir/v$v")

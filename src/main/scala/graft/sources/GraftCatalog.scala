@@ -68,6 +68,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * EQUALITY, so a non-unique key would delete every row sharing a
   * matched row's key — the property is the user's assertion of
   * uniqueness, and tables without it simply never take the DV shortcut.
+  *
+  * Time travel is SQL-native: `VERSION AS OF <v>` / `TIMESTAMP AS OF
+  * <ts>` resolve through the `loadTable` overloads to a version-pinned
+  * (read-only) table. Known stats limitation: catalog reads plan through
+  * Spark's `V1ScanWrapper`, which does not forward
+  * `SupportsReportStatistics` — so catalog-table joins see
+  * `defaultSizeInBytes` and will not auto-broadcast (the JDBC-source
+  * limitation). The v1 source (`spark.read.format("graft.versioned")` /
+  * DDL views) reports real sizes and broadcasts; use it (or an explicit
+  * `broadcast()`) for small dimension reads inside big joins.
   */
 class GraftCatalog extends TableCatalog {
 
@@ -107,6 +117,34 @@ class GraftCatalog extends TableCatalog {
     val dir = dirOf(ident)
     if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
     new GraftTable(spark, dir, ident.toString, GraftCatalog.readProps(dir))
+  }
+
+  /** SQL time travel — `SELECT ... FROM t VERSION AS OF <v>`: the table
+    * pinned at committed version `v`; writes rejected (a historical
+    * snapshot is read-only).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
+    val v = version.toIntOption.getOrElse(sys.error(
+      s"graft catalog: VERSION AS OF takes an integer version, got " +
+        s"'$version'"))
+    require(v >= 0 && Versioned.isCommitted(dir, v),
+      s"graft catalog: $ident has no committed version v$v")
+    new GraftTable(spark, dir, ident.toString,
+      GraftCatalog.readProps(dir), pinnedVersion = Some(v))
+  }
+
+  /** SQL time travel — `... TIMESTAMP AS OF <ts>` (Spark hands the
+    * timestamp in MICROseconds): the newest version committed at or
+    * before it, via the commit marks' recorded wall-clock.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
+    val v = Versioned.versionAtTime(dir, timestampMicros / 1000L)
+    new GraftTable(spark, dir, ident.toString,
+      GraftCatalog.readProps(dir), pinnedVersion = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -192,11 +230,19 @@ private[sources] object GraftCatalog {
   * write verifies the tip is STILL that version at adoption.
   */
 private[sources] class GraftTable(spark: SparkSession, dir: String,
-    tableName: String, props: Map[String, String]) extends Table
+    tableName: String, props: Map[String, String],
+    pinnedVersion: Option[Int] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsDeleteV2 with SupportsMetadataColumns {
 
-  private val tip = Versioned.latest(dir)
+  private val tip = pinnedVersion.getOrElse(Versioned.latest(dir))
+
+  /** Historical snapshots (`VERSION/TIMESTAMP AS OF`) are read-only. */
+  private def rejectTimeTravelWrite(stmt: String): Unit =
+    pinnedVersion.foreach(v => sys.error(
+      s"graft catalog: $stmt on $tableName is not allowed on a " +
+        s"time-traveled snapshot (VERSION AS OF $v) — target the table " +
+        "without a time-travel clause"))
 
   /** `_version`: the committed version a row was read from (the pinned
     * tip — constant per scan, the Delta `_commit_version` posture).
@@ -238,8 +284,10 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
 
   // ---- plain writes (INSERT INTO / INSERT OVERWRITE) ----------------------
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    rejectTimeTravelWrite("INSERT")
     new GraftWriteBuilder(spark, dir, info, replaceTip = None)
+  }
 
   // ---- DELETE: metadata-only DV path when a unique key is declared --------
 
@@ -306,6 +354,7 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
     props.contains("key") && predicatesToColumn(predicates).isDefined
 
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
+    rejectTimeTravelWrite("DELETE")
     val cond = predicatesToColumn(predicates).getOrElse(sys.error(
       s"graft catalog: untranslatable DELETE predicates on $tableName"))
     Versioned.deleteWhereDv(spark, dir, cond, props.getOrElse("key",
@@ -322,6 +371,7 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
     * of every key would be table-sized — a snapshot is the right shape).
     */
   override def truncateTable(): Boolean = {
+    rejectTimeTravelWrite("TRUNCATE")
     Versioned.commit(
       spark.createDataFrame(new util.ArrayList[Row](), schema), dir)
     true
@@ -330,8 +380,10 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
   // ---- UPDATE / MERGE / untranslatable DELETE: group-based COW rewrite ----
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    rejectTimeTravelWrite(info.command.toString)
     () => new GraftRowLevelOperation(spark, dir, tip, schema, info.command)
+  }
 }
 
 /** Group-based copy-on-write over the table's ONE group: the operation

@@ -254,6 +254,26 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
   // rows handed back are the delegate plan's InternalRows (see class doc)
   override def needConversion: Boolean = false
 
+  /** Real size estimate instead of the BaseRelation default
+    * (`spark.sql.defaultSizeInBytes` = effectively infinite): summed
+    * data-file lengths of the served version's chain, a driver-side
+    * listing. This is what lets Catalyst BROADCAST a small versioned
+    * dimension table in a join against a big fact — with the default, a
+    * 1 MB versioned table would sort-merge-join forever. CDC reads keep
+    * the default (their output is churn-sized but derived from two
+    * snapshots; over-claiming smallness there could broadcast wrongly).
+    */
+  override lazy val sizeInBytes: Long =
+    if (intOpt("changesFrom").isDefined) super.sizeInBytes
+    else {
+      val v = intOpt("versionAsOf")
+        .orElse(params.get("timestampAsOf").map(t =>
+          Versioned.versionAtTime(dir, parseTs(t))))
+        .getOrElse(Versioned.latest(dir))
+      val b = Versioned.approxDataBytes(dir, v)
+      if (b <= 0L) super.sizeInBytes else b
+    }
+
   private def toColumn(f: Filter): Option[Column] =
     VersionedSource.filterToColumn(f)
 

@@ -843,6 +843,28 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(operators.Versioned.latest(dir2) === 0)
   }
 
+  test("LK: versioned relation reports real sizeInBytes — a small versioned dim BROADCASTS in a join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtsize").toString
+    val dim = (1L to 50L).map(k => (k, s"n$k")).toDF("k", "name")
+    operators.Versioned.commit(dim, dir)
+    operators.Versioned.appendRows(
+      Seq((51L, "n51")).toDF("k", "name"), dir) // chain adds count too
+    val rel = spark.read.format("graft.versioned").load(dir)
+    // the relation claims its true (tiny) footprint, not the
+    // defaultSizeInBytes infinity that would veto every broadcast
+    val stats = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats > 0 && stats < 10L * 1024 * 1024,
+      s"expected a small real size estimate, got $stats")
+    val fact = (1L to 20000L).map(i => (i % 60L, i)).toDF("k", "v")
+    val joined = fact.join(rel, Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small versioned dim must broadcast:\n$plan")
+    assert(joined.count() === fact.filter(col("k").between(1, 51)).count())
+  }
+
   test("LK: DESCRIBE HISTORY is metadata-only — zero Spark jobs regardless of history length") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
