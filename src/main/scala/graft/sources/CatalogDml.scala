@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   *    [[Lake.mergeConditional]] every round;
   *  - `q_delete_sql`: `DELETE FROM ... WHERE` on a keyed table — served
   *    by the metadata-only deletion-vector path (cost ∝ deleted keys,
-  *    never a table rewrite; the DV-kind commit is unit-asserted in
-  *    GraftCatalogSpec), oracle = the plain filtered read.
+  *    never a table rewrite; the DV-kind commit is `require`d in-query),
+  *    oracle = the plain filtered read;
+  *  - `q_update_sql`: `UPDATE ... SET ... WHERE` — the copy-on-write
+  *    rewrite, oracle = the same CASE projection over the raw table;
+  *  - `q_insert_sql`: `INSERT INTO ... SELECT` — the staged executor
+  *    write adopted as one append (delta) commit (`require`d in-query),
+  *    oracle = base ∪ inserted projection.
   */
 object CatalogDml {
 
@@ -79,6 +84,35 @@ object CatalogDml {
       centsRead(s, cat)
     }),
 
+    // E182: SQL UPDATE — the group-based copy-on-write rewrite (CASE
+    // projection over the pinned tip, adopted as the next snapshot under
+    // the claim + tip-unmoved check). Oracle = the same CASE over the
+    // raw table.
+    "q_update_sql" -> ((s, dir) => {
+      val (cat, _) = plantCustomer(s, dir, "#sqlupd")
+      s.sql(s"UPDATE $cat.ns.customer " +
+        "SET c_acctbal = c_acctbal + 100.0, c_mktsegment = 'BUMPED' " +
+        "WHERE c_custkey % 7 = 0")
+      centsRead(s, cat)
+    }),
+
+    // E182: SQL INSERT INTO ... SELECT — the staged executor-side v2
+    // parquet write adopted as one append (delta) commit; the read back
+    // resolves base ∪ delta. Oracle = base rows ∪ the inserted
+    // projection.
+    "q_insert_sql" -> ((s, dir) => {
+      val (cat, tdir) = plantCustomer(s, dir, "#sqlins")
+      s.sql(s"INSERT INTO $cat.ns.customer " +
+        s"SELECT c_custkey + 5000000, concat('Ins ', c_name), " +
+        s"c_nationkey, c_acctbal, c_mktsegment FROM $cat.ns.customer " +
+        "WHERE c_custkey % 19 = 0")
+      // the scale contract, enforced: INSERT INTO landed as a DELTA
+      // commit (cost ∝ inserted rows), never a snapshot rewrite
+      require(Versioned.isAddVersion(tdir, Versioned.latest(tdir)),
+        "q_insert_sql: expected an append (delta) commit")
+      centsRead(s, cat)
+    }),
+
     // E182: SQL DELETE on a keyed table — the statement plans Spark's
     // metadata-only delete (OptimizeMetadataOnlyDeleteFromTable →
     // SupportsDeleteV2), which lands a deletion-vector commit: cost ∝
@@ -96,6 +130,25 @@ object CatalogDml {
 
   val oracles: Map[String, String] = Map(
     "q_merge_sql" -> Lake.oracles("q_merge_multi"),
+    "q_update_sql" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(CASE WHEN c_custkey % 7 = 0
+        |    THEN c_acctbal + 100.0 ELSE c_acctbal END * 100) AS BIGINT)
+        |    AS acctbal_c,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'BUMPED'
+        |    ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_insert_sql" ->
+      """WITH allrows AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 5000000, 'Ins ' || c_name, c_nationkey,
+        |    c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 19 = 0)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM allrows ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_delete_sql" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
