@@ -223,6 +223,29 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("t6") === Seq((27L, "d", 40L)))
   }
 
+  test("E182: concurrent catalog INSERT INTOs never lose rows (staged " +
+      "appends are additive — claim-free by design, like appendRows)") {
+    spark.sql("CREATE TABLE graft_cat.ns.t10 (k BIGINT, name STRING, " +
+      "bal BIGINT)")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1L to 8L).map { k =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            spark.sql(s"INSERT INTO graft_cat.ns.t10 VALUES " +
+              s"($k, 'n$k', ${k * 10})")
+            ()
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // every writer's delta commit survives: 8 appends over the empty v0
+    assert(operators.Versioned.latest(dirOf("t10")) === 8)
+    assert(spark.sql("SELECT k FROM graft_cat.ns.t10").collect()
+      .map(_.getLong(0)).toSet === (1L to 8L).toSet)
+  }
+
   test("E182: row-level rewrite aborts loudly when the tip moved under it " +
       "(optimistic concurrency — no lost update)") {
     import spark.implicits._
