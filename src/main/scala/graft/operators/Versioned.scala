@@ -313,8 +313,14 @@ object Versioned {
           .split("\n", 2)
         approxDataBytes(ref(0).trim, ref(1).trim.toInt)
       } else if (java.nio.file.Files.exists(manifestPath(dir, base)))
-        manifest(dir, base).groupBy(_._2).keys
-          .map(o => bytesUnder(s"$dir/v$o/data")).sum
+        // only the partitions the manifest still assigns to each owner —
+        // an owner's data dir also holds partitions SUPERSEDED by later
+        // upserts, and counting those would inflate the estimate past
+        // the broadcast threshold this feature exists to clear
+        manifest(dir, base).groupBy(_._2).toSeq.map { case (o, ps) =>
+          val partCol = firstPartCol(dir, o)
+          ps.keys.map(p => bytesUnder(s"$dir/v$o/data/$partCol=$p")).sum
+        }.sum
       else bytesUnder(s"$dir/v$base")
     baseBytes + ((base + 1) to v)
       .filter(w => isCommitted(dir, w) && isAddVersion(dir, w))

@@ -372,8 +372,15 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
     */
   override def truncateTable(): Boolean = {
     rejectTimeTravelWrite("TRUNCATE")
-    Versioned.commit(
-      spark.createDataFrame(new util.ArrayList[Row](), schema), dir)
+    // claim-serialized: a claim-free truncate racing a claim-holding COW
+    // rewrite could be buried by the rewrite's adoption (its tip-unmoved
+    // check passes before the truncate SEALS, yet the truncate "wins" a
+    // number below it) — an outcome no serial order produces. Under the
+    // claim, the rewrite's check and this commit serialize (E184).
+    Versioned.withMutateClaim(dir) {
+      Versioned.commit(
+        spark.createDataFrame(new util.ArrayList[Row](), schema), dir)
+    }
     true
   }
 
@@ -598,7 +605,15 @@ private[sources] class GraftBatchWrite(spark: SparkSession, dir: String,
         if (!stagedParquet())
           spark.createDataFrame(new util.ArrayList[Row](), schema)
             .write.mode("overwrite").parquet(staging)
-        Versioned.adoptStagedSnapshot(dir, staging)
+        // INSERT OVERWRITE adoption takes the claim for the same reason
+        // TRUNCATE does: a claim-free full-snapshot seal can be buried
+        // by a concurrent claim-holding COW rewrite whose tip-unmoved
+        // check ran before this seal — non-serializable. Plain appends
+        // (the case below) stay claim-free: additive commits serialize
+        // in any order.
+        Versioned.withMutateClaim(dir) {
+          Versioned.adoptStagedSnapshot(dir, staging)
+        }
         ()
       case None =>
         // an INSERT of zero rows appends nothing — no empty commit

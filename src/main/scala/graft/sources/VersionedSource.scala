@@ -216,8 +216,25 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
       sys.error(s"graft.versioned: option '$name' must be an int, got '$v'"))
   }
 
-  private lazy val delegate: DataFrame = intOpt("changesFrom") match {
-    case Some(v0) =>
+  /** The snapshot version this relation serves — None in CDC mode.
+    * Shared by the delegate plan and [[sizeInBytes]], so stats always
+    * size exactly the version being read.
+    */
+  private lazy val servedVersion: Option[Int] =
+    if (intOpt("changesFrom").isDefined) None
+    else {
+      require(
+        intOpt("versionAsOf").isEmpty || params.get("timestampAsOf").isEmpty,
+        "graft.versioned: give versionAsOf OR timestampAsOf, not both")
+      Some(intOpt("versionAsOf")
+        .orElse(params.get("timestampAsOf").map(t =>
+          Versioned.versionAtTime(dir, parseTs(t))))
+        .getOrElse(Versioned.latest(dir)))
+    }
+
+  private lazy val delegate: DataFrame = servedVersion match {
+    case None =>
+      val v0 = intOpt("changesFrom").get
       val key = params.getOrElse("key",
         sys.error("graft.versioned: CDC reads require the 'key' option"))
       val compare = params.get("compareCols")
@@ -226,13 +243,7 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
           "graft.versioned: CDC reads require 'compareCols' (comma-separated)"))
       Versioned.changes(ctx.sparkSession, dir, v0,
         intOpt("changesTo").getOrElse(Versioned.latest(dir)), key, compare)
-    case None =>
-      require(intOpt("versionAsOf").isEmpty || params.get("timestampAsOf").isEmpty,
-        "graft.versioned: give versionAsOf OR timestampAsOf, not both")
-      val v = intOpt("versionAsOf")
-        .orElse(params.get("timestampAsOf").map(t =>
-          Versioned.versionAtTime(dir, parseTs(t))))
-        .getOrElse(Versioned.latest(dir))
+    case Some(v) =>
       Versioned.readAtDv(ctx.sparkSession, dir, v)
   }
 
@@ -263,16 +274,12 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
     * the default (their output is churn-sized but derived from two
     * snapshots; over-claiming smallness there could broadcast wrongly).
     */
-  override lazy val sizeInBytes: Long =
-    if (intOpt("changesFrom").isDefined) super.sizeInBytes
-    else {
-      val v = intOpt("versionAsOf")
-        .orElse(params.get("timestampAsOf").map(t =>
-          Versioned.versionAtTime(dir, parseTs(t))))
-        .getOrElse(Versioned.latest(dir))
+  override lazy val sizeInBytes: Long = servedVersion match {
+    case None => super.sizeInBytes // CDC: churn-sized, don't over-claim
+    case Some(v) =>
       val b = Versioned.approxDataBytes(dir, v)
       if (b <= 0L) super.sizeInBytes else b
-    }
+  }
 
   private def toColumn(f: Filter): Option[Column] =
     VersionedSource.filterToColumn(f)

@@ -863,6 +863,26 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("BroadcastHashJoin"),
       s"small versioned dim must broadcast:\n$plan")
     assert(joined.count() === fact.filter(col("k").between(1, 51)).count())
+    // manifest-aware estimate: after an upsert rewrites half the
+    // partitions, the estimate must NOT double-count the superseded
+    // copies still physically present under the old owner's data dir
+    val pdir = java.nio.file.Files.createTempDirectory("graft-vtsizep")
+      .toString
+    val pt = (1L to 100L).map(k => (k, k % 10, s"n$k")).toDF("k", "p", "n")
+    operators.Versioned.commitPartitioned(pt, pdir, "p")
+    operators.Versioned.upsertPartitioned(spark, pdir,
+      pt.filter(col("p") < 5).withColumn("n",
+        org.apache.spark.sql.functions.concat(col("n"), col("n"))),
+      "k", "p")
+    def allBytes(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length() else 0L }
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .map(allBytes).sum
+    val naive = allBytes(new java.io.File(pdir)) // counts superseded parts
+    val est = spark.read.format("graft.versioned").load(pdir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(est > 0 && est < naive,
+      s"manifest-aware estimate $est must be below the double-count $naive")
   }
 
   test("LK: DESCRIBE HISTORY is metadata-only — zero Spark jobs regardless of history length") {
