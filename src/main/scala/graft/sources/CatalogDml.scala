@@ -113,6 +113,19 @@ object CatalogDml {
       centsRead(s, cat)
     }),
 
+    // E182: catalog-native SQL time travel — VERSION AS OF through the
+    // loadTable(ident, version) overload, after a DV delete moved the
+    // tip. Oracle = the UNDELETED table: a hash match proves the pinned
+    // v0 read resolves the pre-delete snapshot exactly.
+    "q_timetravel_sql_cat" -> ((s, dir) => {
+      val (cat, tdir) = plantCustomer(s, dir, "#sqltt")
+      s.sql(s"DELETE FROM $cat.ns.customer WHERE c_custkey <= 100")
+      require(Versioned.isDvVersion(tdir, Versioned.latest(tdir)))
+      s.sql(s"SELECT c_custkey, c_name, c_nationkey, " +
+        "CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, " +
+        s"c_mktsegment FROM $cat.ns.customer VERSION AS OF 0")
+    }),
+
     // E182: SQL DELETE on a keyed table — the statement plans Spark's
     // metadata-only delete (OptimizeMetadataOnlyDeleteFromTable →
     // SupportsDeleteV2), which lands a deletion-vector commit: cost ∝
@@ -154,5 +167,9 @@ object CatalogDml {
         |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
         |FROM customer
         |WHERE NOT (c_nationkey = 7 OR c_custkey > 140)
-        |ORDER BY ALL NULLS FIRST""".stripMargin)
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_timetravel_sql_cat" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM customer ORDER BY ALL NULLS FIRST""".stripMargin)
 }
