@@ -79,7 +79,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DDL views) reports real sizes and broadcasts; use it (or an explicit
   * `broadcast()`) for small dimension reads inside big joins.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -146,6 +146,26 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(spark, dir, ident.toString,
       GraftCatalog.readProps(dir), pinnedVersion = Some(v))
   }
+
+  // ---- CALL surface (see [[GraftProcedures]]) -----------------------------
+
+  private def dirOfDotted(table: String): String = {
+    val parts = table.split('.')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"graft catalog: bad table identifier '$table'")
+    dirOf(Identifier.of(parts.init, parts.last))
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, spark, dirOfDotted).getOrElse(
+      sys.error(s"graft catalog: unknown procedure $ident — available: " +
+        GraftProcedures.names.map(_.name).mkString("system.{", ", ", "}")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || (namespace sameElements Array("system")))
+      GraftProcedures.names
+    else Array.empty
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

@@ -1,0 +1,145 @@
+package graft.sources
+
+import graft.operators.Versioned
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The `CALL` maintenance surface of [[GraftCatalog]] — SQL-visible table
+  * procedures in the `system` namespace (the Iceberg
+  * `CALL cat.system.<proc>(...)` posture), each a thin face over the
+  * programmatic [[Versioned]] op and each returning its metadata-scale
+  * result as a driver-local scan (`LocalScan` — no job, no shuffle;
+  * the outputs are version numbers and per-version summaries):
+  *
+  * {{{
+  *   CALL graft_cat.system.history('ns.t')          -- DESCRIBE HISTORY rows
+  *   CALL graft_cat.system.vacuum('ns.t', 2)        -- retention sweep
+  *   CALL graft_cat.system.optimize('ns.t')         -- selective OPTIMIZE
+  *   CALL graft_cat.system.compact_dv('ns.t')       -- fold the DV chain
+  *   CALL graft_cat.system.restore('ns.t', 0)       -- roll back the tip
+  *   CALL graft_cat.system.clone_table('ns.t', 'ns.t2')  -- shallow clone
+  * }}}
+  *
+  * Spark's `InvokeProcedures` rule runs the bound procedure and turns the
+  * returned scan into rows; the mutating procedures are declared
+  * non-deterministic so no rule ever re-invokes them. Concurrency is the
+  * underlying op's: optimize/compact_dv/restore hold the mutator claim,
+  * vacuum is the documented retention contract, clone claims its own
+  * number in the target.
+  */
+private[sources] object GraftProcedures {
+
+  private def s(v: String) = UTF8String.fromString(v)
+
+  /** (name, parameters, output schema, deterministic, body). */
+  private case class Spec(name: String, params: Seq[ProcedureParameter],
+      out: StructType, deterministic: Boolean,
+      body: (SparkSession, String => String, InternalRow) => Seq[InternalRow])
+
+  private def tbl(name: String = "table") =
+    ProcedureParameter.in(name, StringType)
+      .comment("table identifier under this catalog, e.g. 'ns.t'").build()
+
+  private val versionOut =
+    StructType(Seq(StructField("version", IntegerType, nullable = false)))
+
+  private val specs: Seq[Spec] = Seq(
+    Spec("history", Seq(tbl()),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false))),
+      deterministic = true,
+      (spark, dirOf, in) =>
+        Versioned.history(spark, dirOf(in.getUTF8String(0).toString))
+          .collect().toSeq.map(r => new GenericInternalRow(
+            Array[Any](r.getInt(0), s(r.getString(1)), r.getLong(2))))),
+
+    Spec("vacuum", Seq(tbl(),
+      ProcedureParameter.in("keep_last", IntegerType)
+        .comment("number of newest versions to retain").build()),
+      StructType(Seq(
+        StructField("tip", IntegerType, nullable = false),
+        StructField("removed_versions", IntegerType, nullable = false))),
+      deterministic = false,
+      (spark, dirOf, in) => {
+        val dir = dirOf(in.getUTF8String(0).toString)
+        def committed() = (0 to Versioned.latest(dir))
+          .count(Versioned.isCommitted(dir, _))
+        val before = committed()
+        Versioned.vacuum(dir, in.getInt(1))
+        Seq(new GenericInternalRow(
+          Array[Any](Versioned.latest(dir), before - committed())))
+      }),
+
+    Spec("optimize", Seq(tbl()), versionOut, deterministic = false,
+      (spark, dirOf, in) => Seq(new GenericInternalRow(Array[Any](
+        Versioned.optimizeScattered(spark,
+          dirOf(in.getUTF8String(0).toString)))))),
+
+    Spec("compact_dv", Seq(tbl()), versionOut, deterministic = false,
+      (spark, dirOf, in) => Seq(new GenericInternalRow(Array[Any](
+        Versioned.compactDv(spark, dirOf(in.getUTF8String(0).toString)))))),
+
+    Spec("restore", Seq(tbl(),
+      ProcedureParameter.in("version", IntegerType)
+        .comment("committed version to restore as the new tip").build()),
+      versionOut, deterministic = false,
+      (spark, dirOf, in) => Seq(new GenericInternalRow(Array[Any](
+        Versioned.restore(spark, dirOf(in.getUTF8String(0).toString),
+          in.getInt(1)))))),
+
+    Spec("clone_table", Seq(tbl("source"), tbl("target")), versionOut,
+      deterministic = false,
+      (spark, dirOf, in) => {
+        val dst = dirOf(in.getUTF8String(1).toString)
+        new java.io.File(dst).mkdirs()
+        Seq(new GenericInternalRow(Array[Any](
+          Versioned.cloneShallow(spark,
+            dirOf(in.getUTF8String(0).toString), dst))))
+      }))
+
+  private val byName: Map[String, Spec] =
+    specs.map(sp => sp.name -> sp).toMap
+
+  def names: Array[Identifier] =
+    specs.map(sp => Identifier.of(Array("system"), sp.name)).toArray
+
+  /** Resolve `ident` (must be `system.<name>`) to an UnboundProcedure
+    * whose bound form runs against tables under `dirOf`.
+    */
+  def load(ident: Identifier, spark: => SparkSession,
+      dirOf: String => String): Option[UnboundProcedure] =
+    if (!(ident.namespace sameElements Array("system"))) None
+    else byName.get(ident.name).map { sp =>
+      new UnboundProcedure {
+        override def name(): String = sp.name
+        override def description(): String =
+          s"graft versioned-table maintenance: ${sp.name}"
+        override def bind(inputType: StructType): BoundProcedure =
+          new BoundProcedure {
+            override def name(): String = sp.name
+            override def description(): String =
+              s"graft versioned-table maintenance: ${sp.name}"
+            override def parameters(): Array[ProcedureParameter] =
+              sp.params.toArray
+            override def isDeterministic: Boolean = sp.deterministic
+            override def call(input: InternalRow)
+                : java.util.Iterator[Scan] =
+              java.util.List.of[Scan](new LocalScan {
+                private val result = sp.body(spark, dirOf, input).toArray
+                override def rows(): Array[InternalRow] = result
+                override def readSchema(): StructType = sp.out
+                override def description(): String =
+                  s"GraftProcedure[${sp.name}]"
+              }).iterator()
+          }
+      }
+    }
+}

@@ -223,6 +223,60 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("t6") === Seq((27L, "d", 40L)))
   }
 
+  test("E183b: CALL procedures — history/restore/compact_dv/optimize/" +
+      "vacuum/clone_table drive the maintenance surface from SQL") {
+    spark.sql("CREATE TABLE graft_cat.ns.tp (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.tp VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)") // v1 (delta)
+    spark.sql("DELETE FROM graft_cat.ns.tp WHERE k = 2") // v2 (dv)
+    // history: the 3-kind chain, metadata-only
+    val hist = spark.sql("CALL graft_cat.system.history('ns.tp')")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(hist.toSeq === Seq((0, "snapshot", 0L), (1, "append", 3L),
+      (2, "dv", 1L)))
+    // compact_dv folds the chain into a materialized snapshot
+    val vC = spark.sql("CALL graft_cat.system.compact_dv('ns.tp')")
+      .collect()(0).getInt(0)
+    assert(vC === 3)
+    assert(rows("tp").map(_._1) === Seq(1L, 3L))
+    // restore rolls the tip back to the pre-delete state
+    val vR = spark.sql("CALL graft_cat.system.restore('ns.tp', 1)")
+      .collect()(0).getInt(0)
+    assert(vR === 4)
+    assert(rows("tp").map(_._1) === Seq(1L, 2L, 3L))
+    // clone_table forks zero-copy into a new catalog table
+    spark.sql("CALL graft_cat.system.clone_table('ns.tp', 'ns.tp2')")
+    assert(rows("tp2").map(_._1) === Seq(1L, 2L, 3L))
+    assert(operators.Versioned.isCloneVersion(dirOf("tp2"), 0))
+    // vacuum retention: keep the newest 2 of tp's 5 versions
+    val vac = spark.sql("CALL graft_cat.system.vacuum('ns.tp', 2)")
+      .collect()(0)
+    assert(vac.getInt(0) === 4 && vac.getInt(1) > 0)
+    assert(rows("tp").map(_._1) === Seq(1L, 2L, 3L)) // tip still serves
+    // optimize: selective manifest de-fragmentation on a PARTITIONED
+    // table living under the catalog root (partitioned tables come from
+    // the programmatic surface; the procedure reaches them by name)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pdir = dirOf("tpart")
+    new java.io.File(pdir).mkdirs()
+    val pt = (1L to 100L).map(k => (k, k % 10, s"n$k")).toDF("k", "p", "n")
+    operators.Versioned.commitPartitioned(pt, pdir, "p")
+    operators.Versioned.upsertPartitioned(spark, pdir,
+      pt.filter(col("p") === 0L), "k", "p")
+    val vO = spark.sql("CALL graft_cat.system.optimize('ns.tpart')")
+      .collect()(0).getInt(0)
+    assert(vO === 2)
+    assert(operators.Versioned.manifest(pdir, vO).values.toSet.size === 2)
+    // unknown procedure fails loudly (Spark wraps the catalog's listing
+    // error as FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception] {
+      spark.sql("CALL graft_cat.system.nope('x')")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("E182: catalog tables STREAM through the format source — same dirs, " +
       "same commit log") {
     import spark.implicits._
