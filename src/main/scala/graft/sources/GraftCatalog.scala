@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftbridge.DmlBridge
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** The PERSISTENT CATALOG face of the versioned store — the DSv2
@@ -187,11 +187,53 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTable(spark, dir, ident.toString, GraftCatalog.readProps(dir))
   }
 
+  /** ALTER TABLE, mapped onto the versioned evolution machinery each
+    * change already has:
+    *
+    *  - ADD COLUMNS → an EMPTY widened append commit: the new column
+    *    exists from this version on (older rows null-pad through the
+    *    union-schema read; time travel below it keeps the old schema —
+    *    E149's additive-evolution contract, zero data rewritten);
+    *  - RENAME COLUMN → [[Versioned.renameColumn]] (a metadata-only
+    *    rename version, E164);
+    *  - SET/UNSET TBLPROPERTIES → the `_props` sidecar.
+    *
+    * Drops/type-changes are rejected (they would break time travel's
+    * schema contract — the same posture as the programmatic surface).
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    sys.error("graft catalog: ALTER TABLE is not supported — use the " +
-      "programmatic schema-evolution surface (appendRows widening / " +
-      "renameColumn)")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: nested ADD COLUMN is not supported")
+        val cur = Versioned.readAtDv(spark, dir, Versioned.latest(dir))
+          .schema
+        val widened = StructType(cur.fields :+ StructField(
+          add.fieldNames.head, add.dataType, nullable = true))
+        Versioned.appendRows(
+          spark.createDataFrame(new util.ArrayList[Row](), widened), dir)
+        ()
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "graft catalog: nested RENAME COLUMN is not supported")
+        Versioned.renameColumn(spark, dir, rn.fieldNames.head, rn.newName)
+        ()
+      case sp: TableChange.SetProperty =>
+        GraftCatalog.writeProps(dir,
+          GraftCatalog.readProps(dir) + (sp.property -> sp.value))
+      case rp: TableChange.RemoveProperty =>
+        GraftCatalog.writeProps(dir,
+          GraftCatalog.readProps(dir) - rp.property)
+      case other =>
+        sys.error(s"graft catalog: unsupported ALTER TABLE change $other " +
+          "— drops and type changes would break time travel's schema " +
+          "contract")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = new java.io.File(dirOf(ident))
@@ -215,16 +257,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   }
 }
 
-private[sources] object GraftCatalog {
+private[graft] object GraftCatalog {
   /** Table properties ride in a `_props` sidecar (k=v lines) so they
     * survive the session with the table.
     */
   def writeProps(dir: String, props: Map[String, String]): Unit = {
     val meaningful = props.view
       .filterKeys(k => !k.startsWith("option.") && k != "owner").toMap
-    if (meaningful.nonEmpty) {
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, "_props"),
+    val p = java.nio.file.Paths.get(dir, "_props")
+    if (meaningful.isEmpty) { java.nio.file.Files.deleteIfExists(p); () }
+    else {
+      java.nio.file.Files.writeString(p,
         meaningful.toSeq.sorted.map { case (k, v) => s"$k=$v" }
           .mkString("", "\n", "\n"))
       ()

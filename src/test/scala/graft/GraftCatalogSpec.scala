@@ -223,6 +223,41 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("t6") === Seq((27L, "d", 40L)))
   }
 
+  test("E182: ALTER TABLE — ADD COLUMNS widens via an empty append, " +
+      "RENAME COLUMN is metadata-only, TBLPROPERTIES round-trip") {
+    spark.sql("CREATE TABLE graft_cat.ns.ta (k BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft_cat.ns.ta VALUES (1, 'a')")
+    spark.sql("ALTER TABLE graft_cat.ns.ta ADD COLUMNS (tier STRING)")
+    // the widened schema serves immediately; old rows null-pad
+    assert(spark.table("graft_cat.ns.ta").columns.toSeq ===
+      Seq("k", "name", "tier"))
+    spark.sql("INSERT INTO graft_cat.ns.ta VALUES (2, 'b', 'gold')")
+    val got = spark.sql(
+      "SELECT k, tier FROM graft_cat.ns.ta ORDER BY k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got === Seq((1L, None), (2L, Some("gold"))))
+    // time travel below the widening keeps the old schema
+    assert(spark.sql("SELECT * FROM graft_cat.ns.ta VERSION AS OF 1")
+      .columns.toSeq === Seq("k", "name"))
+    // rename: metadata-only version, data intact
+    spark.sql("ALTER TABLE graft_cat.ns.ta RENAME COLUMN tier TO grade")
+    assert(spark.table("graft_cat.ns.ta").columns.toSeq ===
+      Seq("k", "name", "grade"))
+    // properties round-trip through the _props sidecar
+    spark.sql("ALTER TABLE graft_cat.ns.ta SET TBLPROPERTIES ('key'='k')")
+    assert(spark.table("graft_cat.ns.ta") // forces a reload
+      .columns.nonEmpty)
+    assert(graft.sources.GraftCatalog.readProps(dirOf("ta"))
+      .get("key") === Some("k"))
+    spark.sql("ALTER TABLE graft_cat.ns.ta UNSET TBLPROPERTIES ('key')")
+    assert(!graft.sources.GraftCatalog.readProps(dirOf("ta"))
+      .contains("key"))
+    // a DROP COLUMN is rejected loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.ta DROP COLUMN grade")
+    }
+  }
+
   test("E183b: CALL procedures — history/restore/compact_dv/optimize/" +
       "vacuum/clone_table drive the maintenance surface from SQL") {
     spark.sql("CREATE TABLE graft_cat.ns.tp (k BIGINT, name STRING, " +
