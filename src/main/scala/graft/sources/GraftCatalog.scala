@@ -149,11 +149,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   // ---- CALL surface (see [[GraftProcedures]]) -----------------------------
 
-  private def dirOfDotted(table: String): String = {
+  private def dirOfDotted(table: String, mustExist: Boolean): String = {
     val parts = table.split('.')
     require(parts.nonEmpty && parts.forall(_.nonEmpty),
       s"graft catalog: bad table identifier '$table'")
-    dirOf(Identifier.of(parts.init, parts.last))
+    val d = dirOf(Identifier.of(parts.init, parts.last))
+    if (mustExist && Versioned.latest(d) < 0)
+      throw new NoSuchTableException(parts.toSeq)
+    d
   }
 
   override def loadProcedure(ident: Identifier)
@@ -205,32 +208,60 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       changes: TableChange*): Table = {
     val dir = dirOf(ident)
     if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
-    changes.foreach {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1,
-          "graft catalog: nested ADD COLUMN is not supported")
-        val cur = Versioned.readAtDv(spark, dir, Versioned.latest(dir))
-          .schema
-        val widened = StructType(cur.fields :+ StructField(
-          add.fieldNames.head, add.dataType, nullable = true))
-        Versioned.appendRows(
-          spark.createDataFrame(new util.ArrayList[Row](), widened), dir)
-        ()
+    val (addChanges, rest) =
+      changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    rest.foreach {
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           "graft catalog: nested RENAME COLUMN is not supported")
         Versioned.renameColumn(spark, dir, rn.fieldNames.head, rn.newName)
-        ()
+        // keep the 'key' property pointing at the renamed column — a
+        // stale key name would make every later DV DELETE fail
+        // unresolved while canDeleteWhere still claims the path works
+        Versioned.withMutateClaim(dir) {
+          val props = GraftCatalog.readProps(dir)
+          if (props.get("key").contains(rn.fieldNames.head))
+            GraftCatalog.writeProps(dir, props + ("key" -> rn.newName))
+        }
       case sp: TableChange.SetProperty =>
-        GraftCatalog.writeProps(dir,
-          GraftCatalog.readProps(dir) + (sp.property -> sp.value))
+        // the props file is a read-modify-write: claim-serialized so a
+        // concurrent property change can't clobber it (the E180 class)
+        Versioned.withMutateClaim(dir) {
+          GraftCatalog.writeProps(dir,
+            GraftCatalog.readProps(dir) + (sp.property -> sp.value))
+        }
       case rp: TableChange.RemoveProperty =>
-        GraftCatalog.writeProps(dir,
-          GraftCatalog.readProps(dir) - rp.property)
+        Versioned.withMutateClaim(dir) {
+          GraftCatalog.writeProps(dir,
+            GraftCatalog.readProps(dir) - rp.property)
+        }
       case other =>
         sys.error(s"graft catalog: unsupported ALTER TABLE change $other " +
           "— drops and type changes would break time travel's schema " +
           "contract")
+    }
+    // ALL added columns land as ONE empty widened append (one commit in
+    // DESCRIBE HISTORY, one chain resolution), claim-held: the widened
+    // schema derives from the tip, and a racing rename in the window
+    // would resurrect the retired column name as an all-null zombie
+    if (addChanges.nonEmpty) Versioned.withMutateClaim(dir) {
+      val newFields = addChanges.map { case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "graft catalog: nested ADD COLUMN is not supported")
+        require(add.isNullable,
+          "graft catalog: ADD COLUMNS must be nullable — existing rows " +
+            "null-pad, so a NOT NULL add would be silently violated")
+        require(add.position() == null,
+          "graft catalog: positioned ADD COLUMNS is not supported — new " +
+            "columns append last (the union-schema read's order)")
+        StructField(add.fieldNames.head, add.dataType, nullable = true)
+      }
+      val cur = Versioned.readAtDv(spark, dir, Versioned.latest(dir))
+        .schema
+      Versioned.appendRows(
+        spark.createDataFrame(new util.ArrayList[Row](),
+          StructType(cur.fields ++ newFields)), dir)
+      ()
     }
     loadTable(ident)
   }

@@ -37,10 +37,16 @@ private[sources] object GraftProcedures {
 
   private def s(v: String) = UTF8String.fromString(v)
 
-  /** (name, parameters, output schema, deterministic, body). */
+  /** (name, parameters, output schema, deterministic, body). The body's
+    * resolver maps `'ns.t'` → dir and THROWS NoSuchTableException when
+    * `mustExist` (every argument except clone_table's target) — a typo'd
+    * identifier must fail like loadTable does, never "succeed" on an
+    * empty dir.
+    */
   private case class Spec(name: String, params: Seq[ProcedureParameter],
       out: StructType, deterministic: Boolean,
-      body: (SparkSession, String => String, InternalRow) => Seq[InternalRow])
+      body: (SparkSession, (String, Boolean) => String, InternalRow)
+        => Seq[InternalRow])
 
   private def tbl(name: String = "table") =
     ProcedureParameter.in(name, StringType)
@@ -57,7 +63,7 @@ private[sources] object GraftProcedures {
         StructField("n_rows", LongType, nullable = false))),
       deterministic = true,
       (spark, dirOf, in) =>
-        Versioned.history(spark, dirOf(in.getUTF8String(0).toString))
+        Versioned.history(spark, dirOf(in.getUTF8String(0).toString, true))
           .collect().toSeq.map(r => new GenericInternalRow(
             Array[Any](r.getInt(0), s(r.getString(1)), r.getLong(2))))),
 
@@ -69,7 +75,7 @@ private[sources] object GraftProcedures {
         StructField("removed_versions", IntegerType, nullable = false))),
       deterministic = false,
       (spark, dirOf, in) => {
-        val dir = dirOf(in.getUTF8String(0).toString)
+        val dir = dirOf(in.getUTF8String(0).toString, true)
         def committed() = (0 to Versioned.latest(dir))
           .count(Versioned.isCommitted(dir, _))
         val before = committed()
@@ -81,28 +87,32 @@ private[sources] object GraftProcedures {
     Spec("optimize", Seq(tbl()), versionOut, deterministic = false,
       (spark, dirOf, in) => Seq(new GenericInternalRow(Array[Any](
         Versioned.optimizeScattered(spark,
-          dirOf(in.getUTF8String(0).toString)))))),
+          dirOf(in.getUTF8String(0).toString, true)))))),
 
     Spec("compact_dv", Seq(tbl()), versionOut, deterministic = false,
       (spark, dirOf, in) => Seq(new GenericInternalRow(Array[Any](
-        Versioned.compactDv(spark, dirOf(in.getUTF8String(0).toString)))))),
+        Versioned.compactDv(spark,
+          dirOf(in.getUTF8String(0).toString, true)))))),
 
     Spec("restore", Seq(tbl(),
       ProcedureParameter.in("version", IntegerType)
         .comment("committed version to restore as the new tip").build()),
       versionOut, deterministic = false,
       (spark, dirOf, in) => Seq(new GenericInternalRow(Array[Any](
-        Versioned.restore(spark, dirOf(in.getUTF8String(0).toString),
+        Versioned.restore(spark, dirOf(in.getUTF8String(0).toString, true),
           in.getInt(1)))))),
 
     Spec("clone_table", Seq(tbl("source"), tbl("target")), versionOut,
       deterministic = false,
       (spark, dirOf, in) => {
-        val dst = dirOf(in.getUTF8String(1).toString)
-        new java.io.File(dst).mkdirs()
-        Seq(new GenericInternalRow(Array[Any](
-          Versioned.cloneShallow(spark,
-            dirOf(in.getUTF8String(0).toString), dst))))
+        val src = dirOf(in.getUTF8String(0).toString, true)
+        val dst = dirOf(in.getUTF8String(1).toString, false)
+        val v = Versioned.cloneShallow(spark, src, dst)
+        // a clone carries the source's TBLPROPERTIES (the Delta shallow-
+        // clone contract) — most importantly 'key', without which DV
+        // deletes on the clone would silently degrade to table rewrites
+        GraftCatalog.writeProps(dst, GraftCatalog.readProps(src))
+        Seq(new GenericInternalRow(Array[Any](v)))
       }))
 
   private val byName: Map[String, Spec] =
@@ -115,7 +125,7 @@ private[sources] object GraftProcedures {
     * whose bound form runs against tables under `dirOf`.
     */
   def load(ident: Identifier, spark: => SparkSession,
-      dirOf: String => String): Option[UnboundProcedure] =
+      dirOf: (String, Boolean) => String): Option[UnboundProcedure] =
     if (!(ident.namespace sameElements Array("system"))) None
     else byName.get(ident.name).map { sp =>
       new UnboundProcedure {

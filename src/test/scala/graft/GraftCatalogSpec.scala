@@ -256,6 +256,24 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_cat.ns.ta DROP COLUMN grade")
     }
+    // renaming the KEY column follows the 'key' property, so DV deletes
+    // keep working after the rename
+    spark.sql("ALTER TABLE graft_cat.ns.ta SET TBLPROPERTIES ('key'='k')")
+    spark.sql("ALTER TABLE graft_cat.ns.ta RENAME COLUMN k TO kid")
+    assert(graft.sources.GraftCatalog.readProps(dirOf("ta"))
+      .get("key") === Some("kid"))
+    spark.sql("DELETE FROM graft_cat.ns.ta WHERE kid = 1")
+    assert(operators.Versioned.isDvVersion(dirOf("ta"),
+      operators.Versioned.latest(dirOf("ta"))),
+      "post-rename DELETE must still take the DV path")
+    assert(spark.sql("SELECT kid FROM graft_cat.ns.ta").collect()
+      .map(_.getLong(0)).toSet === Set(2L))
+    // multi-column ADD lands as ONE commit
+    val tipBefore = operators.Versioned.latest(dirOf("ta"))
+    spark.sql("ALTER TABLE graft_cat.ns.ta ADD COLUMNS (x INT, y INT)")
+    assert(operators.Versioned.latest(dirOf("ta")) === tipBefore + 1)
+    assert(spark.table("graft_cat.ns.ta").columns.toSeq ===
+      Seq("kid", "name", "grade", "x", "y"))
   }
 
   test("E183b: CALL procedures — history/restore/compact_dv/optimize/" +
@@ -280,10 +298,19 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getInt(0)
     assert(vR === 4)
     assert(rows("tp").map(_._1) === Seq(1L, 2L, 3L))
-    // clone_table forks zero-copy into a new catalog table
+    // clone_table forks zero-copy into a new catalog table, CARRYING the
+    // source's TBLPROPERTIES (so DV deletes keep their key)
     spark.sql("CALL graft_cat.system.clone_table('ns.tp', 'ns.tp2')")
     assert(rows("tp2").map(_._1) === Seq(1L, 2L, 3L))
     assert(operators.Versioned.isCloneVersion(dirOf("tp2"), 0))
+    assert(graft.sources.GraftCatalog.readProps(dirOf("tp2"))
+      .get("key") === Some("k"))
+    // a typo'd table identifier fails like loadTable does — never an
+    // empty "success"
+    intercept[Exception] {
+      spark.sql("CALL graft_cat.system.history('ns.no_such_table')")
+        .collect()
+    }
     // vacuum retention: keep the newest 2 of tp's 5 versions
     val vac = spark.sql("CALL graft_cat.system.vacuum('ns.tp', 2)")
       .collect()(0)
