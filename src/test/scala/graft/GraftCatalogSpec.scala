@@ -383,6 +383,45 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.getLong(0)).toSet === (1L to 8L).toSet)
   }
 
+  test("E182: racing SQL MERGEs serialize or abort — never a lost update, " +
+      "end to end") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft_cat.ns.t12 (k BIGINT, name STRING, " +
+      "bal BIGINT)")
+    spark.sql("INSERT INTO graft_cat.ns.t12 VALUES (1, 'a', 10)")
+    Seq((1L, "a", 0L)).toDF("k", "name", "bal")
+      .createOrReplaceTempView("t12_src")
+    // two identical increment-MERGEs race: each one that REPORTS success
+    // must have its +100 in the final balance (10 + 100·successes);
+    // a loser must fail with the concurrent-update conflict, loudly
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val results =
+      try {
+        val fs = (1 to 2).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Option[String]] {
+            def call(): Option[String] =
+              try {
+                spark.sql("MERGE INTO graft_cat.ns.t12 t USING t12_src s " +
+                  "ON t.k = s.k WHEN MATCHED THEN " +
+                  "UPDATE SET t.bal = t.bal + 100")
+                None
+              } catch { case e: Exception => Some(e.getMessage) }
+          })
+        }
+        fs.map(_.get())
+      } finally pool.shutdown()
+    val failures = results.flatten
+    failures.foreach(msg => assert(msg.contains("concurrent update"),
+      s"a losing MERGE must abort on the conflict check, got: $msg"))
+    val successes = 2 - failures.size
+    assert(successes >= 1, "at least one MERGE must win")
+    val bal = spark.sql("SELECT bal FROM graft_cat.ns.t12 WHERE k = 1")
+      .collect()(0).getLong(0)
+    assert(bal === 10L + 100L * successes,
+      s"$successes successful merge(s) must yield 10 + 100·$successes, " +
+        s"got $bal — a lost update")
+  }
+
   test("E182: row-level rewrite aborts loudly when the tip moved under it " +
       "(optimistic concurrency — no lost update)") {
     import spark.implicits._
