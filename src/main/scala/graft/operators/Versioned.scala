@@ -36,10 +36,13 @@ object Versioned {
   // IndexStore protocol verbatim: O_EXCL create, heartbeat while held,
   // stale-claim takeover by atomic rename (exactly one waiter wins), and
   // per-thread re-entrancy so compound mutators (the stats-sidecar
-  // upserts) nest without deadlock. Plain `commit`/`commitPartitioned`
-  // (self-contained full states) and `appendRows` (purely additive, no
-  // tip read) stay claim-free — concurrent appends are the designed
-  // ingest path. Readers never touch the claim.
+  // upserts) nest without deadlock. `commit` also serializes under the
+  // claim — not for a tip read (it is a self-contained full state) but
+  // because a claim-free snapshot seal racing a claim-holding COW
+  // rewrite is non-serializable (the buried-snapshot anomaly, see
+  // [[commit]]). `appendRows` (purely additive, no tip read) stays
+  // claim-free — concurrent appends are the designed ingest path.
+  // Readers never touch the claim.
 
   private[graft] var mutateClaimTimeoutMs: Long = 10L * 60 * 1000
   private val mutateSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -87,10 +90,29 @@ object Versioned {
         } catch { case _: Throwable => false } // vanished → re-race
       if (stale) {
         try {
+          // Capture the stale claim's content BEFORE evicting: a waiter
+          // paused between the staleness read and the move could
+          // otherwise evict a SUCCESSOR'S freshly created claim —
+          // a brief double-hold the owner token only detects after the
+          // second holder's mutation ran. Verifying the moved file still
+          // carries the observed-stale content (tokens are unique per
+          // acquisition) and moving a fresh claim BACK shrinks that
+          // window to a double timeout-length pause.
+          val observed =
+            try Files.readString(p) catch { case _: Throwable => null }
           val aside = p.resolveSibling(s".mutate-stale-" +
             s"${ProcessHandle.current().pid()}-${mutateSeq.incrementAndGet()}")
           Files.move(p, aside, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          Files.deleteIfExists(aside); ()
+          val moved =
+            try Files.readString(aside) catch { case _: Throwable => null }
+          if (observed != null && moved != null && moved != observed) {
+            // evicted a FRESH claim — restore it (on failure a third
+            // party already claimed; the evicted holder's own token
+            // check raises, the existing safety net)
+            try Files.move(aside, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: Throwable => Files.deleteIfExists(aside); () }
+          } else { Files.deleteIfExists(aside); () }
         } catch { case _: Throwable => () } // lost the takeover race
       } else Thread.sleep(20)
     }
@@ -180,8 +202,19 @@ object Versioned {
     * A crash between claim and commit leaves a numbered hole: the claim
     * makes later writers skip the number, no `_commit` mark means readers
     * skip it too — exactly the aborted-transaction slot of a real log.
+    *
+    * Claim-serialized: a claim-FREE snapshot commit racing a
+    * claim-holding COW rewrite (SQL UPDATE/MERGE) could be buried by the
+    * rewrite's adoption — the rewrite's tip-unmoved check passes before
+    * this seal lands, yet this snapshot "wins" a number below it, an
+    * outcome no serial order produces (the same anomaly the SQL
+    * TRUNCATE/INSERT OVERWRITE paths take the claim for). Version-NUMBER
+    * uniqueness still comes from the O_EXCL claim files alone; the
+    * mutator claim adds statement-level serializability. Re-entrant, so
+    * the many claim-holding callers (upsert/restore/compact/SQL DML)
+    * nest unchanged.
     */
-  def commit(df: DataFrame, dir: String): Int = {
+  def commit(df: DataFrame, dir: String): Int = withMutateClaim(dir) {
     val v = claimNext(dir)
     df.write.mode("overwrite").parquet(s"$dir/v$v")
     seal(dir, v)
@@ -249,19 +282,24 @@ object Versioned {
     // commit/abort deletes its own `.rowlevel-scan-*`/`.staging-*` dirs,
     // but a plan that was built and never executed (EXPLAIN, an analyzed-
     // then-dropped DataFrame) has no terminal callback — its temp dir
-    // leaks until vacuum. Age-gated by [[tempSweepAgeMs]] (24 h default):
-    // these dirs have NO heartbeat (unlike the claim file), so the gate
-    // is a generous bound on DML statement duration, not a liveness
-    // check — a statement still running when its temp dirs cross the
-    // threshold during a concurrent vacuum would lose them; raise the
-    // threshold for such workloads.
+    // leaks until vacuum. Age-gated by [[tempSweepAgeMs]] (24 h default)
+    // on the NEWEST mtime anywhere inside the dir, not the dir inode's:
+    // executor writers keep creating/finalizing files while a long DML
+    // statement runs, so an actively-written staging dir never reads as
+    // orphaned even when the statement outlives the threshold (only a
+    // statement that writes NOTHING for a full threshold while a vacuum
+    // runs concurrently could still lose its files — loudly, at the
+    // adoption move).
     val now = System.currentTimeMillis()
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +: Option(f.listFiles())
+        .getOrElse(Array.empty[java.io.File]).map(newestMtime).toSeq).max
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter { f =>
         (f.getName.startsWith(".rowlevel-scan-") ||
           f.getName.startsWith(".staging-")) &&
-          now - f.lastModified() > tempSweepAgeMs
+          now - newestMtime(f) > tempSweepAgeMs
       }
       .foreach(rmTree)
   }
@@ -808,8 +846,16 @@ object Versioned {
       else {
         val d = dvs.map(w => s.read.parquet(dvPath(dir, w)))
           .reduce(_ unionByName _)
-        acc.join(broadcast(d.dropDuplicates(d.columns.head)),
-          Seq(d.columns.head), "left_anti")
+        // NULL-SAFE anti-join (<=>): a DV recording a NULL key must
+        // remove the null-keyed row — plain equality never matches NULL,
+        // so a SQL `DELETE WHERE k IS NULL` would commit a DV that
+        // silently keeps the matched row while reporting success. Valid
+        // under the key-uniqueness assertion (at most one null-keyed
+        // row); still an equi-join shape, so the broadcast HASH anti-join
+        // plan is unchanged.
+        val k = d.columns.head
+        val dd = broadcast(d.dropDuplicates(k))
+        acc.join(dd, acc(k) <=> dd(k), "left_anti")
       }
     // Coalesce CONSECUTIVE append versions with identical column layout
     // (names + types; nullability ignored — parquet stores optional
@@ -1032,7 +1078,7 @@ object Versioned {
     * Returns the committed version, or None for a replayed batch.
     */
   def appendBatchIdempotent(df: DataFrame, dir: String,
-      batchId: Long): Option[Int] = {
+      batchId: Long, beforeSeal: Int => Unit = _ => ()): Option[Int] = {
     val tip = latest(dir)
     val seen = (0 to tip).exists { w =>
       isCommitted(dir, w) &&
@@ -1046,6 +1092,14 @@ object Versioned {
       if (tip < 0) df.write.mode("overwrite").parquet(s"$dir/v$v")
       else df.write.mode("overwrite").parquet(addPath(dir, v))
       java.nio.file.Files.writeString(batchIdPath(dir, v), batchId.toString)
+      // side-effects that must be REPLAY-REPAIRABLE run before the seal
+      // (the gated-ingest quarantine write): a crash after the seal
+      // would make the replay short-circuit on the batch-id marker and
+      // never re-run them; a crash BEFORE it leaves an uncommitted hole
+      // the replay re-runs in full (any debris the hook wrote is tagged
+      // with the hole version and filtered by its reader — see
+      // [[quarantine]]).
+      beforeSeal(v)
       seal(dir, v)
       Some(v)
     }
@@ -1085,10 +1139,25 @@ object Versioned {
 
   /** Every quarantined row of the table's history (empty-schema error if
     * nothing was ever quarantined — read under an expectation-bearing
-    * history).
+    * history). Rows tagged with a claimed-but-never-committed HOLE
+    * version are excluded: the streaming gate writes its quarantine
+    * BEFORE the commit seals (so a crash-replay can repair a missing
+    * write), which means a crash in that window leaves debris tagged
+    * with the aborted version — exactly the hole set, which is
+    * metadata-scale (one driver-side existence check per version).
     */
-  def quarantine(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(quarantineDir(dir))
+  def quarantine(s: SparkSession, dir: String): DataFrame = {
+    // holes come from the claim-file listing, not `0 to latest`: the
+    // crashed attempt's claim is usually ABOVE the last committed tip
+    val holes = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(_.getName.endsWith("._claim"))
+      .flatMap(f => versionOf(f.getName))
+      .filterNot(w => isCommitted(dir, w))
+    val q = s.read.parquet(quarantineDir(dir))
+    if (holes.isEmpty) q
+    else q.filter(!col("commit_version").isin(holes.map(Int.box): _*))
+  }
 
   // ---- zone-map stats + partition skipping -------------------------------
   //

@@ -214,11 +214,17 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case rn: TableChange.RenameColumn =>
         require(rn.fieldNames.length == 1,
           "graft catalog: nested RENAME COLUMN is not supported")
-        Versioned.renameColumn(spark, dir, rn.fieldNames.head, rn.newName)
-        // keep the 'key' property pointing at the renamed column — a
-        // stale key name would make every later DV DELETE fail
-        // unresolved while canDeleteWhere still claims the path works
+        // ONE outer claim spans the rename commit AND the key-property
+        // fix-up (withMutateClaim is re-entrant, so renameColumn's own
+        // claim nests): split into two acquisitions, a concurrent DELETE
+        // in the window between them reads the stale key name and fails
+        // unresolved — fail-loud, but ALTER TABLE RENAME should be
+        // atomic end to end.
         Versioned.withMutateClaim(dir) {
+          Versioned.renameColumn(spark, dir, rn.fieldNames.head, rn.newName)
+          // keep the 'key' property pointing at the renamed column — a
+          // stale key name would make every later DV DELETE fail
+          // unresolved while canDeleteWhere still claims the path works
           val props = GraftCatalog.readProps(dir)
           if (props.get("key").contains(rn.fieldNames.head))
             GraftCatalog.writeProps(dir, props + ("key" -> rn.newName))
@@ -444,14 +450,37 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
     else Some(cols.flatten.foldLeft(lit(true))(_ && _))
   }
 
+  /** The declared unique row key, resolved through the rename chain when
+    * stale: ALTER TABLE RENAME commits the rename version and fixes up
+    * the `key` property under ONE claim, but loads read props and schema
+    * claim-free, so a load interleaving the rename's seal and its
+    * property fix-up could still see the retired name — and then every
+    * DV DELETE would fail unresolved while [[canDeleteWhere]] claims the
+    * path works. When the recorded name is absent from the pinned
+    * schema, walking it forward through the committed rename versions
+    * (metadata-scale driver reads) recovers the live name for ANY
+    * interleaving; a name present in the schema is taken as-is (never
+    * walked, so a later rename REUSING a retired name can't mis-route
+    * it).
+    */
+  private lazy val keyProp: Option[String] = props.get("key").map { k0 =>
+    if (schema.fieldNames.contains(k0)) k0
+    else (0 to tip).foldLeft(k0) { (k, w) =>
+      if (Versioned.isRenameVersion(dir, w)) {
+        val (from, to) = Versioned.renameOf(dir, w)
+        if (k == from) to else k
+      } else k
+    }
+  }
+
   override def canDeleteWhere(predicates: Array[V2Predicate]): Boolean =
-    props.contains("key") && predicatesToColumn(predicates).isDefined
+    keyProp.isDefined && predicatesToColumn(predicates).isDefined
 
   override def deleteWhere(predicates: Array[V2Predicate]): Unit = {
     rejectTimeTravelWrite("DELETE")
     val cond = predicatesToColumn(predicates).getOrElse(sys.error(
       s"graft catalog: untranslatable DELETE predicates on $tableName"))
-    Versioned.deleteWhereDv(spark, dir, cond, props.getOrElse("key",
+    Versioned.deleteWhereDv(spark, dir, cond, keyProp.getOrElse(
       sys.error(s"graft catalog: DELETE-by-DV on $tableName requires the " +
         "'key' table property")))
     ()

@@ -24,7 +24,8 @@ import org.apache.spark.sql.types.StructType
   *   //   CREATE TEMPORARY VIEW t USING `graft.versioned`
   *   //   OPTIONS (path '<dir>', versionAsOf '1')
   *   df.write.format("graft.versioned").mode("append").save(dir)
-  *   //   → commits latest ∪ df (existing rows survive)
+  *   //   → one append (delta) commit of df's rows (cost ∝ batch;
+  *   //     existing rows survive through the chain fold)
   *   df.write.format("graft.versioned").mode("overwrite").save(dir)
   *   //   → commits df as the next full snapshot (history retained)
   *   // INSERT INTO t ... appends; INSERT OVERWRITE TABLE t ... replaces
@@ -126,9 +127,10 @@ class VersionedSource extends RelationProvider
     * lakehouse posture: old versions stay time-travelable until
     * [[graft.operators.Versioned.vacuum]]):
     *
-    *  - `Append` commits the DV-resolved latest snapshot PLUS the new
-    *    rows (the SQL append contract — existing rows survive; on an
-    *    empty table it is the initial commit);
+    *  - `Append` lands the new rows as an append (DELTA) commit — cost
+    *    ∝ batch, existing rows survive through the read-side chain fold
+    *    (the SQL append contract); on an empty table it is the initial
+    *    commit;
     *  - `Overwrite` commits the new rows as the complete next snapshot;
     *  - `ErrorIfExists` refuses when the table already has a committed
     *    version; `Ignore` is then a no-op.
@@ -191,16 +193,32 @@ private[sources] object VersionedSource {
     case Not(c) => filterToColumn(c).map(!_)
     case _ => None
   }
-  /** Append = DV-resolved latest ∪ new rows, committed as the next
-    * version (`unionByName` fails loudly on a schema mismatch). A
-    * tip-deriving read-modify-write, so it serializes under the mutator
-    * claim (re-entrant when the SaveMode dispatch already holds it).
+  /** Append = an APPEND (delta) commit of only the new rows
+    * ([[graft.operators.Versioned.appendRows]]) — cost ∝ batch, never
+    * table size. The earlier spelling committed `readAtDv(latest) ∪ data`
+    * as a full snapshot: O(table) I/O per `df.write.mode("append")` /
+    * `INSERT INTO`, which rewrites a 100 TB table per micro-batch — the
+    * exact shape the delta primitive exists to kill.
+    *
+    * Schema contract (fail-loud, the SQL append posture): the batch must
+    * UNION cleanly with the tip snapshot — `unionByName` is analyzed
+    * (driver-side only, no job runs) so a missing/extra column or an
+    * un-coercible type raises here, exactly as the snapshot spelling did.
+    * Coercible type widening (int batch into a long column) is absorbed
+    * by the read-side fold the same way programmatic `appendRows` batches
+    * are. Widening with NEW columns stays programmatic-only — SQL appends
+    * never silently evolve the schema.
+    *
+    * Still claim-serialized (re-entrant under the SaveMode dispatch):
+    * the schema gate reads the tip, and the empty-table/ErrorIfExists
+    * branches in the dispatch are check-then-act against it.
     */
   def commitAppend(ctx: SQLContext, dir: String, data: DataFrame): Unit =
     graft.operators.Versioned.withMutateClaim(dir) {
       val cur = graft.operators.Versioned.readAtDv(ctx.sparkSession, dir,
         graft.operators.Versioned.latest(dir))
-      graft.operators.Versioned.commit(cur.unionByName(data), dir)
+      cur.unionByName(data).schema // analysis-only schema gate (no job)
+      graft.operators.Versioned.appendRows(data, dir)
       ()
     }
 }
@@ -285,11 +303,12 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
     VersionedSource.filterToColumn(f)
 
   /** `INSERT INTO <view>` over the DDL surface: plain INSERT appends
-    * (DV-resolved latest ∪ new rows → next version — existing rows
-    * survive, the SQL contract); `INSERT OVERWRITE` commits the new rows
-    * as the complete next snapshot. History stays time-travelable either
-    * way. The view keeps serving the version it resolved at creation;
-    * re-create it (or read without `versionAsOf`) to see the new commit.
+    * (one DELTA commit of the new rows, cost ∝ batch — existing rows
+    * survive through the chain fold, the SQL contract); `INSERT
+    * OVERWRITE` commits the new rows as the complete next snapshot.
+    * History stays time-travelable either way. The view keeps serving
+    * the version it resolved at creation; re-create it (or read without
+    * `versionAsOf`) to see the new commit.
     */
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
     // claim-serialized: the empty-table check and the tip-deriving append

@@ -853,12 +853,12 @@ object StreamOps {
     * count as violations, exactly as in the batch
     * [[graft.operators.Versioned.commitExpect]].
     *
-    * Crash seam (documented, standard for a non-transactional sidecar):
-    * the quarantine append runs AFTER the commit seals; a crash exactly
-    * between them loses that batch's quarantine rows (the replay sees the
-    * committed marker and skips). The data plane — the table itself —
-    * stays exactly-once; the quarantine is diagnostics, where at-most-once
-    * beats the double-append the opposite ordering would produce.
+    * Crash semantics: the quarantine append runs BEFORE the commit
+    * seals, so a crash anywhere in the batch leaves an uncommitted hole
+    * the replay re-runs in full — the table stays exactly-once via the
+    * batch-id marker, and the quarantine stays exactly-once because the
+    * crashed attempt's debris is tagged with the hole version and
+    * filtered by [[graft.operators.Versioned.quarantine]].
     */
   def versionedIngestExpect(stream: DataFrame, dir: String,
       checkpoint: String, expectations: Seq[(String, org.apache.spark.sql.Column)]):
@@ -887,14 +887,21 @@ object StreamOps {
       .reduce(_ && _)
     val viol = concat_ws(",", expectations.map { case (n, p) =>
       when(!coalesce(p, lit(false)), lit(n)) }: _*)
+    // The quarantine write rides BEFORE the commit seals (the
+    // `beforeSeal` hook): sealed first, a crash between seal and
+    // quarantine would make the replay short-circuit on the batch-id
+    // marker and permanently lose the rejected rows — exactly-once for
+    // the table but not for the advertised quarantine contract. Sealed
+    // last, a crash instead leaves quarantine debris tagged with the
+    // aborted hole version, which [[graft.operators.Versioned
+    // .quarantine]] filters out — so BOTH sides replay exactly-once.
     graft.operators.Versioned
-      .appendBatchIdempotent(batch.filter(ok), dir, id)
-      .foreach { v =>
+      .appendBatchIdempotent(batch.filter(ok), dir, id, beforeSeal = { v =>
         batch.filter(!ok).withColumn("violations", viol)
           .withColumn("commit_version", lit(v))
           .write.mode("append")
           .parquet(graft.operators.Versioned.quarantineDir(dir))
-      }
+      })
     ()
   }
 

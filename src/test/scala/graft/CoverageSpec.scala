@@ -810,18 +810,30 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set(2L, 4L, 5L))
     assert(ks(spark.read.format("graft.versioned")
       .option("versionAsOf", 0).load(dir)) === Set(1L, 2L, 3L, 4L))
-    // append PRESERVES existing rows (the SQL append contract)
+    // append PRESERVES existing rows (the SQL append contract) AND lands
+    // as an append (DELTA) commit — cost ∝ batch, never a snapshot
+    // rewrite of the whole table (the 100 TB scale contract, enforced)
     Seq((9L, "z", 90L)).toDF("k", "name", "bal")
       .write.format("graft.versioned").mode("append").save(dir)
     assert(operators.Versioned.latest(dir) === 4)
+    assert(operators.Versioned.isAddVersion(dir, 4),
+      "v1 SQL append must be a delta commit, not a snapshot rewrite")
     assert(ks(spark.read.format("graft.versioned").load(dir)) ===
       Set(2L, 4L, 5L, 9L))
-    // INSERT INTO through the DDL view appends too
+    // schema gate: a mismatched batch fails loudly BEFORE committing
+    intercept[Exception] {
+      Seq((9L, "z")).toDF("k", "name")
+        .write.format("graft.versioned").mode("append").save(dir)
+    }
+    assert(operators.Versioned.latest(dir) === 4)
+    // INSERT INTO through the DDL view appends too (delta-kind as well)
     spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW vt_w USING `graft.versioned` " +
       s"OPTIONS (path '$dir')")
     spark.sql("INSERT INTO vt_w VALUES " +
       "(CAST(10 AS BIGINT), 'w', CAST(100 AS BIGINT))")
     assert(operators.Versioned.latest(dir) === 5)
+    assert(operators.Versioned.isAddVersion(dir, 5),
+      "DDL-view INSERT INTO must be a delta commit")
     assert(ks(spark.read.format("graft.versioned").load(dir)) ===
       Set(2L, 4L, 5L, 9L, 10L))
     // INSERT OVERWRITE replaces the snapshot (history intact)

@@ -445,4 +445,50 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // nothing was lost: both rows still live, tip unchanged
     assert(rows("t5").map(_._1) === Seq(1L, 2L))
   }
+
+  test("E187: DELETE of NULL-keyed rows takes the DV path and actually " +
+      "removes them (null-safe anti-join)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft_cat.ns.tnull (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    // one NULL-keyed row next to ordinary keys: plain-equality anti-join
+    // semantics would commit the DV, report success, and silently KEEP
+    // the matched null-keyed row (null never equals null)
+    Seq((Some(1L), "a", 10L), (Some(2L), "b", 20L), (None, "ghost", 99L))
+      .toDF("k", "name", "bal")
+      .write.format("graft.versioned").mode("append").save(dirOf("tnull"))
+    spark.sql("DELETE FROM graft_cat.ns.tnull WHERE k IS NULL")
+    val d = dirOf("tnull")
+    assert(operators.Versioned.isDvVersion(d, operators.Versioned.latest(d)),
+      "IS NULL is losslessly translatable — must take the DV path")
+    assert(rows("tnull") === Seq((1L, "a", 10L), (2L, "b", 20L)),
+      "the null-keyed row must actually be gone")
+    // and a delete that does NOT name the null row keeps it intact
+    spark.sql("INSERT INTO graft_cat.ns.tnull VALUES (NULL, 'ghost2', 7)")
+    spark.sql("DELETE FROM graft_cat.ns.tnull WHERE k = 1")
+    assert(spark.sql("SELECT name FROM graft_cat.ns.tnull ORDER BY name")
+      .collect().map(_.getString(0)).toSeq === Seq("b", "ghost2"))
+  }
+
+  test("E187: stale 'key' property after a rename — the key resolves " +
+      "through the rename chain, DV DELETE stays correct") {
+    spark.sql("CREATE TABLE graft_cat.ns.tren (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.tren VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    spark.sql("ALTER TABLE graft_cat.ns.tren RENAME COLUMN k TO id")
+    val d = dirOf("tren")
+    // ALTER fixed the property up under one claim...
+    assert(sources.GraftCatalog.readProps(d)("key") === "id")
+    // ...but simulate the claim-free load that interleaved the rename's
+    // seal and the property fix-up: force the RETIRED name back in
+    sources.GraftCatalog.writeProps(d,
+      sources.GraftCatalog.readProps(d) + ("key" -> "k"))
+    spark.sql("DELETE FROM graft_cat.ns.tren WHERE id = 2")
+    assert(operators.Versioned.isDvVersion(d, operators.Versioned.latest(d)),
+      "stale key name must resolve through the rename chain, not fall " +
+        "back to a COW rewrite or fail unresolved")
+    assert(spark.sql("SELECT id FROM graft_cat.ns.tren ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
 }

@@ -836,6 +836,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Versioned.quarantine(spark, dir).count() === 2)
   }
 
+  test("E187: gated ingest crash between quarantine write and seal — the " +
+      "replay repairs BOTH writes, the aborted attempt's debris is invisible") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val dir = java.nio.file.Files.createTempDirectory("graft-vtingc").toString
+    Versioned.commit(Seq((0L, "base", 1L)).toDF("k", "name", "bal"), dir)
+    // simulate the crash window the beforeSeal ordering leaves: version 1
+    // was CLAIMED, its quarantine rows landed tagged v1, but the seal
+    // never happened (no _commit mark) — the quarantine write now runs
+    // BEFORE the seal precisely so this is the only loss shape
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir, "v1._claim"))
+    Seq((9L, "crash", -1L)).toDF("k", "name", "bal")
+      .withColumn("violations", lit("nonneg_bal"))
+      .withColumn("commit_version", lit(1))
+      .write.mode("append").parquet(Versioned.quarantineDir(dir))
+    // the hole-tagged debris is filtered out of the quarantine read
+    assert(Versioned.quarantine(spark, dir).count() === 0)
+    // the replay re-runs the batch in full: valid rows commit (skipping
+    // the claimed hole), rejects land tagged with the SEALED version
+    StreamOps.ingestExpectBatch(
+      Seq((5L, "e", 50L), (9L, "crash", -1L)).toDF("k", "name", "bal"),
+      dir, 7L, Seq("nonneg_bal" -> (col("bal") >= 0L)))
+    val tip = Versioned.latest(dir)
+    assert(tip === 2 && Versioned.isAddVersion(dir, tip))
+    assert(Versioned.readAtDv(spark, dir, tip).collect()
+      .map(_.getAs[Long]("k")).toSet === Set(0L, 5L))
+    val quar = Versioned.quarantine(spark, dir).collect()
+    assert(quar.length === 1 &&
+      quar.head.getAs[Long]("k") === 9L &&
+      quar.head.getAs[Int]("commit_version") === tip)
+    // and a replayed batch id still short-circuits both writes
+    assert(Versioned.appendBatchIdempotent(
+      Seq((5L, "e", 50L)).toDF("k", "name", "bal"), dir, 7L) === None)
+    assert(Versioned.quarantine(spark, dir).count() === 1)
+  }
+
   test("E155: graft.versioned streaming source — snapshot + appends, live " +
       "commits picked up, schema aligned to creation time") {
     import graft.operators.Versioned
