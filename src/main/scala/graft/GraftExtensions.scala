@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // real statistics for catalog-table reads (E188); also registered by
+    // GraftCatalog.initialize for sessions built without extensions
+    ext.injectOptimizerRule(_ => graft.sources.VersionedScanStats)
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "_FUNC_(text[, n]) - distinct hashed n-word shingles"),
       (args: Seq[Expression]) => args match {

@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   * tokenize by per-word Viterbi under the refined log-probabilities.
   * (Kudo's unigram LM trains by soft EM over the full lattice and prunes
   * by likelihood loss; the hard-EM/Viterbi variant here keeps every count
-  * an exact integer — the engine-portability contract — and is documented
-  * as such.)
+  * an exact integer — the engine-portability contract. Likelihood-loss
+  * pruning landed as [[pruneVocab]]; the soft-EM E-step is documented out
+  * AS FINAL: its expected counts are lattice forward-backward RATIOS of
+  * exponentials — e^{s/1e6} sums have no exact integer form, different
+  * summation orders change low-order bits across engines/partitionings,
+  * and rounding the ratios per (word, piece) pair loses the mass-
+  * conservation property EM's monotonicity proof needs, so a "determinism-
+  * preserving integer soft-EM" would be soft in name only. Hard-EM +
+  * loss pruning is the fixed design point, not a pending gap.)
   *
   * Scale shape (same argument as BPE): the corpus is touched ONCE for the
   * word-count aggregation; everything after — seeding, scoring, EM,

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   *    rewrite, oracle = the same CASE projection over the raw table;
   *  - `q_insert_sql`: `INSERT INTO ... SELECT` — the staged executor
   *    write adopted as one append (delta) commit (`require`d in-query),
-  *    oracle = base ∪ inserted projection.
+  *    oracle = base ∪ inserted projection;
+  *  - `q_lake_changes_sql_cat`: the `<table>.changes` CDC metadata table
+  *    with `VERSION AS OF '0..2'` bounds (E190), oracle byte-identical
+  *    to `q_snapshot_diff`'s.
   */
 object CatalogDml {
 
@@ -126,6 +129,31 @@ object CatalogDml {
         s"c_mktsegment FROM $cat.ns.customer VERSION AS OF 0")
     }),
 
+    // E190: SQL CDC through the catalog — the <table>.changes metadata
+    // table with VERSION AS OF '0..2' bounds, over the same v0 → upsert
+    // → delete history q_lake_changes builds (cents precomputed into the
+    // table so the diff is float-seam-free). Oracle BYTE-IDENTICAL to
+    // q_snapshot_diff's: the SQL face must hash-match the purely
+    // in-memory snapshot diff every round.
+    "q_lake_changes_sql_cat" -> ((s, dir) => {
+      val root = Versioned.tableDir(dir + "#sqlcdc")
+      val cat = catalogFor(s, root)
+      val tdir = s"$root/ns/customer"
+      new java.io.File(tdir).mkdirs()
+      val c = graft.Tables.customer(s, dir)
+      def cents(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"))
+      Versioned.commit(cents(c), tdir)                                 // v0
+      GraftCatalog.writeProps(tdir, Map("key" -> "c_custkey"))
+      Versioned.upsert(s, tdir, cents(Lake.customerDelta(c)),
+        "c_custkey")                                                   // v1
+      Versioned.deleteWhere(s, tdir, col("c_custkey") % 13 === 0)      // v2
+      s.sql(s"SELECT c_custkey, change_type, o_c_name, n_c_name, " +
+        s"o_acctbal_c, n_acctbal_c " +
+        s"FROM $cat.ns.customer.changes VERSION AS OF '0..2'")
+    }),
+
     // E182: SQL DELETE on a keyed table — the statement plans Spark's
     // metadata-only delete (OptimizeMetadataOnlyDeleteFromTable →
     // SupportsDeleteV2), which lands a deletion-vector commit: cost ∝
@@ -143,6 +171,7 @@ object CatalogDml {
 
   val oracles: Map[String, String] = Map(
     "q_merge_sql" -> Lake.oracles("q_merge_multi"),
+    "q_lake_changes_sql_cat" -> Lake.oracles("q_snapshot_diff"),
     "q_update_sql" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  CAST(FLOOR(CASE WHEN c_custkey % 7 = 0

@@ -71,15 +71,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Time travel is SQL-native: `VERSION AS OF <v>` / `TIMESTAMP AS OF
   * <ts>` resolve through the `loadTable` overloads to a version-pinned
-  * (read-only) table. Known stats limitation: catalog reads plan through
-  * Spark's `V1ScanWrapper`, which does not forward
-  * `SupportsReportStatistics` — so catalog-table joins see
-  * `defaultSizeInBytes` and will not auto-broadcast (the JDBC-source
-  * limitation). The v1 source (`spark.read.format("graft.versioned")` /
-  * DDL views) reports real sizes and broadcasts; use it (or an explicit
-  * `broadcast()`) for small dimension reads inside big joins.
+  * (read-only) table. Statistics: Spark's `V1ScanWrapper` does not
+  * forward `SupportsReportStatistics`, so plain catalog reads are
+  * rerouted by [[VersionedScanStats]] onto the stats-bearing v1
+  * relation — catalog-table joins see real sizes and small dims
+  * broadcast, same as the v1 source / DDL views.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -89,6 +88,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     catalogName = name
     root = Option(options.get("root")).getOrElse(sys.error(
       s"graft catalog '$name' requires spark.sql.catalog.$name.root"))
+    // configuring the catalog enables real read statistics for its
+    // tables (idempotent per session; see [[VersionedScanStats]])
+    val em = SparkSession.active.experimental
+    if (!em.extraOptimizations.exists(_ eq VersionedScanStats))
+      em.extraOptimizations = em.extraOptimizations :+ VersionedScanStats
   }
 
   override def name(): String = catalogName
@@ -113,10 +117,54 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       .map(f => Identifier.of(namespace, f.getName)).sortBy(_.name())
   }
 
+  /** The `<table>.changes` METADATA TABLE (the Iceberg metadata-table /
+    * Delta `table_changes` posture): when the identifier itself is not a
+    * table but its PARENT is, and the trailing name is `changes`, serve
+    * the CDC feed between two versions as a SQL-readable table:
+    *
+    * {{{
+    *   SELECT * FROM g.ns.t.changes                       -- v0 → tip
+    *   SELECT * FROM g.ns.t.changes VERSION AS OF '0..2'  -- bounded
+    * }}}
+    *
+    * Rows are [[Versioned.changes]]' added/removed/changed keys with
+    * `o_`/`n_` copies of the compared columns — churn-sized, a real
+    * distributed plan (never a driver-side procedure result). The key
+    * comes from the table's `key` property; compared columns default to
+    * every non-key column of the upper snapshot.
+    */
+  private def changesTableOf(ident: Identifier,
+      bounds: Option[String]): Option[Table] =
+    if (ident.name != "changes" || ident.namespace.isEmpty) None
+    else {
+      val parent =
+        Identifier.of(ident.namespace.init, ident.namespace.last)
+      val dir = dirOf(parent)
+      if (Versioned.latest(dir) < 0) None
+      else {
+        val (v0, v1) = bounds match {
+          case None => (0, Versioned.latest(dir))
+          case Some(b) => b.split("\\.\\.", 2) match {
+            case Array(a, z) => (a.trim.toInt, z.trim.toInt)
+            case Array(a) => (a.trim.toInt, Versioned.latest(dir))
+            case _ => sys.error(s"graft catalog: bad changes bounds '$b' " +
+              "— use VERSION AS OF '<from>..<to>' (or '<from>')")
+          }
+        }
+        val key = GraftCatalog.readProps(dir).getOrElse("key", sys.error(
+          s"graft catalog: $parent.changes requires the 'key' table " +
+            "property (CDC diffs by unique key)"))
+        Some(new GraftChangesTable(spark, dir, ident.toString, v0, v1, key))
+      }
+    }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
-    if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
-    new GraftTable(spark, dir, ident.toString, GraftCatalog.readProps(dir))
+    if (Versioned.latest(dir) < 0)
+      changesTableOf(ident, None)
+        .getOrElse(throw new NoSuchTableException(ident))
+    else
+      new GraftTable(spark, dir, ident.toString, GraftCatalog.readProps(dir))
   }
 
   /** SQL time travel — `SELECT ... FROM t VERSION AS OF <v>`: the table
@@ -125,7 +173,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
-    if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
+    if (Versioned.latest(dir) < 0)
+      return changesTableOf(ident, Some(version))
+        .getOrElse(throw new NoSuchTableException(ident))
     val v = version.toIntOption.getOrElse(sys.error(
       s"graft catalog: VERSION AS OF takes an integer version, got " +
         s"'$version'"))
@@ -145,6 +195,118 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val v = Versioned.versionAtTime(dir, timestampMicros / 1000L)
     new GraftTable(spark, dir, ident.toString,
       GraftCatalog.readProps(dir), pinnedVersion = Some(v))
+  }
+
+  // ---- namespaces (E189) ---------------------------------------------------
+  //
+  // Directory-backed, like the tables: a namespace IS a directory chain
+  // under the catalog root that is not itself a table. `SHOW NAMESPACES`
+  // is the first discovery query a SQL user runs after configuring the
+  // catalog, so namespaces created implicitly by CREATE TABLE g.ns.t
+  // list exactly like ones declared with CREATE NAMESPACE; an explicit
+  // CREATE NAMESPACE additionally persists its properties in a
+  // `_namespace` sidecar (k=v lines, the `_props` format). Everything is
+  // driver-side directory metadata — no Spark jobs anywhere.
+
+  private def nsDir(namespace: Array[String]): String =
+    (root +: namespace.map(checkPart).toSeq).mkString("/")
+
+  private def nsPropsPath(d: String) =
+    java.nio.file.Paths.get(d, "_namespace")
+
+  /** A namespace is any non-table directory under the root (the marker
+    * is only for properties — an implicitly created namespace has none).
+    */
+  private def isNamespace(namespace: Array[String]): Boolean = {
+    val d = new java.io.File(nsDir(namespace))
+    namespace.isEmpty ||
+      (d.isDirectory && Versioned.latest(d.getPath) < 0)
+  }
+
+  private def listChildren(namespace: Array[String]): Array[java.io.File] = {
+    if (!isNamespace(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    Option(new java.io.File(nsDir(namespace)).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] =
+    listChildren(namespace)
+      .filter(f => Versioned.latest(f.getPath) < 0)
+      .map(f => namespace :+ f.getName).sortBy(_.mkString("."))
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    isNamespace(namespace)
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!isNamespace(namespace) || namespace.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    import scala.jdk.CollectionConverters._
+    val p = nsPropsPath(nsDir(namespace))
+    (if (!java.nio.file.Files.exists(p)) Map.empty[String, String]
+     else java.nio.file.Files.readAllLines(p).asScala.toSeq
+       .filter(_.contains("="))
+       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+       .toMap).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    require(namespace.nonEmpty, "graft catalog: empty namespace")
+    val d = nsDir(namespace)
+    if (isNamespace(namespace) || Versioned.latest(d) >= 0)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(namespace)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+    import scala.jdk.CollectionConverters._
+    writeNsProps(d, metadata.asScala.toMap)
+  }
+
+  private def writeNsProps(d: String, props: Map[String, String]): Unit = {
+    val meaningful = props -- Seq("owner", "location")
+    val p = nsPropsPath(d)
+    if (meaningful.isEmpty) { java.nio.file.Files.deleteIfExists(p); () }
+    else {
+      java.nio.file.Files.writeString(p,
+        meaningful.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("", "\n", "\n"))
+      ()
+    }
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = {
+    import scala.jdk.CollectionConverters._
+    val cur = loadNamespaceMetadata(namespace).asScala.toMap
+    val next = changes.foldLeft(cur) {
+      case (m, sp: NamespaceChange.SetProperty) =>
+        m + (sp.property -> sp.value)
+      case (m, rp: NamespaceChange.RemoveProperty) => m - rp.property
+      case (_, other) => sys.error(
+        s"graft catalog: unsupported ALTER NAMESPACE change $other")
+    }
+    writeNsProps(nsDir(namespace), next)
+  }
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!isNamespace(namespace) || namespace.isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    if (!cascade && listChildren(namespace).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NonEmptyNamespaceException(namespace)
+    Versioned.rmTree(new java.io.File(nsDir(namespace)))
+    true
   }
 
   // ---- CALL surface (see [[GraftProcedures]]) -----------------------------
@@ -378,6 +540,14 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
   }
 
   // ---- read --------------------------------------------------------------
+  //
+  // NOTE: CDC does NOT ride reader options here — a v2 table's output
+  // schema is fixed by `Table.schema` at analysis, before the scan
+  // builder ever sees options, so an option-driven schema change
+  // (`change_type`, `o_`/`n_` columns) is structurally impossible on
+  // this surface. The catalog CDC face is the `<table>.changes` metadata
+  // table (see [[GraftCatalog.loadTable]]); the path-based option face
+  // remains `spark.read.format("graft.versioned").option("changesFrom",…)`.
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, dir, tip, schema)
@@ -516,6 +686,79 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
   }
 }
 
+/** The `<table>.changes` metadata table (see
+  * [[GraftCatalog.loadTable]]): a read-only SQL face over
+  * [[Versioned.changes]] between two committed versions. Churn-sized —
+  * the plan diffs two chain-resolved snapshots with one full-outer join,
+  * so it distributes like any other query (no driver-side result, unlike
+  * the CALL procedures' metadata rows).
+  */
+private[sources] object GraftChangesTable {
+  /** The CDC delegate plan. Compared columns default to the
+    * INTERSECTION of both endpoints' non-key columns (schema-evolved
+    * histories diff their common columns; pass `compareCols` to pin a
+    * set).
+    */
+  def delegate(dir: String, v0: Int, v1: Int, key: String,
+      compareCols: Option[Seq[String]])(s: SparkSession): DataFrame = {
+    require(v0 <= v1, s"graft catalog: changes bounds v$v0..v$v1 are " +
+      "reversed")
+    Seq(v0, v1).foreach(v => require(Versioned.isCommitted(dir, v),
+      s"graft catalog: changes endpoint v$v of $dir is not a committed " +
+        "version"))
+    val compare = compareCols.getOrElse {
+      val lower = Versioned.readAtDv(s, dir, v0).columns.toSet
+      Versioned.readAtDv(s, dir, v1).columns.toSeq
+        .filter(c => c != key && lower.contains(c))
+    }
+    Versioned.changes(s, dir, v0, v1, key, compare)
+  }
+}
+
+private[sources] class GraftChangesTable(spark: SparkSession, dir: String,
+    tableName: String, v0: Int, v1: Int, key: String) extends Table
+    with SupportsRead {
+
+  private val mk = GraftChangesTable.delegate(dir, v0, v1, key, None) _
+
+  override def name(): String = tableName
+  override lazy val schema: StructType = mk(spark).schema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    import scala.jdk.CollectionConverters._
+    Set(TableCapability.BATCH_READ).asJava
+  }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftDelegateScan(spark,
+      s"GraftChanges[$dir v$v0..v$v1]", mk)
+}
+
+/** A v1-fallback scan serving an arbitrary reconstructible DataFrame
+  * plan (the CDC feed): no pushdown interfaces — Spark projects/filters
+  * above the scan, which is the right trade for churn-sized output.
+  */
+private[sources] class GraftDelegateScan(spark: SparkSession,
+    desc: String, mk: SparkSession => DataFrame) extends V1Scan {
+
+  private lazy val schema0: StructType = mk(spark).schema
+  override def readSchema(): StructType = schema0
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = schema0
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] =
+        mk(context.sparkSession).queryExecution.toRdd
+          .asInstanceOf[RDD[Row]]
+    }.asInstanceOf[T]
+
+  override def description(): String = desc
+}
+
 /** Group-based copy-on-write over the table's ONE group: the operation
   * scans the pinned tip snapshot in full, Spark computes the replacement
   * rows (ReplaceData), and the write adopts them as the next
@@ -590,9 +833,16 @@ private[sources] class GraftScanBuilder(spark: SparkSession, dir: String,
     pushed, owner)
 }
 
-private[sources] class GraftV1Scan(spark: SparkSession, dir: String,
-    tip: Int, required: StructType, pushed: Array[Filter],
+private[sources] class GraftV1Scan(spark: SparkSession,
+    private[sources] val dir: String, private[sources] val tip: Int,
+    required: StructType, pushed: Array[Filter],
     owner: Option[GraftRowLevelOperation]) extends V1Scan {
+
+  /** True for ordinary SELECT scans — the only ones
+    * [[VersionedScanStats]] may reroute (row-level operation scans must
+    * keep their group-scan semantics).
+    */
+  private[sources] def isPlainRead: Boolean = owner.isEmpty
 
   override def readSchema(): StructType = required
 

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+
+/** Real statistics for CATALOG-table reads (E188).
+  *
+  * Spark plans a [[GraftTable]] SELECT through `V2ScanRelationPushDown`,
+  * which wraps the [[GraftV1Scan]] in its `V1ScanWrapper` — and the
+  * wrapper does not forward `SupportsReportStatistics`, so every catalog
+  * read reports `defaultSizeInBytes` (effectively infinite) and a small
+  * versioned dimension joined through the catalog can NEVER
+  * auto-broadcast: at 100 TB every star join over a catalog dim
+  * sort-merges, the single biggest join-cost miss the surface had (the
+  * v1 source and DDL views already report real sizes via
+  * `VersionedRelation.sizeInBytes`).
+  *
+  * This rule routes plain catalog reads onto exactly that v1 relation:
+  * after the early-pushdown batch produced the wrapped scan, the
+  * `DataSourceV2ScanRelation` leaf is rewritten to a [[LogicalRelation]]
+  * over a [[VersionedRelation]] pinned at the SAME snapshot version
+  * (`versionAsOf` = the scan's tip), REUSING the scan relation's output
+  * attributes so every reference above the leaf stays bound. One read
+  * path for all three SQL surfaces — and `computeStats` now serves the
+  * chain's real summed file lengths (a driver-side listing), which is
+  * what lets Catalyst pick a broadcast hash join for a small dim.
+  *
+  * Scope guards (each a correctness seam, not a heuristic):
+  *  - only `V1ScanWrapper`-wrapped [[GraftV1Scan]]s — row-level
+  *    operation scans (MERGE/UPDATE/DELETE rewrites) are planned by
+  *    `GroupBasedRowLevelOperationScanPlanning`, which never applies the
+  *    wrapper, and their group-scan semantics must not change;
+  *  - only plain snapshot reads ([[GraftV1Scan.isPlainRead]]) — belt
+  *    and braces with the above;
+  *  - never when `_version` (the metadata column) is in the output: the
+  *    v1 relation does not serve it.
+  *
+  * Filter/column pushdown is preserved: the residual `Filter` node Spark
+  * kept above the scan re-pushes through `DataSourceStrategy` into
+  * [[VersionedRelation.buildScan]], which bakes translatable predicates
+  * and the pruned column set into the delegate plan — the same inner
+  * parquet `PushedFilters`/`ReadSchema` the v2 spelling produced.
+  *
+  * Registered idempotently on `experimental.extraOptimizations` by
+  * [[GraftCatalog.initialize]] (so configuring the catalog enables it)
+  * and by `graft.GraftExtensions` — both run AFTER the early-pushdown
+  * batch and BEFORE join selection reads statistics.
+  */
+object VersionedScanStats extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case DataSourceV2ScanRelation(_, w: V1ScanWrapper, output, _, _)
+        if w.v1Scan.isInstanceOf[GraftV1Scan] &&
+          w.v1Scan.asInstanceOf[GraftV1Scan].isPlainRead &&
+          !output.exists(_.name == "_version") =>
+      val g = w.v1Scan.asInstanceOf[GraftV1Scan]
+      LogicalRelation(
+        new VersionedRelation(SparkSession.active.sqlContext, g.dir,
+          Map("path" -> g.dir, "versionAsOf" -> g.tip.toString)),
+        output, None, isStreaming = false, None)
+  }
+}

@@ -446,6 +446,196 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("t5").map(_._1) === Seq(1L, 2L))
   }
 
+  test("E189: namespaces — SHOW/CREATE/ALTER/DROP over the directory " +
+      "layout; implicit namespaces list; non-empty drop refused") {
+    // implicit namespace — created by CREATE TABLE alone, no CREATE
+    // NAMESPACE first — lists like a declared one
+    spark.sql("CREATE TABLE graft_cat.implied.seed (k BIGINT)")
+    val ns0 = spark.sql("SHOW NAMESPACES IN graft_cat")
+      .collect().map(_.getString(0)).toSet
+    assert(ns0.contains("implied"), s"implicit 'implied' must list, got $ns0")
+    // explicit namespace with properties
+    spark.sql("CREATE NAMESPACE graft_cat.raw " +
+      "WITH PROPERTIES ('zone'='landing')")
+    assert(spark.sql("SHOW NAMESPACES IN graft_cat")
+      .collect().map(_.getString(0)).toSet.contains("raw"))
+    val desc = spark.sql("DESCRIBE NAMESPACE EXTENDED graft_cat.raw")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.exists(_._2.contains("zone=landing")) ||
+      desc.values.exists(_.contains("landing")), desc.toString)
+    // duplicate create refused; nested namespaces list under the parent
+    intercept[Exception] { spark.sql("CREATE NAMESPACE graft_cat.raw") }
+    spark.sql("CREATE NAMESPACE graft_cat.raw.sub")
+    assert(spark.sql("SHOW NAMESPACES IN graft_cat.raw")
+      .collect().map(_.getString(0)).toSeq === Seq("raw.sub"))
+    // ALTER NAMESPACE property round-trip
+    spark.sql("ALTER NAMESPACE graft_cat.raw " +
+      "SET PROPERTIES ('zone'='bronze')")
+    assert(spark.sql("DESCRIBE NAMESPACE EXTENDED graft_cat.raw")
+      .collect().exists(_.getString(1).contains("bronze")))
+    // a table inside makes the namespace non-empty: DROP refused...
+    spark.sql("CREATE TABLE graft_cat.raw.t (k BIGINT)")
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft_cat.raw") }
+    assert(operators.Versioned.latest(s"$root/raw/t") >= 0,
+      "refused drop must leave the table intact")
+    // ...CASCADE removes the subtree
+    spark.sql("DROP NAMESPACE graft_cat.raw CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft_cat")
+      .collect().map(_.getString(0)).toSet.contains("raw"))
+    // a TABLE name never lists as a namespace
+    assert(!spark.sql("SHOW NAMESPACES IN graft_cat.implied")
+      .collect().map(_.getString(0)).exists(_.endsWith(".seed")))
+    // missing namespace fails loudly
+    intercept[Exception] {
+      spark.sql("SHOW NAMESPACES IN graft_cat.nope").collect()
+    }
+  }
+
+  test("E191: 8-writer mixed SQL DML race (INSERT ∪ UPDATE ∪ DELETE ∪ " +
+      "MERGE, disjoint keys) — serialize or abort at statement granularity") {
+    spark.sql("CREATE TABLE graft_cat.ns.t13 (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.t13 VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30), (4, 'd', 40)")
+    def mergeSql(k: Long): String =
+      s"MERGE INTO graft_cat.ns.t13 t USING (SELECT CAST($k AS BIGINT) " +
+        s"AS k, 'm$k' AS name, CAST(${k * 10} AS BIGINT) AS bal) s " +
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT *"
+    // statement → is it on a path that may abort on a COW conflict?
+    val stmts: Seq[(String, String, Boolean)] = Seq(
+      ("ins101", "INSERT INTO graft_cat.ns.t13 VALUES (101, 'i1', 1)", false),
+      ("ins102", "INSERT INTO graft_cat.ns.t13 VALUES (102, 'i2', 2)", false),
+      ("upd1", "UPDATE graft_cat.ns.t13 SET bal = 111 WHERE k = 1", true),
+      ("upd2", "UPDATE graft_cat.ns.t13 SET bal = 222 WHERE k = 2", true),
+      ("del3", "DELETE FROM graft_cat.ns.t13 WHERE k = 3", false),
+      ("del4", "DELETE FROM graft_cat.ns.t13 WHERE k = 4", false),
+      ("mrg5", mergeSql(5L), true),
+      ("mrg6", mergeSql(6L), true))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes =
+      try {
+        val fs = stmts.map { case (tag, sql, _) =>
+          pool.submit(new java.util.concurrent.Callable[(String, Option[String])] {
+            def call(): (String, Option[String]) = {
+              gate.await()
+              try { spark.sql(sql); (tag, None) }
+              catch { case e: Exception => (tag, Some(e.getMessage)) }
+            }
+          })
+        }
+        gate.countDown()
+        fs.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      } finally pool.shutdown()
+    val failed = outcomes.collect { case (t, Some(m)) => t -> m }.toMap
+    // losers abort LOUDLY on the conflict check, never silently
+    failed.foreach { case (tag, msg) =>
+      assert(msg.contains("concurrent update"),
+        s"$tag must abort on the conflict check, got: $msg") }
+    // additive (INSERT, delta) and claim-serialized (DELETE, DV)
+    // statements never abort
+    val abortable = stmts.collect { case (t, _, true) => t }.toSet
+    failed.keys.foreach(t => assert(abortable.contains(t),
+      s"$t is on a serialize-only path and must not abort"))
+    // every reported-success statement's effect is visible at the tip;
+    // every loser's is absent
+    val tipRows = spark.sql(
+      "SELECT k, bal FROM graft_cat.ns.t13 ORDER BY k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tipRows.contains(101L) && tipRows.contains(102L))
+    assert(!tipRows.contains(3L) && !tipRows.contains(4L))
+    def effect(tag: String, present: => Boolean): Unit =
+      if (failed.contains(tag)) assert(!present, s"$tag aborted but its " +
+        "effect is at the tip") else assert(present, s"$tag reported " +
+        "success but its effect is missing — a lost update")
+    effect("upd1", tipRows(1L) === 111L)
+    effect("upd2", tipRows(2L) === 222L)
+    effect("mrg5", tipRows.contains(5L))
+    effect("mrg6", tipRows.contains(6L))
+  }
+
+  test("E190: SQL CDC on catalog tables — the <table>.changes metadata " +
+      "table and reader-option forwarding serve the version diff") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft_cat.ns.cdc (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.cdc VALUES " +
+      "(1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")                 // v1
+    spark.sql("UPDATE graft_cat.ns.cdc SET bal = 25 WHERE k = 2") // v2
+    spark.sql("DELETE FROM graft_cat.ns.cdc WHERE k = 3")         // v3 (DV)
+    spark.sql("INSERT INTO graft_cat.ns.cdc VALUES (4, 'd', 40)") // v4
+    // pure-SQL face: bounded VERSION AS OF 'v0..v1' on the .changes table
+    val sql = spark.sql("SELECT k, change_type, o_bal, n_bal " +
+      "FROM graft_cat.ns.cdc.changes VERSION AS OF '1..4' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sql.toSeq === Seq((2L, "changed"), (3L, "removed"),
+      (4L, "added")))
+    // unbounded = table creation (v0, empty) → tip: everything "added"
+    assert(spark.sql("SELECT change_type FROM graft_cat.ns.cdc.changes")
+      .collect().map(_.getString(0)).toSet === Set("added"))
+    // the path-based v1 option face agrees byte-for-byte
+    val opt = spark.read.format("graft.versioned")
+      .option("changesFrom", 1).option("changesTo", 4)
+      .option("key", "k").option("compareCols", "name,bal")
+      .load(dirOf("cdc"))
+      .select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(opt.toSeq === sql.toSeq)
+    // loud failures: uncommitted endpoint, reversed bounds, missing key
+    intercept[Exception] { spark.sql(
+      "SELECT * FROM graft_cat.ns.cdc.changes VERSION AS OF '1..99'")
+      .collect() }
+    intercept[Exception] { spark.sql(
+      "SELECT * FROM graft_cat.ns.cdc.changes VERSION AS OF '4..1'")
+      .collect() }
+    spark.sql("CREATE TABLE graft_cat.ns.nokey (k BIGINT)")
+    intercept[Exception] { spark.sql(
+      "SELECT * FROM graft_cat.ns.nokey.changes").collect() }
+  }
+
+  test("E188: catalog-table reads report real statistics — a small " +
+      "catalog dim BROADCASTS in a join, pushdown intact") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft_cat.ns.dim (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.dim " +
+      "SELECT id, concat('n', id), id * 10 FROM range(1, 52)")
+    // the logical read claims its true (tiny) footprint instead of the
+    // defaultSizeInBytes infinity the V1ScanWrapper path reports
+    val rel = spark.table("graft_cat.ns.dim")
+    val stats = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats > 0 && stats < 10L * 1024 * 1024,
+      s"expected a small real size estimate, got $stats")
+    // ...which is what lets a fact ⋈ catalog-dim join BROADCAST
+    val fact = (1L to 20000L).map(i => (i % 60L, i)).toDF("k", "v")
+    val joined = fact.join(rel, Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small catalog dim must broadcast:\n$plan")
+    assert(joined.count() ===
+      fact.filter(col("k").between(1, 51)).count())
+    // pushdown/pruning still reach the inner parquet scans on the
+    // rerouted read path
+    val planned = spark.sql(
+      "SELECT name FROM graft_cat.ns.dim WHERE bal >= 100")
+    val scans = planned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString)
+    assert(scans.exists(l => l.contains("PushedFilters") &&
+      l.contains("bal")), s"expected bal pushed:\n${scans.mkString("\n")}")
+    assert(scans.exists(l => l.contains("ReadSchema") &&
+      !l.contains("ReadSchema: struct<k")),
+      s"expected k pruned from the scan:\n${scans.mkString("\n")}")
+    assert(planned.collect().map(_.getString(0)).sorted.take(2).toSeq ===
+      Seq("n10", "n11"))
+    // the _version metadata column still serves (rewrite skipped there)
+    assert(spark.sql("SELECT DISTINCT _version FROM graft_cat.ns.dim")
+      .collect().map(_.getInt(0)).toSeq === Seq(1))
+    // time travel reads stay pinned through the rerouted path
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_cat.ns.dim VERSION AS OF 0")
+      .collect()(0).getLong(0) === 0L)
+  }
+
   test("E187: DELETE of NULL-keyed rows takes the DV path and actually " +
       "removes them (null-safe anti-join)") {
     import spark.implicits._
