@@ -24,9 +24,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // real statistics for catalog-table reads (E188); also registered by
-    // GraftCatalog.initialize for sessions built without extensions
-    ext.injectOptimizerRule(_ => graft.sources.VersionedScanStats)
+    // NOT registered here: VersionedScanStats (E188). injectOptimizerRule
+    // lands rules in the operator-optimization batch, which runs BEFORE
+    // "Early Filter and Projection Push-Down" — the V1ScanWrapper pattern
+    // the rule matches does not exist yet at that point, so the
+    // registration would be a silent no-op. The rule registers on
+    // `experimental.extraOptimizations` ("User Provided Optimizers",
+    // post-pushdown) in GraftCatalog.initialize — which every session
+    // that can see a catalog table necessarily runs.
     ext.injectFunction((FunctionIdentifier("shingle_hashes"),
       info("shingle_hashes", "_FUNC_(text[, n]) - distinct hashed n-word shingles"),
       (args: Seq[Expression]) => args match {

@@ -36,13 +36,18 @@ object Versioned {
   // IndexStore protocol verbatim: O_EXCL create, heartbeat while held,
   // stale-claim takeover by atomic rename (exactly one waiter wins), and
   // per-thread re-entrancy so compound mutators (the stats-sidecar
-  // upserts) nest without deadlock. `commit` also serializes under the
-  // claim — not for a tip read (it is a self-contained full state) but
-  // because a claim-free snapshot seal racing a claim-holding COW
-  // rewrite is non-serializable (the buried-snapshot anomaly, see
-  // [[commit]]). `appendRows` (purely additive, no tip read) stays
-  // claim-free — concurrent appends are the designed ingest path.
-  // Readers never touch the claim.
+  // upserts) nest without deadlock. Round-13 invariant: EVERY
+  // version-creating seal happens claim-held — full-state commits
+  // (`commit`/`commitPartitioned`, claim across the write) because a
+  // claim-free snapshot seal racing a claim-holding COW rewrite is
+  // non-serializable (the buried-snapshot anomaly, see [[commit]]), and
+  // appends/adoptions (`appendRows`, the staged adopts, the idempotent
+  // ingest) because an UNSEALED claimed version can slip under a COW
+  // rewrite's tip-unmoved check and get buried below its new base (see
+  // [[appendRows]]). Appends stage their batch-scale parquet OUTSIDE
+  // the claim and hold it only for claim-number + rename + seal
+  // (microseconds), so concurrent ingest stays the designed parallel
+  // path. Readers never touch the claim.
 
   private[graft] var mutateClaimTimeoutMs: Long = 10L * 60 * 1000
   private val mutateSeq = new java.util.concurrent.atomic.AtomicLong()
@@ -182,6 +187,18 @@ object Versioned {
       .filter(v => java.nio.file.Files.exists(commitMarkPath(dir, v)))
       .foldLeft(-1)(math.max)
     math.max(hint, committed)
+  }
+
+  /** Oldest RETAINED committed version, or -1 for an empty dir — the
+    * unbounded-CDC lower bound: after a [[vacuum]], pinning reads to a
+    * hard 0 would fail forever on the removed commit mark.
+    */
+  def oldestCommitted(dir: String): Int = {
+    val vs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .flatMap(f => versionOf(f.getName))
+      .filter(v => isCommitted(dir, v))
+    if (vs.isEmpty) -1 else vs.min
   }
 
   /** Write `df` as the next version; returns its number. Cross-process
@@ -554,9 +571,14 @@ object Versioned {
 
   /** Initial (or full-rewrite) partitioned commit: every partition of
     * `df` is written under this version and the manifest points them all
-    * here. Returns the version.
+    * here. Returns the version. Claim-serialized for the same reason
+    * [[commit]] is: a claim-free full-state seal racing a claim-holding
+    * tip-deriving mutator (`upsertPartitioned` read the manifest at the
+    * old tip) would be silently shadowed by the mutator's later seal —
+    * the buried-snapshot anomaly, on the partitioned surface.
     */
-  def commitPartitioned(df: DataFrame, dir: String, partCol: String): Int = {
+  def commitPartitioned(df: DataFrame, dir: String,
+      partCol: String): Int = withMutateClaim(dir) {
     val v = claimNext(dir)
     // cluster rows to their partition before the write: each hive dir gets
     // one file instead of one per producing task — the small-file posture
@@ -939,15 +961,28 @@ object Versioned {
   /** Append-only commit: write ONLY `df`'s rows as version N's delta.
     * Cost ∝ batch; the first version of a table must be a [[commit]]
     * (there is no base to append onto). Returns the version.
+    *
+    * Concurrency shape: the batch parquet WRITE stages OUTSIDE the
+    * mutator claim (concurrent appenders overlap their I/O — the ingest
+    * path stays parallel), and only the adoption — claim number, one
+    * atomic rename, seal — serializes under it (microseconds). The seal
+    * must be claim-held: a claim-FREE seal racing a claim-holding COW
+    * rewrite can be silently buried — the rewrite pins tip v_N, a
+    * not-yet-sealed append claims v_{N+1}, the rewrite's tip-unmoved
+    * check passes (v_{N+1} unsealed), it seals v_{N+2} as a full
+    * snapshot derived from v_N, and the append seals v_{N+1} BELOW the
+    * new materialized base — reported success, rows unreachable. Under
+    * the claim, the append's seal either lands before the rewrite's
+    * check (which then aborts loudly) or after its seal (and folds on
+    * top). No serial order loses rows.
     */
   def appendRows(df: DataFrame, dir: String): Int = {
     require(latest(dir) >= 0,
       s"appendRows: no committed versions in $dir — the initial version " +
         "must be a full commit")
-    val v = claimNext(dir)
-    df.write.mode("overwrite").parquet(addPath(dir, v))
-    seal(dir, v)
-    v
+    val staging = s"$dir/.staging-append-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(staging)
+    adoptStagedAppend(dir, staging)
   }
 
   // ---- staged commits (the DSv2 write path, graft.sources.GraftCatalog) --
@@ -956,16 +991,20 @@ object Versioned {
   // Spark's own v2 parquet writer into a hidden `.staging-*` dir under
   // the table, then ADOPTS the finished directory as the next version by
   // one atomic driver-side rename — the claim/seal protocol applied to
-  // files that already exist. Append adoption is claim-free (purely
-  // additive, like appendRows); snapshot adoption is claim-free (a
-  // self-contained full state, like commit); REPLACE adoption — the
-  // MERGE/UPDATE/DELETE rewrite, whose new snapshot was derived from a
-  // pinned tip — takes the mutator claim and verifies the tip has not
-  // moved since the operation's scan resolved (optimistic concurrency: a
-  // conflicting commit in between fails the DML loudly instead of
-  // silently dropping it).
+  // files that already exist. EVERY adoption serializes under the
+  // mutator claim — but only the adoption (claim number + rename + seal,
+  // metadata-scale, microseconds): the batch-scale parquet staging stays
+  // claim-free and concurrent. The invariant this buys (round 13): every
+  // SEAL in the store happens claim-held, so a claim-holding COW
+  // rewrite's tip-unmoved check is race-free — no writer can slip an
+  // unsealed claimed version under the rewrite's new materialized base
+  // and get buried (see [[appendRows]] for the interleaving). REPLACE
+  // adoption additionally verifies the tip still equals the version the
+  // operation's scan pinned (optimistic concurrency: a conflicting
+  // commit fails the DML loudly instead of silently dropping it).
 
-  private[graft] def adoptStagedSnapshot(dir: String, staging: String): Int = {
+  private[graft] def adoptStagedSnapshot(dir: String,
+      staging: String): Int = withMutateClaim(dir) {
     val v = claimNext(dir)
     java.nio.file.Files.move(java.nio.file.Paths.get(staging),
       java.nio.file.Paths.get(dir, s"v$v"),
@@ -974,7 +1013,8 @@ object Versioned {
     v
   }
 
-  private[graft] def adoptStagedAppend(dir: String, staging: String): Int = {
+  private[graft] def adoptStagedAppend(dir: String,
+      staging: String): Int = withMutateClaim(dir) {
     require(latest(dir) >= 0,
       s"staged append: no committed versions in $dir — the initial " +
         "version must be a full commit")
@@ -1052,13 +1092,18 @@ object Versioned {
     require(srcCanon != new java.io.File(dstDir).getCanonicalPath,
       "cloneShallow: source and destination are the same table")
     new java.io.File(dstDir).mkdirs()
-    val v = claimNext(dstDir)
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(dstDir, s"v$v"))
-    java.nio.file.Files.writeString(clonePath(dstDir, v),
-      s"$srcCanon\n$srcV")
-    seal(dstDir, v)
-    v
+    // destination-claim-serialized (metadata-only, so the hold is
+    // microseconds): a claim-free pointer seal racing a claim-holding
+    // COW rewrite of the DESTINATION would be silently buried by it
+    withMutateClaim(dstDir) {
+      val v = claimNext(dstDir)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dstDir, s"v$v"))
+      java.nio.file.Files.writeString(clonePath(dstDir, v),
+        s"$srcCanon\n$srcV")
+      seal(dstDir, v)
+      v
+    }
   }
 
   private def batchIdPath(dir: String, v: Int) =
@@ -1079,8 +1124,7 @@ object Versioned {
     */
   def appendBatchIdempotent(df: DataFrame, dir: String,
       batchId: Long, beforeSeal: Int => Unit = _ => ()): Option[Int] = {
-    val tip = latest(dir)
-    val seen = (0 to tip).exists { w =>
+    val seen = (0 to latest(dir)).exists { w =>
       isCommitted(dir, w) &&
         java.nio.file.Files.exists(batchIdPath(dir, w)) &&
         java.nio.file.Files.readString(batchIdPath(dir, w)).trim ==
@@ -1088,30 +1132,55 @@ object Versioned {
     }
     if (seen) None
     else {
-      val v = claimNext(dir)
-      if (tip < 0) df.write.mode("overwrite").parquet(s"$dir/v$v")
-      else df.write.mode("overwrite").parquet(addPath(dir, v))
-      java.nio.file.Files.writeString(batchIdPath(dir, v), batchId.toString)
-      // side-effects that must be REPLAY-REPAIRABLE run before the seal
-      // (the gated-ingest quarantine write): a crash after the seal
-      // would make the replay short-circuit on the batch-id marker and
-      // never re-run them; a crash BEFORE it leaves an uncommitted hole
-      // the replay re-runs in full (any debris the hook wrote is tagged
-      // with the hole version and filtered by its reader — see
-      // [[quarantine]]).
-      beforeSeal(v)
-      seal(dir, v)
-      Some(v)
+      // stage OUTSIDE the claim (batch-scale I/O stays concurrent),
+      // adopt + seal inside it (see [[appendRows]]); the snapshot-vs-
+      // delta decision re-reads the tip INSIDE the claim — a stale
+      // empty-table read would adopt a second bootstrap batch as a full
+      // snapshot and bury the first writer's rows
+      val staging = s"$dir/.staging-batch-${java.util.UUID.randomUUID()}"
+      df.write.mode("overwrite").parquet(staging)
+      withMutateClaim(dir) {
+        val v = claimNext(dir)
+        if (latest(dir) < 0)
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+            java.nio.file.Paths.get(dir, s"v$v"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        else {
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(dir, s"v$v"))
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+            java.nio.file.Paths.get(addPath(dir, v)),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+        java.nio.file.Files.writeString(batchIdPath(dir, v),
+          batchId.toString)
+        // side-effects that must be REPLAY-REPAIRABLE run before the
+        // seal (the gated-ingest quarantine write into the version's own
+        // dir): a crash after the seal would make the replay
+        // short-circuit on the batch-id marker and never re-run them; a
+        // crash BEFORE it leaves an uncommitted hole whose dir — debris
+        // included — [[quarantine]] never reads and [[vacuum]] removes.
+        beforeSeal(v)
+        seal(dir, v)
+        Some(v)
+      }
     }
   }
 
   // ---- expectations (writer-side data-quality gates) ---------------------
 
-  /** The quarantine sidecar: every [[commitExpect]] appends its rejected
-    * rows here, tagged with the violated expectation names and the
-    * version the surviving rows committed as.
+  /** The quarantine sidecar OF ONE VERSION: rejected rows live inside
+    * the version dir they were rejected from (`v<N>/_quarantine` —
+    * parquet ignores underscore-prefixed subdirs, so snapshot reads are
+    * untouched). Per-version placement is what makes the lifecycle
+    * structural: a crashed gated-ingest attempt's debris sits in an
+    * UNSEALED version dir that [[quarantine]] (committed versions only)
+    * never reads and [[vacuum]] removes with the hole itself — a global
+    * sidecar needed a claim-file-based hole filter that retention
+    * silently invalidated (vacuum deletes old claim files, resurfacing
+    * the debris as duplicates).
     */
-  def quarantineDir(dir: String): String = s"$dir/_quarantine"
+  def quarantineDir(dir: String, v: Int): String = s"$dir/v$v/_quarantine"
 
   /** Expectation-gated commit (the lakehouse CHECK-constraint posture
     * with a quarantine instead of a failed transaction): rows satisfying
@@ -1133,30 +1202,31 @@ object Versioned {
     val v = commit(df.filter(ok), dir)
     df.filter(!ok).withColumn("violations", viol)
       .withColumn("commit_version", lit(v))
-      .write.mode("append").parquet(quarantineDir(dir))
+      .write.mode("overwrite").parquet(quarantineDir(dir, v))
     v
   }
 
-  /** Every quarantined row of the table's history (empty-schema error if
-    * nothing was ever quarantined — read under an expectation-bearing
-    * history). Rows tagged with a claimed-but-never-committed HOLE
-    * version are excluded: the streaming gate writes its quarantine
-    * BEFORE the commit seals (so a crash-replay can repair a missing
-    * write), which means a crash in that window leaves debris tagged
-    * with the aborted version — exactly the hole set, which is
-    * metadata-scale (one driver-side existence check per version).
+  /** Every quarantined row of the table's RETAINED COMMITTED history —
+    * the union of the per-version `_quarantine` sidecars. A crashed
+    * gated-ingest attempt's debris lives in an unsealed version dir and
+    * is structurally invisible here (and removed by [[vacuum]] with the
+    * hole); vacuumed versions drop their quarantine rows with their
+    * data, the retention contract. Fails loudly when nothing was ever
+    * quarantined (no sidecar to infer a schema from).
     */
   def quarantine(s: SparkSession, dir: String): DataFrame = {
-    // holes come from the claim-file listing, not `0 to latest`: the
-    // crashed attempt's claim is usually ABOVE the last committed tip
-    val holes = Option(new java.io.File(dir).listFiles())
+    val paths = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File]).toSeq
-      .filter(_.getName.endsWith("._claim"))
-      .flatMap(f => versionOf(f.getName))
-      .filterNot(w => isCommitted(dir, w))
-    val q = s.read.parquet(quarantineDir(dir))
-    if (holes.isEmpty) q
-    else q.filter(!col("commit_version").isin(holes.map(Int.box): _*))
+      .flatMap(f => versionOf(f.getName).map((f, _)))
+      .filter { case (f, v) =>
+        f.isDirectory && isCommitted(dir, v) &&
+          new java.io.File(quarantineDir(dir, v)).isDirectory
+      }
+      .map { case (_, v) => quarantineDir(dir, v) }
+      .sorted
+    require(paths.nonEmpty,
+      s"quarantine: no quarantined rows in any retained version of $dir")
+    s.read.parquet(paths: _*)
   }
 
   // ---- zone-map stats + partition skipping -------------------------------

@@ -142,13 +142,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       val dir = dirOf(parent)
       if (Versioned.latest(dir) < 0) None
       else {
+        def bad(b: String): Nothing =
+          sys.error(s"graft catalog: bad changes bounds '$b' — use " +
+            "VERSION AS OF '<from>..<to>' (or '<from>')")
         val (v0, v1) = bounds match {
-          case None => (0, Versioned.latest(dir))
+          case None =>
+            // lower bound = the OLDEST RETAINED version, not a hard 0:
+            // after a vacuum, v0's commit mark is gone and a pinned 0
+            // would fail the unbounded read forever
+            (Versioned.oldestCommitted(dir), Versioned.latest(dir))
           case Some(b) => b.split("\\.\\.", 2) match {
-            case Array(a, z) => (a.trim.toInt, z.trim.toInt)
-            case Array(a) => (a.trim.toInt, Versioned.latest(dir))
-            case _ => sys.error(s"graft catalog: bad changes bounds '$b' " +
-              "— use VERSION AS OF '<from>..<to>' (or '<from>')")
+            case Array(a, z) =>
+              (a.trim.toIntOption.getOrElse(bad(b)),
+                z.trim.toIntOption.getOrElse(bad(b)))
+            case Array(a) =>
+              (a.trim.toIntOption.getOrElse(bad(b)), Versioned.latest(dir))
           }
         }
         val key = GraftCatalog.readProps(dir).getOrElse("key", sys.error(
@@ -251,12 +259,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchNamespaceException(namespace)
     import scala.jdk.CollectionConverters._
-    val p = nsPropsPath(nsDir(namespace))
-    (if (!java.nio.file.Files.exists(p)) Map.empty[String, String]
-     else java.nio.file.Files.readAllLines(p).asScala.toSeq
-       .filter(_.contains("="))
-       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
-       .toMap).asJava
+    GraftCatalog.readKv(nsPropsPath(nsDir(namespace))).asJava
   }
 
   override def createNamespace(namespace: Array[String],
@@ -271,16 +274,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     writeNsProps(d, metadata.asScala.toMap)
   }
 
+  /** `owner` (auto-added by Spark) is dropped; `location` is REJECTED
+    * loudly — silently storing it would let `CREATE NAMESPACE ...
+    * LOCATION '/mnt/x'` report success while tables keep landing under
+    * the catalog root (namespaces here ARE their directory).
+    */
   private def writeNsProps(d: String, props: Map[String, String]): Unit = {
-    val meaningful = props -- Seq("owner", "location")
-    val p = nsPropsPath(d)
-    if (meaningful.isEmpty) { java.nio.file.Files.deleteIfExists(p); () }
-    else {
-      java.nio.file.Files.writeString(p,
-        meaningful.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-          .mkString("", "\n", "\n"))
-      ()
-    }
+    require(!props.contains("location"),
+      "graft catalog: LOCATION is not supported on namespaces — a " +
+        "namespace IS its directory under the catalog root")
+    GraftCatalog.writeKv(nsPropsPath(d), props - "owner")
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -457,24 +460,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 }
 
 private[graft] object GraftCatalog {
-  /** Table properties ride in a `_props` sidecar (k=v lines) so they
-    * survive the session with the table.
+  /** One k=v sidecar file (sorted lines, deleted when empty) — shared by
+    * the table `_props` and namespace `_namespace` property stores.
     */
-  def writeProps(dir: String, props: Map[String, String]): Unit = {
-    val meaningful = props.view
-      .filterKeys(k => !k.startsWith("option.") && k != "owner").toMap
-    val p = java.nio.file.Paths.get(dir, "_props")
-    if (meaningful.isEmpty) { java.nio.file.Files.deleteIfExists(p); () }
+  private[sources] def writeKv(p: java.nio.file.Path,
+      kv: Map[String, String]): Unit =
+    if (kv.isEmpty) { java.nio.file.Files.deleteIfExists(p); () }
     else {
       java.nio.file.Files.writeString(p,
-        meaningful.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        kv.toSeq.sorted.map { case (k, v) => s"$k=$v" }
           .mkString("", "\n", "\n"))
       ()
     }
-  }
 
-  def readProps(dir: String): Map[String, String] = {
-    val p = java.nio.file.Paths.get(dir, "_props")
+  private[sources] def readKv(
+      p: java.nio.file.Path): Map[String, String] =
     if (!java.nio.file.Files.exists(p)) Map.empty
     else {
       import scala.jdk.CollectionConverters._
@@ -483,7 +483,16 @@ private[graft] object GraftCatalog {
         .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
         .toMap
     }
-  }
+
+  /** Table properties ride in a `_props` sidecar (k=v lines) so they
+    * survive the session with the table.
+    */
+  def writeProps(dir: String, props: Map[String, String]): Unit =
+    writeKv(java.nio.file.Paths.get(dir, "_props"), props.view
+      .filterKeys(k => !k.startsWith("option.") && k != "owner").toMap)
+
+  def readProps(dir: String): Map[String, String] =
+    readKv(java.nio.file.Paths.get(dir, "_props"))
 }
 
 /** One catalog-resolved versioned table, pinned to the tip version that
@@ -719,10 +728,18 @@ private[sources] class GraftChangesTable(spark: SparkSession, dir: String,
     tableName: String, v0: Int, v1: Int, key: String) extends Table
     with SupportsRead {
 
-  private val mk = GraftChangesTable.delegate(dir, v0, v1, key, None) _
+  // ONE delegate build in the common path: the plan is cached for the
+  // loading session (driver-side readAtDv footer walks per build add up
+  // on long chains — schema, scan schema, and execution would otherwise
+  // each rebuild it) and only reconstructed for a different session.
+  private lazy val df0 = GraftChangesTable.delegate(dir, v0, v1, key,
+    None)(spark)
+  private val mk: SparkSession => DataFrame = s =>
+    if (s eq spark) df0
+    else GraftChangesTable.delegate(dir, v0, v1, key, None)(s)
 
   override def name(): String = tableName
-  override lazy val schema: StructType = mk(spark).schema
+  override lazy val schema: StructType = df0.schema
 
   override def capabilities(): util.Set[TableCapability] = {
     import scala.jdk.CollectionConverters._
@@ -978,18 +995,17 @@ private[sources] class GraftBatchWrite(spark: SparkSession, dir: String,
         if (!stagedParquet())
           spark.createDataFrame(new util.ArrayList[Row](), schema)
             .write.mode("overwrite").parquet(staging)
-        // INSERT OVERWRITE adoption takes the claim for the same reason
-        // TRUNCATE does: a claim-free full-snapshot seal can be buried
-        // by a concurrent claim-holding COW rewrite whose tip-unmoved
-        // check ran before this seal — non-serializable. Plain appends
-        // (the case below) stay claim-free: additive commits serialize
-        // in any order.
-        Versioned.withMutateClaim(dir) {
-          Versioned.adoptStagedSnapshot(dir, staging)
-        }
+        // adoption is claim-serialized inside adoptStagedSnapshot (the
+        // buried-snapshot anomaly — a claim-free seal racing a
+        // claim-holding COW rewrite whose tip-unmoved check ran before
+        // this seal is non-serializable)
+        Versioned.adoptStagedSnapshot(dir, staging)
         ()
       case None =>
-        // an INSERT of zero rows appends nothing — no empty commit
+        // an INSERT of zero rows appends nothing — no empty commit;
+        // adoption (not the staged write) claim-serializes inside
+        // adoptStagedAppend, so an unsealed claimed append can never
+        // slip under a COW rewrite's tip-unmoved check and get buried
         if (stagedParquet()) { Versioned.adoptStagedAppend(dir, staging); () }
         else cleanup()
     }

@@ -45,9 +45,13 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, 
   * parquet `PushedFilters`/`ReadSchema` the v2 spelling produced.
   *
   * Registered idempotently on `experimental.extraOptimizations` by
-  * [[GraftCatalog.initialize]] (so configuring the catalog enables it)
-  * and by `graft.GraftExtensions` — both run AFTER the early-pushdown
-  * batch and BEFORE join selection reads statistics.
+  * [[GraftCatalog.initialize]] (so configuring the catalog enables it) —
+  * the "User Provided Optimizers" batch, which runs AFTER the
+  * early-pushdown batch and BEFORE join selection reads statistics.
+  * Deliberately NOT injected through `SparkSessionExtensions.
+  * injectOptimizerRule`: those rules join the operator-optimization
+  * batch, which precedes early pushdown — the pattern this rule matches
+  * would not exist yet (a silent no-op).
   */
 object VersionedScanStats extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

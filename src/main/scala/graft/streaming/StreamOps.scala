@@ -888,19 +888,21 @@ object StreamOps {
     val viol = concat_ws(",", expectations.map { case (n, p) =>
       when(!coalesce(p, lit(false)), lit(n)) }: _*)
     // The quarantine write rides BEFORE the commit seals (the
-    // `beforeSeal` hook): sealed first, a crash between seal and
-    // quarantine would make the replay short-circuit on the batch-id
-    // marker and permanently lose the rejected rows — exactly-once for
-    // the table but not for the advertised quarantine contract. Sealed
-    // last, a crash instead leaves quarantine debris tagged with the
-    // aborted hole version, which [[graft.operators.Versioned
-    // .quarantine]] filters out — so BOTH sides replay exactly-once.
+    // `beforeSeal` hook), INTO the claimed version's own dir: sealed
+    // first, a crash between seal and quarantine would make the replay
+    // short-circuit on the batch-id marker and permanently lose the
+    // rejected rows — exactly-once for the table but not for the
+    // advertised quarantine contract. Sealed last, a crash instead
+    // leaves debris inside an UNSEALED version dir, which
+    // [[graft.operators.Versioned.quarantine]] (committed versions
+    // only) never reads and vacuum removes with the hole — so BOTH
+    // sides replay exactly-once, and retention can't resurface debris.
     graft.operators.Versioned
       .appendBatchIdempotent(batch.filter(ok), dir, id, beforeSeal = { v =>
         batch.filter(!ok).withColumn("violations", viol)
           .withColumn("commit_version", lit(v))
-          .write.mode("append")
-          .parquet(graft.operators.Versioned.quarantineDir(dir))
+          .write.mode("overwrite")
+          .parquet(graft.operators.Versioned.quarantineDir(dir, v))
       })
     ()
   }

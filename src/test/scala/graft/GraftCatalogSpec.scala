@@ -360,8 +360,8 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       === Set(1L, 2L))
   }
 
-  test("E182: concurrent catalog INSERT INTOs never lose rows (staged " +
-      "appends are additive — claim-free by design, like appendRows)") {
+  test("E182: concurrent catalog INSERT INTOs never lose rows (staging " +
+      "is concurrent; only the metadata-scale adoption claim-serializes)") {
     spark.sql("CREATE TABLE graft_cat.ns.t10 (k BIGINT, name STRING, " +
       "bal BIGINT)")
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -552,6 +552,61 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     effect("upd2", tipRows(2L) === 222L)
     effect("mrg5", tipRows.contains(5L))
     effect("mrg6", tipRows.contains(6L))
+  }
+
+  test("E191b: racing appends vs COW rewrites — a reported-success append " +
+      "is never buried under the rewrite's new base") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft_cat.ns.t14 (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.t14 VALUES (1, 'a', 10)")
+    val d = dirOf("t14")
+    // the pre-fix anomaly: an append CLAIMS v_{N+1}, a COW rewrite
+    // pinned at v_N passes its tip-unmoved check (the claim is unsealed),
+    // seals a full snapshot ABOVE it, and the append then seals BELOW
+    // the new materialized base — reported success, rows unreachable.
+    // With every seal claim-held, the interleaving is impossible: 6
+    // appenders race 2 retrying COW UPDATEs and every appended row must
+    // be readable at the final tip.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val appends = (101L to 106L).map { k =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            operators.Versioned.appendRows(
+              Seq((k, s"n$k", k)).toDF("k", "name", "bal"), d)
+            ()
+          }
+        })
+      }
+      val updates = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            var attempts = 0
+            var done = false
+            while (!done) {
+              attempts += 1
+              try {
+                spark.sql("UPDATE graft_cat.ns.t14 " +
+                  "SET bal = bal + 100 WHERE k = 1")
+                done = true
+              } catch {
+                case e: Exception if attempts < 30 &&
+                    e.getMessage.contains("concurrent update") => ()
+              }
+            }
+          }
+        })
+      }
+      (appends ++ updates).foreach(
+        _.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val tip = spark.sql("SELECT k, bal FROM graft_cat.ns.t14 ORDER BY k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (101L to 106L).foreach(k => assert(tip.contains(k),
+      s"append of k=$k reported success but its rows are unreachable — " +
+        "buried under a COW rewrite's base"))
+    assert(tip(1L) === 210L, s"both retried UPDATEs must land: ${tip(1L)}")
   }
 
   test("E190: SQL CDC on catalog tables — the <table>.changes metadata " +

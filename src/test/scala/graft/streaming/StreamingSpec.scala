@@ -843,17 +843,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = java.nio.file.Files.createTempDirectory("graft-vtingc").toString
     Versioned.commit(Seq((0L, "base", 1L)).toDF("k", "name", "bal"), dir)
     // simulate the crash window the beforeSeal ordering leaves: version 1
-    // was CLAIMED, its quarantine rows landed tagged v1, but the seal
-    // never happened (no _commit mark) — the quarantine write now runs
-    // BEFORE the seal precisely so this is the only loss shape
+    // was CLAIMED, its data + quarantine rows landed INSIDE the v1 dir,
+    // but the seal never happened (no _commit mark) — the quarantine
+    // write runs BEFORE the seal precisely so this is the only loss shape
     java.nio.file.Files.createFile(
       java.nio.file.Paths.get(dir, "v1._claim"))
+    Seq((5L, "e", 50L)).toDF("k", "name", "bal")
+      .write.mode("overwrite").parquet(s"$dir/v1/_add")
     Seq((9L, "crash", -1L)).toDF("k", "name", "bal")
       .withColumn("violations", lit("nonneg_bal"))
       .withColumn("commit_version", lit(1))
-      .write.mode("append").parquet(Versioned.quarantineDir(dir))
-    // the hole-tagged debris is filtered out of the quarantine read
-    assert(Versioned.quarantine(spark, dir).count() === 0)
+      .write.mode("overwrite").parquet(Versioned.quarantineDir(dir, 1))
+    // the debris sits in an UNSEALED version dir: structurally invisible
+    // to the quarantine read (which fails loudly — nothing committed was
+    // ever quarantined) and to snapshot reads
+    intercept[Exception] { Versioned.quarantine(spark, dir) }
+    assert(Versioned.readAtDv(spark, dir, Versioned.latest(dir)).count()
+      === 1)
     // the replay re-runs the batch in full: valid rows commit (skipping
     // the claimed hole), rejects land tagged with the SEALED version
     StreamOps.ingestExpectBatch(
@@ -871,6 +877,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Versioned.appendBatchIdempotent(
       Seq((5L, "e", 50L)).toDF("k", "name", "bal"), dir, 7L) === None)
     assert(Versioned.quarantine(spark, dir).count() === 1)
+    // retention: vacuum removes the hole AND its debris physically (the
+    // per-version layout makes this structural — a global sidecar would
+    // resurface the debris once vacuum deleted the hole's claim file);
+    // vacuumed committed versions drop their quarantine rows with their
+    // data, the retention contract
+    Versioned.compactDv(spark, dir) // v3: materialized fold
+    Versioned.vacuum(dir, 1)
+    assert(!new java.io.File(s"$dir/v1").exists,
+      "vacuum must remove the hole dir with its debris")
+    intercept[Exception] { Versioned.quarantine(spark, dir) }
   }
 
   test("E155: graft.versioned streaming source — snapshot + appends, live " +
