@@ -1028,6 +1028,52 @@ object Versioned {
     v
   }
 
+  /** [[adoptStagedAppend]] with expectation gates (E192 — the
+    * SQL-declared-ingest-gate half of [[commitExpect]]): rows of the
+    * staged batch satisfying EVERY named predicate adopt as the delta
+    * commit; the rest land in the committed version's own
+    * `_quarantine` sidecar tagged with the violated gate names (NULL
+    * counts as a violation). A fully-clean batch is detected with one
+    * count scan and adopted by rename (no rewrite); a batch with
+    * rejects pays one valid-rows rewrite + one quarantine write — both
+    * batch-scale. An all-rejects batch still commits the (empty) delta,
+    * so its quarantine rows have a committed version to hang off.
+    * Quarantine lands BEFORE the seal, inside the claim — the same
+    * crash-repair contract as the streaming gate.
+    */
+  private[graft] def adoptStagedAppendExpect(s: SparkSession, dir: String,
+      staging: String, expectations: Seq[(String, Column)]): Int = {
+    require(expectations.nonEmpty, "adoptStagedAppendExpect: no gates")
+    require(latest(dir) >= 0,
+      s"gated staged append: no committed versions in $dir — the " +
+        "initial version must be a full commit")
+    val batch = s.read.parquet(staging)
+    val ok = expectations.map { case (_, p) => coalesce(p, lit(false)) }
+      .reduce(_ && _)
+    if (batch.filter(!ok).isEmpty) adoptStagedAppend(dir, staging)
+    else {
+      val viol = concat_ws(",", expectations.map { case (n, p) =>
+        when(!coalesce(p, lit(false)), lit(n)) }: _*)
+      val valid = s"$dir/.staging-valid-${java.util.UUID.randomUUID()}"
+      batch.filter(ok).write.mode("overwrite").parquet(valid)
+      val v = withMutateClaim(dir) {
+        val v = claimNext(dir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(dir, s"v$v"))
+        java.nio.file.Files.move(java.nio.file.Paths.get(valid),
+          java.nio.file.Paths.get(addPath(dir, v)),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        batch.filter(!ok).withColumn("violations", viol)
+          .withColumn("commit_version", lit(v))
+          .write.mode("overwrite").parquet(quarantineDir(dir, v))
+        seal(dir, v)
+        v
+      }
+      rmTree(new java.io.File(staging))
+      v
+    }
+  }
+
   private[graft] def adoptStagedReplace(dir: String, staging: String,
       expectedTip: Int): Int = withMutateClaim(dir) {
     val tip = latest(dir)

@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
   *    oracle = base ∪ inserted projection;
   *  - `q_lake_changes_sql_cat`: the `<table>.changes` CDC metadata table
   *    with `VERSION AS OF '0..2'` bounds (E190), oracle byte-identical
-  *    to `q_snapshot_diff`'s.
+  *    to `q_snapshot_diff`'s;
+  *  - `q_expect_sql`: TBLPROPERTIES-declared expectation gates judging
+  *    an `INSERT INTO` (E192) — read back = base ∪ passing rows only.
   */
 object CatalogDml {
 
@@ -154,6 +156,24 @@ object CatalogDml {
         s"FROM $cat.ns.customer.changes VERSION AS OF '0..2'")
     }),
 
+    // E192: SQL-declared expectation gates — TBLPROPERTIES
+    // ('expectation.<name>'='<predicate>') judge every INSERT INTO:
+    // valid rows land as the delta commit (require'd), rejects in the
+    // version's quarantine. The read back = base ∪ only the inserted
+    // rows that passed the gate; oracle re-derives that filter.
+    "q_expect_sql" -> ((s, dir) => {
+      val (cat, tdir) = plantCustomer(s, dir, "#sqlexp")
+      s.sql(s"ALTER TABLE $cat.ns.customer SET TBLPROPERTIES " +
+        "('expectation.nonneg_bal' = 'c_acctbal >= 0.0')")
+      s.sql(s"INSERT INTO $cat.ns.customer " +
+        s"SELECT c_custkey + 7000000, concat('Gated ', c_name), " +
+        s"c_nationkey, c_acctbal - 5000.0, c_mktsegment " +
+        s"FROM $cat.ns.customer WHERE c_custkey % 23 = 0")
+      require(Versioned.isAddVersion(tdir, Versioned.latest(tdir)),
+        "q_expect_sql: expected an append (delta) commit")
+      centsRead(s, cat)
+    }),
+
     // E182: SQL DELETE on a keyed table — the statement plans Spark's
     // metadata-only delete (OptimizeMetadataOnlyDeleteFromTable →
     // SupportsDeleteV2), which lands a deletion-vector commit: cost ∝
@@ -172,6 +192,18 @@ object CatalogDml {
   val oracles: Map[String, String] = Map(
     "q_merge_sql" -> Lake.oracles("q_merge_multi"),
     "q_lake_changes_sql_cat" -> Lake.oracles("q_snapshot_diff"),
+    "q_expect_sql" ->
+      """WITH allrows AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 7000000, 'Gated ' || c_name, c_nationkey,
+        |    c_acctbal - 5000.0, c_mktsegment
+        |  FROM customer
+        |  WHERE c_custkey % 23 = 0 AND c_acctbal - 5000.0 >= 0.0)
+        |SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM allrows ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_update_sql" ->
       """SELECT c_custkey, c_name, c_nationkey,
         |  CAST(FLOOR(CASE WHEN c_custkey % 7 = 0

@@ -563,9 +563,27 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
 
   // ---- plain writes (INSERT INTO / INSERT OVERWRITE) ----------------------
 
+  /** SQL-declared ingest gates (E192, the DLT-expectations posture):
+    * `TBLPROPERTIES ('expectation.<name>' = '<SQL predicate>')` gate
+    * every APPEND through this table — valid rows land as the delta
+    * commit, rejects in the version's `_quarantine` sidecar tagged with
+    * the violated gate names (read them back with
+    * [[Versioned.quarantine]]). Only the ingest path is gated: INSERT
+    * OVERWRITE/TRUNCATE replace state wholesale, and row-level COW
+    * rewrites carry existing rows that must not be re-judged — the same
+    * scoping as the streaming sink's `expectation.*` options.
+    */
+  private def expectationGates: Seq[(String, org.apache.spark.sql.Column)] =
+    props.toSeq.collect {
+      case (k, v) if k.toLowerCase.startsWith("expectation.") =>
+        k.substring("expectation.".length) ->
+          org.apache.spark.sql.functions.expr(v)
+    }.sortBy(_._1)
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     rejectTimeTravelWrite("INSERT")
-    new GraftWriteBuilder(spark, dir, info, replaceTip = None)
+    new GraftWriteBuilder(spark, dir, info, replaceTip = None,
+      expectations = expectationGates)
   }
 
   // ---- DELETE: metadata-only DV path when a unique key is declared --------
@@ -924,8 +942,9 @@ private[sources] class GraftV1Scan(spark: SparkSession,
   */
 private[sources] class GraftWriteBuilder(spark: SparkSession, dir: String,
     info: LogicalWriteInfo, replaceTip: Option[Int],
-    owner: Option[GraftRowLevelOperation] = None) extends WriteBuilder
-    with SupportsTruncate {
+    owner: Option[GraftRowLevelOperation] = None,
+    expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+    extends WriteBuilder with SupportsTruncate {
 
   private var truncateMode = false
 
@@ -938,7 +957,7 @@ private[sources] class GraftWriteBuilder(spark: SparkSession, dir: String,
         java.nio.file.Paths.get(staging))
       val delegate = DmlBridge.parquetBatchWrite(spark, staging, info)
       new GraftBatchWrite(spark, dir, staging, info.schema, delegate,
-        truncateMode, replaceTip, owner)
+        truncateMode, replaceTip, owner, expectations)
     }
     override def description(): String =
       s"GraftVersionedWrite[$dir, truncate=$truncateMode, " +
@@ -949,7 +968,9 @@ private[sources] class GraftWriteBuilder(spark: SparkSession, dir: String,
 private[sources] class GraftBatchWrite(spark: SparkSession, dir: String,
     staging: String, schema: StructType, delegate: BatchWrite,
     truncateMode: Boolean, replaceTip: Option[Int],
-    owner: Option[GraftRowLevelOperation]) extends BatchWrite {
+    owner: Option[GraftRowLevelOperation],
+    expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -1005,9 +1026,17 @@ private[sources] class GraftBatchWrite(spark: SparkSession, dir: String,
         // an INSERT of zero rows appends nothing — no empty commit;
         // adoption (not the staged write) claim-serializes inside
         // adoptStagedAppend, so an unsealed claimed append can never
-        // slip under a COW rewrite's tip-unmoved check and get buried
-        if (stagedParquet()) { Versioned.adoptStagedAppend(dir, staging); () }
-        else cleanup()
+        // slip under a COW rewrite's tip-unmoved check and get buried.
+        // Declared expectation gates (E192) judge the staged batch here;
+        // only the ingest path is gated (see GraftTable.expectationGates).
+        if (!stagedParquet()) cleanup()
+        else if (expectations.isEmpty) {
+          Versioned.adoptStagedAppend(dir, staging); ()
+        } else {
+          Versioned.adoptStagedAppendExpect(spark, dir, staging,
+            expectations)
+          ()
+        }
     }
   }
 

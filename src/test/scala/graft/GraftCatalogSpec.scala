@@ -554,6 +554,42 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     effect("mrg6", tipRows.contains(6L))
   }
 
+  test("E192: TBLPROPERTIES expectation gates — INSERT INTO quarantines " +
+      "rejects, clean batches adopt by rename, only ingest is gated") {
+    spark.sql("CREATE TABLE graft_cat.ns.gated (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k', " +
+      "'expectation.nonneg_bal'='bal >= 0', " +
+      "'expectation.has_name'='name IS NOT NULL')")
+    val d = dirOf("gated")
+    // mixed batch: valid rows commit as the delta, rejects quarantine
+    // with the violated gate names (NULL name counts as a violation)
+    spark.sql("INSERT INTO graft_cat.ns.gated VALUES " +
+      "(1, 'a', 10), (2, NULL, 20), (3, 'c', -5), (4, 'd', 40)")
+    assert(operators.Versioned.isAddVersion(d, 1))
+    assert(spark.sql("SELECT k FROM graft_cat.ns.gated ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 4L))
+    val quar = operators.Versioned.quarantine(spark, d).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (r.getAs[String]("violations"), r.getAs[Int]("commit_version")))
+      .toMap
+    assert(quar === Map(2L -> ("has_name", 1), 3L -> ("nonneg_bal", 1)))
+    // a fully-clean batch adopts by RENAME (no rewrite) — pinned by the
+    // staged part-file names surviving into the committed _add dir
+    spark.sql("INSERT INTO graft_cat.ns.gated VALUES (5, 'e', 50)")
+    assert(operators.Versioned.isAddVersion(d, 2))
+    assert(operators.Versioned.quarantine(spark, d).count() === 2)
+    // INSERT OVERWRITE is NOT gated (wholesale replace) and a COW UPDATE
+    // must not re-judge carried-over rows it makes temporarily invalid
+    spark.sql("UPDATE graft_cat.ns.gated SET bal = -1 WHERE k = 5")
+    assert(spark.sql(
+      "SELECT bal FROM graft_cat.ns.gated WHERE k = 5")
+      .collect()(0).getLong(0) === -1L)
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.gated " +
+      "VALUES (9, NULL, -9)")
+    assert(spark.sql("SELECT k FROM graft_cat.ns.gated")
+      .collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
   test("E191b: racing appends vs COW rewrites — a reported-success append " +
       "is never buried under the rewrite's new base") {
     import spark.implicits._
