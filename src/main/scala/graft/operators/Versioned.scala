@@ -856,12 +856,28 @@ object Versioned {
       readPartitionedAt(s, dir, v)
     else readAt(s, dir, v)
 
-  def readAtDv(s: SparkSession, dir: String, v: Int): DataFrame = {
-    val base = (v to 0 by -1)
+  /** Nearest MATERIALIZED version at or below `v` (the chain fold's
+    * base), or None for a chain with no base in range.
+    */
+  private[graft] def materializedBaseAt(dir: String, v: Int): Option[Int] =
+    (v to 0 by -1)
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
         !isAddVersion(dir, w) && !isRenameVersion(dir, w))
+
+  def readAtDv(s: SparkSession, dir: String, v: Int): DataFrame =
+    readAtDvBase(s, dir, v, b => readPartitionedOrFlatAt(s, dir, b))
+
+  /** [[readAtDv]] with a pluggable BASE reader: the hidden-partition
+    * pruning path substitutes a partition-pruned scan of the same base
+    * version (row-identical to the full base read composed with the
+    * pruning predicate — see [[readPartitionedHiddenRange]]) and the
+    * chain folds on top unchanged.
+    */
+  private[graft] def readAtDvBase(s: SparkSession, dir: String, v: Int,
+      baseReader: Int => DataFrame): DataFrame = {
+    val base = materializedBaseAt(dir, v)
       .getOrElse(sys.error(s"no materialized version at or below v$v in $dir"))
-    val snap = readPartitionedOrFlatAt(s, dir, base)
+    val snap = baseReader(base)
     val chain = ((base + 1) to v).filter(w => isCommitted(dir, w))
     def antiJoin(acc: DataFrame, dvs: Seq[Int]): DataFrame =
       if (dvs.isEmpty) acc
@@ -1774,6 +1790,34 @@ object Versioned {
   /** The `(transform, srcCol)` spec governing hidden reads at version
     * `v`: the nearest `_transform` sidecar at or below `v`.
     */
+  /** The hidden-partition spec carried by version `v` ITSELF (no
+    * downward walk — the caller has already resolved the chain base), or
+    * None for a flat/row-partitioned version. The catalog read path uses
+    * this to decide whether pushed filters can prune.
+    */
+  private[graft] def hiddenSpecAt(dir: String,
+      v: Int): Option[(String, String)] =
+    if (!java.nio.file.Files.exists(transformPath(dir, v))) None
+    else {
+      val f = java.nio.file.Files.readString(transformPath(dir, v))
+        .split("\t", 2)
+      Some((f(0), f(1)))
+    }
+
+  /** [[compactDv]] for hidden-partitioned tables: fold the DV/append
+    * chain into a fresh snapshot RE-PARTITIONED under the declared
+    * transform — delta appends land flat (cost ∝ batch, unprunable until
+    * compacted), so this is what restores pruning coverage over them
+    * (the OPTIMIZE posture for hidden layouts). Returns the version.
+    */
+  def compactHidden(s: SparkSession, dir: String, transform: String,
+      srcCol: String): Int = withMutateClaim(dir) {
+    val folded = readAtDv(s, dir, latest(dir))
+    val flat = if (folded.columns.contains("gpart")) folded.drop("gpart")
+      else folded
+    commitPartitionedHidden(flat, dir, transform, srcCol)
+  }
+
   def hiddenSpec(dir: String, v: Int): (String, String) = {
     val hit = (v to 0 by -1).map(transformPath(dir, _))
       .find(java.nio.file.Files.exists(_))

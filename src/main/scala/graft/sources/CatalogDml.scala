@@ -174,6 +174,40 @@ object CatalogDml {
       centsRead(s, cat)
     }),
 
+    // E193: hidden partitioning read through catalog SQL — orders
+    // committed under month(o_orderdate), then a raw-column date range
+    // SELECT: the pushed predicates prune the manifest to the admitted
+    // months DRIVER-SIDE (the prune probe is require'd — a silent full
+    // scan cannot pass), the residual trims the edges, and the result
+    // must row-equal the full-table filter. Oracle byte-identical to
+    // q_lake_hidden_part's.
+    "q_hidden_sql_cat" -> ((s, dir) => {
+      val root = Versioned.tableDir(dir + "#sqlhid")
+      val cat = catalogFor(s, root)
+      val tdir = s"$root/ns/orders"
+      new java.io.File(tdir).mkdirs()
+      Versioned.commitPartitionedHidden(graft.Tables.orders(s, dir),
+        tdir, "month", "o_orderdate")
+      GraftCatalog.writeProps(tdir,
+        Map("gpart.transform" -> "month", "gpart.column" -> "o_orderdate"))
+      val df = s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c, " +
+        "CAST(o_orderdate AS DATE) AS o_date, o_orderpriority " +
+        s"FROM $cat.ns.orders " +
+        "WHERE o_orderdate >= '1996-02-10' AND o_orderdate <= '1996-05-20'")
+      GraftScanPruneProbe.last.set("")
+      df.foreach(_ => ()) // execute once so the probe reflects THIS scan
+      // the pushed literal stringifies per the column's type (a
+      // timestamp column gives "1996-02-10T00:00") — pin the mode and
+      // the day-resolution bounds, not the exact literal spelling
+      val probe = GraftScanPruneProbe.last.get
+      require(probe.startsWith("range:1996-02-10") &&
+          probe.contains("..1996-05-20"),
+        s"q_hidden_sql_cat: expected a driver-side pruned read, got " +
+          s"'$probe'")
+      df
+    }),
+
     // E182: SQL DELETE on a keyed table — the statement plans Spark's
     // metadata-only delete (OptimizeMetadataOnlyDeleteFromTable →
     // SupportsDeleteV2), which lands a deletion-vector commit: cost ∝
@@ -192,6 +226,7 @@ object CatalogDml {
   val oracles: Map[String, String] = Map(
     "q_merge_sql" -> Lake.oracles("q_merge_multi"),
     "q_lake_changes_sql_cat" -> Lake.oracles("q_snapshot_diff"),
+    "q_hidden_sql_cat" -> Versioned.oracles("q_lake_hidden_part"),
     "q_expect_sql" ->
       """WITH allrows AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -335,12 +335,56 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       GraftProcedures.names
     else Array.empty
 
+  /** `PARTITIONED BY (<transform>)` → the hidden-partitioning tier
+    * (E193): the derived key exists only as hive dir names, readers
+    * never learn it, and pushed raw-column predicates prune partitions
+    * driver-side (see [[GraftV1Scan]]). Supported transforms map onto
+    * [[Versioned.hiddenExpr]]'s vocabulary: `months(col)`,
+    * `bucket(n, col)`, `truncate(w, col)` — identity and time transforms
+    * without a month analogue are rejected loudly. At most ONE transform
+    * (the hidden tier partitions by one derived key).
+    */
+  private def parseHiddenTransform(t: Transform,
+      schema: StructType): (String, String) = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val refs = t.arguments.collect { case r: NamedReference => r }
+    val lits = t.arguments.collect {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        l.value
+    }
+    require(refs.length == 1 && refs.head.fieldNames.length == 1,
+      s"graft catalog: partition transform $t must reference exactly " +
+        "one top-level column")
+    val colName = refs.head.fieldNames.head
+    require(schema.fieldNames.contains(colName),
+      s"graft catalog: partition column '$colName' is not in the schema")
+    val spelled = t.name.toLowerCase match {
+      case "months" | "month" =>
+        require(lits.isEmpty, s"graft catalog: months() takes no literal")
+        "month"
+      case "bucket" =>
+        require(lits.length == 1, "graft catalog: bucket(n, col)")
+        s"bucket:${lits.head}"
+      case "truncate" =>
+        require(lits.length == 1, "graft catalog: truncate(w, col)")
+        s"trunc:${lits.head}"
+      case other => sys.error(s"graft catalog: unsupported partition " +
+        s"transform '$other' — supported: months(col), bucket(n, col), " +
+        "truncate(w, col)")
+    }
+    (spelled, colName)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "graft catalog: PARTITIONED BY is not " +
-      "supported on CREATE TABLE — use hidden partitioning " +
-      "(Versioned.commitHiddenPartitioned) on the programmatic surface")
+    val hidden = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) => Some(parseHiddenTransform(t, schema))
+      case _ => sys.error("graft catalog: at most ONE partition " +
+        "transform is supported (the hidden tier partitions by one " +
+        "derived key)")
+    }
     val dir = dirOf(ident)
     if (Versioned.latest(dir) >= 0)
       throw new TableAlreadyExistsException(ident)
@@ -351,7 +395,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     Versioned.commit(
       spark.createDataFrame(new util.ArrayList[Row](), schema), dir)
     import scala.jdk.CollectionConverters._
-    GraftCatalog.writeProps(dir, properties.asScala.toMap)
+    GraftCatalog.writeProps(dir, properties.asScala.toMap ++
+      hidden.toSeq.flatMap { case (t, c) =>
+        Seq("gpart.transform" -> t, "gpart.column" -> c) })
     new GraftTable(spark, dir, ident.toString, GraftCatalog.readProps(dir))
   }
 
@@ -534,8 +580,17 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
     })
 
   override def name(): String = tableName
-  override lazy val schema: StructType =
+  // `gpart` is the hidden tier's reserved DERIVED key — hive partition
+  // discovery surfaces it on manifest reads, but it is never part of the
+  // table's logical schema (readers state predicates on the RAW column)
+  override lazy val schema: StructType = StructType(
     Versioned.readAtDv(spark, dir, tip).schema
+      .filterNot(_.name == "gpart"))
+
+  /** The declared hidden-partition spec (E193), if any. */
+  private lazy val hiddenProps: Option[(String, String)] =
+    for { t <- props.get("gpart.transform"); c <- props.get("gpart.column") }
+      yield (t, c)
 
   override def properties(): util.Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -583,7 +638,7 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     rejectTimeTravelWrite("INSERT")
     new GraftWriteBuilder(spark, dir, info, replaceTip = None,
-      expectations = expectationGates)
+      expectations = expectationGates, hidden = hiddenProps)
   }
 
   // ---- DELETE: metadata-only DV path when a unique key is declared --------
@@ -868,6 +923,16 @@ private[sources] class GraftScanBuilder(spark: SparkSession, dir: String,
     pushed, owner)
 }
 
+/** Test/verification seam: records HOW the most recent catalog scan's
+  * base was read — `"range:<lo>..<hi>"` / `"in:<n>"` when hidden
+  * pruning engaged, `"full"` otherwise. Pinned by the E193 unit and
+  * `require`d in the declared query, so a silent fallback to full scans
+  * can never pass for pruning.
+  */
+private[graft] object GraftScanPruneProbe {
+  val last = new java.util.concurrent.atomic.AtomicReference[String]("")
+}
+
 private[sources] class GraftV1Scan(spark: SparkSession,
     private[sources] val dir: String, private[sources] val tip: Int,
     required: StructType, pushed: Array[Filter],
@@ -879,14 +944,89 @@ private[sources] class GraftV1Scan(spark: SparkSession,
     */
   private[sources] def isPlainRead: Boolean = owner.isEmpty
 
+  /** True when the chain's base is hidden-partitioned —
+    * [[VersionedScanStats]] must NOT reroute those (the reroute would
+    * bypass the driver-side partition pruning below).
+    */
+  private[sources] def isHiddenPartitioned: Boolean =
+    Versioned.materializedBaseAt(dir, tip)
+      .exists(b => Versioned.hiddenSpecAt(dir, b).isDefined)
+
   override def readSchema(): StructType = required
+
+  /** Hidden-partition pruning (E193): when the chain's BASE version is
+    * hidden-partitioned and the pushed filters bound the RAW source
+    * column, the base scan is replaced by a driver-side partition-pruned
+    * read — point/IN predicates admit exactly the probed keys'
+    * partitions (any transform), ranges admit `[transform(lo),
+    * transform(hi)]` (monotone transforms only). The pruned base is
+    * row-identical to (full base ∘ predicate) and Spark re-applies every
+    * filter above the scan, so pruning is an optimization, never a
+    * correctness dependency — anything unparseable falls back to the
+    * full read (`Try`), and a rename anywhere above the base disables
+    * pruning (the sidecar records the pre-rename column name).
+    */
+  private def hiddenPruned(s: SparkSession): Option[DataFrame] =
+    for {
+      b <- Versioned.materializedBaseAt(dir, tip)
+      if ((b + 1) to tip).forall(w => !Versioned.isRenameVersion(dir, w))
+      spec <- Versioned.hiddenSpecAt(dir, b)
+      pruned <- scala.util.Try(
+        prunedBase(s, b, spec._1, spec._2)).toOption.flatten
+    } yield Versioned.readAtDvBase(s, dir, tip, _ => pruned)
+
+  private def prunedBase(s: SparkSession, b: Int, t: String,
+      srcCol: String): Option[DataFrame] = {
+    def isCol(a: String) = a.equalsIgnoreCase(srcCol)
+    val points = pushed.toSeq.flatMap {
+      case org.apache.spark.sql.sources.EqualTo(a, v)
+          if isCol(a) && v != null => Seq(v.toString)
+      case org.apache.spark.sql.sources.In(a, vs)
+          if isCol(a) && vs.nonEmpty && vs.forall(_ != null) =>
+        vs.toSeq.map(_.toString)
+      case _ => Nil
+    }
+    if (points.nonEmpty) {
+      GraftScanPruneProbe.last.set(s"in:${points.size}")
+      Some(Versioned.readPartitionedHiddenIn(s, dir, b, points))
+    } else if (t == "month" || t.startsWith("trunc:")) {
+      val los = pushed.toSeq.collect {
+        case org.apache.spark.sql.sources.GreaterThan(a, v)
+            if isCol(a) && v != null => v.toString
+        case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v)
+            if isCol(a) && v != null => v.toString
+      }
+      val his = pushed.toSeq.collect {
+        case org.apache.spark.sql.sources.LessThan(a, v)
+            if isCol(a) && v != null => v.toString
+        case org.apache.spark.sql.sources.LessThanOrEqual(a, v)
+            if isCol(a) && v != null => v.toString
+      }
+      if (los.isEmpty || his.isEmpty) None
+      else {
+        // tightest admitted window; inclusive bounds are a superset of
+        // any strict spelling (the re-applied filter keeps edges exact)
+        val (lo, hi) =
+          if (t == "month") (los.max, his.min)
+          else (los.maxBy(_.toLong), his.minBy(_.toLong))
+        GraftScanPruneProbe.last.set(s"range:$lo..$hi")
+        Some(Versioned.readPartitionedHiddenRange(s, dir, b, lo, hi))
+      }
+    } else None
+  }
 
   /** The chain-resolved pinned-tip snapshot with the pushed filters and
     * the pruned column set baked in (so they reach the inner parquet
     * scans of the delegate plan).
     */
   private def delegate(s: SparkSession): DataFrame = {
-    val snap = Versioned.readAtDv(s, dir, tip)
+    val snap0 = hiddenPruned(s).getOrElse {
+      GraftScanPruneProbe.last.set("full")
+      Versioned.readAtDv(s, dir, tip)
+    }
+    // the hidden tier's derived key never reaches the logical surface
+    val snap = if (snap0.columns.contains("gpart")) snap0.drop("gpart")
+      else snap0
     val filtered = pushed.flatMap(VersionedSource.filterToColumn)
       .foldLeft(snap)((df, c) => df.filter(c))
     // `_version` is the table's metadata column: constant = the pinned
@@ -943,7 +1083,8 @@ private[sources] class GraftV1Scan(spark: SparkSession,
 private[sources] class GraftWriteBuilder(spark: SparkSession, dir: String,
     info: LogicalWriteInfo, replaceTip: Option[Int],
     owner: Option[GraftRowLevelOperation] = None,
-    expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+    expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+    hidden: Option[(String, String)] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var truncateMode = false
@@ -957,7 +1098,7 @@ private[sources] class GraftWriteBuilder(spark: SparkSession, dir: String,
         java.nio.file.Paths.get(staging))
       val delegate = DmlBridge.parquetBatchWrite(spark, staging, info)
       new GraftBatchWrite(spark, dir, staging, info.schema, delegate,
-        truncateMode, replaceTip, owner, expectations)
+        truncateMode, replaceTip, owner, expectations, hidden)
     }
     override def description(): String =
       s"GraftVersionedWrite[$dir, truncate=$truncateMode, " +
@@ -969,7 +1110,8 @@ private[sources] class GraftBatchWrite(spark: SparkSession, dir: String,
     staging: String, schema: StructType, delegate: BatchWrite,
     truncateMode: Boolean, replaceTip: Option[Int],
     owner: Option[GraftRowLevelOperation],
-    expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+    expectations: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+    hidden: Option[(String, String)] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -1013,15 +1155,32 @@ private[sources] class GraftBatchWrite(spark: SparkSession, dir: String,
         try { Versioned.adoptStagedReplace(dir, staging, expected); () }
         finally dropScanDirs()
       case None if truncateMode =>
-        if (!stagedParquet())
+        if (!stagedParquet()) {
           spark.createDataFrame(new util.ArrayList[Row](), schema)
             .write.mode("overwrite").parquet(staging)
-        // adoption is claim-serialized inside adoptStagedSnapshot (the
-        // buried-snapshot anomaly — a claim-free seal racing a
-        // claim-holding COW rewrite whose tip-unmoved check ran before
-        // this seal is non-serializable)
-        Versioned.adoptStagedSnapshot(dir, staging)
-        ()
+          // an empty overwrite (TRUNCATE) stays a flat schema-bearing
+          // snapshot even on a hidden-partitioned table: an empty
+          // manifest would serve nothing to stitch
+          Versioned.adoptStagedSnapshot(dir, staging)
+          ()
+        } else hidden match {
+          case Some((t, c)) =>
+            // declared hidden partitioning (E193): the full-state
+            // overwrite lands PARTITIONED under the transform, so raw-
+            // column predicates prune again from this version on; one
+            // batch-scale re-read of the staged rows — the price of the
+            // layout, paid only by full-state writes
+            Versioned.commitPartitionedHidden(
+              spark.read.parquet(staging), dir, t, c)
+            cleanup()
+          case None =>
+            // adoption is claim-serialized inside adoptStagedSnapshot
+            // (the buried-snapshot anomaly — a claim-free seal racing a
+            // claim-holding COW rewrite whose tip-unmoved check ran
+            // before this seal is non-serializable)
+            Versioned.adoptStagedSnapshot(dir, staging)
+            ()
+        }
       case None =>
         // an INSERT of zero rows appends nothing — no empty commit;
         // adoption (not the staged write) claim-serializes inside

@@ -90,9 +90,19 @@ private[sources] object GraftProcedures {
           dirOf(in.getUTF8String(0).toString, true)))))),
 
     Spec("compact_dv", Seq(tbl()), versionOut, deterministic = false,
-      (spark, dirOf, in) => Seq(new GenericInternalRow(Array[Any](
-        Versioned.compactDv(spark,
-          dirOf(in.getUTF8String(0).toString, true)))))),
+      (spark, dirOf, in) => {
+        val dir = dirOf(in.getUTF8String(0).toString, true)
+        // hidden-partitioned tables (E193) re-partition on compaction:
+        // delta appends land flat, so folding them back under the
+        // declared transform is what restores pruning coverage
+        val props = GraftCatalog.readProps(dir)
+        val v = (props.get("gpart.transform"),
+            props.get("gpart.column")) match {
+          case (Some(t), Some(c)) => Versioned.compactHidden(spark, dir, t, c)
+          case _ => Versioned.compactDv(spark, dir)
+        }
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }),
 
     Spec("restore", Seq(tbl(),
       ProcedureParameter.in("version", IntegerType)

@@ -36,7 +36,12 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, 
   *  - only plain snapshot reads ([[GraftV1Scan.isPlainRead]]) — belt
   *    and braces with the above;
   *  - never when `_version` (the metadata column) is in the output: the
-  *    v1 relation does not serve it.
+  *    v1 relation does not serve it;
+  *  - never when the chain's base is HIDDEN-PARTITIONED (E193): the
+  *    [[GraftV1Scan]] path prunes partitions driver-side from pushed
+  *    raw-column predicates, which the v1 relation does not — and a
+  *    hidden-partitioned table is a fact-table shape where pruning is
+  *    worth far more than a broadcast-size estimate.
   *
   * Filter/column pushdown is preserved: the residual `Filter` node Spark
   * kept above the scan re-pushes through `DataSourceStrategy` into
@@ -58,7 +63,8 @@ object VersionedScanStats extends Rule[LogicalPlan] {
     case DataSourceV2ScanRelation(_, w: V1ScanWrapper, output, _, _)
         if w.v1Scan.isInstanceOf[GraftV1Scan] &&
           w.v1Scan.asInstanceOf[GraftV1Scan].isPlainRead &&
-          !output.exists(_.name == "_version") =>
+          !output.exists(_.name == "_version") &&
+          !w.v1Scan.asInstanceOf[GraftV1Scan].isHiddenPartitioned =>
       val g = w.v1Scan.asInstanceOf[GraftV1Scan]
       LogicalRelation(
         new VersionedRelation(SparkSession.active.sqlContext, g.dir,

@@ -554,6 +554,72 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     effect("mrg6", tipRows.contains(6L))
   }
 
+  test("E193: CREATE TABLE PARTITIONED BY — hidden partitioning through " +
+      "SQL: overwrite lands partitioned, reads prune, compaction restores " +
+      "coverage over flat deltas") {
+    import operators.Versioned
+    spark.sql("CREATE TABLE graft_cat.ns.ev (ts STRING, v BIGINT) " +
+      "PARTITIONED BY (months(ts)) TBLPROPERTIES ('key'='v')")
+    val d = dirOf("ev")
+    assert(sources.GraftCatalog.readProps(d)("gpart.transform") === "month")
+    // gpart (the derived key) never reaches the logical schema
+    assert(!spark.table("graft_cat.ns.ev").columns.contains("gpart"))
+    // INSERT OVERWRITE = the full-state write → lands HIDDEN-PARTITIONED
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.ev " +
+      "SELECT concat('2003-', lpad(CAST(1 + CAST(id / 31 AS INT) AS " +
+      "STRING), 2, '0'), '-', lpad(CAST(1 + id % 28 AS STRING), 2, " +
+      "'0')), id FROM range(0, 310)")
+    val tip1 = Versioned.latest(d)
+    assert(Versioned.manifest(d, tip1).nonEmpty,
+      "overwrite on a PARTITIONED BY table must land a manifest version")
+    // a raw-column range read PRUNES driver-side (the probe pins it) and
+    // row-equals the full filter
+    sources.GraftScanPruneProbe.last.set("")
+    val pruned = spark.sql("SELECT ts, v FROM graft_cat.ns.ev " +
+      "WHERE ts >= '2003-03-01' AND ts <= '2003-04-30' ORDER BY v")
+      .collect()
+    assert(sources.GraftScanPruneProbe.last.get
+      .startsWith("range:2003-03-01..2003-04-30"),
+      s"expected a pruned read, probe=${sources.GraftScanPruneProbe.last.get}")
+    assert(pruned.length === 62 && pruned.forall(
+      r => r.getString(0) >= "2003-03-01" && r.getString(0) <= "2003-04-30"))
+    // point lookups prune over any transform shape too (ids 0 and 28
+    // both land on 2003-01-01 — the generator wraps days at 28)
+    sources.GraftScanPruneProbe.last.set("")
+    assert(spark.sql("SELECT v FROM graft_cat.ns.ev " +
+      "WHERE ts = '2003-01-01'").collect().length === 2)
+    assert(sources.GraftScanPruneProbe.last.get === "in:1")
+    // plain INSERT INTO stays a flat delta (cost ∝ batch) — correctness
+    // via the chain fold, pruning via the next compaction
+    spark.sql("INSERT INTO graft_cat.ns.ev VALUES ('2003-03-05', 9999)")
+    assert(Versioned.isAddVersion(d, Versioned.latest(d)))
+    sources.GraftScanPruneProbe.last.set("")
+    val mixed = spark.sql("SELECT v FROM graft_cat.ns.ev " +
+      "WHERE ts >= '2003-03-01' AND ts <= '2003-04-30'").collect()
+    assert(mixed.length === 63, "the flat delta row must fold in")
+    assert(sources.GraftScanPruneProbe.last.get.startsWith("range:"),
+      "the hidden BASE still prunes under a delta chain")
+    // CALL compact_dv on a hidden table RE-PARTITIONS the folded state
+    spark.sql("CALL graft_cat.system.compact_dv('ns.ev')")
+    val tip2 = Versioned.latest(d)
+    assert(Versioned.manifest(d, tip2).nonEmpty,
+      "compaction must land hidden-partitioned, not flat")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.ev " +
+      "WHERE ts >= '2003-03-01' AND ts <= '2003-04-30'")
+      .collect()(0).getLong(0) === 63)
+    // a DV delete composes on top of the hidden base, reads stay pruned
+    spark.sql("DELETE FROM graft_cat.ns.ev WHERE v = 9999")
+    assert(Versioned.isDvVersion(d, Versioned.latest(d)))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.ev " +
+      "WHERE ts >= '2003-03-01' AND ts <= '2003-04-30'")
+      .collect()(0).getLong(0) === 62)
+    // unsupported shapes fail loudly at CREATE
+    intercept[Exception] { spark.sql("CREATE TABLE graft_cat.ns.bad1 " +
+      "(ts STRING) PARTITIONED BY (ts)") }
+    intercept[Exception] { spark.sql("CREATE TABLE graft_cat.ns.bad2 " +
+      "(ts STRING, k BIGINT) PARTITIONED BY (months(ts), bucket(4, k))") }
+  }
+
   test("E192: TBLPROPERTIES expectation gates — INSERT INTO quarantines " +
       "rejects, clean batches adopt by rename, only ingest is gated") {
     spark.sql("CREATE TABLE graft_cat.ns.gated (k BIGINT, name STRING, " +
