@@ -196,7 +196,9 @@ object CatalogDml {
         s"FROM $cat.ns.orders " +
         "WHERE o_orderdate >= '1996-02-10' AND o_orderdate <= '1996-05-20'")
       GraftScanPruneProbe.last.set("")
-      df.foreach(_ => ()) // execute once so the probe reflects THIS scan
+      // buildScan (where pruning decides) runs at physical planning — a
+      // 1-row probe execution is enough to pin it without a full scan
+      df.limit(1).collect()
       // the pushed literal stringifies per the column's type (a
       // timestamp column gives "1996-02-10T00:00") — pin the mode and
       // the day-resolution bounds, not the exact literal spelling
