@@ -189,15 +189,19 @@ object Versioned {
     math.max(hint, committed)
   }
 
-  /** Oldest RETAINED committed version, or -1 for an empty dir — the
-    * unbounded-CDC lower bound: after a [[vacuum]], pinning reads to a
-    * hard 0 would fail forever on the removed commit mark.
+  /** Oldest RETAINED version that is actually READABLE — the smallest
+    * committed MATERIALIZED version (a delta/DV/rename commit below the
+    * oldest surviving base is still marked committed after a [[vacuum]]
+    * but cannot be resolved); -1 for an empty dir. The unbounded-CDC
+    * lower bound: pinning reads to a hard 0 (or to a merely-committed
+    * version) would fail forever once retention removed its base.
     */
-  def oldestCommitted(dir: String): Int = {
+  def oldestReadable(dir: String): Int = {
     val vs = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .flatMap(f => versionOf(f.getName))
-      .filter(v => isCommitted(dir, v))
+      .filter(v => isCommitted(dir, v) && !isDvVersion(dir, v) &&
+        !isAddVersion(dir, v) && !isRenameVersion(dir, v))
     if (vs.isEmpty) -1 else vs.min
   }
 
@@ -1059,17 +1063,13 @@ object Versioned {
     */
   private[graft] def adoptStagedAppendExpect(s: SparkSession, dir: String,
       staging: String, expectations: Seq[(String, Column)]): Int = {
-    require(expectations.nonEmpty, "adoptStagedAppendExpect: no gates")
     require(latest(dir) >= 0,
       s"gated staged append: no committed versions in $dir — the " +
         "initial version must be a full commit")
     val batch = s.read.parquet(staging)
-    val ok = expectations.map { case (_, p) => coalesce(p, lit(false)) }
-      .reduce(_ && _)
+    val (ok, viol) = gateCols(expectations)
     if (batch.filter(!ok).isEmpty) adoptStagedAppend(dir, staging)
     else {
-      val viol = concat_ws(",", expectations.map { case (n, p) =>
-        when(!coalesce(p, lit(false)), lit(n)) }: _*)
       val valid = s"$dir/.staging-valid-${java.util.UUID.randomUUID()}"
       batch.filter(ok).write.mode("overwrite").parquet(valid)
       val v = withMutateClaim(dir) {
@@ -1186,45 +1186,52 @@ object Versioned {
     */
   def appendBatchIdempotent(df: DataFrame, dir: String,
       batchId: Long, beforeSeal: Int => Unit = _ => ()): Option[Int] = {
-    val seen = (0 to latest(dir)).exists { w =>
+    def seen(): Boolean = (0 to latest(dir)).exists { w =>
       isCommitted(dir, w) &&
         java.nio.file.Files.exists(batchIdPath(dir, w)) &&
         java.nio.file.Files.readString(batchIdPath(dir, w)).trim ==
           batchId.toString
     }
-    if (seen) None
+    if (seen()) None
     else {
       // stage OUTSIDE the claim (batch-scale I/O stays concurrent),
       // adopt + seal inside it (see [[appendRows]]); the snapshot-vs-
-      // delta decision re-reads the tip INSIDE the claim — a stale
-      // empty-table read would adopt a second bootstrap batch as a full
-      // snapshot and bury the first writer's rows
+      // delta decision AND the batch-id dedup re-check run INSIDE the
+      // claim — a stale empty-table read would adopt a second bootstrap
+      // batch as a full snapshot and bury the first writer's rows, and
+      // two concurrent replays of the SAME batch id (a zombie driver
+      // next to its replacement) would otherwise both pass the early
+      // check and commit the batch twice
       val staging = s"$dir/.staging-batch-${java.util.UUID.randomUUID()}"
       df.write.mode("overwrite").parquet(staging)
       withMutateClaim(dir) {
-        val v = claimNext(dir)
-        if (latest(dir) < 0)
-          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
-            java.nio.file.Paths.get(dir, s"v$v"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        if (seen()) { rmTree(new java.io.File(staging)); None }
         else {
-          java.nio.file.Files.createDirectories(
-            java.nio.file.Paths.get(dir, s"v$v"))
-          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
-            java.nio.file.Paths.get(addPath(dir, v)),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val v = claimNext(dir)
+          if (latest(dir) < 0)
+            java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+              java.nio.file.Paths.get(dir, s"v$v"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          else {
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(dir, s"v$v"))
+            java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+              java.nio.file.Paths.get(addPath(dir, v)),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+          java.nio.file.Files.writeString(batchIdPath(dir, v),
+            batchId.toString)
+          // side-effects that must be REPLAY-REPAIRABLE run before the
+          // seal (the gated-ingest quarantine write into the version's
+          // own dir): a crash after the seal would make the replay
+          // short-circuit on the batch-id marker and never re-run them;
+          // a crash BEFORE it leaves an uncommitted hole whose dir —
+          // debris included — [[quarantine]] never reads and [[vacuum]]
+          // removes.
+          beforeSeal(v)
+          seal(dir, v)
+          Some(v)
         }
-        java.nio.file.Files.writeString(batchIdPath(dir, v),
-          batchId.toString)
-        // side-effects that must be REPLAY-REPAIRABLE run before the
-        // seal (the gated-ingest quarantine write into the version's own
-        // dir): a crash after the seal would make the replay
-        // short-circuit on the batch-id marker and never re-run them; a
-        // crash BEFORE it leaves an uncommitted hole whose dir — debris
-        // included — [[quarantine]] never reads and [[vacuum]] removes.
-        beforeSeal(v)
-        seal(dir, v)
-        Some(v)
       }
     }
   }
@@ -1244,6 +1251,24 @@ object Versioned {
     */
   def quarantineDir(dir: String, v: Int): String = s"$dir/v$v/_quarantine"
 
+  /** The one definition of gate semantics, shared by every expectation
+    * path (batch [[commitExpect]], the SQL-declared
+    * [[adoptStagedAppendExpect]], the streaming
+    * `StreamOps.ingestExpectBatch`): `ok` = every named predicate holds,
+    * with NULL counting as a violation (a constraint that cannot be
+    * proven is not satisfied); `viol` = comma-joined names of the
+    * violated gates.
+    */
+  private[graft] def gateCols(
+      expectations: Seq[(String, Column)]): (Column, Column) = {
+    require(expectations.nonEmpty, "expectation gates: none given")
+    val ok = expectations.map { case (_, p) => coalesce(p, lit(false)) }
+      .reduce(_ && _)
+    val viol = concat_ws(",", expectations.map { case (n, p) =>
+      when(!coalesce(p, lit(false)), lit(n)) }: _*)
+    (ok, viol)
+  }
+
   /** Expectation-gated commit (the lakehouse CHECK-constraint posture
     * with a quarantine instead of a failed transaction): rows satisfying
     * EVERY named predicate commit as the next version; the rest land in
@@ -1256,16 +1281,26 @@ object Versioned {
     */
   def commitExpect(df: DataFrame, dir: String,
       expectations: Seq[(String, Column)]): Int = {
-    require(expectations.nonEmpty, "commitExpect: no expectations given")
-    val ok = expectations.map { case (_, p) => coalesce(p, lit(false)) }
-      .reduce(_ && _)
-    val viol = concat_ws(",", expectations.map { case (n, p) =>
-      when(!coalesce(p, lit(false)), lit(n)) }: _*)
-    val v = commit(df.filter(ok), dir)
-    df.filter(!ok).withColumn("violations", viol)
-      .withColumn("commit_version", lit(v))
-      .write.mode("overwrite").parquet(quarantineDir(dir, v))
-    v
+    val (ok, viol) = gateCols(expectations)
+    // stage-then-adopt so the quarantine lands BEFORE the seal (the
+    // shared gate invariant): sealed first, a crash between seal and
+    // quarantine would silently lose the rejected rows — the version is
+    // committed and the synchronous batch path has no replay to repair
+    // it. Sealed last, the crash leaves an unsealed hole (the caller
+    // sees the exception; the debris is invisible and vacuumed).
+    val valid = s"$dir/.staging-expect-${java.util.UUID.randomUUID()}"
+    df.filter(ok).write.mode("overwrite").parquet(valid)
+    withMutateClaim(dir) {
+      val v = claimNext(dir)
+      java.nio.file.Files.move(java.nio.file.Paths.get(valid),
+        java.nio.file.Paths.get(dir, s"v$v"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      df.filter(!ok).withColumn("violations", viol)
+        .withColumn("commit_version", lit(v))
+        .write.mode("overwrite").parquet(quarantineDir(dir, v))
+      seal(dir, v)
+      v
+    }
   }
 
   /** Every quarantined row of the table's RETAINED COMMITTED history —

@@ -147,10 +147,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             "VERSION AS OF '<from>..<to>' (or '<from>')")
         val (v0, v1) = bounds match {
           case None =>
-            // lower bound = the OLDEST RETAINED version, not a hard 0:
-            // after a vacuum, v0's commit mark is gone and a pinned 0
-            // would fail the unbounded read forever
-            (Versioned.oldestCommitted(dir), Versioned.latest(dir))
+            // lower bound = the oldest READABLE (materialized) retained
+            // version, not a hard 0: after a vacuum, v0's commit mark is
+            // gone — and a surviving delta/DV commit below the oldest
+            // surviving base is committed yet unresolvable
+            (Versioned.oldestReadable(dir), Versioned.latest(dir))
           case Some(b) => b.split("\\.\\.", 2) match {
             case Array(a, z) =>
               (a.trim.toIntOption.getOrElse(bad(b)),
@@ -433,12 +434,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         // atomic end to end.
         Versioned.withMutateClaim(dir) {
           Versioned.renameColumn(spark, dir, rn.fieldNames.head, rn.newName)
-          // keep the 'key' property pointing at the renamed column — a
-          // stale key name would make every later DV DELETE fail
-          // unresolved while canDeleteWhere still claims the path works
+          // keep COLUMN-NAMING properties pointing at the renamed
+          // column: a stale 'key' would make every later DV DELETE fail
+          // unresolved while canDeleteWhere still claims the path works;
+          // a stale 'gpart.column' would make every later INSERT
+          // OVERWRITE / CALL compact_dv on a hidden-partitioned table
+          // fail unresolved in commitPartitionedHidden
           val props = GraftCatalog.readProps(dir)
-          if (props.get("key").contains(rn.fieldNames.head))
-            GraftCatalog.writeProps(dir, props + ("key" -> rn.newName))
+          val patched = Seq("key", "gpart.column").foldLeft(props) {
+            (m, p) =>
+              if (m.get(p).contains(rn.fieldNames.head))
+                m + (p -> rn.newName)
+              else m
+          }
+          if (patched != props) GraftCatalog.writeProps(dir, patched)
         }
       case sp: TableChange.SetProperty =>
         // the props file is a read-modify-write: claim-serialized so a
@@ -920,7 +929,7 @@ private[sources] class GraftScanBuilder(spark: SparkSession, dir: String,
     required = requiredSchema
 
   override def build(): Scan = new GraftV1Scan(spark, dir, tip, required,
-    pushed, owner)
+    pushed, owner, full)
 }
 
 /** Test/verification seam: records HOW the most recent catalog scan's
@@ -936,7 +945,8 @@ private[graft] object GraftScanPruneProbe {
 private[sources] class GraftV1Scan(spark: SparkSession,
     private[sources] val dir: String, private[sources] val tip: Int,
     required: StructType, pushed: Array[Filter],
-    owner: Option[GraftRowLevelOperation]) extends V1Scan {
+    owner: Option[GraftRowLevelOperation],
+    full: StructType = new StructType()) extends V1Scan {
 
   /** True for ordinary SELECT scans — the only ones
     * [[VersionedScanStats]] may reroute (row-level operation scans must
@@ -975,21 +985,54 @@ private[sources] class GraftV1Scan(spark: SparkSession,
         prunedBase(s, b, spec._1, spec._2)).toOption.flatten
     } yield Versioned.readAtDvBase(s, dir, tip, _ => pruned)
 
+  /** Pruning engages only where the pruned read's semantics PROVABLY
+    * equal (full read ∘ predicate) for the column/literal types in
+    * play — the review-pinned divergence classes:
+    *
+    *  - point/IN: the residual compares `cast(col AS STRING)` against
+    *    the literal's `toString`, so both renderings must be canonical —
+    *    strings, integral numbers, and dates qualify; TIMESTAMP literals
+    *    render with a 'T'/'.0' the cast never produces (a silent
+    *    zero-match), floats/decimals have unstable renderings → skip;
+    *  - month ranges: temporal column types only — on a STRING column
+    *    the pushed predicate compares lexicographically while the
+    *    residual casts to DATE, and a malformed value (NULL partition)
+    *    satisfies one but not the other;
+    *  - trunc ranges: integral column types only — lexicographic string
+    *    order ('9' > '10') diverges from the numeric window.
+    */
   private def prunedBase(s: SparkSession, b: Int, t: String,
       srcCol: String): Option[DataFrame] = {
     def isCol(a: String) = a.equalsIgnoreCase(srcCol)
-    val points = pushed.toSeq.flatMap {
+    import org.apache.spark.sql.types._
+    val srcType = full.fields
+      .find(f => f.name.equalsIgnoreCase(srcCol)).map(_.dataType)
+    def isTemporal = srcType.exists(d =>
+      d == DateType || d == TimestampType || d == TimestampNTZType)
+    def isIntegral = srcType.exists(d => d == ByteType || d == ShortType ||
+      d == IntegerType || d == LongType)
+    def canonical(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+          _: java.lang.Long => Some(v.toString)
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case _ => None
+    }
+    val pointVals = pushed.toSeq.flatMap {
       case org.apache.spark.sql.sources.EqualTo(a, v)
-          if isCol(a) && v != null => Seq(v.toString)
+          if isCol(a) && v != null => Seq(canonical(v))
       case org.apache.spark.sql.sources.In(a, vs)
           if isCol(a) && vs.nonEmpty && vs.forall(_ != null) =>
-        vs.toSeq.map(_.toString)
+        vs.toSeq.map(canonical)
       case _ => Nil
     }
-    if (points.nonEmpty) {
+    val points = pointVals.flatten
+    if (points.nonEmpty && points.length == pointVals.length) {
       GraftScanPruneProbe.last.set(s"in:${points.size}")
       Some(Versioned.readPartitionedHiddenIn(s, dir, b, points))
-    } else if (t == "month" || t.startsWith("trunc:")) {
+    } else if ((t == "month" && isTemporal) ||
+        (t.startsWith("trunc:") && isIntegral)) {
       val los = pushed.toSeq.collect {
         case org.apache.spark.sql.sources.GreaterThan(a, v)
             if isCol(a) && v != null => v.toString

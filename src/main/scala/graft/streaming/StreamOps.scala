@@ -883,10 +883,7 @@ object StreamOps {
   private[graft] def ingestExpectBatch(batch: DataFrame, dir: String,
       id: Long,
       expectations: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
-    val ok = expectations.map { case (_, p) => coalesce(p, lit(false)) }
-      .reduce(_ && _)
-    val viol = concat_ws(",", expectations.map { case (n, p) =>
-      when(!coalesce(p, lit(false)), lit(n)) }: _*)
+    val (ok, viol) = graft.operators.Versioned.gateCols(expectations)
     // The quarantine write rides BEFORE the commit seals (the
     // `beforeSeal` hook), INTO the claimed version's own dir: sealed
     // first, a crash between seal and quarantine would make the replay

@@ -558,7 +558,11 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SQL: overwrite lands partitioned, reads prune, compaction restores " +
       "coverage over flat deltas") {
     import operators.Versioned
-    spark.sql("CREATE TABLE graft_cat.ns.ev (ts STRING, v BIGINT) " +
+    // a DATE column: month-range pruning is type-gated to temporal
+    // columns (on a STRING column the pushed predicate compares
+    // lexicographically while the residual casts to DATE — divergent on
+    // malformed values, so pruning refuses and full-scans instead)
+    spark.sql("CREATE TABLE graft_cat.ns.ev (ts DATE, v BIGINT) " +
       "PARTITIONED BY (months(ts)) TBLPROPERTIES ('key'='v')")
     val d = dirOf("ev")
     assert(sources.GraftCatalog.readProps(d)("gpart.transform") === "month")
@@ -566,9 +570,9 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!spark.table("graft_cat.ns.ev").columns.contains("gpart"))
     // INSERT OVERWRITE = the full-state write → lands HIDDEN-PARTITIONED
     spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.ev " +
-      "SELECT concat('2003-', lpad(CAST(1 + CAST(id / 31 AS INT) AS " +
-      "STRING), 2, '0'), '-', lpad(CAST(1 + id % 28 AS STRING), 2, " +
-      "'0')), id FROM range(0, 310)")
+      "SELECT to_date(concat('2003-', lpad(CAST(1 + CAST(id / 31 AS " +
+      "INT) AS STRING), 2, '0'), '-', lpad(CAST(1 + id % 28 AS STRING), " +
+      "2, '0'))), id FROM range(0, 310)")
     val tip1 = Versioned.latest(d)
     assert(Versioned.manifest(d, tip1).nonEmpty,
       "overwrite on a PARTITIONED BY table must land a manifest version")
@@ -576,22 +580,24 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // row-equals the full filter
     sources.GraftScanPruneProbe.last.set("")
     val pruned = spark.sql("SELECT ts, v FROM graft_cat.ns.ev " +
-      "WHERE ts >= '2003-03-01' AND ts <= '2003-04-30' ORDER BY v")
-      .collect()
+      "WHERE ts >= DATE'2003-03-01' AND ts <= DATE'2003-04-30' " +
+      "ORDER BY v").collect()
     assert(sources.GraftScanPruneProbe.last.get
       .startsWith("range:2003-03-01..2003-04-30"),
       s"expected a pruned read, probe=${sources.GraftScanPruneProbe.last.get}")
-    assert(pruned.length === 62 && pruned.forall(
-      r => r.getString(0) >= "2003-03-01" && r.getString(0) <= "2003-04-30"))
+    assert(pruned.length === 62 && pruned.forall { r =>
+      val ts = r.getDate(0).toString
+      ts >= "2003-03-01" && ts <= "2003-04-30" })
     // point lookups prune over any transform shape too (ids 0 and 28
     // both land on 2003-01-01 — the generator wraps days at 28)
     sources.GraftScanPruneProbe.last.set("")
     assert(spark.sql("SELECT v FROM graft_cat.ns.ev " +
-      "WHERE ts = '2003-01-01'").collect().length === 2)
+      "WHERE ts = DATE'2003-01-01'").collect().length === 2)
     assert(sources.GraftScanPruneProbe.last.get === "in:1")
     // plain INSERT INTO stays a flat delta (cost ∝ batch) — correctness
     // via the chain fold, pruning via the next compaction
-    spark.sql("INSERT INTO graft_cat.ns.ev VALUES ('2003-03-05', 9999)")
+    spark.sql("INSERT INTO graft_cat.ns.ev " +
+      "VALUES (DATE'2003-03-05', 9999)")
     assert(Versioned.isAddVersion(d, Versioned.latest(d)))
     sources.GraftScanPruneProbe.last.set("")
     val mixed = spark.sql("SELECT v FROM graft_cat.ns.ev " +
@@ -613,6 +619,19 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT count(*) FROM graft_cat.ns.ev " +
       "WHERE ts >= '2003-03-01' AND ts <= '2003-04-30'")
       .collect()(0).getLong(0) === 62)
+    // type gate: a STRING month column never range-prunes — the pushed
+    // predicate compares lexicographically, the partition window is
+    // temporal; the read falls back to the full scan and stays correct
+    spark.sql("CREATE TABLE graft_cat.ns.evs (ts STRING, v BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.evs " +
+      "VALUES ('2003-03-05', 1), ('2003-06-05', 2)")
+    sources.GraftScanPruneProbe.last.set("")
+    assert(spark.sql("SELECT v FROM graft_cat.ns.evs " +
+      "WHERE ts >= '2003-03-01' AND ts <= '2003-04-30'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(sources.GraftScanPruneProbe.last.get === "full",
+      "string month columns must fall back to the full scan")
     // unsupported shapes fail loudly at CREATE
     intercept[Exception] { spark.sql("CREATE TABLE graft_cat.ns.bad1 " +
       "(ts STRING) PARTITIONED BY (ts)") }
