@@ -1323,7 +1323,10 @@ object Versioned {
       .sorted
     require(paths.nonEmpty,
       s"quarantine: no quarantined rows in any retained version of $dir")
-    s.read.parquet(paths: _*)
+    // mergeSchema: sidecars straddling an additive schema evolution carry
+    // different column sets, and the default single-footer inference would
+    // silently drop the wider versions' extra columns from the union
+    s.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   // ---- zone-map stats + partition skipping -------------------------------
@@ -1863,14 +1866,20 @@ object Versioned {
 
   /** The partition-value expression of `transform` over raw column `c`
     * (always stringified — hive dir names are strings):
-    * `month` → "yyyy-MM" (UTC session); `bucket:N` → md5-derived bucket
-    * of the STRING form of the key (the engine-portable
-    * `Sampling.hashBucket` convention); `trunc:W` → floor-to-multiple
-    * of W (floor division, exact for negatives via pmod).
+    * `month` → "yyyy-MM", `day` → "yyyy-MM-dd", `year` → "yyyy" (UTC
+    * session — the Iceberg time-transform family at day/month/year
+    * granularity); `identity` → the raw value's canonical string (plain
+    * `PARTITIONED BY (col)`); `bucket:N` → md5-derived bucket of the
+    * STRING form of the key (the engine-portable `Sampling.hashBucket`
+    * convention); `trunc:W` → floor-to-multiple of W (floor division,
+    * exact for negatives via pmod).
     */
   private[graft] def hiddenExpr(transform: String, c: Column): Column =
     (transform match {
       case "month" => date_format(c, "yyyy-MM")
+      case "day" => date_format(c, "yyyy-MM-dd")
+      case "year" => date_format(c, "yyyy")
+      case "identity" => c
       case t if t.startsWith("bucket:") =>
         val n = t.stripPrefix("bucket:").toLong
         pmod(conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
@@ -1887,6 +1896,9 @@ object Versioned {
   private def hiddenLit(transform: String, k: String): String =
     transform match {
       case "month" => k.substring(0, 7)
+      case "day" => k.substring(0, 10)
+      case "year" => k.substring(0, 4)
+      case "identity" => k
       case t if t.startsWith("bucket:") =>
         val n = t.stripPrefix("bucket:").toLong
         val d = java.security.MessageDigest.getInstance("MD5")
@@ -1913,30 +1925,40 @@ object Versioned {
     v
   }
 
-  /** Range read over a MONOTONE hidden transform (month: `lo`/`hi` are
-    * "yyyy-MM-dd" dates, day granularity; trunc: integer strings):
-    * admitted partitions are the manifest values in
-    * [transform(lo), transform(hi)] — driver-side, metadata-scale —
-    * and the residual raw-column BETWEEN keeps edge partitions exact.
-    * Row-identical to filtering the full [[readPartitionedAt]] read.
+  /** Range read over a MONOTONE hidden transform (month/day/year:
+    * `lo`/`hi` are "yyyy-MM-dd" dates — day granularity, edge partitions
+    * kept exact by the residual; trunc: integer strings; identity:
+    * integer strings for integral keys, "yyyy-MM-dd" for DATE keys —
+    * both renderings order consistently with the raw values, which is
+    * the admissibility condition): admitted partitions are the manifest
+    * values in [transform(lo), transform(hi)] — driver-side,
+    * metadata-scale — and the residual raw-column BETWEEN keeps edge
+    * partitions exact. Row-identical to filtering the full
+    * [[readPartitionedAt]] read.
     */
   def readPartitionedHiddenRange(s: SparkSession, dir: String, v: Int,
       lo: String, hi: String): DataFrame = {
     val (t, srcCol) = hiddenSpec(dir, v)
-    require(t == "month" || t.startsWith("trunc:"),
+    val temporal = t == "month" || t == "day" || t == "year"
+    require(temporal || t == "identity" || t.startsWith("trunc:"),
       s"range pruning needs a monotone transform, got $t (use " +
         "readPartitionedHiddenIn for point lookups)")
+    // identity over integral keys compares numerically ('9' > '10'
+    // lexicographically); date renderings are fixed-width, so string
+    // order IS value order for the temporal transforms and DATE identity
+    val numeric = t.startsWith("trunc:") ||
+      (t == "identity" && lo.toLongOption.isDefined &&
+        hi.toLongOption.isDefined)
     val (plo, phi) = (hiddenLit(t, lo), hiddenLit(t, hi))
     val kept = manifest(dir, v).filter { case (p, _) =>
-      if (t == "month") p >= plo && p <= phi
-      else p.toLong >= plo.toLong && p.toLong <= phi.toLong
+      if (numeric) p.toLong >= plo.toLong && p.toLong <= phi.toLong
+      else p >= plo && p <= phi
     }
     val base = readManifestSubset(s, dir, v, kept)
     val resid =
-      if (t == "month")
-        col(srcCol).cast("date").between(lit(lo).cast("date"),
-          lit(hi).cast("date"))
-      else col(srcCol).cast("long").between(lo.toLong, hi.toLong)
+      if (numeric) col(srcCol).cast("long").between(lo.toLong, hi.toLong)
+      else col(srcCol).cast("date").between(lit(lo).cast("date"),
+        lit(hi).cast("date"))
     base.filter(resid).drop("gpart")
   }
 

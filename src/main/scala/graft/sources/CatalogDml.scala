@@ -210,6 +210,86 @@ object CatalogDml {
       df
     }),
 
+    // E194: days() hidden partitioning driven END TO END through SQL —
+    // CREATE TABLE ... PARTITIONED BY (days(o_date)), INSERT OVERWRITE
+    // lands the day layout (the practical date-partitioned-fact shape),
+    // and a raw-column day range prunes driver-side (require'd). The
+    // plant is one quarter of orders so the day-partition count stays
+    // write-bounded (~90 dirs) at any SF — the READ is admitted-days-
+    // sized regardless.
+    "q_hidden_day_sql_cat" -> ((s, dir) => {
+      val root = Versioned.tableDir(dir + "#sqlhidday")
+      val cat = catalogFor(s, root)
+      s.sql(s"CREATE TABLE $cat.ns.ord_day (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderstatus STRING, price_c BIGINT, " +
+        "o_date DATE, o_orderpriority STRING) PARTITIONED BY (days(o_date))")
+      graft.Tables.orders(s, dir).createOrReplaceTempView("hid_day_orders")
+      s.sql(s"INSERT OVERWRITE TABLE $cat.ns.ord_day " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT), " +
+        "CAST(o_orderdate AS DATE), o_orderpriority FROM hid_day_orders " +
+        "WHERE o_orderdate >= TIMESTAMP'1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP'1996-04-01 00:00:00'")
+      val df = s.sql(s"SELECT * FROM $cat.ns.ord_day " +
+        "WHERE o_date >= DATE'1996-02-10' AND o_date <= DATE'1996-02-24'")
+      GraftScanPruneProbe.last.set("")
+      df.limit(1).collect()
+      val probe = GraftScanPruneProbe.last.get
+      require(probe == "range:1996-02-10..1996-02-24",
+        s"q_hidden_day_sql_cat: expected a day-pruned read, got '$probe'")
+      df
+    }),
+
+    // E194: years() hidden partitioning — full orders under years(o_date)
+    // (~7 archival partitions), a two-year range admits exactly two.
+    "q_hidden_year_sql_cat" -> ((s, dir) => {
+      val root = Versioned.tableDir(dir + "#sqlhidyear")
+      val cat = catalogFor(s, root)
+      s.sql(s"CREATE TABLE $cat.ns.ord_year (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderstatus STRING, price_c BIGINT, " +
+        "o_date DATE, o_orderpriority STRING) " +
+        "PARTITIONED BY (years(o_date))")
+      graft.Tables.orders(s, dir).createOrReplaceTempView("hid_year_orders")
+      s.sql(s"INSERT OVERWRITE TABLE $cat.ns.ord_year " +
+        "SELECT o_orderkey, o_custkey, o_orderstatus, " +
+        "CAST(FLOOR(o_totalprice * 100) AS BIGINT), " +
+        "CAST(o_orderdate AS DATE), o_orderpriority FROM hid_year_orders")
+      val df = s.sql(s"SELECT * FROM $cat.ns.ord_year " +
+        "WHERE o_date >= DATE'1994-01-01' AND o_date <= DATE'1995-12-31'")
+      GraftScanPruneProbe.last.set("")
+      df.limit(1).collect()
+      val probe = GraftScanPruneProbe.last.get
+      require(probe == "range:1994-01-01..1995-12-31",
+        s"q_hidden_year_sql_cat: expected a year-pruned read, got '$probe'")
+      df
+    }),
+
+    // E194: identity partitioning (plain Hive-style PARTITIONED BY (col),
+    // the reference's delegated DDL shape) — customer under c_nationkey,
+    // an integer range admits exactly the probed nation partitions with
+    // NUMERIC partition comparison (lexicographic '9' > '10' covered).
+    "q_hidden_id_sql_cat" -> ((s, dir) => {
+      val root = Versioned.tableDir(dir + "#sqlhidid")
+      val cat = catalogFor(s, root)
+      s.sql(s"CREATE TABLE $cat.ns.cust_id (c_custkey BIGINT, " +
+        "c_name STRING, c_nationkey BIGINT, acctbal_c BIGINT, " +
+        "c_mktsegment STRING) PARTITIONED BY (c_nationkey)")
+      graft.Tables.customer(s, dir).createOrReplaceTempView("hid_id_cust")
+      s.sql(s"INSERT OVERWRITE TABLE $cat.ns.cust_id " +
+        "SELECT c_custkey, c_name, c_nationkey, " +
+        "CAST(FLOOR(c_acctbal * 100) AS BIGINT), c_mktsegment " +
+        "FROM hid_id_cust")
+      val df = s.sql(s"SELECT * FROM $cat.ns.cust_id " +
+        "WHERE c_nationkey >= 7 AND c_nationkey <= 11")
+      GraftScanPruneProbe.last.set("")
+      df.limit(1).collect()
+      val probe = GraftScanPruneProbe.last.get
+      require(probe == "range:7..11",
+        s"q_hidden_id_sql_cat: expected an identity-pruned read, got " +
+          s"'$probe'")
+      df
+    }),
+
     // E182: SQL DELETE on a keyed table — the statement plans Spark's
     // metadata-only delete (OptimizeMetadataOnlyDeleteFromTable →
     // SupportsDeleteV2), which lands a deletion-vector commit: cost ∝
@@ -229,6 +309,30 @@ object CatalogDml {
     "q_merge_sql" -> Lake.oracles("q_merge_multi"),
     "q_lake_changes_sql_cat" -> Lake.oracles("q_snapshot_diff"),
     "q_hidden_sql_cat" -> Versioned.oracles("q_lake_hidden_part"),
+    "q_hidden_day_sql_cat" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-02-10'
+        |  AND CAST(o_orderdate AS DATE) <= DATE '1996-02-24'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_hidden_year_sql_cat" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  CAST(o_orderdate AS DATE) AS o_date, o_orderpriority
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1994-01-01'
+        |  AND CAST(o_orderdate AS DATE) <= DATE '1995-12-31'
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_hidden_id_sql_cat" ->
+      """SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+        |FROM customer
+        |WHERE c_nationkey >= 7 AND c_nationkey <= 11
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_expect_sql" ->
       """WITH allrows AS (
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

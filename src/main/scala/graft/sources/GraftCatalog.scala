@@ -89,10 +89,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     root = Option(options.get("root")).getOrElse(sys.error(
       s"graft catalog '$name' requires spark.sql.catalog.$name.root"))
     // configuring the catalog enables real read statistics for its
-    // tables (idempotent per session; see [[VersionedScanStats]])
-    val em = SparkSession.active.experimental
-    if (!em.extraOptimizations.exists(_ eq VersionedScanStats))
-      em.extraOptimizations = em.extraOptimizations :+ VersionedScanStats
+    // tables (idempotent + synchronized; see [[VersionedScanStats]]).
+    // SparkSession.active is the best session handle this callback has;
+    // newScanBuilder RE-ASSERTS registration on the session that loaded
+    // the table, so a catalog resolved on a thread where a different
+    // session was momentarily active still gets the rule where it plans.
+    VersionedScanStats.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -337,13 +339,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     else Array.empty
 
   /** `PARTITIONED BY (<transform>)` → the hidden-partitioning tier
-    * (E193): the derived key exists only as hive dir names, readers
+    * (E193/E194): the derived key exists only as hive dir names, readers
     * never learn it, and pushed raw-column predicates prune partitions
-    * driver-side (see [[GraftV1Scan]]). Supported transforms map onto
-    * [[Versioned.hiddenExpr]]'s vocabulary: `months(col)`,
-    * `bucket(n, col)`, `truncate(w, col)` — identity and time transforms
-    * without a month analogue are rejected loudly. At most ONE transform
-    * (the hidden tier partitions by one derived key).
+    * driver-side (see [[HiddenPrune]]). Supported transforms map onto
+    * [[Versioned.hiddenExpr]]'s vocabulary: the Iceberg time family
+    * `years(col)` / `months(col)` / `days(col)`, plain identity
+    * `PARTITIONED BY (col)` (core Hive DDL on the reference's delegated
+    * surface, `AvroFromXmlSerde.scala:13`), `bucket(n, col)`, and
+    * `truncate(w, col)`; `hours()` is rejected loudly (no rendering in
+    * the transform vocabulary — partition-per-hour is `days` plus
+    * in-partition sort in practice). At most ONE transform: the hidden
+    * tier partitions by one derived key, and a second dimension's
+    * pruning comes from the multi-column zone-map tier instead —
+    * `CALL <cat>.system.zorder(t, col_a, col_b)` lays the table out for
+    * conjunctive 2-D skipping without a composite directory key.
     */
   private def parseHiddenTransform(t: Transform,
       schema: StructType): (String, String) = {
@@ -359,10 +368,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val colName = refs.head.fieldNames.head
     require(schema.fieldNames.contains(colName),
       s"graft catalog: partition column '$colName' is not in the schema")
+    def noLit(n: String): Unit =
+      require(lits.isEmpty, s"graft catalog: $n() takes no literal")
     val spelled = t.name.toLowerCase match {
-      case "months" | "month" =>
-        require(lits.isEmpty, s"graft catalog: months() takes no literal")
-        "month"
+      case "months" | "month" => noLit("months"); "month"
+      case "days" | "day" | "date" => noLit("days"); "day"
+      case "years" | "year" => noLit("years"); "year"
+      case "identity" => noLit("identity"); "identity"
       case "bucket" =>
         require(lits.length == 1, "graft catalog: bucket(n, col)")
         s"bucket:${lits.head}"
@@ -370,8 +382,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         require(lits.length == 1, "graft catalog: truncate(w, col)")
         s"trunc:${lits.head}"
       case other => sys.error(s"graft catalog: unsupported partition " +
-        s"transform '$other' — supported: months(col), bucket(n, col), " +
-        "truncate(w, col)")
+        s"transform '$other' — supported: identity, years(col), " +
+        "months(col), days(col), bucket(n, col), truncate(w, col)")
     }
     (spelled, colName)
   }
@@ -384,7 +396,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case Seq(t) => Some(parseHiddenTransform(t, schema))
       case _ => sys.error("graft catalog: at most ONE partition " +
         "transform is supported (the hidden tier partitions by one " +
-        "derived key)")
+        "derived key) — for 2-D layout use CALL <catalog>.system" +
+        ".zorder(table, col_a, col_b), which interleaves both columns " +
+        "into the partition key and records per-partition zone maps " +
+        "for conjunctive pruning")
     }
     val dir = dirOf(ident)
     if (Versioned.latest(dir) >= 0)
@@ -622,8 +637,12 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
   // table (see [[GraftCatalog.loadTable]]); the path-based option face
   // remains `spark.read.format("graft.versioned").option("changesFrom",…)`.
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // re-assert the stats rule on the session this table was loaded by —
+    // catalog initialize() only saw whatever session was active then
+    VersionedScanStats.register(spark)
     new GraftScanBuilder(spark, dir, tip, schema)
+  }
 
   // ---- plain writes (INSERT INTO / INSERT OVERWRITE) ----------------------
 
@@ -724,13 +743,29 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
     * walked, so a later rename REUSING a retired name can't mis-route
     * it).
     */
-  private lazy val keyProp: Option[String] = props.get("key").map { k0 =>
-    if (schema.fieldNames.contains(k0)) k0
-    else (0 to tip).foldLeft(k0) { (k, w) =>
-      if (Versioned.isRenameVersion(dir, w)) {
-        val (from, to) = Versioned.renameOf(dir, w)
-        if (k == from) to else k
-      } else k
+  private lazy val keyProp: Option[String] = props.get("key").flatMap { k0 =>
+    if (schema.fieldNames.contains(k0)) Some(k0)
+    else {
+      // stale-name recovery, rename-chain-VERIFIED: accept the walk only
+      // when some committed rename actually consumed k0 (its `from`) and
+      // the chain lands on a live column of the pinned schema. Anything
+      // else — a typo'd property, a chain ending at a dead name — yields
+      // None: canDeleteWhere then refuses and the DELETE falls back to
+      // the COW rewrite, which resolves the user's predicate against the
+      // real schema. Never guess a key for the DV path: deletion BY KEY
+      // EQUALITY against a mis-resolved column would remove the wrong
+      // rows. (Residual ambiguity: a typo that exactly equals a retired
+      // column's pre-rename name is indistinguishable from a stale
+      // property — renameColumn validated that name was live once — and
+      // resolves the stale-property way, which is the benign reading.)
+      val (walked, moved) = (0 to tip).foldLeft((k0, false)) {
+        case ((k, m), w) if Versioned.isRenameVersion(dir, w) =>
+          val (from, to) = Versioned.renameOf(dir, w)
+          if (k == from) (to, true) else (k, m)
+        case (acc, _) => acc
+      }
+      if (moved && schema.fieldNames.contains(walked)) Some(walked)
+      else None
     }
   }
 
@@ -954,119 +989,19 @@ private[sources] class GraftV1Scan(spark: SparkSession,
     */
   private[sources] def isPlainRead: Boolean = owner.isEmpty
 
-  /** True when the chain's base is hidden-partitioned —
-    * [[VersionedScanStats]] must NOT reroute those (the reroute would
-    * bypass the driver-side partition pruning below).
-    */
-  private[sources] def isHiddenPartitioned: Boolean =
-    Versioned.materializedBaseAt(dir, tip)
-      .exists(b => Versioned.hiddenSpecAt(dir, b).isDefined)
-
   override def readSchema(): StructType = required
-
-  /** Hidden-partition pruning (E193): when the chain's BASE version is
-    * hidden-partitioned and the pushed filters bound the RAW source
-    * column, the base scan is replaced by a driver-side partition-pruned
-    * read — point/IN predicates admit exactly the probed keys'
-    * partitions (any transform), ranges admit `[transform(lo),
-    * transform(hi)]` (monotone transforms only). The pruned base is
-    * row-identical to (full base ∘ predicate) and Spark re-applies every
-    * filter above the scan, so pruning is an optimization, never a
-    * correctness dependency — anything unparseable falls back to the
-    * full read (`Try`), and a rename anywhere above the base disables
-    * pruning (the sidecar records the pre-rename column name).
-    */
-  private def hiddenPruned(s: SparkSession): Option[DataFrame] =
-    for {
-      b <- Versioned.materializedBaseAt(dir, tip)
-      if ((b + 1) to tip).forall(w => !Versioned.isRenameVersion(dir, w))
-      spec <- Versioned.hiddenSpecAt(dir, b)
-      pruned <- scala.util.Try(
-        prunedBase(s, b, spec._1, spec._2)).toOption.flatten
-    } yield Versioned.readAtDvBase(s, dir, tip, _ => pruned)
-
-  /** Pruning engages only where the pruned read's semantics PROVABLY
-    * equal (full read ∘ predicate) for the column/literal types in
-    * play — the review-pinned divergence classes:
-    *
-    *  - point/IN: the residual compares `cast(col AS STRING)` against
-    *    the literal's `toString`, so both renderings must be canonical —
-    *    strings, integral numbers, and dates qualify; TIMESTAMP literals
-    *    render with a 'T'/'.0' the cast never produces (a silent
-    *    zero-match), floats/decimals have unstable renderings → skip;
-    *  - month ranges: temporal column types only — on a STRING column
-    *    the pushed predicate compares lexicographically while the
-    *    residual casts to DATE, and a malformed value (NULL partition)
-    *    satisfies one but not the other;
-    *  - trunc ranges: integral column types only — lexicographic string
-    *    order ('9' > '10') diverges from the numeric window.
-    */
-  private def prunedBase(s: SparkSession, b: Int, t: String,
-      srcCol: String): Option[DataFrame] = {
-    def isCol(a: String) = a.equalsIgnoreCase(srcCol)
-    import org.apache.spark.sql.types._
-    val srcType = full.fields
-      .find(f => f.name.equalsIgnoreCase(srcCol)).map(_.dataType)
-    def isTemporal = srcType.exists(d =>
-      d == DateType || d == TimestampType || d == TimestampNTZType)
-    def isIntegral = srcType.exists(d => d == ByteType || d == ShortType ||
-      d == IntegerType || d == LongType)
-    def canonical(v: Any): Option[String] = v match {
-      case s: String => Some(s)
-      case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
-          _: java.lang.Long => Some(v.toString)
-      case d: java.sql.Date => Some(d.toString)
-      case d: java.time.LocalDate => Some(d.toString)
-      case _ => None
-    }
-    val pointVals = pushed.toSeq.flatMap {
-      case org.apache.spark.sql.sources.EqualTo(a, v)
-          if isCol(a) && v != null => Seq(canonical(v))
-      case org.apache.spark.sql.sources.In(a, vs)
-          if isCol(a) && vs.nonEmpty && vs.forall(_ != null) =>
-        vs.toSeq.map(canonical)
-      case _ => Nil
-    }
-    val points = pointVals.flatten
-    if (points.nonEmpty && points.length == pointVals.length) {
-      GraftScanPruneProbe.last.set(s"in:${points.size}")
-      Some(Versioned.readPartitionedHiddenIn(s, dir, b, points))
-    } else if ((t == "month" && isTemporal) ||
-        (t.startsWith("trunc:") && isIntegral)) {
-      val los = pushed.toSeq.collect {
-        case org.apache.spark.sql.sources.GreaterThan(a, v)
-            if isCol(a) && v != null => v.toString
-        case org.apache.spark.sql.sources.GreaterThanOrEqual(a, v)
-            if isCol(a) && v != null => v.toString
-      }
-      val his = pushed.toSeq.collect {
-        case org.apache.spark.sql.sources.LessThan(a, v)
-            if isCol(a) && v != null => v.toString
-        case org.apache.spark.sql.sources.LessThanOrEqual(a, v)
-            if isCol(a) && v != null => v.toString
-      }
-      if (los.isEmpty || his.isEmpty) None
-      else {
-        // tightest admitted window; inclusive bounds are a superset of
-        // any strict spelling (the re-applied filter keeps edges exact)
-        val (lo, hi) =
-          if (t == "month") (los.max, his.min)
-          else (los.maxBy(_.toLong), his.minBy(_.toLong))
-        GraftScanPruneProbe.last.set(s"range:$lo..$hi")
-        Some(Versioned.readPartitionedHiddenRange(s, dir, b, lo, hi))
-      }
-    } else None
-  }
 
   /** The chain-resolved pinned-tip snapshot with the pushed filters and
     * the pruned column set baked in (so they reach the inner parquet
-    * scans of the delegate plan).
+    * scans of the delegate plan). Hidden-partition pruning (E193) is
+    * [[HiddenPrune]] — shared with the stats-rerouted v1 relation.
     */
   private def delegate(s: SparkSession): DataFrame = {
-    val snap0 = hiddenPruned(s).getOrElse {
-      GraftScanPruneProbe.last.set("full")
-      Versioned.readAtDv(s, dir, tip)
-    }
+    val snap0 = HiddenPrune.pruned(s, dir, tip, full, pushed.toSeq)
+      .getOrElse {
+        GraftScanPruneProbe.last.set("full")
+        Versioned.readAtDv(s, dir, tip)
+      }
     // the hidden tier's derived key never reaches the logical surface
     val snap = if (snap0.columns.contains("gpart")) snap0.drop("gpart")
       else snap0

@@ -321,8 +321,23 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
+    // hidden-partition pruning (E193), same driver-side prune as the v2
+    // catalog scan — this is what lets [[VersionedScanStats]] reroute
+    // hidden-partitioned catalog reads here without losing pruning (real
+    // statistics AND pruned scans on one read path). Skipped when the
+    // request names the derived key itself (the pruned read drops it) or
+    // in CDC mode; fallback records "full" so the probe always reflects
+    // the scan that ran.
+    val base = servedVersion match {
+      case Some(v) if !requiredColumns.contains("gpart") =>
+        HiddenPrune.pruned(ctx.sparkSession, dir, v, delegate.schema,
+          filters.toIndexedSeq).getOrElse {
+          GraftScanPruneProbe.last.set("full"); delegate
+        }
+      case _ => delegate
+    }
     val filtered = filters.flatMap(toColumn)
-      .foldLeft(delegate)((df, c) => df.filter(c))
+      .foldLeft(base)((df, c) => df.filter(c))
     // always project to exactly the requested columns — an empty request
     // (count(*)) becomes a zero-column projection, as the contract expects
     val pruned = filtered.select(requiredColumns.map(col).toIndexedSeq: _*)

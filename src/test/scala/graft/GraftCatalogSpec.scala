@@ -634,9 +634,113 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "string month columns must fall back to the full scan")
     // unsupported shapes fail loudly at CREATE
     intercept[Exception] { spark.sql("CREATE TABLE graft_cat.ns.bad1 " +
-      "(ts STRING) PARTITIONED BY (ts)") }
+      "(ts TIMESTAMP) PARTITIONED BY (hours(ts))") }
     intercept[Exception] { spark.sql("CREATE TABLE graft_cat.ns.bad2 " +
       "(ts STRING, k BIGINT) PARTITIONED BY (months(ts), bucket(4, k))") }
+  }
+
+  test("E194: identity / days / years partition transforms — SQL CREATE, " +
+      "pruned reads per transform, type gates hold") {
+    import operators.Versioned
+    // days(ts): the practical date-partitioned-fact layout
+    spark.sql("CREATE TABLE graft_cat.ns.evd (ts DATE, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    assert(sources.GraftCatalog.readProps(dirOf("evd"))("gpart.transform")
+      === "day")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.evd " +
+      "SELECT date_add(DATE'2003-01-01', CAST(id AS INT)), id " +
+      "FROM range(0, 90)")
+    sources.GraftScanPruneProbe.last.set("")
+    val d3 = spark.sql("SELECT v FROM graft_cat.ns.evd " +
+      "WHERE ts >= DATE'2003-02-01' AND ts <= DATE'2003-02-03'")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(d3 === Seq(31L, 32L, 33L))
+    assert(sources.GraftScanPruneProbe.last.get
+      .startsWith("range:2003-02-01..2003-02-03"),
+      s"days() must range-prune, probe=" +
+        sources.GraftScanPruneProbe.last.get)
+    // the prune actually bit: only the admitted day partitions were kept
+    assert(Versioned.manifest(dirOf("evd"),
+      Versioned.latest(dirOf("evd"))).size === 90)
+    // years(ts): coarse archival layout, range across a year boundary
+    spark.sql("CREATE TABLE graft_cat.ns.evy (ts DATE, v BIGINT) " +
+      "PARTITIONED BY (years(ts))")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.evy " +
+      "SELECT add_months(DATE'2001-06-15', CAST(id * 4 AS INT)), id " +
+      "FROM range(0, 24)") // 8 years, 3 rows each
+    sources.GraftScanPruneProbe.last.set("")
+    val ycnt = spark.sql("SELECT count(*) FROM graft_cat.ns.evy " +
+      "WHERE ts >= DATE'2003-01-01' AND ts <= DATE'2004-12-31'")
+      .collect()(0).getLong(0)
+    assert(ycnt === 6L)
+    assert(sources.GraftScanPruneProbe.last.get.startsWith("range:2003-"),
+      s"years() must range-prune, probe=" +
+        sources.GraftScanPruneProbe.last.get)
+    // identity on an integral column: plain Hive-style PARTITIONED BY —
+    // point lookups admit exactly the probed partition, integer ranges
+    // compare numerically ('9' > '10' lexicographic divergence covered)
+    spark.sql("CREATE TABLE graft_cat.ns.evi (region BIGINT, v BIGINT) " +
+      "PARTITIONED BY (region)")
+    assert(sources.GraftCatalog.readProps(dirOf("evi"))("gpart.transform")
+      === "identity")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.evi " +
+      "SELECT id % 12, id FROM range(0, 120)")
+    sources.GraftScanPruneProbe.last.set("")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.evi " +
+      "WHERE region = 9").collect()(0).getLong(0) === 10L)
+    assert(sources.GraftScanPruneProbe.last.get === "in:1")
+    sources.GraftScanPruneProbe.last.set("")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.evi " +
+      "WHERE region >= 9 AND region <= 11").collect()(0).getLong(0) === 30L)
+    assert(sources.GraftScanPruneProbe.last.get === "range:9..11")
+    // identity on a STRING column: point/IN prunes (canonical rendering),
+    // ranges fall back to the full scan (no residual-safe cast) — correct
+    // either way
+    spark.sql("CREATE TABLE graft_cat.ns.evs2 (seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg)")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.evs2 VALUES " +
+      "('a', 1), ('b', 2), ('b', 3), ('c', 4)")
+    sources.GraftScanPruneProbe.last.set("")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.evs2 " +
+      "WHERE seg = 'b'").collect()(0).getLong(0) === 2L)
+    assert(sources.GraftScanPruneProbe.last.get === "in:1")
+    sources.GraftScanPruneProbe.last.set("")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.evs2 " +
+      "WHERE seg >= 'a' AND seg <= 'b'").collect()(0).getLong(0) === 3L)
+    assert(sources.GraftScanPruneProbe.last.get === "full",
+      "identity string ranges must fall back to the full scan")
+  }
+
+  test("E188 x E193: a small hidden-partitioned dim PRUNES and " +
+      "BROADCASTS on one read path (stats reroute no longer excludes " +
+      "hidden tables)") {
+    import spark.implicits._
+    spark.sql("CREATE TABLE graft_cat.ns.hdim (ts DATE, k BIGINT, " +
+      "name STRING) PARTITIONED BY (months(ts))")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.hdim " +
+      "SELECT add_months(DATE'2003-01-15', CAST(id % 6 AS INT)), id, " +
+      "concat('n', id) FROM range(1, 61)")
+    // real (tiny) size estimate on the hidden table's logical read
+    val rel = spark.table("graft_cat.ns.hdim")
+    val stats = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats > 0 && stats < 10L * 1024 * 1024,
+      s"hidden-partitioned catalog dim must report real stats, got $stats")
+    // ...so the fact ⋈ hidden-dim join broadcasts
+    val fact = (1L to 20000L).map(i => (i % 80L, i)).toDF("k", "v")
+    val joined = fact.join(rel.select("k", "name"), Seq("k"))
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "small hidden-partitioned catalog dim must broadcast")
+    assert(joined.count() === fact.filter(col("k").between(1, 60)).count())
+    // ...and the SAME read path still prunes raw-column ranges
+    sources.GraftScanPruneProbe.last.set("")
+    val pruned = spark.sql("SELECT k FROM graft_cat.ns.hdim " +
+      "WHERE ts >= DATE'2003-03-01' AND ts <= DATE'2003-04-30'")
+    assert(pruned.collect().length === 20)
+    assert(sources.GraftScanPruneProbe.last.get
+      .startsWith("range:2003-03-01..2003-04-30"),
+      s"rerouted hidden read must still prune, probe=" +
+        sources.GraftScanPruneProbe.last.get)
   }
 
   test("E192: TBLPROPERTIES expectation gates — INSERT INTO quarantines " +
