@@ -175,7 +175,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       changesTableOf(ident, None)
         .getOrElse(throw new NoSuchTableException(ident))
     else
-      new GraftTable(spark, dir, ident.toString, GraftCatalog.readProps(dir))
+      new GraftTable(spark, dir, s"$catalogName.$ident",
+      GraftCatalog.readProps(dir))
   }
 
   /** SQL time travel — `SELECT ... FROM t VERSION AS OF <v>`: the table
@@ -192,7 +193,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         s"'$version'"))
     require(v >= 0 && Versioned.isCommitted(dir, v),
       s"graft catalog: $ident has no committed version v$v")
-    new GraftTable(spark, dir, ident.toString,
+    new GraftTable(spark, dir, s"$catalogName.$ident",
       GraftCatalog.readProps(dir), pinnedVersion = Some(v))
   }
 
@@ -204,7 +205,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     val dir = dirOf(ident)
     if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
     val v = Versioned.versionAtTime(dir, timestampMicros / 1000L)
-    new GraftTable(spark, dir, ident.toString,
+    new GraftTable(spark, dir, s"$catalogName.$ident",
       GraftCatalog.readProps(dir), pinnedVersion = Some(v))
   }
 
@@ -414,7 +415,8 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     GraftCatalog.writeProps(dir, properties.asScala.toMap ++
       hidden.toSeq.flatMap { case (t, c) =>
         Seq("gpart.transform" -> t, "gpart.column" -> c) })
-    new GraftTable(spark, dir, ident.toString, GraftCatalog.readProps(dir))
+    new GraftTable(spark, dir, s"$catalogName.$ident",
+      GraftCatalog.readProps(dir))
   }
 
   /** ALTER TABLE, mapped onto the versioned evolution machinery each
@@ -574,7 +576,47 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
     tableName: String, props: Map[String, String],
     pinnedVersion: Option[Int] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
-    with SupportsDeleteV2 with SupportsMetadataColumns {
+    with SupportsDeleteV2 with SupportsMetadataColumns
+    with org.apache.spark.sql.graftbridge.V1FallbackBridge {
+
+  /** STREAMING by table identifier (E195) — `spark.readStream
+    * .table("g.ns.t")` / `df.writeStream.toTable("g.ns.t")`: this table
+    * declares no MICRO_BATCH_READ/STREAMING_WRITE capability, so Spark's
+    * relation resolution falls back to this v1 descriptor and plans the
+    * SAME `graft.versioned` streaming source/sink the path-based format
+    * surface uses — one offset log, one commit protocol, and full reader-
+    * option parity (`FindDataSourceTable.getStreamingRelation` merges the
+    * `readStream.option(...)` map with these storage properties, so
+    * `startingVersion`/`ignoreDeletes`/`maxVersionsPerTrigger` all flow).
+    * The Delta posture: batch stays v2, streams ride the v1 fallback.
+    * Historical snapshots refuse — a stream tails the live commit log,
+    * and silently serving the unpinned table under a `VERSION AS OF`
+    * identifier would be a wrong-version read.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    pinnedVersion.foreach(v => sys.error(
+      s"graft catalog: streaming $tableName VERSION AS OF $v is not " +
+        "supported — a stream tails the live commit log; use " +
+        "startingVersion to begin at a committed version"))
+    import org.apache.spark.sql.catalyst.catalog._
+    // tableName is catalog-qualified ("cat.ns.t") so the per-batch
+    // identifier resolves back through THIS catalog, not the session one
+    val parts = tableName.split('.')
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last,
+        Some(parts.init.drop(1).mkString(".")).filter(_.nonEmpty),
+        Some(parts.head)),
+      tableType = CatalogTableType.EXTERNAL,
+      // the location IS the path option both fallback consumers derive
+      // (readStream via generateDatasourceOptions, writeStream.toTable
+      // via new Path(table.location)); it arrives URI-spelled
+      // ("file:/..."), which VersionedSource normalizes
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(CatalogUtils.stringToURI(dir))),
+      schema = schema,
+      provider = Some("graft.versioned"))
+  }
 
   private val tip = pinnedVersion.getOrElse(Versioned.latest(dir))
 

@@ -62,8 +62,8 @@ class VersionedSource extends RelationProvider
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    val dir = opt(parameters, "path").getOrElse(
-      sys.error("graft.versioned requires a 'path' (or .start(dir))"))
+    val dir = VersionedSource.normPath(opt(parameters, "path").getOrElse(
+      sys.error("graft.versioned requires a 'path' (or .start(dir))")))
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft.versioned sink: only Append output mode is supported " +
         s"(each micro-batch is one append commit), got $outputMode")
@@ -86,8 +86,8 @@ class VersionedSource extends RelationProvider
   private def streamSchema(ctx: SQLContext, schema: Option[StructType],
       parameters: Map[String, String]): StructType =
     schema.getOrElse {
-      val dir = opt(parameters, "path").getOrElse(
-        sys.error("graft.versioned requires a 'path' (or .load(dir))"))
+      val dir = VersionedSource.normPath(opt(parameters, "path").getOrElse(
+        sys.error("graft.versioned requires a 'path' (or .load(dir))")))
       val tip = graft.operators.Versioned.latest(dir)
       require(tip >= 0, s"graft.versioned stream: $dir has no committed " +
         "versions — commit an initial version or supply .schema(...)")
@@ -102,8 +102,8 @@ class VersionedSource extends RelationProvider
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
-    val dir = opt(parameters, "path").getOrElse(
-      sys.error("graft.versioned requires a 'path' (or .load(dir))"))
+    val dir = VersionedSource.normPath(opt(parameters, "path").getOrElse(
+      sys.error("graft.versioned requires a 'path' (or .load(dir))")))
     val tip = graft.operators.Versioned.latest(dir)
     opt(parameters, "startingVersion").map(_.toInt).foreach { sv =>
       require(sv > tip || graft.operators.Versioned.isCommitted(dir, sv),
@@ -117,8 +117,8 @@ class VersionedSource extends RelationProvider
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val dir = parameters.getOrElse("path",
-      sys.error("graft.versioned requires a 'path' (or .load(dir))"))
+    val dir = VersionedSource.normPath(parameters.getOrElse("path",
+      sys.error("graft.versioned requires a 'path' (or .load(dir))")))
     new VersionedRelation(ctx, dir, parameters)
   }
 
@@ -140,8 +140,8 @@ class VersionedSource extends RelationProvider
       parameters: Map[String, String],
       data: DataFrame): BaseRelation = {
     import org.apache.spark.sql.SaveMode
-    val dir = parameters.getOrElse("path",
-      sys.error("graft.versioned requires a 'path' (or .save(dir))"))
+    val dir = VersionedSource.normPath(parameters.getOrElse("path",
+      sys.error("graft.versioned requires a 'path' (or .save(dir))")))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     // The whole mode dispatch serializes under the RMW mutator claim:
     // Append derives its commit from the tip (read latest ∪ new rows), so
@@ -166,6 +166,15 @@ class VersionedSource extends RelationProvider
 }
 
 private[sources] object VersionedSource {
+  /** Accept `file:` URI spellings of a local path (the form Spark's
+    * catalog-table streaming fallback derives from `CatalogTable
+    * .location` — see [[GraftTable.v1Table]]) alongside plain paths.
+    */
+  def normPath(p: String): String =
+    if (p.startsWith("file:"))
+      java.nio.file.Paths.get(java.net.URI.create(p)).toString
+    else p
+
   /** Best-effort v1-Filter → Column translation for pushdown into a
     * delegate plan. None = not translatable; the filter is skipped and
     * still applied by Spark above the scan (the default

@@ -711,6 +711,73 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "identity string ranges must fall back to the full scan")
   }
 
+  test("E195: streaming by table identifier — readStream.table rides " +
+      "the v1 fallback with full option parity; writeStream.toTable " +
+      "appends delta commits") {
+    import operators.Versioned
+    def ckpt() = java.nio.file.Files
+      .createTempDirectory("graft-st-ckpt").toString
+    spark.sql("CREATE TABLE graft_cat.ns.st (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.st VALUES (1,'a',10), (2,'b',20)")
+    spark.sql("DELETE FROM graft_cat.ns.st WHERE k = 2")         // v2 (DV)
+    spark.sql("INSERT INTO graft_cat.ns.st VALUES (3,'c',30)")   // v3
+    // DEFAULT mode by identifier: bootstrap = the DV-folded snapshot,
+    // then each later commit tails in
+    val q1 = spark.readStream.table("graft_cat.ns.st")
+      .writeStream.format("memory").queryName("st_tbl")
+      .option("checkpointLocation", ckpt()).start()
+    q1.processAllAvailable()
+    assert(spark.table("st_tbl").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet === Set(1L -> 10L,
+        3L -> 30L))
+    spark.sql("INSERT INTO graft_cat.ns.st VALUES (4,'d',40)")   // v4
+    q1.processAllAvailable()
+    assert(spark.table("st_tbl").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 3L, 4L))
+    q1.stop()
+    // option parity: startingVersion + ignoreDeletes through the
+    // identifier ≡ the path-based format source on the same commits
+    val q2 = spark.readStream
+      .option("startingVersion", 1).option("ignoreDeletes", "true")
+      .table("graft_cat.ns.st")
+      .writeStream.format("memory").queryName("st_tbl2")
+      .option("checkpointLocation", ckpt()).start()
+    q2.processAllAvailable(); q2.stop()
+    val q3 = spark.readStream.format("graft.versioned")
+      .option("startingVersion", 1).option("ignoreDeletes", "true")
+      .load(dirOf("st"))
+      .writeStream.format("memory").queryName("st_path")
+      .option("checkpointLocation", ckpt()).start()
+    q3.processAllAvailable(); q3.stop()
+    def got(t: String) = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(got("st_tbl2") === got("st_path"),
+      "identifier stream must equal the format-source stream commit-" +
+        "for-commit")
+    assert(got("st_tbl2").map(_._1) === Seq(1L, 2L, 3L, 4L),
+      "changes-from mode: v1's own rows + later adds, deletes skipped")
+    // writeStream.toTable: the identifier spelling of the exactly-once
+    // streaming SINK — micro-batches land as append (delta) commits
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long)]
+    // writeToV1Table requires the writer's declared format to match the
+    // fallback provider (Spark's guard against silently landing a
+    // different format at the table's location)
+    val q4 = in.toDF.toDF("k", "name", "bal").writeStream
+      .format("graft.versioned")
+      .option("checkpointLocation", ckpt())
+      .toTable("graft_cat.ns.st")
+    in.addData((9L, "i", 90L))
+    q4.processAllAvailable(); q4.stop()
+    val d = dirOf("st")
+    assert(Versioned.isAddVersion(d, Versioned.latest(d)),
+      "toTable micro-batch must land as one append (delta) commit")
+    assert(rows("st").map(_._1) === Seq(1L, 3L, 4L, 9L))
+  }
+
   test("E188 x E193: a small hidden-partitioned dim PRUNES and " +
       "BROADCASTS on one read path (stats reroute no longer excludes " +
       "hidden tables)") {
