@@ -201,7 +201,7 @@ object Versioned {
       .getOrElse(Array.empty[java.io.File])
       .flatMap(f => versionOf(f.getName))
       .filter(v => isCommitted(dir, v) && !isDvVersion(dir, v) &&
-        !isAddVersion(dir, v) && !isRenameVersion(dir, v))
+        !isAddVersion(dir, v) && !isMetaVersion(dir, v))
     if (vs.isEmpty) -1 else vs.min
   }
 
@@ -292,7 +292,7 @@ object Versioned {
     val tip = latest(dir)
     val liveBase = (tip to 0 by -1)
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
-        !isAddVersion(dir, w) && !isRenameVersion(dir, w))
+        !isAddVersion(dir, w) && !isMetaVersion(dir, w))
       .getOrElse(0)
     val cut = math.min(tip - math.max(1, keepLast) + 1, liveBase)
     Option(new java.io.File(dir).listFiles())
@@ -364,7 +364,7 @@ object Versioned {
     }
     val base = (v to 0 by -1)
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
-        !isAddVersion(dir, w) && !isRenameVersion(dir, w))
+        !isAddVersion(dir, w) && !isMetaVersion(dir, w))
       .getOrElse(return 0L)
     val baseBytes =
       if (isCloneVersion(dir, base)) {
@@ -696,6 +696,7 @@ object Versioned {
         if (isDvVersion(dir, v)) "dv"
         else if (isAddVersion(dir, v)) "append"
         else if (isRenameVersion(dir, v)) "rename"
+        else if (isDropVersion(dir, v)) "drop"
         else if (isCloneVersion(dir, v)) "clone"
         else if (java.nio.file.Files.exists(manifestPath(dir, v)))
           "partitioned"
@@ -866,7 +867,7 @@ object Versioned {
   private[graft] def materializedBaseAt(dir: String, v: Int): Option[Int] =
     (v to 0 by -1)
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
-        !isAddVersion(dir, w) && !isRenameVersion(dir, w))
+        !isAddVersion(dir, w) && !isMetaVersion(dir, w))
 
   def readAtDv(s: SparkSession, dir: String, v: Int): DataFrame =
     readAtDvBase(s, dir, v, b => readPartitionedOrFlatAt(s, dir, b))
@@ -938,6 +939,14 @@ object Versioned {
               else acc.unionByName(readAdds(adds), allowMissingColumns = true)
             val (from, to) = renameOf(dir, w)
             (antiJoin(withAdds, pend).withColumnRenamed(from, to),
+              Seq.empty, Seq.empty)
+          } else if (isDropVersion(dir, w)) {
+            // same flush discipline as rename: pending DVs may key on the
+            // very column this drop retires — they were recorded while it
+            // lived, so they resolve before the projection removes it
+            val withAdds = if (adds.isEmpty) acc
+              else acc.unionByName(readAdds(adds), allowMissingColumns = true)
+            (antiJoin(withAdds, pend).drop(dropOf(dir, w)),
               Seq.empty, Seq.empty)
           } else (acc, pend, adds) // unreachable: base is nearest materialized
       }
@@ -1800,6 +1809,57 @@ object Versioned {
     v
   }
 
+  // ---- column-mapping drops (zero-copy, the RENAME machinery's twin) ------
+  //
+  // DROP COLUMN via column mapping (E196): a `_drop` sidecar version —
+  // no data moves, the chain fold PROJECTS the column away at and above
+  // the drop, time travel below it keeps the column (each version serves
+  // its creation-time schema, the E149 contract). Appends after the drop
+  // simply lack the column; a later ADD COLUMN may even reuse the name
+  // (the fold's projection happened strictly below it). DVs pending at
+  // the drop flush first — their key column may BE the one dropped. The
+  // STREAMING source fails loudly at a drop version, exactly the rename
+  // contract (a running stream's schema is fixed at start, and silently
+  // null-padding a retired column would corrupt every later batch). Type
+  // CHANGES remain out of contract: they are a rewrite of every value,
+  // not an annotation — there is no metadata spelling of one.
+
+  private def dropPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_drop")
+
+  /** Is committed version `v` a metadata-only column drop? */
+  def isDropVersion(dir: String, v: Int): Boolean =
+    java.nio.file.Files.exists(dropPath(dir, v))
+
+  private[graft] def dropOf(dir: String, v: Int): String =
+    java.nio.file.Files.readString(dropPath(dir, v))
+
+  /** Is committed version `v` a metadata-only schema annotation (rename
+    * or drop)? These are never a chain BASE — they carry no data.
+    */
+  private[graft] def isMetaVersion(dir: String, v: Int): Boolean =
+    isRenameVersion(dir, v) || isDropVersion(dir, v)
+
+  /** Commit a metadata-only DROP of column `name` (validated against the
+    * chain-resolved tip schema; the last column cannot be dropped — a
+    * zero-column table serves nothing). Returns the version.
+    */
+  def dropColumn(s: SparkSession, dir: String,
+      name: String): Int = withMutateClaim(dir) {
+    val tip = latest(dir)
+    require(tip >= 0, s"dropColumn: no committed versions in $dir")
+    val cols = readAtDv(s, dir, tip).columns.toSet
+    require(cols.contains(name), s"dropColumn: no column '$name' in $dir")
+    require((cols - name - "gpart").nonEmpty,
+      s"dropColumn: '$name' is the last data column of $dir")
+    val v = claimNext(dir)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir, s"v$v"))
+    java.nio.file.Files.writeString(dropPath(dir, v), name)
+    seal(dir, v)
+    v
+  }
+
   // ---- hidden partitioning (partition transforms) ------------------------
   //
   // The Iceberg posture: the table partitions by a TRANSFORM of a data
@@ -2332,6 +2392,33 @@ object Versioned {
           col("c_mktsegment"))
     }),
 
+    // LK15/E196: column-mapping DROP — v0 commits customer, v1
+    // DV-deletes %13 (keys recorded while every column lived), v2 DROPS
+    // c_mktsegment as ONE metadata file (require'd in-query: a drop
+    // version, no data), v3 appends rows in the NARROWED schema. The
+    // latest read serves the narrowed schema with the delete applied and
+    // the append folded in; time travel below the drop keeps the column
+    // (the unit pins it). The oracle re-derives everything from the raw
+    // table with the drop as a plain projection, so the zero-copy
+    // annotation must hash-match a full rewrite.
+    "q_lake_drop_column" -> ((s, dir) => {
+      val c = graft.Tables.customer(s, dir)
+      val d = tableDir(dir + "#dropcol")
+      commit(c, d)
+      deleteWhereDv(s, d, col("c_custkey") % 13 === 0, "c_custkey")
+      dropColumn(s, d, "c_mktsegment")
+      require(isDropVersion(d, 2),
+        "q_lake_drop_column: expected a metadata-only drop version")
+      appendRows(c.filter(col("c_custkey") % 29 === 0)
+        .select((col("c_custkey") + 9000000).as("c_custkey"),
+          concat(lit("App "), col("c_name")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal")), d)
+      readAtDv(s, d, 3)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"))
+    }),
+
     // LK14: hidden partitioning — orders committed under month(o_orderdate)
     // (the reader never names the derived key), then a raw-column date
     // range read: the transform translates the range into the 4 admitted
@@ -2400,6 +2487,18 @@ object Versioned {
         |FROM customer
         |WHERE NOT (c_custkey % 13 = 0) AND NOT (c_nationkey IN (3, 7))
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_lake_drop_column" ->
+      """WITH allrows AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |  FROM customer WHERE NOT (c_custkey % 13 = 0)
+        |  UNION ALL
+        |  SELECT c_custkey + 9000000, 'App ' || c_name, c_nationkey,
+        |    c_acctbal
+        |  FROM customer WHERE c_custkey % 29 = 0)
+        |SELECT c_custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c
+        |FROM allrows ORDER BY ALL NULLS FIRST""".stripMargin,
     // the transform-pruned range read must equal the full-table filter
     "q_lake_hidden_part" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -428,10 +428,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     *    E149's additive-evolution contract, zero data rewritten);
     *  - RENAME COLUMN → [[Versioned.renameColumn]] (a metadata-only
     *    rename version, E164);
+    *  - DROP COLUMN → [[Versioned.dropColumn]] (a metadata-only drop
+    *    version, E196 — the fold projects the column away at and above
+    *    it, time travel below keeps it); the declared row `key` and the
+    *    hidden-partition source column refuse (DV deletes would lose
+    *    their identity / pruning would lose its raw column);
     *  - SET/UNSET TBLPROPERTIES → the `_props` sidecar.
     *
-    * Drops/type-changes are rejected (they would break time travel's
-    * schema contract — the same posture as the programmatic surface).
+    * Type changes are rejected: unlike rename/drop, a type change
+    * rewrites every value — there is no metadata spelling of one.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
@@ -478,10 +483,33 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           GraftCatalog.writeProps(dir,
             GraftCatalog.readProps(dir) - rp.property)
         }
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "graft catalog: nested DROP COLUMN is not supported")
+        val name = del.fieldNames.head
+        // one claim spans the guards and the drop commit: the guards read
+        // live props/schema, and a racing key/gpart property change or
+        // rename in the window would invalidate them
+        Versioned.withMutateClaim(dir) {
+          val props = GraftCatalog.readProps(dir)
+          require(!props.get("key").contains(name),
+            s"graft catalog: cannot drop '$name' — it is the declared " +
+              "row key; UNSET the 'key' property first (DV deletes " +
+              "identify rows by it)")
+          require(!props.get("gpart.column").contains(name),
+            s"graft catalog: cannot drop '$name' — it is the hidden-" +
+              "partition source column (raw-column pruning reads it)")
+          val exists = Versioned
+            .readAtDv(spark, dir, Versioned.latest(dir))
+            .columns.contains(name)
+          if (exists) { Versioned.dropColumn(spark, dir, name); () }
+          else if (!del.ifExists()) sys.error(
+            s"graft catalog: DROP COLUMN $name — no such column")
+        }
       case other =>
         sys.error(s"graft catalog: unsupported ALTER TABLE change $other " +
-          "— drops and type changes would break time travel's schema " +
-          "contract")
+          "— type changes rewrite every value and have no metadata-only " +
+          "spelling")
     }
     // ALL added columns land as ONE empty widened append (one commit in
     // DESCRIBE HISTORY, one chain resolution), claim-held: the widened

@@ -37,7 +37,7 @@ private[sources] object HiddenPrune {
       pushed: Seq[Filter]): Option[DataFrame] =
     for {
       b <- Versioned.materializedBaseAt(dir, tip)
-      if ((b + 1) to tip).forall(w => !Versioned.isRenameVersion(dir, w))
+      if ((b + 1) to tip).forall(w => !Versioned.isMetaVersion(dir, w))
       spec <- Versioned.hiddenSpecAt(dir, b)
       prunedDf <- scala.util.Try(
         prunedBase(s, b, dir, spec._1, spec._2, full, pushed)).toOption.flatten

@@ -105,13 +105,14 @@ private[sources] class VersionedStreamSource(ctx: SQLContext, dir: String,
   private def changesOf(v: Int): Option[DataFrame] = {
     val s = ctx.sparkSession
     if (!Versioned.isCommitted(dir, v)) None // aborted claim hole
-    else if (Versioned.isRenameVersion(dir, v))
+    else if (Versioned.isMetaVersion(dir, v))
       // no opt-out: a running stream's schema is fixed at start, and
-      // null-padding the retired name would corrupt every later batch
+      // null-padding a retired column (rename) or silently keeping a
+      // dropped one would corrupt every later batch
       sys.error(s"graft.versioned stream: version v$v of $dir is a " +
-        "column-mapping rename; the stream's schema is fixed at start. " +
-        "Restart the stream (optionally with startingVersion past the " +
-        "rename) to observe the renamed schema.")
+        "column-mapping rename/drop; the stream's schema is fixed at " +
+        "start. Restart the stream (optionally with startingVersion " +
+        "past it) to observe the evolved schema.")
     else if (Versioned.isAddVersion(dir, v))
       Some(s.read.parquet(Versioned.addPath(dir, v)))
     else if (Versioned.isDvVersion(dir, v)) {

@@ -1452,6 +1452,59 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Versioned.readAtDv(spark, dir, 4).count() === 90)
   }
 
+  test("LK: column drop — zero-copy, time travel keeps it, re-add never " +
+      "resurrects old values, guards") {
+    import spark.implicits._
+    import operators.Versioned
+    val base = java.nio.file.Files.createTempDirectory("graft-drp").toString
+    val dir = s"$base/t"; new java.io.File(dir).mkdirs()
+    val df = spark.range(0, 100).toDF("id")
+      .withColumn("v", col("id") * 2)
+      .withColumn("tag", concat(lit("t"), col("id")))
+    Versioned.commit(df, dir)                                  // v0
+    Versioned.deleteWhereDv(spark, dir, col("id") >= 90, "id") // v1
+    val dv = Versioned.dropColumn(spark, dir, "tag")           // v2
+    assert(dv === 2 && Versioned.isDropVersion(dir, 2))
+    // zero-copy: the drop version dir holds ONLY the annotation
+    assert(new java.io.File(s"$dir/v2").listFiles().map(_.getName).toSet
+      === Set("_drop"))
+    // latest serves the narrowed schema with the pre-drop DV applied
+    val cur = Versioned.readAtDv(spark, dir, 2)
+    assert(cur.columns.toSeq === Seq("id", "v"))
+    assert(cur.count() === 90)
+    // time travel below the drop keeps the creation-time schema
+    assert(Versioned.readAtDv(spark, dir, 1).columns.toSeq ===
+      Seq("id", "v", "tag"))
+    // appends after the drop carry the narrowed schema; DVs compose
+    Versioned.appendRows(Seq((200L, 400L)).toDF("id", "v"), dir) // v3
+    Versioned.deleteWhereDv(spark, dir, col("id") === 0, "id")   // v4
+    val r4 = Versioned.readAtDv(spark, dir, 4)
+    assert(r4.columns.toSeq === Seq("id", "v") && r4.count() === 90)
+    // re-ADDING the name post-drop is a fresh column: the projection
+    // happened strictly below, so old values must NOT resurrect
+    Versioned.appendRows(
+      Seq((300L, 600L, "fresh")).toDF("id", "v", "tag"), dir)    // v5
+    val r5 = Versioned.readAtDv(spark, dir, 5)
+    assert(r5.columns.toSeq === Seq("id", "v", "tag"))
+    assert(r5.filter(col("tag").isNotNull).count() === 1,
+      "pre-drop tag values must stay dropped after a same-name re-add")
+    // history reports the annotation kind
+    assert(Versioned.history(spark, dir)
+      .filter(col("version") === 2).head().getString(1) === "drop")
+    // guards: unknown column; the last data column
+    intercept[IllegalArgumentException] {
+      Versioned.dropColumn(spark, dir, "nope")
+    }
+    val dir2 = s"$base/t2"; new java.io.File(dir2).mkdirs()
+    Versioned.commit(spark.range(3).toDF("only"), dir2)
+    intercept[IllegalArgumentException] {
+      Versioned.dropColumn(spark, dir2, "only")
+    }
+    // vacuum clamps to the live base below the drop chain
+    Versioned.vacuum(dir, 1)
+    assert(Versioned.readAtDv(spark, dir, 5).count() === 91)
+  }
+
   test("LK: hidden partitioning — transform pruning is real, residual exact, bucket points, guards") {
     import spark.implicits._
     import operators.Versioned

@@ -778,6 +778,53 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("st").map(_._1) === Seq(1L, 3L, 4L, 9L))
   }
 
+  test("E196: ALTER TABLE DROP COLUMN — metadata-only via column " +
+      "mapping, time travel keeps the column, guards hold, streams " +
+      "fail loudly") {
+    import operators.Versioned
+    spark.sql("CREATE TABLE graft_cat.ns.tdrop (k BIGINT, name STRING, " +
+      "bal BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO graft_cat.ns.tdrop VALUES (1,'a',10), (2,'b',20)")
+    spark.sql("ALTER TABLE graft_cat.ns.tdrop DROP COLUMN bal")
+    val d = dirOf("tdrop")
+    assert(Versioned.isDropVersion(d, 2),
+      "DROP COLUMN must land as one metadata-only drop version")
+    assert(spark.table("graft_cat.ns.tdrop").columns.toSeq ===
+      Seq("k", "name"))
+    // time travel below the drop keeps the creation-time schema
+    assert(spark.sql("SELECT bal FROM graft_cat.ns.tdrop VERSION AS OF 1 " +
+      "ORDER BY bal").collect().map(_.getLong(0)).toSeq === Seq(10L, 20L))
+    // DML continues in the narrowed schema: append + DV delete
+    spark.sql("INSERT INTO graft_cat.ns.tdrop VALUES (3, 'c')")
+    spark.sql("DELETE FROM graft_cat.ns.tdrop WHERE k = 1")
+    assert(spark.sql("SELECT k, name FROM graft_cat.ns.tdrop ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq(2L -> "b", 3L -> "c"))
+    // guards: the declared key refuses; a missing column refuses unless
+    // IF EXISTS; the hidden-partition source column refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.tdrop DROP COLUMN k") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.tdrop DROP COLUMN nope") }
+    spark.sql("ALTER TABLE graft_cat.ns.tdrop DROP COLUMN IF EXISTS nope")
+    spark.sql("CREATE TABLE graft_cat.ns.tdrop2 (ts DATE, v BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.ns.tdrop2 DROP COLUMN ts") }
+    // a stream crossing the drop version fails loudly (schema fixed at
+    // start — the rename contract, drop parity)
+    val q = spark.readStream.option("startingVersion", 1)
+      .table("graft_cat.ns.tdrop")
+      .writeStream.format("memory").queryName("tdrop_s")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-drop-ckpt").toString)
+      .start()
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(e.getMessage.contains("rename/drop"),
+      s"stream must fail loudly at the drop version: ${e.getMessage}")
+    q.stop()
+  }
+
   test("E188 x E193: a small hidden-partitioned dim PRUNES and " +
       "BROADCASTS on one read path (stats reroute no longer excludes " +
       "hidden tables)") {
