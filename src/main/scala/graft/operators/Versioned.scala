@@ -1607,6 +1607,59 @@ object Versioned {
     v
   }
 
+  /** OPTIMIZE ZORDER (E197): rewrite the tip snapshot partitioned by the
+    * Morton interleave of two non-negative integral columns
+    * ([[Layout.zValue]] bucketed to ≤ `buckets` partitions) with the
+    * multi-column zone map of BOTH columns recorded — so a conjunctive
+    * 2-D range predicate prunes partitions on both dimensions
+    * ([[readPartitionedPrunedMulti]]), which a single-dimension layout's
+    * zone maps cannot do (each 1-D partition spans the other column's
+    * whole range). The derived key lands under the reserved `gpart` name
+    * and never reaches the catalog table's logical schema. One table
+    * rewrite, the OPTIMIZE cost class; domains are validated in one
+    * narrow aggregation and must be non-negative 31-bit integrals (the
+    * Morton spread's domain — fail-loud, never a wrong layout). Returns
+    * the version.
+    */
+  def zorderLayout(s: SparkSession, dir: String, colA: String,
+      colB: String, buckets: Int): Int = withMutateClaim(dir) {
+    require(buckets >= 2 && buckets <= 100000,
+      s"zorderLayout: buckets must be in [2, 100000], got $buckets")
+    val folded = readAtDv(s, dir, latest(dir))
+    val flat = if (folded.columns.contains("gpart")) folded.drop("gpart")
+      else folded
+    Seq(colA, colB).foreach(c => require(flat.columns.contains(c),
+      s"zorderLayout: no column '$c' in $dir"))
+    val mm = flat.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    require(!mm.anyNull, s"zorderLayout: $colA/$colB must be non-null " +
+      "castable-to-long columns")
+    val (maxA, maxB) = (mm.getLong(1), mm.getLong(3))
+    require(mm.getLong(0) >= 0 && mm.getLong(2) >= 0 &&
+      maxA < (1L << 31) && maxB < (1L << 31),
+      s"zorderLayout: $colA/$colB must be non-negative 31-bit integrals " +
+        s"(got [${mm.getLong(0)}, $maxA] x [${mm.getLong(2)}, $maxB])")
+    // driver-side twin of Layout.zValue's spread — monotone, and the two
+    // bit planes are disjoint, so z(maxA, maxB) bounds every row's z
+    def spread(x0: Long): Long = {
+      var v = x0
+      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v << 2)) & 0x3333333333333333L
+      v = (v | (v << 1)) & 0x5555555555555555L
+      v
+    }
+    val zMax = spread(maxA) | (spread(maxB) << 1)
+    var shift = 0
+    while ((zMax >> shift) + 1 > buckets) shift += 1
+    val z = Layout.zValue(col(colA).cast("long"), col(colB).cast("long"))
+    commitPartitionedStatsMulti(s,
+      flat.withColumn("gpart", shiftright(z, shift)), dir, "gpart",
+      Seq(colA, colB))
+  }
+
   /** [[upsertPartitioned]] that refreshes the multi-column zone map for
     * the rewritten partitions (untouched partitions keep the stats in
     * their owning version dir). Returns the version.

@@ -24,6 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft_cat.system.compact_dv('ns.t')       -- fold the DV chain
   *   CALL graft_cat.system.restore('ns.t', 0)       -- roll back the tip
   *   CALL graft_cat.system.clone_table('ns.t', 'ns.t2')  -- shallow clone
+  *   CALL graft_cat.system.zorder('ns.t', 'a', 'b', 64)  -- OPTIMIZE ZORDER
   * }}}
   *
   * Spark's `InvokeProcedures` rule runs the bound procedure and turns the
@@ -111,6 +112,30 @@ private[sources] object GraftProcedures {
       (spark, dirOf, in) => Seq(new GenericInternalRow(Array[Any](
         Versioned.restore(spark, dirOf(in.getUTF8String(0).toString, true),
           in.getInt(1)))))),
+
+    Spec("zorder", Seq(tbl(),
+      ProcedureParameter.in("col_a", StringType)
+        .comment("first clustering column (non-negative integral)").build(),
+      ProcedureParameter.in("col_b", StringType)
+        .comment("second clustering column (non-negative integral)").build(),
+      ProcedureParameter.in("buckets", IntegerType)
+        .comment("max partition count for the z-bucketed layout").build()),
+      versionOut, deterministic = false,
+      (spark, dirOf, in) => {
+        val dir = dirOf(in.getUTF8String(0).toString, true)
+        // a table with DECLARED hidden partitioning owns its layout: the
+        // next compact/overwrite would silently restore the transform
+        // layout and discard this one — refuse instead of racing it
+        val props = GraftCatalog.readProps(dir)
+        require(!props.contains("gpart.transform"),
+          s"zorder: the table declares PARTITIONED BY hidden " +
+            "partitioning, which owns its layout — zorder applies to " +
+            "unpartitioned/stats-tier tables")
+        Seq(new GenericInternalRow(Array[Any](
+          Versioned.zorderLayout(spark, dir,
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getInt(3)))))
+      }),
 
     Spec("clone_table", Seq(tbl("source"), tbl("target")), versionOut,
       deterministic = false,

@@ -778,6 +778,54 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("st").map(_._1) === Seq(1L, 3L, 4L, 9L))
   }
 
+  test("E197: CALL system.zorder — 2-D Morton layout whose conjunctive " +
+      "zone-map pruning strictly beats a single-dimension layout") {
+    import operators.Versioned
+    spark.sql("CREATE TABLE graft_cat.ns.zt (a BIGINT, b BIGINT, v BIGINT)")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.zt " +
+      "SELECT id % 32, CAST(id / 32 AS BIGINT), id FROM range(0, 1024)")
+    val ver = spark.sql("CALL graft_cat.system.zorder('ns.zt', 'a', 'b', " +
+      "16)").collect()(0).getInt(0)
+    val d = dirOf("zt")
+    assert(Versioned.manifest(d, ver).size === 16,
+      "z-bucketed layout must respect the bucket bound")
+    // the 4x4 query box lies inside ONE 8x8 Morton tile → 1 of 16
+    // partitions admits BOTH range predicates
+    val zAdmit = Versioned.prunedPartitionsMulti(d, ver,
+      Seq(("a", 4L, 7L), ("b", 4L, 7L))).size
+    // the 1-D comparison layout: same rows partitioned by a alone (16
+    // partitions), zone maps on both columns — the b predicate cannot
+    // prune (every a-partition spans b's whole range)
+    val df1 = spark.sql("SELECT id % 32 AS a, CAST(id / 32 AS BIGINT) " +
+      "AS b, id AS v FROM range(0, 1024)")
+    val oneD = java.nio.file.Files
+      .createTempDirectory("graft-zorder-1d").toString
+    Versioned.commitPartitionedStatsMulti(spark,
+      df1.withColumn("pa", expr("CAST(a / 2 AS BIGINT)")), oneD, "pa",
+      Seq("a", "b"))
+    val aAdmit = Versioned.prunedPartitionsMulti(oneD, 0,
+      Seq(("a", 4L, 7L), ("b", 4L, 7L))).size
+    assert(zAdmit < aAdmit,
+      s"conjunctive 2-D pruning ($zAdmit parts) must beat the 1-D " +
+        s"layout ($aAdmit parts) — the E152 assertion through CALL")
+    // the pruned read row-equals the full SQL filter
+    val got = Versioned.readPartitionedPrunedMulti(spark, d, ver,
+      Seq(("a", 4L, 7L), ("b", 4L, 7L))).count()
+    assert(got === spark.sql("SELECT count(*) FROM graft_cat.ns.zt " +
+      "WHERE a BETWEEN 4 AND 7 AND b BETWEEN 4 AND 7")
+      .collect()(0).getLong(0) && got === 16L)
+    // the derived key never reaches the logical schema
+    assert(!spark.table("graft_cat.ns.zt").columns.contains("gpart"))
+    // declared hidden partitioning owns its layout — zorder refuses
+    spark.sql("CREATE TABLE graft_cat.ns.zhid (ts DATE, v BIGINT) " +
+      "PARTITIONED BY (months(ts))")
+    intercept[Exception] { spark.sql(
+      "CALL graft_cat.system.zorder('ns.zhid', 'v', 'v', 8)").collect() }
+    // unknown column fails loudly
+    intercept[Exception] { spark.sql(
+      "CALL graft_cat.system.zorder('ns.zt', 'a', 'nope', 8)").collect() }
+  }
+
   test("E196: ALTER TABLE DROP COLUMN — metadata-only via column " +
       "mapping, time travel keeps the column, guards hold, streams " +
       "fail loudly") {
