@@ -252,9 +252,10 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.sql("ALTER TABLE graft_cat.ns.ta UNSET TBLPROPERTIES ('key')")
     assert(!graft.sources.GraftCatalog.readProps(dirOf("ta"))
       .contains("key"))
-    // a DROP COLUMN is rejected loudly
+    // a TYPE CHANGE is rejected loudly (it rewrites every value — no
+    // metadata-only spelling; DROP COLUMN is supported since E196)
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft_cat.ns.ta DROP COLUMN grade")
+      spark.sql("ALTER TABLE graft_cat.ns.ta ALTER COLUMN grade TYPE INT")
     }
     // renaming the KEY column follows the 'key' property, so DV deletes
     // keep working after the rename
