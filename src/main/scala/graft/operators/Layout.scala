@@ -80,19 +80,35 @@ object Layout {
     * sort only achieves for the leading column. Pure bit arithmetic on
     * columns — codegen'd, no UDF.
     */
+  // the morton-spread shift-or-mask stages, shared by the Column and the
+  // driver-side scalar forms so the two can never drift (a drift would
+  // break zorderLayout's zMax bucket bound; ZorderScalarSpec pins them
+  // value-equal over the edge domain)
+  private val spreadMasks = Array(
+    16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+    4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+    1 -> 0x5555555555555555L)
+
   def zValue(a: Column, b: Column): Column = {
     // spread the low 31 bits of x to even bit positions (classic morton
     // spreading, done with shift-or-mask stages as column expressions)
-    def spread(x: Column): Column = {
-      var v = x.cast("long")
-      v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
-      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
-      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
-      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
-      v = v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
-      v
-    }
+    def spread(x: Column): Column =
+      spreadMasks.foldLeft(x.cast("long")) { case (v, (sh, m)) =>
+        v.bitwiseOR(shiftleft(v, sh)).bitwiseAND(lit(m))
+      }
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** [[zValue]] evaluated driver-side on one (a, b) pair — built from the
+    * SAME mask stages, so it is value-equal by construction. Monotone in
+    * each argument over non-negative 31-bit inputs, and the two bit
+    * planes are disjoint, so `zValueScalar(maxA, maxB)` bounds every
+    * row's z (the zorderLayout bucket-shift derivation).
+    */
+  def zValueScalar(a: Long, b: Long): Long = {
+    def spread(x: Long): Long =
+      spreadMasks.foldLeft(x) { case (v, (sh, m)) => (v | (v << sh)) & m }
+    spread(a) | (spread(b) << 1)
   }
 
   /** Repartition+sort by the Z-order value of (a, b) — the write-side layout

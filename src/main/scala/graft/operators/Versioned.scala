@@ -554,21 +554,69 @@ object Versioned {
   private def manifestPath(dir: String, v: Int) =
     java.nio.file.Paths.get(dir, s"v$v", "_manifest")
 
-  /** The manifest of version `v`: partition value → owning version. */
+  /** Hive's null-partition sentinel. In-memory partition keys throughout
+    * this tier are TRUE column values — a NULL partition value is
+    * represented by this sentinel (exactly what a hive-layout dir listing
+    * yields for it) and read back as `col IS NULL`, so rows whose
+    * partition value is NULL survive every read path. The sidecar files
+    * (`_manifest`/`_stats`/`_stats2`/`_rows`/`_bloom`) store the ESCAPED
+    * dir spelling ([[encPart]] — identical to the hive dir name Spark
+    * writes), which keeps their tab-separated format safe for values
+    * containing tabs/newlines/specials; [[decPart]] restores the true
+    * value on read. (A genuine string value equal to the sentinel is
+    * conflated with NULL — the same ambiguity Spark's own partition
+    * discovery has.)
+    */
+  private[graft] val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  private def encPart(p: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(p)
+
+  private def decPart(p: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(p)
+
+  /** The hive dir names under `$dir/v$v/data` for `partCol`, decoded to
+    * TRUE partition values (NULL partition → [[NullPart]]).
+    */
+  private def dataDirPartValues(dir: String, v: Int,
+      partCol: String): Array[String] =
+    Option(new java.io.File(s"$dir/v$v/data").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+      .map(f => decPart(f.getName.stripPrefix(s"$partCol=")))
+
+  /** The read-side filter admitting exactly the partitions in `keys` —
+    * the [[NullPart]] sentinel binds as `IS NULL` (an `isin` literal
+    * could never match it), everything else as a plain `IN`.
+    */
+  private def partFilter(partCol: String, keys: Seq[String]): Column = {
+    val (nulls, vals) = keys.partition(_ == NullPart)
+    val in = if (vals.nonEmpty) Some(col(partCol).isin(vals: _*)) else None
+    val nul = if (nulls.nonEmpty) Some(col(partCol).isNull) else None
+    (in, nul) match {
+      case (Some(a), Some(b)) => a || b
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case _ => lit(false)
+    }
+  }
+
+  /** The manifest of version `v`: TRUE partition value → owning version. */
   def manifest(dir: String, v: Int): Map[String, Int] = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(manifestPath(dir, v)).asScala
       .filter(_.nonEmpty)
       .map { l =>
         val t = l.lastIndexOf('\t')
-        l.substring(0, t) -> l.substring(t + 1).toInt
+        decPart(l.substring(0, t)) -> l.substring(t + 1).toInt
       }.toMap
   }
 
   private def writeManifest(dir: String, v: Int, m: Map[String, Int]): Unit = {
-    require(m.keys.forall(p => !p.contains('\t') && !p.contains('\n')),
-      "partition values must not contain tab/newline")
-    val body = m.toSeq.sorted.map { case (p, o) => s"$p\t$o" }.mkString("\n")
+    val body = m.toSeq.sorted.map { case (p, o) => s"${encPart(p)}\t$o" }
+      .mkString("\n")
     java.nio.file.Files.writeString(manifestPath(dir, v), body)
     ()
   }
@@ -589,10 +637,7 @@ object Versioned {
     // a 100 TB partitioned commit needs
     df.repartition(col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(s"$dir/v$v/data")
-    val parts = Option(new java.io.File(s"$dir/v$v/data").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
-      .map(f => f.getName.stripPrefix(s"$partCol="))
+    val parts = dataDirPartValues(dir, v, partCol)
     writeManifest(dir, v, parts.map(_ -> v).toMap)
     seal(dir, v)
     v
@@ -616,7 +661,7 @@ object Versioned {
     kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (owner, ps) =>
       val partCol = firstPartCol(dir, owner)
       s.read.parquet(s"$dir/v$owner/data")
-        .filter(col(partCol).isin(ps.keys.toSeq: _*))
+        .filter(partFilter(partCol, ps.keys.toSeq))
     }.reduceOption(_ unionByName _)
       .getOrElse {
         val (_, o0) = manifest(dir, v).headOption
@@ -642,12 +687,14 @@ object Versioned {
     val cur = requireMaterializedTip(dir, "upsertPartitioned")
     val man = manifest(dir, cur)
     // metadata-scale driver list: one value per affected partition
+    // (NULL partition value → the sentinel, matching the manifest keys)
     val affected = updates.select(col(partCol).cast("string"))
-      .distinct().collect().map(_.getString(0))
+      .distinct().collect()
+      .map(r => Option(r.getString(0)).getOrElse(NullPart))
     val oldAffected = man.filter(kv => affected.contains(kv._1))
       .groupBy(_._2).toSeq.sortBy(_._1).map { case (owner, ps) =>
         s.read.parquet(s"$dir/v$owner/data")
-          .filter(col(partCol).isin(ps.keys.toSeq: _*))
+          .filter(partFilter(partCol, ps.keys.toSeq))
       }.reduceOption(_ unionByName _)
     val merged = oldAffected match {
       case Some(old) => Lake.mergeUpsert(old, updates.selectExpr(
@@ -657,10 +704,7 @@ object Versioned {
     val v = claimNext(dir)
     merged.repartition(col(partCol)).write.partitionBy(partCol)
       .mode("overwrite").parquet(s"$dir/v$v/data")
-    val newParts = Option(new java.io.File(s"$dir/v$v/data").listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
-      .map(f => f.getName.stripPrefix(s"$partCol="))
+    val newParts = dataDirPartValues(dir, v, partCol)
     writeManifest(dir, v, man ++ newParts.map(_ -> v).toMap)
     seal(dir, v)
     v
@@ -876,10 +920,16 @@ object Versioned {
     * pruning path substitutes a partition-pruned scan of the same base
     * version (row-identical to the full base read composed with the
     * pruning predicate — see [[readPartitionedHiddenRange]]) and the
-    * chain folds on top unchanged.
+    * chain folds on top unchanged. `keepAdd` lets the append-skipping
+    * path ([[graft.sources.AddSkip]]) drop whole append links whose
+    * `_addstats` exclude the pushed predicate — sound because a
+    * skipped link's rows would all fail the re-applied residual filter,
+    * and removing rows from the fold can never affect OTHER rows (the
+    * DV anti-joins remove per-key, independently).
     */
   private[graft] def readAtDvBase(s: SparkSession, dir: String, v: Int,
-      baseReader: Int => DataFrame): DataFrame = {
+      baseReader: Int => DataFrame,
+      keepAdd: Int => Boolean = _ => true): DataFrame = {
     val base = materializedBaseAt(dir, v)
       .getOrElse(sys.error(s"no materialized version at or below v$v in $dir"))
     val snap = baseReader(base)
@@ -924,7 +974,8 @@ object Versioned {
               else acc.unionByName(readAdds(adds), allowMissingColumns = true)
             (flushed, pend :+ w, Seq.empty)
           } else if (isAddVersion(dir, w)) {
-            if (adds.nonEmpty && layoutOf(adds.head) == layoutOf(w))
+            if (!keepAdd(w)) (acc, pend, adds)
+            else if (adds.nonEmpty && layoutOf(adds.head) == layoutOf(w))
               (antiJoin(acc, pend), Seq.empty, adds :+ w)
             else {
               val flushed = if (adds.isEmpty) antiJoin(acc, pend)
@@ -980,6 +1031,180 @@ object Versioned {
   // live chain (cut clamps to the tip's base).
 
   private[graft] def addPath(dir: String, v: Int) = s"$dir/v$v/_add"
+
+  // ---- append-link column statistics (`_addstats`) -----------------------
+  //
+  // The Delta/Iceberg file-skipping posture applied to the APPEND CHAIN:
+  // every delta commit carries a tiny sidecar of per-column (rows, nulls,
+  // min, max) harvested DRIVER-SIDE from the parquet footers the write
+  // already produced — zero extra executor passes, cost ∝ files in the
+  // batch. Reads with pushed predicates then skip whole append links
+  // whose stats exclude the predicate ([[graft.sources.AddSkip]]): a
+  // month of streaming ingest between compactions becomes a 3-version
+  // scan for a `ts > now-1h` query instead of a 2000-version union. Only
+  // exact integer domains are recorded (footer int stats are never
+  // truncated): plain integrals ('i'), DATE as epoch days ('d'),
+  // UTC-adjusted INT64 timestamps normalized to micros ('t') — anything
+  // else (strings, floats, INT96, NTZ) is absent from the sidecar and
+  // the read side conservatively keeps the link. Skipping is an
+  // OPTIMIZATION, never a correctness dependency: the v1 read contract
+  // re-applies every filter above the scan, so a wrongly-kept link only
+  // costs I/O, and a missing/failed sidecar (Try on both ends) just
+  // disables skipping for that link.
+
+  private def addStatsPath(dir: String, v: Int) =
+    java.nio.file.Paths.get(dir, s"v$v", "_addstats")
+
+  /** One tracked column's append-link stats: domain tag ('i' integral /
+    * 'd' date-days / 't' timestamp-micros), row count, null count, and
+    * min/max over the non-null values (None = entirely null).
+    */
+  private[graft] final case class AddColStats(tag: Char, rows: Long,
+      nulls: Long, mm: Option[(Long, Long)])
+
+  /** Harvest per-column stats from the parquet footers under `path`
+    * (driver-side metadata reads — the files are the batch just staged).
+    * Returns (all top-level column names in the batch's layout, tracked
+    * column → stats). A column is dropped from tracking the moment any
+    * block lacks exact stats for it; an unreadable file aborts the whole
+    * harvest (caller treats None as "no sidecar").
+    */
+  private def harvestAddStats(
+      path: String): Option[(Seq[String], Map[String, AddColStats])] =
+    scala.util.Try {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import scala.jdk.CollectionConverters._
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val files = Option(new java.io.File(path).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, AddColStats]
+      val untrackable = scala.collection.mutable.Set.empty[String]
+      var names = Seq.empty[String]
+      files.foreach { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        try {
+          val footer = r.getFooter
+          val schemaNames = footer.getFileMetaData.getSchema.getFields
+            .asScala.map(_.getName).toSeq
+          if (names.isEmpty) names = schemaNames
+          else if (names != schemaNames) sys.error("layout drift in batch")
+          footer.getBlocks.asScala.foreach { block =>
+            block.getColumns.asScala.foreach { cc =>
+              val p = cc.getPath.toArray
+              if (p.length == 1 && !untrackable.contains(p(0))) {
+                val name = p(0)
+                val pt = cc.getPrimitiveType
+                // exact integer domains only; (tag, micros-normalizer)
+                val tagged: Option[(Char, Long => Long)] =
+                  (pt.getPrimitiveTypeName,
+                    Option(pt.getLogicalTypeAnnotation)) match {
+                    case (PrimitiveTypeName.INT32, None) =>
+                      Some(('i', identity))
+                    case (PrimitiveTypeName.INT64, None) =>
+                      Some(('i', identity))
+                    case (_, Some(a: LogicalTypeAnnotation
+                        .IntLogicalTypeAnnotation)) if a.isSigned =>
+                      Some(('i', identity))
+                    case (PrimitiveTypeName.INT32, Some(
+                        _: LogicalTypeAnnotation.DateLogicalTypeAnnotation))
+                      => Some(('d', identity))
+                    case (PrimitiveTypeName.INT64, Some(a: LogicalTypeAnnotation
+                        .TimestampLogicalTypeAnnotation))
+                        if a.isAdjustedToUTC =>
+                      a.getUnit match {
+                        case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                          Some(('t', identity))
+                        case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                          Some(('t', (v: Long) => v * 1000L))
+                        case _ => None
+                      }
+                    case _ => None
+                  }
+                val st = cc.getStatistics
+                val ok = tagged.isDefined && st != null &&
+                  !st.isEmpty && st.isNumNullsSet
+                if (!ok) { untrackable += name; acc.remove(name) }
+                else {
+                  val (tag, norm) = tagged.get
+                  val rows = block.getRowCount
+                  val nulls = st.getNumNulls
+                  val mm = if (!st.hasNonNullValue) None
+                    else Some((norm(st.genericGetMin
+                        .asInstanceOf[Number].longValue),
+                      norm(st.genericGetMax
+                        .asInstanceOf[Number].longValue)))
+                  val merged = acc.get(name) match {
+                    case None => AddColStats(tag, rows, nulls, mm)
+                    case Some(prev) =>
+                      if (prev.tag != tag) sys.error("tag drift")
+                      AddColStats(tag, prev.rows + rows,
+                        prev.nulls + nulls, (prev.mm, mm) match {
+                          case (Some((a, b)), Some((c, d))) =>
+                            Some((math.min(a, c), math.max(b, d)))
+                          case (x, None) => x
+                          case (None, y) => y
+                        })
+                  }
+                  acc.update(name, merged)
+                }
+              }
+            }
+          }
+        } finally r.close()
+      }
+      (names, acc.toMap)
+    }.toOption
+
+  /** Write version `v`'s `_addstats` sidecar from stats already
+    * harvested ([[harvestAddStats]] runs on the STAGED dir, outside the
+    * mutator claim — only this tiny file write happens inside it). A
+    * `None` harvest writes nothing: the link just never skips.
+    */
+  private[graft] def writeAddStats(dir: String, v: Int,
+      harvested: Option[(Seq[String], Map[String, AddColStats])]): Unit =
+    harvested.foreach { case (names, stats) =>
+      val head = s"#cols\t${names.map(encPart).mkString(",")}"
+      val body = stats.toSeq.sortBy(_._1).map { case (c, st) =>
+        val mm = st.mm.map { case (a, b) => s"$a\t$b" }.getOrElse("\t")
+        s"${encPart(c)}\t${st.tag}\t${st.rows}\t${st.nulls}\t$mm"
+      }
+      java.nio.file.Files.writeString(addStatsPath(dir, v),
+        (head +: body).mkString("\n"))
+      ()
+    }
+
+  /** Version `v`'s append-link stats: (the batch's full column layout,
+    * tracked column → stats), or None when `v` carries no sidecar (older
+    * commits, failed harvests — the link is then never skipped).
+    */
+  private[graft] def addStats(
+      dir: String, v: Int): Option[(Seq[String], Map[String, AddColStats])] =
+    scala.util.Try {
+      val p = addStatsPath(dir, v)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        import scala.jdk.CollectionConverters._
+        val lines = java.nio.file.Files.readAllLines(p).asScala
+          .filter(_.nonEmpty).toSeq
+        val names = lines.head.stripPrefix("#cols\t").split(',')
+          .filter(_.nonEmpty).map(decPart).toSeq
+        val stats = lines.tail.map { l =>
+          val f = l.split("\t", -1)
+          val mm = if (f(4).nonEmpty) Some((f(4).toLong, f(5).toLong))
+            else None
+          decPart(f(0)) -> AddColStats(f(1).head, f(2).toLong,
+            f(3).toLong, mm)
+        }.toMap
+        Some((names, stats))
+      }
+    }.toOption.flatten
 
   /** Is committed version `v` an append (delta) commit (no snapshot, only
     * an `_add` row set)?
@@ -1043,18 +1268,25 @@ object Versioned {
   }
 
   private[graft] def adoptStagedAppend(dir: String,
-      staging: String): Int = withMutateClaim(dir) {
-    require(latest(dir) >= 0,
-      s"staged append: no committed versions in $dir — the initial " +
-        "version must be a full commit")
-    val v = claimNext(dir)
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(dir, s"v$v"))
-    java.nio.file.Files.move(java.nio.file.Paths.get(staging),
-      java.nio.file.Paths.get(addPath(dir, v)),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    seal(dir, v)
-    v
+      staging: String): Int = {
+    // footer harvest runs on the staged files OUTSIDE the claim (the
+    // claim window stays metadata-scale); only the sidecar write lands
+    // inside, before the seal — sealed-together like every other sidecar
+    val harvested = harvestAddStats(staging)
+    withMutateClaim(dir) {
+      require(latest(dir) >= 0,
+        s"staged append: no committed versions in $dir — the initial " +
+          "version must be a full commit")
+      val v = claimNext(dir)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir, s"v$v"))
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(addPath(dir, v)),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      writeAddStats(dir, v, harvested)
+      seal(dir, v)
+      v
+    }
   }
 
   /** [[adoptStagedAppend]] with expectation gates (E192 — the
@@ -1081,6 +1313,7 @@ object Versioned {
     else {
       val valid = s"$dir/.staging-valid-${java.util.UUID.randomUUID()}"
       batch.filter(ok).write.mode("overwrite").parquet(valid)
+      val harvested = harvestAddStats(valid)
       val v = withMutateClaim(dir) {
         val v = claimNext(dir)
         java.nio.file.Files.createDirectories(
@@ -1088,6 +1321,7 @@ object Versioned {
         java.nio.file.Files.move(java.nio.file.Paths.get(valid),
           java.nio.file.Paths.get(addPath(dir, v)),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        writeAddStats(dir, v, harvested)
         batch.filter(!ok).withColumn("violations", viol)
           .withColumn("commit_version", lit(v))
           .write.mode("overwrite").parquet(quarantineDir(dir, v))
@@ -1213,6 +1447,7 @@ object Versioned {
       // check and commit the batch twice
       val staging = s"$dir/.staging-batch-${java.util.UUID.randomUUID()}"
       df.write.mode("overwrite").parquet(staging)
+      val harvested = harvestAddStats(staging)
       withMutateClaim(dir) {
         if (seen()) { rmTree(new java.io.File(staging)); None }
         else {
@@ -1227,6 +1462,7 @@ object Versioned {
             java.nio.file.Files.move(java.nio.file.Paths.get(staging),
               java.nio.file.Paths.get(addPath(dir, v)),
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            writeAddStats(dir, v, harvested)
           }
           java.nio.file.Files.writeString(batchIdPath(dir, v),
             batchId.toString)
@@ -1367,7 +1603,7 @@ object Versioned {
         .filter(_.nonEmpty)
         .map { l =>
           val parts = l.split('\t')
-          parts(0) -> (parts(1).toLong, parts(2).toLong)
+          decPart(parts(0)) -> (parts(1).toLong, parts(2).toLong)
         }.toMap
     }
   }
@@ -1379,8 +1615,10 @@ object Versioned {
       .agg(min(col(statsCol).cast("long")).as("__lo"),
         max(col(statsCol).cast("long")).as("__hi"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val body = rows.sortBy(_._1).map { case (p, lo, hi) => s"$p\t$lo\t$hi" }
+      .map(r => (Option(r.getString(0)).getOrElse(NullPart),
+        r.getLong(1), r.getLong(2)))
+    val body = rows.sortBy(_._1)
+      .map { case (p, lo, hi) => s"${encPart(p)}\t$lo\t$hi" }
       .mkString("\n")
     java.nio.file.Files.writeString(statsPath(dir, v), body)
     ()
@@ -1468,7 +1706,7 @@ object Versioned {
           // part \t col \t nulls \t [min] \t [max]  (min/max absent = all null)
           val mm = if (f.length >= 5 && f(3).nonEmpty)
             Some((f(3).toLong, f(4).toLong)) else None
-          (f(0), f(1), (mm, f(2).toLong))
+          (decPart(f(0)), f(1), (mm, f(2).toLong))
         }
         .groupBy(_._1)
         .map { case (part, rows) =>
@@ -1492,7 +1730,7 @@ object Versioned {
         .filter(_.nonEmpty)
         .map { l =>
           val t = l.lastIndexOf('\t')
-          l.substring(0, t) -> l.substring(t + 1).toLong
+          decPart(l.substring(0, t)) -> l.substring(t + 1).toLong
         }.toMap
     }
   }
@@ -1511,7 +1749,7 @@ object Versioned {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val body = rows.flatMap { r =>
-      val part = r.getString(0)
+      val part = encPart(Option(r.getString(0)).getOrElse(NullPart))
       statsCols.map { c =>
         val lo = r.getAs[Any](s"__lo_$c")
         val hi = r.getAs[Any](s"__hi_$c")
@@ -1521,7 +1759,9 @@ object Versioned {
       }
     }.sorted.mkString("\n")
     java.nio.file.Files.writeString(stats2Path(dir, v), body)
-    val rbody = rows.map(r => s"${r.getString(0)}\t${r.getAs[Long]("__rows")}")
+    val rbody = rows.map(r =>
+      s"${encPart(Option(r.getString(0)).getOrElse(NullPart))}\t" +
+        s"${r.getAs[Long]("__rows")}")
       .sorted.mkString("\n")
     java.nio.file.Files.writeString(rowsPath(dir, v), rbody)
     ()
@@ -1633,25 +1873,23 @@ object Versioned {
     val mm = flat.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
-    require(!mm.anyNull, s"zorderLayout: $colA/$colB must be non-null " +
-      "castable-to-long columns")
+    // min/max skip NULLs, so this only rejects ENTIRELY-null columns
+    // (no domain to bound). Rows where either clustering value is NULL
+    // get a NULL z-key and land in the hive default partition — fully
+    // readable ([[NullPart]] binds as IS NULL on the read side) and
+    // correctly excluded by 2-D range pruning (BETWEEN is
+    // null-rejecting), never silently dropped.
+    require(!mm.anyNull, s"zorderLayout: $colA/$colB must be " +
+      "castable-to-long columns with at least one non-null value each")
     val (maxA, maxB) = (mm.getLong(1), mm.getLong(3))
     require(mm.getLong(0) >= 0 && mm.getLong(2) >= 0 &&
       maxA < (1L << 31) && maxB < (1L << 31),
       s"zorderLayout: $colA/$colB must be non-negative 31-bit integrals " +
         s"(got [${mm.getLong(0)}, $maxA] x [${mm.getLong(2)}, $maxB])")
-    // driver-side twin of Layout.zValue's spread — monotone, and the two
-    // bit planes are disjoint, so z(maxA, maxB) bounds every row's z
-    def spread(x0: Long): Long = {
-      var v = x0
-      v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
-      v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
-      v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
-      v = (v | (v << 2)) & 0x3333333333333333L
-      v = (v | (v << 1)) & 0x5555555555555555L
-      v
-    }
-    val zMax = spread(maxA) | (spread(maxB) << 1)
+    // Layout.zValueScalar builds from the same mask stages as the
+    // executor-side Layout.zValue — monotone, disjoint bit planes, so
+    // z(maxA, maxB) bounds every row's z
+    val zMax = Layout.zValueScalar(maxA, maxB)
     var shift = 0
     while ((zMax >> shift) + 1 > buckets) shift += 1
     val z = Layout.zValue(col(colA).cast("long"), col(colB).cast("long"))
@@ -1745,7 +1983,7 @@ object Versioned {
         .filter(_.nonEmpty)
         .map { l =>
           val f = l.split('\t')
-          f(0) -> java.util.Base64.getDecoder.decode(f(1))
+          decPart(f(0)) -> java.util.Base64.getDecoder.decode(f(1))
         }.toMap
     }
   }
@@ -1759,9 +1997,10 @@ object Versioned {
     val rows = df.groupBy(col(partCol).cast("string").as("__p"))
       .agg(agg(col(keyCol).cast("long")).as("__b"))
       .collect()
-      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .map(r => (Option(r.getString(0)).getOrElse(NullPart),
+        r.getAs[Array[Byte]](1)))
     val body = rows.sortBy(_._1).map { case (p, b) =>
-      s"$p\t${java.util.Base64.getEncoder.encodeToString(b)}"
+      s"${encPart(p)}\t${java.util.Base64.getEncoder.encodeToString(b)}"
     }.mkString("\n")
     java.nio.file.Files.writeString(bloomPath(dir, v), body)
     ()
@@ -2063,9 +2302,13 @@ object Versioned {
       (t == "identity" && lo.toLongOption.isDefined &&
         hi.toLongOption.isDefined)
     val (plo, phi) = (hiddenLit(t, lo), hiddenLit(t, hi))
+    // the NULL partition (sentinel key) can never satisfy the residual
+    // BETWEEN (null-rejecting), so it is excluded — and it must never
+    // reach the numeric compare (not a number)
     val kept = manifest(dir, v).filter { case (p, _) =>
-      if (numeric) p.toLong >= plo.toLong && p.toLong <= phi.toLong
-      else p >= plo && p <= phi
+      p != NullPart &&
+        (if (numeric) p.toLong >= plo.toLong && p.toLong <= phi.toLong
+        else p >= plo && p <= phi)
     }
     val base = readManifestSubset(s, dir, v, kept)
     val resid =

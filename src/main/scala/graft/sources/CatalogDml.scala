@@ -290,6 +290,45 @@ object CatalogDml {
       df
     }),
 
+    // E198: append-link skipping through catalog SQL — a base snapshot
+    // plus three INSERT INTO delta commits (each carrying its footer-
+    // harvested `_addstats` sidecar), then a date-range SELECT whose
+    // pushed predicate excludes the first two links' [min, max]: the
+    // chain fold must plan WITHOUT them (require'd via the skip probe —
+    // a silent full-chain union cannot pass), and the result must
+    // row-equal the logical full-table filter. The 100 TB shape: a
+    // time-range query over a long ingest chain reads only the links
+    // the predicate admits.
+    "q_lake_addskip_sql" -> ((s, dir) => {
+      val root = Versioned.tableDir(dir + "#sqladdskip")
+      val cat = catalogFor(s, root)
+      s.sql(s"CREATE TABLE $cat.ns.ord_add (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, price_c BIGINT, o_date DATE)")
+      graft.Tables.orders(s, dir).createOrReplaceTempView("addskip_orders")
+      def ins(verb: String, where: String): Unit = {
+        s.sql(s"$verb TABLE $cat.ns.ord_add SELECT o_orderkey, " +
+          "o_custkey, CAST(FLOOR(o_totalprice * 100) AS BIGINT), " +
+          s"CAST(o_orderdate AS DATE) FROM addskip_orders WHERE $where")
+        ()
+      }
+      ins("INSERT OVERWRITE",
+        "o_orderdate < TIMESTAMP'1996-01-01 00:00:00'") // materialized base
+      ins("INSERT INTO", "o_orderdate >= TIMESTAMP'1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP'1996-05-01 00:00:00'")
+      ins("INSERT INTO", "o_orderdate >= TIMESTAMP'1996-05-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP'1996-09-01 00:00:00'")
+      ins("INSERT INTO", "o_orderdate >= TIMESTAMP'1996-09-01 00:00:00'")
+      val df = s.sql(s"SELECT * FROM $cat.ns.ord_add " +
+        "WHERE o_date >= DATE'1997-01-01'")
+      GraftAddSkipProbe.last.set("")
+      df.limit(1).collect()
+      val probe = GraftAddSkipProbe.last.get
+      require(probe == "skip:2/3",
+        s"q_lake_addskip_sql: expected 2 of 3 append links skipped, " +
+          s"got '$probe'")
+      df
+    }),
+
     // E182: SQL DELETE on a keyed table — the statement plans Spark's
     // metadata-only delete (OptimizeMetadataOnlyDeleteFromTable →
     // SupportsDeleteV2), which lands a deletion-vector commit: cost ∝
@@ -332,6 +371,13 @@ object CatalogDml {
         |  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
         |FROM customer
         |WHERE c_nationkey >= 7 AND c_nationkey <= 11
+        |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_lake_addskip_sql" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     "q_expect_sql" ->
       """WITH allrows AS (

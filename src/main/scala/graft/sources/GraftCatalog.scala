@@ -176,6 +176,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
         .getOrElse(throw new NoSuchTableException(ident))
     else
       new GraftTable(spark, dir, s"$catalogName.$ident",
+      catalogName +: ident.namespace.toSeq :+ ident.name,
       GraftCatalog.readProps(dir))
   }
 
@@ -194,6 +195,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     require(v >= 0 && Versioned.isCommitted(dir, v),
       s"graft catalog: $ident has no committed version v$v")
     new GraftTable(spark, dir, s"$catalogName.$ident",
+      catalogName +: ident.namespace.toSeq :+ ident.name,
       GraftCatalog.readProps(dir), pinnedVersion = Some(v))
   }
 
@@ -206,6 +208,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (Versioned.latest(dir) < 0) throw new NoSuchTableException(ident)
     val v = Versioned.versionAtTime(dir, timestampMicros / 1000L)
     new GraftTable(spark, dir, s"$catalogName.$ident",
+      catalogName +: ident.namespace.toSeq :+ ident.name,
       GraftCatalog.readProps(dir), pinnedVersion = Some(v))
   }
 
@@ -398,9 +401,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case _ => sys.error("graft catalog: at most ONE partition " +
         "transform is supported (the hidden tier partitions by one " +
         "derived key) — for 2-D layout use CALL <catalog>.system" +
-        ".zorder(table, col_a, col_b), which interleaves both columns " +
-        "into the partition key and records per-partition zone maps " +
-        "for conjunctive pruning")
+        ".zorder(table, col_a, col_b, buckets), which interleaves both " +
+        "columns into the partition key and records per-partition zone " +
+        "maps for conjunctive pruning")
     }
     val dir = dirOf(ident)
     if (Versioned.latest(dir) >= 0)
@@ -416,6 +419,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       hidden.toSeq.flatMap { case (t, c) =>
         Seq("gpart.transform" -> t, "gpart.column" -> c) })
     new GraftTable(spark, dir, s"$catalogName.$ident",
+      catalogName +: ident.namespace.toSeq :+ ident.name,
       GraftCatalog.readProps(dir))
   }
 
@@ -601,7 +605,7 @@ private[graft] object GraftCatalog {
   * write verifies the tip is STILL that version at adoption.
   */
 private[sources] class GraftTable(spark: SparkSession, dir: String,
-    tableName: String, props: Map[String, String],
+    tableName: String, identParts: Seq[String], props: Map[String, String],
     pinnedVersion: Option[Int] = None) extends Table
     with SupportsRead with SupportsWrite with SupportsRowLevelOperations
     with SupportsDeleteV2 with SupportsMetadataColumns
@@ -627,14 +631,21 @@ private[sources] class GraftTable(spark: SparkSession, dir: String,
         "supported — a stream tails the live commit log; use " +
         "startingVersion to begin at a committed version"))
     import org.apache.spark.sql.catalyst.catalog._
-    // tableName is catalog-qualified ("cat.ns.t") so the per-batch
-    // identifier resolves back through THIS catalog, not the session one
-    val parts = tableName.split('.')
+    // identParts = (catalog, namespace..., table) — the REAL resolved
+    // parts, never re-derived by splitting the display name (a dotted
+    // name part or multi-part namespace would split wrong and stream to
+    // a different table). The identifier is catalog-qualified so the
+    // per-batch streaming plan resolves back through THIS catalog, not
+    // the session one. TableIdentifier is structurally 3-level
+    // (catalog.db.table), so deeper namespaces cannot ride the v1
+    // fallback — fail loudly instead of flattening them.
+    require(identParts.length == 3,
+      s"graft catalog: streaming by identifier supports single-part " +
+        s"namespaces only (got ${identParts.mkString(".")}) — use the " +
+        "path-based graft.versioned stream surface for nested namespaces")
     CatalogTable(
       identifier = org.apache.spark.sql.catalyst.TableIdentifier(
-        parts.last,
-        Some(parts.init.drop(1).mkString(".")).filter(_.nonEmpty),
-        Some(parts.head)),
+        identParts(2), Some(identParts(1)), Some(identParts(0))),
       tableType = CatalogTableType.EXTERNAL,
       // the location IS the path option both fallback consumers derive
       // (readStream via generateDatasourceOptions, writeStream.toTable
@@ -1067,10 +1078,21 @@ private[sources] class GraftV1Scan(spark: SparkSession,
     * [[HiddenPrune]] — shared with the stats-rerouted v1 relation.
     */
   private def delegate(s: SparkSession): DataFrame = {
-    val snap0 = HiddenPrune.pruned(s, dir, tip, full, pushed.toSeq)
+    // append-link skipping (E198) composes with the hidden-base prune:
+    // the base scan shrinks to the admitted partitions, the chain fold
+    // drops whole delta links the pushed predicate excludes
+    val keep = AddSkip.skippable(s, dir, tip, pushed.toSeq)
+    val snap0 = HiddenPrune.pruned(s, dir, tip, full, pushed.toSeq,
+        keep.getOrElse((_: Int) => true))
       .getOrElse {
+        // the base-prune probe reflects the BASE scan that ran (full);
+        // append-link skipping reports through GraftAddSkipProbe
         GraftScanPruneProbe.last.set("full")
-        Versioned.readAtDv(s, dir, tip)
+        keep match {
+          case Some(k) => Versioned.readAtDvBase(s, dir, tip,
+            b => Versioned.readPartitionedOrFlatAt(s, dir, b), k)
+          case None => Versioned.readAtDv(s, dir, tip)
+        }
       }
     // the hidden tier's derived key never reaches the logical surface
     val snap = if (snap0.columns.contains("gpart")) snap0.drop("gpart")

@@ -34,14 +34,15 @@ private[sources] object HiddenPrune {
     * always reflects the scan that actually ran).
     */
   def pruned(s: SparkSession, dir: String, tip: Int, full: StructType,
-      pushed: Seq[Filter]): Option[DataFrame] =
+      pushed: Seq[Filter],
+      keepAdd: Int => Boolean = _ => true): Option[DataFrame] =
     for {
       b <- Versioned.materializedBaseAt(dir, tip)
       if ((b + 1) to tip).forall(w => !Versioned.isMetaVersion(dir, w))
       spec <- Versioned.hiddenSpecAt(dir, b)
       prunedDf <- scala.util.Try(
         prunedBase(s, b, dir, spec._1, spec._2, full, pushed)).toOption.flatten
-    } yield Versioned.readAtDvBase(s, dir, tip, _ => prunedDf)
+    } yield Versioned.readAtDvBase(s, dir, tip, _ => prunedDf, keepAdd)
 
   /** Pruning engages only where the pruned read's semantics PROVABLY
     * equal (full read ∘ predicate) for the column/literal types in

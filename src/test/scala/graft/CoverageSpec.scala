@@ -1751,6 +1751,83 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a("n") === 3L && a("s") === 2L && a("z") === 0L)
   }
 
+  test("LK: escaped + NULL partition values round-trip every read path (no silent loss)") {
+    import spark.implicits._
+    // values Spark ESCAPES in hive dir names (':' -> %3A) and a NULL —
+    // the manifest must record TRUE values / the null sentinel, and
+    // reads must bind the sentinel as IS NULL (an isin literal never
+    // matches it). Before the fix every such row silently vanished.
+    val dir = java.nio.file.Files.createTempDirectory("graft-vesc").toString
+    val t = Seq((1L, "a:b"), (2L, "P1"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "seg")
+    assert(operators.Versioned.commitPartitioned(t, dir, "seg") === 0)
+    assert(operators.Versioned.manifest(dir, 0) ===
+      Map("a:b" -> 0, "P1" -> 0, "__HIVE_DEFAULT_PARTITION__" -> 0))
+    def snap(v: Int): Set[(Long, Option[String])] =
+      operators.Versioned.readPartitionedAt(spark, dir, v).collect()
+        .map(r => (r.getAs[Long]("k"),
+          Option(r.getAs[String]("seg")))).toSet
+    assert(snap(0) === Set((1L, Some("a:b")), (2L, Some("P1")),
+      (3L, None)))
+    // upsert INTO the escaped and the null partitions: the affected-value
+    // compare and the old-partition read must hit them (a miss would
+    // bury k=1/k=3 under a manifest pointer to a dir not holding them)
+    val u = Seq((1L, "a:b"), (4L, "a:b"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "seg")
+    assert(operators.Versioned.upsertPartitioned(spark, dir, u, "k", "seg")
+      === 1)
+    assert(snap(1) === Set((1L, Some("a:b")), (4L, Some("a:b")),
+      (2L, Some("P1")), (3L, None)))
+  }
+
+  test("LK: hidden partitioning keeps NULL-source rows; range prune skips them; identity specials prune by point") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vhn").toString
+    val rows = Seq((1L, "2024-01-05 00:00:00"), (2L, "2024-02-10 00:00:00"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("k", "s").withColumn("ts", col("s").cast("timestamp")).drop("s")
+    operators.Versioned.commitPartitionedHidden(rows, dir, "month", "ts")
+    // the NULL-ts row lands in the default partition and SURVIVES the
+    // full read (it used to vanish)
+    assert(operators.Versioned.readPartitionedAt(spark, dir, 0)
+      .count() === 3)
+    // the range read excludes it (BETWEEN is null-rejecting) — and must
+    // not crash resolving the sentinel partition key
+    val ranged = operators.Versioned.readPartitionedHiddenRange(
+      spark, dir, 0, "2024-01-01", "2024-01-31")
+    assert(ranged.select("k").as[Long].collect().toSet === Set(1L))
+    // identity over a STRING column with an escaped value: point prune
+    // admits exactly that partition and returns the row
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-vhi").toString
+    val t2 = Seq((1L, "a:b"), (2L, "plain")).toDF("k", "seg")
+    operators.Versioned.commitPartitionedHidden(t2, dir2, "identity", "seg")
+    val hit = operators.Versioned.readPartitionedHiddenIn(
+      spark, dir2, 0, Seq("a:b"))
+    assert(hit.select("k").as[Long].collect().toSet === Set(1L))
+  }
+
+  test("LK: zorder keeps NULL clustering values readable; 2-D prune excludes them exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vzn").toString
+    val df = ((0L until 64L).map(i => (i, Option(i % 8), Option(i / 8))) ++
+      Seq((100L, Some(3L), Option.empty[Long]),
+        (101L, Option.empty[Long], Some(5L))))
+      .toDF("id", "a", "b")
+    operators.Versioned.commit(df, dir)
+    val v = operators.Versioned.zorderLayout(spark, dir, "a", "b", 16)
+    // every row survives the rewrite — NULL z-keys land in the default
+    // partition, which full reads serve via IS NULL
+    assert(operators.Versioned.readPartitionedAt(spark, dir, v)
+      .count() === 66)
+    // conjunctive 2-D prune: row-identical to the logical filter (which
+    // null-rejects the two NULL rows)
+    val pruned = operators.Versioned.readPartitionedPrunedMulti(
+      spark, dir, v, Seq(("a", 1L, 2L), ("b", 1L, 2L)))
+    assert(pruned.select("id").as[Long].collect().toSet ===
+      df.filter($"a".between(1, 2) && $"b".between(1, 2))
+        .select("id").as[Long].collect().toSet)
+  }
+
   test("SparkEntry contract: every oracle key has a query; entry returns rows") {
     val qs = SparkEntry.queries.keySet
     val orphan = SparkEntry.oracleSql.keySet.diff(qs)

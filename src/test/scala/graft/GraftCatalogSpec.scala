@@ -710,6 +710,85 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "WHERE seg >= 'a' AND seg <= 'b'").collect()(0).getLong(0) === 3L)
     assert(sources.GraftScanPruneProbe.last.get === "full",
       "identity string ranges must fall back to the full scan")
+    // escaped + NULL partition values through the FULL SQL path: ':' is
+    // hive-escaped in the dir name (%3A) and NULL lands in the default
+    // partition — both must survive reads (manifest keys are TRUE
+    // values, the sentinel binds as IS NULL) and the escaped value must
+    // still point-prune
+    spark.sql("CREATE TABLE graft_cat.ns.evs3 (seg STRING, v BIGINT) " +
+      "PARTITIONED BY (seg)")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.evs3 VALUES " +
+      "('a:b', 1), ('plain', 2), (NULL, 3)")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.evs3")
+      .collect()(0).getLong(0) === 3L,
+      "escaped/NULL partition values must not vanish from reads")
+    assert(spark.sql("SELECT v FROM graft_cat.ns.evs3 WHERE seg IS NULL")
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+    sources.GraftScanPruneProbe.last.set("")
+    assert(spark.sql("SELECT v FROM graft_cat.ns.evs3 WHERE seg = 'a:b'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(sources.GraftScanPruneProbe.last.get === "in:1",
+      "escaped identity values must still point-prune")
+  }
+
+  test("E198: append-link skipping — pushed predicates drop whole delta " +
+      "commits via footer stats; DVs, nulls, and missing sidecars hold") {
+    import operators.Versioned
+    spark.sql("CREATE TABLE graft_cat.ns.ask (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.ask " +
+      "SELECT id, id * 10 FROM range(0, 10)")               // base (v1)
+    spark.sql("INSERT INTO graft_cat.ns.ask " +
+      "SELECT id, id * 10 FROM range(10, 20)")              // link 1
+    spark.sql("INSERT INTO graft_cat.ns.ask " +
+      "SELECT id, id * 10 FROM range(20, 30)")              // link 2
+    spark.sql("INSERT INTO graft_cat.ns.ask " +
+      "SELECT id, id * 10 FROM range(30, 40)")              // link 3
+    def q(where: String): (Set[Long], String) = {
+      sources.GraftAddSkipProbe.last.set("")
+      val got = spark.sql(
+        s"SELECT k FROM graft_cat.ns.ask WHERE $where")
+        .collect().map(_.getLong(0)).toSet
+      (got, sources.GraftAddSkipProbe.last.get)
+    }
+    // range predicate: two links' [min, max] miss it -> skipped; result
+    // is still exact (base rows fail the residual)
+    val (r1, p1) = q("k >= 30")
+    assert(r1 === (30L until 40L).toSet)
+    assert(p1 === "skip:2/3", s"probe '$p1'")
+    // point predicate into link 2: links 1 and 3 skipped
+    val (r2, p2) = q("k = 25")
+    assert(r2 === Set(25L) && p2 === "skip:2/3", s"probe '$p2'")
+    // a DV mid-chain neither blocks skipping nor loses the delete
+    spark.sql("DELETE FROM graft_cat.ns.ask WHERE k = 35")
+    val (r3, p3) = q("k >= 30")
+    assert(r3 === (30L until 40L).toSet - 35L)
+    assert(p3 === "skip:2/3", s"probe '$p3'")
+    // IS NULL: all links are null-free -> every link skipped; a link
+    // WITH a null row must be kept and served
+    val (r4, p4) = q("k IS NULL")
+    assert(r4 === Set.empty[Long] && p4 === "skip:3/3", s"probe '$p4'")
+    spark.sql("INSERT INTO graft_cat.ns.ask VALUES (CAST(NULL AS BIGINT), 99)")
+    sources.GraftAddSkipProbe.last.set("")
+    val nulls = spark.sql(
+      "SELECT v FROM graft_cat.ns.ask WHERE k IS NULL")
+      .collect().map(_.getLong(0)).toSet
+    assert(nulls === Set(99L))
+    assert(sources.GraftAddSkipProbe.last.get === "skip:3/4")
+    // a sidecar-less link (pre-E198 commit shape) disables skipping for
+    // the whole chain — conservative, never wrong
+    val dir = dirOf("ask")
+    val tip = Versioned.latest(dir)
+    assert(Versioned.isAddVersion(dir, tip))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, s"v$tip", "_addstats"))
+    val (r5, p5) = q("k >= 30")
+    assert(r5 === (30L until 40L).toSet - 35L)
+    assert(p5 === "", s"probe '$p5' — missing sidecar must disable skip")
+    // compaction folds the chain -> no append links -> no skip, same rows
+    spark.sql(s"CALL graft_cat.system.compact_dv('ns.ask')")
+    val (r6, p6) = q("k >= 30")
+    assert(r6 === (30L until 40L).toSet - 35L && p6 === "")
   }
 
   test("E195: streaming by table identifier — readStream.table rides " +

@@ -149,6 +149,27 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(zord._1 <= 8 && zord._2 <= 8, s"z-order spreads $zord") // both bounded
   }
 
+  test("zValueScalar is value-equal to the Column zValue over the edge domain") {
+    import spark.implicits._
+    // the driver-side scalar (zorderLayout's zMax bucket bound) and the
+    // executor-side Column expression build from ONE shared mask-stage
+    // definition — this pins them equal so neither can drift alone
+    val probes = Seq[(Long, Long)]((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L),
+      (255L, 256L), (12345L, 54321L), ((1L << 31) - 1, 0L),
+      (0L, (1L << 31) - 1), ((1L << 31) - 1, (1L << 31) - 1),
+      (1L << 30, (1L << 30) + 7))
+    val fromCol = probes.toDF("a", "b")
+      .select(operators.Layout.zValue(col("a"), col("b"))).collect()
+      .map(_.getLong(0)).toSeq
+    val fromScalar = probes.map { case (a, b) =>
+      operators.Layout.zValueScalar(a, b) }
+    assert(fromCol === fromScalar)
+    // monotonicity at the bound: z(maxA, maxB) dominates interior points
+    assert(probes.forall { case (a, b) =>
+      operators.Layout.zValueScalar(a, b) <=
+        operators.Layout.zValueScalar((1L << 31) - 1, (1L << 31) - 1) })
+  }
+
   test("GraftExtensions: native expressions callable from SQL") {
     Tables.documents(spark, sf).createOrReplaceTempView("docs_ext")
     val r = spark.sql(
