@@ -294,7 +294,13 @@ object Versioned {
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
         !isAddVersion(dir, w) && !isMetaVersion(dir, w))
       .getOrElse(0)
-    val cut = math.min(tip - math.max(1, keepLast) + 1, liveBase)
+    // tagged snapshots pin retention: the cut never severs the chain
+    // base any tag resolves through (drop the tag to release the pin)
+    val tagFloor = tags(dir).values
+      .flatMap(t => materializedBaseAt(dir, t))
+      .reduceOption(_ min _).getOrElse(Int.MaxValue)
+    val cut = math.min(
+      math.min(tip - math.max(1, keepLast) + 1, liveBase), tagFloor)
     Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => versionOf(f.getName).exists(_ < cut))
@@ -1351,6 +1357,74 @@ object Versioned {
     */
   def restore(s: SparkSession, dir: String, v: Int): Int =
     withMutateClaim(dir) { commit(readAtDv(s, dir, v), dir) }
+
+  // ---- named version tags (refs) -----------------------------------------
+  //
+  // The Iceberg tag / Delta named-snapshot posture: a TAG is a named,
+  // movable pointer at a committed version — `VERSION AS OF 'stable'`
+  // resolves through it, so reproducible reads ("the snapshot we trained
+  // on") survive tip churn without anyone memorizing version numbers.
+  // Tags live as one tiny file each under `_tags/` (value = the version
+  // number), swapped by write-temp + ATOMIC_MOVE so a reader never sees
+  // a half-written pointer; re-tagging MOVES the name (last writer
+  // wins — the Iceberg replace-tag semantic). Names must not look like
+  // integers (those are plain version literals) and never collide with
+  // version dirs (different namespace). [[vacuum]] clamps its cut to the
+  // chain base of the OLDEST tagged version, so a tagged snapshot — and
+  // the DV/append links that resolve it — always stays readable;
+  // dropping the tag releases the retention pin.
+
+  private def tagsDir(dir: String) = java.nio.file.Paths.get(dir, "_tags")
+
+  private def checkTagName(name: String): String = {
+    require(name.nonEmpty && !name.contains("/") && !name.contains("\\") &&
+        !name.contains("\t") && !name.contains("\n") &&
+        !name.startsWith(".") && name.toIntOption.isEmpty,
+      s"bad tag name '$name': must be non-empty, no path separators or " +
+        "control characters, not dot-prefixed, and not an integer " +
+        "(integers are plain version literals)")
+    name
+  }
+
+  /** Create or MOVE tag `name` to committed version `v`. */
+  def tag(dir: String, name: String, v: Int): Unit = {
+    checkTagName(name)
+    require(isCommitted(dir, v), s"tag '$name': v$v is not committed in $dir")
+    require(materializedBaseAt(dir, v).isDefined,
+      s"tag '$name': v$v has no readable chain base (vacuumed?)")
+    java.nio.file.Files.createDirectories(tagsDir(dir))
+    val tmp = tagsDir(dir).resolve(s".$name.tmp-${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.writeString(tmp, v.toString)
+    java.nio.file.Files.move(tmp, tagsDir(dir).resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Drop tag `name` (releases its retention pin). Returns the version
+    * it pointed at, or None if absent.
+    */
+  def untag(dir: String, name: String): Option[Int] = {
+    checkTagName(name)
+    val v = tagVersion(dir, name)
+    java.nio.file.Files.deleteIfExists(tagsDir(dir).resolve(name))
+    v
+  }
+
+  /** The version tag `name` points at, if it exists. */
+  def tagVersion(dir: String, name: String): Option[Int] =
+    scala.util.Try(java.nio.file.Files.readString(
+      tagsDir(dir).resolve(checkTagName(name))).trim.toInt).toOption
+
+  /** All tags of `dir`: name → version. */
+  def tags(dir: String): Map[String, Int] =
+    Option(tagsDir(dir).toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .flatMap(f => scala.util.Try(
+        f.getName -> java.nio.file.Files.readString(f.toPath).trim.toInt)
+        .toOption)
+      .toMap
 
   // ---- shallow clone -----------------------------------------------------
   //
@@ -2486,6 +2560,21 @@ object Versioned {
           col("c_mktsegment"))
     }),
 
+    // E200: the same v0/v1/v2 history read through a NAMED TAG — `tag
+    // "trained_on" → v1`, then `versionAsOf = "trained_on"`. Oracle
+    // byte-identical to q_lake_timetravel's: the named ref must resolve
+    // to exactly the pinned snapshot even though a later delete commit
+    // (and the live tip) exist — the reproducible-training-set read.
+    "q_lake_tag_sql" -> ((s, dir) => {
+      val d = buildHistory(s, dir)
+      tag(d, "trained_on", 1)
+      s.read.format("graft.versioned")
+        .option("versionAsOf", "trained_on").load(d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * 100).cast("long").as("acctbal_c"),
+          col("c_mktsegment"))
+    }),
+
     // LK7b: MULTI-column zone-map skipping — same planted layout as
     // q_lake_skipping, but the `_stats2` sidecar records (min, max, null
     // count) for BOTH c_custkey and c_nationkey, and the read prunes on
@@ -2897,6 +2986,7 @@ object Versioned {
         |ORDER BY ALL NULLS FIRST""".stripMargin,
     // the DataSource reader must be byte-identical to the programmatic read
     "q_lake_timetravel_sql" -> Lake.oracles("q_merge_upsert"),
+    "q_lake_tag_sql" -> Lake.oracles("q_merge_upsert"),
     "q_lake_changes" -> Lake.oracles("q_snapshot_diff"),
     // the incrementally maintained view must equal the from-scratch
     // aggregate over the final logical snapshot (merge, then delete %13)

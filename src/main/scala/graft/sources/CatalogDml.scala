@@ -290,6 +290,27 @@ object CatalogDml {
       df
     }),
 
+    // E201: the <table>.history metadata table — the SAME four-version
+    // lineage q_lake_history builds (snapshot, DV delete, append,
+    // rename), planted as a catalog table and read back as `SELECT *
+    // FROM cat.ns.hist.history`. Oracle byte-identical to
+    // q_lake_history's: the SQL metadata-table face must reproduce the
+    // programmatic DESCRIBE HISTORY exactly.
+    "q_lake_history_sql_cat" -> ((s, dir) => {
+      val root = Versioned.tableDir(dir + "#sqlhist")
+      val cat = catalogFor(s, root)
+      val tdir = s"$root/ns/hist"
+      new java.io.File(tdir).mkdirs()
+      val c = graft.Tables.customer(s, dir)
+      Versioned.commit(c, tdir)
+      Versioned.deleteWhereDv(s, tdir,
+        col("c_custkey") % 13 === 0, "c_custkey")
+      Versioned.appendRows(c.filter(col("c_custkey") % 31 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000), tdir)
+      Versioned.renameColumn(s, tdir, "c_mktsegment", "segment")
+      s.sql(s"SELECT * FROM $cat.ns.hist.history")
+    }),
+
     // E198: append-link skipping through catalog SQL — a base snapshot
     // plus three INSERT INTO delta commits (each carrying its footer-
     // harvested `_addstats` sidecar), then a date-range SELECT whose
@@ -372,6 +393,7 @@ object CatalogDml {
         |FROM customer
         |WHERE c_nationkey >= 7 AND c_nationkey <= 11
         |ORDER BY ALL NULLS FIRST""".stripMargin,
+    "q_lake_history_sql_cat" -> Versioned.oracles("q_lake_history"),
     "q_lake_addskip_sql" ->
       """SELECT o_orderkey, o_custkey,
         |  CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c,

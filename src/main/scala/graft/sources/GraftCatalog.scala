@@ -169,10 +169,26 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       }
     }
 
+  /** The `<table>.history` METADATA TABLE (E201 — the SQL-joinable face
+    * of `CALL system.history`): `SELECT * FROM g.ns.t.history` serves
+    * one row per committed version — (version, kind, n_rows), counts
+    * from the parquet footers. A metadata TABLE (not a procedure result)
+    * composes: join it to `t.changes`, filter by kind, feed dashboards.
+    */
+  private def historyTableOf(ident: Identifier): Option[Table] =
+    if (ident.name != "history" || ident.namespace.isEmpty) None
+    else {
+      val parent =
+        Identifier.of(ident.namespace.init, ident.namespace.last)
+      val dir = dirOf(parent)
+      if (Versioned.latest(dir) < 0) None
+      else Some(new GraftHistoryTable(spark, dir, ident.toString))
+    }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (Versioned.latest(dir) < 0)
-      changesTableOf(ident, None)
+      changesTableOf(ident, None).orElse(historyTableOf(ident))
         .getOrElse(throw new NoSuchTableException(ident))
     else
       new GraftTable(spark, dir, s"$catalogName.$ident",
@@ -189,9 +205,14 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (Versioned.latest(dir) < 0)
       return changesTableOf(ident, Some(version))
         .getOrElse(throw new NoSuchTableException(ident))
-    val v = version.toIntOption.getOrElse(sys.error(
-      s"graft catalog: VERSION AS OF takes an integer version, got " +
-        s"'$version'"))
+    // an integer is a plain version; anything else resolves through the
+    // table's named tags (E200 — `VERSION AS OF 'stable'`)
+    val v = version.toIntOption
+      .orElse(Versioned.tagVersion(dir, version))
+      .getOrElse(sys.error(
+        s"graft catalog: VERSION AS OF '$version' on $ident matches " +
+          "neither an integer version nor a tag (CALL " +
+          "<catalog>.system.tag to create one)"))
     require(v >= 0 && Versioned.isCommitted(dir, v),
       s"graft catalog: $ident has no committed version v$v")
     new GraftTable(spark, dir, s"$catalogName.$ident",
@@ -948,6 +969,31 @@ private[sources] class GraftChangesTable(spark: SparkSession, dir: String,
       options: CaseInsensitiveStringMap): ScanBuilder =
     () => new GraftDelegateScan(spark,
       s"GraftChanges[$dir v$v0..v$v1]", mk)
+}
+
+/** The `<table>.history` metadata table (see
+  * [[GraftCatalog.historyTableOf]]): [[Versioned.history]]'s
+  * (version, kind, n_rows) rows — metadata-scale (footer counts), served
+  * through the same delegate scan as the CDC feed.
+  */
+private[sources] class GraftHistoryTable(spark: SparkSession, dir: String,
+    tableName: String) extends Table with SupportsRead {
+
+  private lazy val df0 = Versioned.history(spark, dir)
+  private val mk: SparkSession => DataFrame = s =>
+    if (s eq spark) df0 else Versioned.history(s, dir)
+
+  override def name(): String = tableName
+  override lazy val schema: StructType = df0.schema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    import scala.jdk.CollectionConverters._
+    Set(TableCapability.BATCH_READ).asJava
+  }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftDelegateScan(spark, s"GraftHistory[$dir]", mk)
 }
 
 /** A v1-fallback scan serving an arbitrary reconstructible DataFrame

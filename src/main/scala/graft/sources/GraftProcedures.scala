@@ -25,6 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft_cat.system.restore('ns.t', 0)       -- roll back the tip
   *   CALL graft_cat.system.clone_table('ns.t', 'ns.t2')  -- shallow clone
   *   CALL graft_cat.system.zorder('ns.t', 'a', 'b', 64)  -- OPTIMIZE ZORDER
+  *   CALL graft_cat.system.tag('ns.t', 'stable', 3)      -- named version ref
+  *   CALL graft_cat.system.untag('ns.t', 'stable')       -- drop the ref
+  *   CALL graft_cat.system.tags('ns.t')                  -- list refs
   * }}}
   *
   * Spark's `InvokeProcedures` rule runs the bound procedure and turns the
@@ -148,6 +151,48 @@ private[sources] object GraftProcedures {
         // deletes on the clone would silently degrade to table rewrites
         GraftCatalog.writeProps(dst, GraftCatalog.readProps(src))
         Seq(new GenericInternalRow(Array[Any](v)))
+      }),
+
+    // E200: named version tags — `CALL cat.system.tag('ns.t', 'stable',
+    // 3)` pins a name to a committed version; `VERSION AS OF 'stable'`
+    // resolves through it and vacuum never severs a tagged snapshot's
+    // chain. Re-tagging MOVES the name; untag releases the pin.
+    Spec("tag", Seq(tbl(),
+      ProcedureParameter.in("name", StringType)
+        .comment("tag name (non-integer; integers are version literals)")
+        .build(),
+      ProcedureParameter.in("version", IntegerType)
+        .comment("committed version to pin").build()),
+      versionOut, deterministic = false,
+      (spark, dirOf, in) => {
+        val dir = dirOf(in.getUTF8String(0).toString, true)
+        val v = in.getInt(2)
+        Versioned.tag(dir, in.getUTF8String(1).toString, v)
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }),
+
+    Spec("untag", Seq(tbl(),
+      ProcedureParameter.in("name", StringType)
+        .comment("tag name to drop").build()),
+      versionOut, deterministic = false,
+      (spark, dirOf, in) => {
+        val dir = dirOf(in.getUTF8String(0).toString, true)
+        val name = in.getUTF8String(1).toString
+        val v = Versioned.untag(dir, name).getOrElse(sys.error(
+          s"untag: no tag '$name' on this table"))
+        Seq(new GenericInternalRow(Array[Any](v)))
+      }),
+
+    Spec("tags", Seq(tbl()),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false))),
+      deterministic = false,
+      (spark, dirOf, in) => {
+        val dir = dirOf(in.getUTF8String(0).toString, true)
+        Versioned.tags(dir).toSeq.sorted.map { case (n, v) =>
+          new GenericInternalRow(Array[Any](s(n), v))
+        }
       }))
 
   private val byName: Map[String, Spec] =

@@ -250,10 +250,15 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
   private lazy val servedVersion: Option[Int] =
     if (intOpt("changesFrom").isDefined) None
     else {
-      require(
-        intOpt("versionAsOf").isEmpty || params.get("timestampAsOf").isEmpty,
+      // versionAsOf: an integer version, or a named tag (E200)
+      val asOf = params.get("versionAsOf").map { v =>
+        v.toIntOption.orElse(Versioned.tagVersion(dir, v)).getOrElse(
+          sys.error(s"graft.versioned: versionAsOf '$v' matches neither " +
+            "an integer version nor a tag of this table"))
+      }
+      require(asOf.isEmpty || params.get("timestampAsOf").isEmpty,
         "graft.versioned: give versionAsOf OR timestampAsOf, not both")
-      Some(intOpt("versionAsOf")
+      Some(asOf
         .orElse(params.get("timestampAsOf").map(t =>
           Versioned.versionAtTime(dir, parseTs(t))))
         .getOrElse(Versioned.latest(dir)))

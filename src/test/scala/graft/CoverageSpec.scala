@@ -467,11 +467,12 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("k", "name", "bal")
     assert(operators.Versioned.commit(t, dir) === 0)
     // v1: append-only commit — the version dir holds ONLY the delta rows
+    // plus the footer-stats sidecar they arrive with (E198)
     assert(operators.Versioned.appendRows(
       Seq((4L, "d", 40L), (5L, "e", 50L)).toDF("k", "name", "bal"), dir) === 1)
     assert(operators.Versioned.isAddVersion(dir, 1))
     val v1files = new java.io.File(s"$dir/v1").listFiles().map(_.getName).toSet
-    assert(v1files === Set("_add"), v1files.toString)
+    assert(v1files === Set("_add", "_addstats"), v1files.toString)
     // v2: DV delete evaluated against the v1-resolved snapshot — deletes
     // from base AND appended rows
     assert(operators.Versioned.deleteWhereDv(spark, dir,

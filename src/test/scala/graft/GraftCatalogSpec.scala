@@ -731,6 +731,53 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       "escaped identity values must still point-prune")
   }
 
+  test("E200: named version tags — VERSION AS OF 'tag' resolves, re-tag " +
+      "moves, vacuum pins the tagged chain, untag releases") {
+    import operators.Versioned
+    spark.sql("CREATE TABLE graft_cat.ns.tg (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.tg " +
+      "SELECT id, id FROM range(0, 5)")                      // v1 snapshot
+    spark.sql("INSERT INTO graft_cat.ns.tg VALUES (100, 100)") // v2 append
+    spark.sql("INSERT OVERWRITE TABLE graft_cat.ns.tg " +
+      "SELECT id, id * 2 FROM range(0, 3)")                  // v3 snapshot
+    spark.sql("CALL graft_cat.system.tag('ns.tg', 'stable', 2)")
+    def readTag(t: String): Set[Long] =
+      spark.sql(s"SELECT k FROM graft_cat.ns.tg VERSION AS OF '$t'")
+        .collect().map(_.getLong(0)).toSet
+    // the tag serves the chain-resolved v2 snapshot (base v1 + append)
+    assert(readTag("stable") === (0L until 5L).toSet + 100L)
+    // live tip is unaffected
+    assert(spark.sql("SELECT k FROM graft_cat.ns.tg").collect()
+      .map(_.getLong(0)).toSet === (0L until 3L).toSet)
+    // listing + re-tag moves the name
+    assert(spark.sql("CALL graft_cat.system.tags('ns.tg')").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq === Seq("stable" -> 2))
+    spark.sql("CALL graft_cat.system.tag('ns.tg', 'stable', 3)")
+    assert(readTag("stable") === (0L until 3L).toSet)
+    spark.sql("CALL graft_cat.system.tag('ns.tg', 'old', 2)")
+    // vacuum keeps the tagged chain's base: keepLast=1 would normally
+    // cut below the tip snapshot, but 'old' pins v2's base (v1)
+    val dir = dirOf("tg")
+    Versioned.vacuum(dir, 1)
+    assert(readTag("old") === (0L until 5L).toSet + 100L,
+      "vacuum must not sever a tagged snapshot's chain")
+    // a bad name and an unknown tag fail loudly
+    assertThrows[RuntimeException] {
+      spark.sql("SELECT * FROM graft_cat.ns.tg VERSION AS OF 'nope'")
+        .collect() }
+    assertThrows[IllegalArgumentException] {
+      Versioned.tag(dir, "7", 2) }
+    // untag releases the pin: the next vacuum reclaims below the tip
+    spark.sql("CALL graft_cat.system.untag('ns.tg', 'old')")
+    spark.sql("CALL graft_cat.system.untag('ns.tg', 'stable')")
+    Versioned.vacuum(dir, 1)
+    assert(!new java.io.File(s"$dir/v1").exists(),
+      "untag must release the retention pin")
+    assert(spark.sql("SELECT k FROM graft_cat.ns.tg").collect()
+      .map(_.getLong(0)).toSet === (0L until 3L).toSet)
+  }
+
   test("E198: append-link skipping — pushed predicates drop whole delta " +
       "commits via footer stats; DVs, nulls, and missing sidecars hold") {
     import operators.Versioned
