@@ -288,7 +288,7 @@ object Versioned {
     * The cut is clamped to that base, so retention can only ever shorten
     * resolvable-but-old history, never the live chain.
     */
-  def vacuum(dir: String, keepLast: Int): Unit = {
+  def vacuum(dir: String, keepLast: Int): Unit = withMutateClaim(dir) {
     val tip = latest(dir)
     val liveBase = (tip to 0 by -1)
       .find(w => isCommitted(dir, w) && !isDvVersion(dir, w) &&
@@ -384,7 +384,11 @@ object Versioned {
         // the broadcast threshold this feature exists to clear
         manifest(dir, base).groupBy(_._2).toSeq.map { case (o, ps) =>
           val partCol = firstPartCol(dir, o)
-          ps.keys.map(p => bytesUnder(s"$dir/v$o/data/$partCol=$p")).sum
+          // manifest keys are TRUE values — re-escape to the on-disk dir
+          // spelling (an escaped-value path miss would read 0 bytes and
+          // under-size the relation, the broadcast-OOM direction)
+          ps.keys.map(p =>
+            bytesUnder(s"$dir/v$o/data/$partCol=${encPart(p)}")).sum
         }.sum
       else bytesUnder(s"$dir/v$base")
     baseBytes + ((base + 1) to v)
@@ -1386,8 +1390,13 @@ object Versioned {
     name
   }
 
-  /** Create or MOVE tag `name` to committed version `v`. */
-  def tag(dir: String, name: String, v: Int): Unit = {
+  /** Create or MOVE tag `name` to committed version `v`. Claim-held (as
+    * is [[vacuum]]): a tag landing mid-vacuum could otherwise pass its
+    * readability check against versions the concurrent cut is about to
+    * remove — serialized, the tag either pins retention before the cut
+    * is computed or fails loudly on the already-severed chain.
+    */
+  def tag(dir: String, name: String, v: Int): Unit = withMutateClaim(dir) {
     checkTagName(name)
     require(isCommitted(dir, v), s"tag '$name': v$v is not committed in $dir")
     require(materializedBaseAt(dir, v).isDefined,

@@ -34,6 +34,32 @@ import org.apache.spark.sql.sources._
   */
 private[sources] object AddSkip {
 
+  /** The chain read with hidden-base pruning AND append-link skipping
+    * composed — the ONE composition both v1 read paths
+    * ([[GraftV1Scan]] and [[VersionedRelation]]) share, so pruned
+    * catalog reads and stats-rerouted reads can never diverge. Falls
+    * back to `plain` (recording the base probe as "full") when the
+    * hidden prune doesn't engage; link skipping applies either way.
+    */
+  def composedRead(s: SparkSession, dir: String, tip: Int,
+      full: org.apache.spark.sql.types.StructType, pushed: Seq[Filter])(
+      plain: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val keep = skippable(s, dir, tip, pushed)
+    HiddenPrune.pruned(s, dir, tip, full, pushed,
+        keep.getOrElse((_: Int) => true))
+      .getOrElse {
+        // the base-prune probe reflects the BASE scan that ran (full);
+        // link skipping reports through GraftAddSkipProbe
+        GraftScanPruneProbe.last.set("full")
+        keep match {
+          case Some(k) => Versioned.readAtDvBase(s, dir, tip,
+            b => Versioned.readPartitionedOrFlatAt(s, dir, b), k)
+          case None => plain
+        }
+      }
+  }
+
   /** The keep-predicate over append versions of `dir`'s chain at `tip`,
     * or None when skipping cannot engage (no appends, missing sidecars,
     * layout drift, a meta version in the chain, or nothing excluded).
@@ -44,6 +70,33 @@ private[sources] object AddSkip {
     if (pushed.isEmpty) None
     else scala.util.Try(decide(s, dir, tip, pushed)).toOption.flatten
 
+  // version dirs are immutable once committed, so a base's column layout
+  // never changes — cached per (dir, base) to keep the stable-schema
+  // guard off the per-query planning path (the first filtered scan pays
+  // one driver-side schema read, every later one a map hit)
+  private val baseLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[String]]()
+
+  private def baseLayout(s: SparkSession, dir: String,
+      base: Int): Seq[String] =
+    baseLayoutCache.computeIfAbsent((dir, base), _ =>
+      Versioned.readPartitionedOrFlatAt(s, dir, base)
+        .schema.fieldNames.toSeq.filterNot(_ == "gpart"))
+
+  // sidecars are sealed with their version and never change; PRESENT
+  // sidecars cache forever, absent ones stay uncached (re-checked — a
+  // cheap existence probe, and the conservative direction)
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int), (Seq[String], Map[String, AddColStats])]()
+
+  private def cachedStats(dir: String,
+      w: Int): Option[(Seq[String], Map[String, AddColStats])] =
+    Option(statsCache.get((dir, w))).orElse {
+      val r = Versioned.addStats(dir, w)
+      r.foreach(statsCache.put((dir, w), _))
+      r
+    }
+
   private def decide(s: SparkSession, dir: String, tip: Int,
       pushed: Seq[Filter]): Option[Int => Boolean] = {
     val base = Versioned.materializedBaseAt(dir, tip).getOrElse(return None)
@@ -51,16 +104,14 @@ private[sources] object AddSkip {
     if (chain.exists(Versioned.isMetaVersion(dir, _))) return None
     val adds = chain.filter(Versioned.isAddVersion(dir, _))
     if (adds.isEmpty) return None
-    val stats = adds.map(w => w -> Versioned.addStats(dir, w)).toMap
+    val stats = adds.map(w => w -> cachedStats(dir, w)).toMap
     if (stats.values.exists(_.isEmpty)) return None
     val layouts = stats.values.map(_.get._1).toSet
     if (layouts.size != 1) return None
     // the stable-schema guard: links must carry exactly the base's
     // columns (minus the hidden tier's derived key, which the read
     // drops) so a skip can never narrow the folded schema
-    val baseCols = Versioned.readPartitionedOrFlatAt(s, dir, base)
-      .schema.fieldNames.toSeq.filterNot(_ == "gpart")
-    if (layouts.head != baseCols) return None
+    if (layouts.head != baseLayout(s, dir, base)) return None
     val skipped = adds.filter { w =>
       val byCol = stats(w).get._2
       pushed.exists(f => excludes(byCol, f))

@@ -1124,22 +1124,10 @@ private[sources] class GraftV1Scan(spark: SparkSession,
     * [[HiddenPrune]] — shared with the stats-rerouted v1 relation.
     */
   private def delegate(s: SparkSession): DataFrame = {
-    // append-link skipping (E198) composes with the hidden-base prune:
-    // the base scan shrinks to the admitted partitions, the chain fold
-    // drops whole delta links the pushed predicate excludes
-    val keep = AddSkip.skippable(s, dir, tip, pushed.toSeq)
-    val snap0 = HiddenPrune.pruned(s, dir, tip, full, pushed.toSeq,
-        keep.getOrElse((_: Int) => true))
-      .getOrElse {
-        // the base-prune probe reflects the BASE scan that ran (full);
-        // append-link skipping reports through GraftAddSkipProbe
-        GraftScanPruneProbe.last.set("full")
-        keep match {
-          case Some(k) => Versioned.readAtDvBase(s, dir, tip,
-            b => Versioned.readPartitionedOrFlatAt(s, dir, b), k)
-          case None => Versioned.readAtDv(s, dir, tip)
-        }
-      }
+    // hidden-base pruning + append-link skipping (E193/E198), composed
+    // in the ONE helper both v1 read paths share
+    val snap0 = AddSkip.composedRead(s, dir, tip, full, pushed.toSeq)(
+      Versioned.readAtDv(s, dir, tip))
     // the hidden tier's derived key never reaches the logical surface
     val snap = if (snap0.columns.contains("gpart")) snap0.drop("gpart")
       else snap0

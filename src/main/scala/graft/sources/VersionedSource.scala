@@ -344,19 +344,8 @@ private[sources] class VersionedRelation(ctx: SQLContext, dir: String,
     // the scan that ran.
     val base = servedVersion match {
       case Some(v) if !requiredColumns.contains("gpart") =>
-        val keep = AddSkip.skippable(ctx.sparkSession, dir, v,
-          filters.toIndexedSeq)
-        HiddenPrune.pruned(ctx.sparkSession, dir, v, delegate.schema,
-          filters.toIndexedSeq, keep.getOrElse((_: Int) => true))
-          .getOrElse {
-            GraftScanPruneProbe.last.set("full")
-            keep match {
-              case Some(k) => Versioned.readAtDvBase(ctx.sparkSession,
-                dir, v, b => Versioned.readPartitionedOrFlatAt(
-                  ctx.sparkSession, dir, b), k)
-              case None => delegate
-            }
-          }
+        AddSkip.composedRead(ctx.sparkSession, dir, v, delegate.schema,
+          filters.toIndexedSeq)(delegate)
       case _ => delegate
     }
     val filtered = filters.flatMap(toColumn)

@@ -1779,6 +1779,20 @@ class CoverageSpec extends AnyFunSuite with BeforeAndAfterAll {
       === 1)
     assert(snap(1) === Set((1L, Some("a:b")), (4L, Some("a:b")),
       (2L, Some("P1")), (3L, None)))
+    // the size estimate walks the ON-DISK (escaped) dir names — a
+    // decoded-key path miss would report ~0 bytes and under-size the
+    // relation (the broadcast-OOM direction)
+    def pqBytes(p: String): Long = {
+      val d = new java.io.File(p)
+      assert(d.isDirectory, s"expected partition dir $p")
+      d.listFiles.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    }
+    val floor = pqBytes(s"$dir/v1/data/seg=a%3Ab") +
+      pqBytes(s"$dir/v1/data/seg=__HIVE_DEFAULT_PARTITION__") +
+      pqBytes(s"$dir/v0/data/seg=P1")
+    assert(operators.Versioned.approxDataBytes(dir, 1) >= floor,
+      "escaped/NULL partitions must contribute to sizing")
   }
 
   test("LK: hidden partitioning keeps NULL-source rows; range prune skips them; identity specials prune by point") {

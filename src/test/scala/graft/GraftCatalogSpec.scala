@@ -822,20 +822,23 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(nulls === Set(99L))
     assert(sources.GraftAddSkipProbe.last.get === "skip:3/4")
-    // a sidecar-less link (pre-E198 commit shape) disables skipping for
-    // the whole chain — conservative, never wrong
+    // a sidecar-less link (the pre-sidecar commit shape) disables
+    // skipping for the whole chain — conservative, never wrong. The
+    // sidecar is removed BEFORE any read touches the link (present
+    // sidecars cache — they are sealed-immutable in production)
     val dir = dirOf("ask")
+    spark.sql("INSERT INTO graft_cat.ns.ask VALUES (200, 200)")
     val tip = Versioned.latest(dir)
     assert(Versioned.isAddVersion(dir, tip))
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(dir, s"v$tip", "_addstats"))
     val (r5, p5) = q("k >= 30")
-    assert(r5 === (30L until 40L).toSet - 35L)
+    assert(r5 === (30L until 40L).toSet - 35L + 200L)
     assert(p5 === "", s"probe '$p5' — missing sidecar must disable skip")
     // compaction folds the chain -> no append links -> no skip, same rows
     spark.sql(s"CALL graft_cat.system.compact_dv('ns.ask')")
     val (r6, p6) = q("k >= 30")
-    assert(r6 === (30L until 40L).toSet - 35L && p6 === "")
+    assert(r6 === (30L until 40L).toSet - 35L + 200L && p6 === "")
   }
 
   test("E195: streaming by table identifier — readStream.table rides " +
