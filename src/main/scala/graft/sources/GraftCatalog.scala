@@ -185,10 +185,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       else Some(new GraftHistoryTable(spark, dir, ident.toString))
     }
 
+  /** The `<table>.tags` METADATA TABLE (E200's SQL-joinable face): one
+    * (name, version) row per named ref — join against `.history` to see
+    * what each pin retains.
+    */
+  private def tagsTableOf(ident: Identifier): Option[Table] =
+    if (ident.name != "tags" || ident.namespace.isEmpty) None
+    else {
+      val parent =
+        Identifier.of(ident.namespace.init, ident.namespace.last)
+      val dir = dirOf(parent)
+      if (Versioned.latest(dir) < 0) None
+      else Some(new GraftTagsTable(spark, dir, ident.toString))
+    }
+
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (Versioned.latest(dir) < 0)
       changesTableOf(ident, None).orElse(historyTableOf(ident))
+        .orElse(tagsTableOf(ident))
         .getOrElse(throw new NoSuchTableException(ident))
     else
       new GraftTable(spark, dir, s"$catalogName.$ident",
@@ -994,6 +1009,34 @@ private[sources] class GraftHistoryTable(spark: SparkSession, dir: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     () => new GraftDelegateScan(spark, s"GraftHistory[$dir]", mk)
+}
+
+/** The `<table>.tags` metadata table (see
+  * [[GraftCatalog.tagsTableOf]]): the named refs as (name, version)
+  * rows — read fresh per scan (tags move; snapshotting them at
+  * load-table time would serve stale pins).
+  */
+private[sources] class GraftTagsTable(spark: SparkSession, dir: String,
+    tableName: String) extends Table with SupportsRead {
+
+  private def mkDf(s: SparkSession): DataFrame =
+    s.createDataFrame(Versioned.tags(dir).toSeq.sorted)
+      .toDF("name", "version")
+
+  override def name(): String = tableName
+  // derived from the same builder the scan uses, so analysis-time and
+  // scan-time schemas can never disagree (tag CONTENT is re-read per
+  // scan; the shape is constant)
+  override lazy val schema: StructType = mkDf(spark).schema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    import scala.jdk.CollectionConverters._
+    Set(TableCapability.BATCH_READ).asJava
+  }
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftDelegateScan(spark, s"GraftTags[$dir]", mkDf)
 }
 
 /** A v1-fallback scan serving an arbitrary reconstructible DataFrame

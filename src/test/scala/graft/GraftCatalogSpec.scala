@@ -750,8 +750,11 @@ class GraftCatalogSpec extends AnyFunSuite with BeforeAndAfterAll {
     // live tip is unaffected
     assert(spark.sql("SELECT k FROM graft_cat.ns.tg").collect()
       .map(_.getLong(0)).toSet === (0L until 3L).toSet)
-    // listing + re-tag moves the name
+    // listing (the procedure AND the .tags metadata table) + re-tag
+    // moves the name
     assert(spark.sql("CALL graft_cat.system.tags('ns.tg')").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq === Seq("stable" -> 2))
+    assert(spark.sql("SELECT * FROM graft_cat.ns.tg.tags").collect()
       .map(r => (r.getString(0), r.getInt(1))).toSeq === Seq("stable" -> 2))
     spark.sql("CALL graft_cat.system.tag('ns.tg', 'stable', 3)")
     assert(readTag("stable") === (0L until 3L).toSet)
