@@ -38,6 +38,11 @@ object Bench {
     "q_sq8_ivf", "q_merge_upsert", "q_pq_build", "q_pq_ivfadc",
     "q_dedup_index_build", "q_dedup_incremental", "q_dedup_index_lookup")
 
+  /** [[consume]] exposed for the optimization-round profiler ([[Prof]]),
+    * so its per-query timings use the EXACT bench consumer.
+    */
+  private[graft] def consumeForProf(df: DataFrame): Unit = consume(df)
+
   /** Materialize every output column of `df` (codegen'd hash, no collect).
     * bit_xor is overflow-free under ANSI mode and order-agnostic.
     */

@@ -490,11 +490,14 @@ object Dedup {
     * not). One extra linear df aggregation at build.
     */
   private def freqOrderedSets(docs: DataFrame, n: Int): DataFrame = {
-    val ex = docs
+    // `ex` feeds both the df aggregation and the join below — left lazy
+    // the shingle explode + md5 + distinct (the corpus pass) runs twice
+    // inside ONE freqOrderedSets evaluation; checkpointed it runs once.
+    val ex = graft.Ckpt(docs
       .select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
       .select(col("doc_id"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
+      .distinct())
     val dfq = ex.groupBy("h").agg(count(lit(1)).as("dfh"))
     ex.join(dfq, Seq("h"))
       .groupBy("doc_id")
@@ -504,7 +507,14 @@ object Dedup {
 
   def setSimJoinExact(docs: DataFrame, tNum: Int, tDen: Int,
       n: Int = 3): DataFrame = {
-    val sets = freqOrderedSets(docs, n)
+    // `sets` feeds THREE consumers (the prefix explode + both sides of
+    // the verify join); left lazy, Catalyst re-executes the whole
+    // shingle-explode + distinct + df-ordering pipeline per consumer —
+    // the corpus pass ran 3× (measured: the dominant cost of
+    // q_dedup_setsim at sf0.1). Checkpointed, it runs once; the
+    // materialized table is one (doc_id, hash-array, size) row per doc —
+    // the same bounded footprint the verify join shuffles anyway.
+    val sets = graft.Ckpt(freqOrderedSets(docs, n))
     // prefix length s − ⌈t·s⌉ + 1, integer: ceil(a/b) = (a + b − 1) div b
     val pfx = sets.withColumn("plen",
       (col("sz") - expr(s"(${tNum}L * sz + ${tDen}L - 1) div ${tDen}L")
@@ -542,7 +552,10 @@ object Dedup {
     */
   def containmentJoinExact(docs: DataFrame, tNum: Int, tDen: Int,
       n: Int = 3): DataFrame = {
-    val sets = freqOrderedSets(docs, n)
+    // Four consumers here (prefix side, FULL indexed side, both verify
+    // joins) — the un-checkpointed corpus pipeline executed 4× (the
+    // 13.2 s baseline row; see setSimJoinExact).
+    val sets = graft.Ckpt(freqOrderedSets(docs, n))
     val pfx = sets.withColumn("plen",
       (col("sz") - expr(s"(${tNum}L * sz + ${tDen}L - 1) div ${tDen}L")
         + lit(1L)).cast("int"))

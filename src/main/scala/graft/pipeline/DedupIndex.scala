@@ -220,20 +220,31 @@ object DedupIndex {
     * it equal to the from-scratch pipeline every round).
     */
   private def buildInto(spark: SparkSession, sfDir: String, vd: String): Unit = {
-    signatures(T.documents(spark, sfDir), "text", "doc_id")
-      .write.mode("overwrite").parquet(s"$vd/sigs")
-    banded(spark.read.parquet(s"$vd/sigs"), builtK, builtBands)
-      .write.mode("overwrite").parquet(s"$vd/buckets")
-    selfPairs(Components(spark.read.parquet(s"$vd/sigs"),
-        spark.read.parquet(s"$vd/buckets")), builtThreshold)
-      .write.mode("overwrite").parquet(s"$vd/pairs")
-    // exact-dedup side table: the content hash of every document — the
-    // anti-join set incremental ingest dedups a new batch against, persisted
-    // so the daily job never reads corpus text (Curation.curateIncremental)
-    T.documents(spark, sfDir)
-      .select(col("doc_id").as("doc"),
-        md5(Dedup.normText(col("text"))).as("h"))
-      .write.mode("overwrite").parquet(s"$vd/hashes")
+    // Two independent chains over the corpus — the MinHash chain
+    // (sigs → buckets → pairs) and the exact-hash side table — overlapped
+    // per guide §2.6 ([[graft.Par]]): the hashes chain's jobs back-fill
+    // the signature chain's stage tails; within each chain the order (and
+    // the computed-from-the-PERSISTED-predecessor property) is unchanged.
+    graft.Par.run(
+      () => {
+        signatures(T.documents(spark, sfDir), "text", "doc_id")
+          .write.mode("overwrite").parquet(s"$vd/sigs")
+        banded(spark.read.parquet(s"$vd/sigs"), builtK, builtBands)
+          .write.mode("overwrite").parquet(s"$vd/buckets")
+        selfPairs(Components(spark.read.parquet(s"$vd/sigs"),
+            spark.read.parquet(s"$vd/buckets")), builtThreshold)
+          .write.mode("overwrite").parquet(s"$vd/pairs")
+      },
+      () => {
+        // exact-dedup side table: the content hash of every document — the
+        // anti-join set incremental ingest dedups a new batch against,
+        // persisted so the daily job never reads corpus text
+        // (Curation.curateIncremental)
+        T.documents(spark, sfDir)
+          .select(col("doc_id").as("doc"),
+            md5(Dedup.normText(col("text"))).as("h"))
+          .write.mode("overwrite").parquet(s"$vd/hashes")
+      })
     java.nio.file.Files.writeString(java.nio.file.Paths.get(vd, "_meta"),
       s"k=$builtK\nbands=$builtBands\nthreshold=$builtThreshold\n")
   }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.{Tables => T}
+import graft.{Par, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,33 +65,48 @@ object VectorIndex {
     val e = T.embeddings(spark, sfDir)
     val corpus = e.select(col("vec_id"), col("embedding").as("vec"))
 
-    Similarity.pqCodebooksRefined(e)
-      .write.mode("overwrite").parquet(s"$vd/pq_books")
-    Similarity.pqEncode(e, spark.read.parquet(s"$vd/pq_books"))
-      .write.mode("overwrite").parquet(s"$vd/pq_codes")
-
-    Similarity.centroidVectors(e)
-      .select(col("clabel").as("cell"), col("cvec"))
-      .write.mode("overwrite").parquet(s"$vd/cells")
-    Similarity.assignCells(corpus, spark.read.parquet(s"$vd/cells"))
-      .select("vec_id", "cell")
-      .write.mode("overwrite").parquet(s"$vd/cell_assign")
-
-    Similarity.sq8StatsRow(e)
-      .write.mode("overwrite").parquet(s"$vd/sq8_stats")
-    Similarity.sq8Encode(e, spark.read.parquet(s"$vd/sq8_stats"))
-      .write.mode("overwrite").parquet(s"$vd/sq8_codes")
-
-    // Unlabeled-corpus IVF: the deterministic k-means quantizer and its
-    // corpus assignment are index-time artifacts exactly like the PQ
-    // codebooks — r6 left them fused into `q_sim_ivf`'s search query
-    // (re-paying the 2-round Lloyd build per search); persisted, the
-    // search touches only these two side tables.
-    Similarity.kmeansQuantizerMd5(corpus, 8, 2)
-      .write.mode("overwrite").parquet(s"$vd/kmeans_cells")
-    Similarity.assignCells(corpus, spark.read.parquet(s"$vd/kmeans_cells"))
-      .select("vec_id", "cell")
-      .write.mode("overwrite").parquet(s"$vd/kmeans_assign")
+    // The four component chains (PQ, IVF, SQ8, k-means IVF) are
+    // independent — each derives from the raw embeddings and its OWN
+    // persisted predecessor, and writes disjoint paths. Sequential, the
+    // build was ~50 small jobs back-to-back with most of the cluster
+    // idle (wall ≈ 1.6× the summed job time at sf0.1); overlapped
+    // ([[graft.Par]], guide §2.6) the wall collapses toward the longest
+    // chain (the Lloyd-refined PQ train). Within each chain the order is
+    // unchanged, so every component is still computed from the PERSISTED
+    // form of its input and results stay byte-identical.
+    Par.run(
+      () => {
+        Similarity.pqCodebooksRefined(e)
+          .write.mode("overwrite").parquet(s"$vd/pq_books")
+        Similarity.pqEncode(e, spark.read.parquet(s"$vd/pq_books"))
+          .write.mode("overwrite").parquet(s"$vd/pq_codes")
+      },
+      () => {
+        Similarity.centroidVectors(e)
+          .select(col("clabel").as("cell"), col("cvec"))
+          .write.mode("overwrite").parquet(s"$vd/cells")
+        Similarity.assignCells(corpus, spark.read.parquet(s"$vd/cells"))
+          .select("vec_id", "cell")
+          .write.mode("overwrite").parquet(s"$vd/cell_assign")
+      },
+      () => {
+        Similarity.sq8StatsRow(e)
+          .write.mode("overwrite").parquet(s"$vd/sq8_stats")
+        Similarity.sq8Encode(e, spark.read.parquet(s"$vd/sq8_stats"))
+          .write.mode("overwrite").parquet(s"$vd/sq8_codes")
+      },
+      () => {
+        // Unlabeled-corpus IVF: the deterministic k-means quantizer and its
+        // corpus assignment are index-time artifacts exactly like the PQ
+        // codebooks — r6 left them fused into `q_sim_ivf`'s search query
+        // (re-paying the 2-round Lloyd build per search); persisted, the
+        // search touches only these two side tables.
+        Similarity.kmeansQuantizerMd5(corpus, 8, 2)
+          .write.mode("overwrite").parquet(s"$vd/kmeans_cells")
+        Similarity.assignCells(corpus, spark.read.parquet(s"$vd/kmeans_cells"))
+          .select("vec_id", "cell")
+          .write.mode("overwrite").parquet(s"$vd/kmeans_assign")
+      })
   }
 
   // ---- component accessors (build-if-absent) ----------------------------
