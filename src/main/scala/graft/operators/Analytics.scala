@@ -18,6 +18,129 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
+  /** Exact interpolated quantiles of a LONG column, distributed.
+    *
+    * `percentile()`'s single-reducer merge buffers a (value → count) map
+    * of every distinct value — 2.1 s of one-task work for the 581 k
+    * distinct cents of sf0.1 lineitem, and unbounded single-task state at
+    * 100 TB. This is the classic distributed exact-quantile rewrite:
+    *
+    *  1. one narrow agg gives (n, min, max); the ranks to look up are
+    *     floor/ceil of each position f·(n−1) — ≤ 2·|fracs| of them;
+    *  2. recursive range binning finds each rank's VALUE: B-way split of
+    *     the value range, per-bin counts (one parallel job per level,
+    *     ≤ B rows collected — metadata-scale), recurse into any needed
+    *     bin still holding > 2^16 rows, else collect that bin's (value,
+    *     count) pairs and resolve the rank exactly. Depth ≤ log_B(span):
+    *     ≤ 2 levels for integer cents. All integer arithmetic — no
+    *     float seam can reorder values;
+    *  3. the interpolation between the two rank values is delegated to
+    *     Spark's OWN `percentile` over a two-row frame at percentage
+    *     g = p − floor(p): its position is g·(2−1) = g, and both
+    *     (p − floor(p)) and (ceil(p) − p) are EXACT doubles (Sterbenz —
+    *     the neighbours are within a factor of two), so the result is
+    *     bit-identical to the single-reducer spelling, with none of its
+    *     memory shape.
+    *
+    * Driver traffic is bounded by B + 2^16 rows per level — rank
+    * METADATA, never the data (the zone-map-collect contract).
+    */
+  private[graft] def exactQuantilesLong(df: DataFrame, c: String,
+      fracs: Seq[Double]): Seq[Double] = {
+    val s = df.sparkSession
+    import s.implicits._
+    val head = df.agg(count(col(c)).as("n"), min(col(c)).as("mn"),
+      max(col(c)).as("mx")).collect()(0)
+    val n = head.getLong(0)
+    require(n > 0, "exactQuantilesLong: empty input")
+    val (mn, mx) = (head.getLong(1), head.getLong(2))
+    val positions = fracs.map(f => f * (n - 1))
+    val neededRanks = positions
+      .flatMap(p => Seq(math.floor(p).toLong, math.ceil(p).toLong))
+      .distinct.sorted
+    val B = 1024L
+    val Direct = 1L << 16
+    val resolved = scala.collection.mutable.Map.empty[Long, Long]
+    // work items: value range [lo, hi] → (globalRank, rankWithinRange)
+    var work: List[((Long, Long), Seq[(Long, Long)])] =
+      if (mn == mx || BigInt(mx) - BigInt(mn) >= BigInt(Long.MaxValue) / 2)
+        Nil // degenerate / span overflow: both handled below
+      else List((mn, mx) -> neededRanks.map(r => r -> r))
+    if (mn == mx) return fracs.map(_ => mn.toDouble)
+    if (work.isEmpty) {
+      // span too wide for long bin arithmetic (never the cents shape):
+      // correct single-reducer fallback
+      val qs = df.agg(expr(
+        s"percentile($c, array(${fracs.mkString(", ")}))")).collect()(0)
+        .getSeq[Double](0)
+      return qs
+    }
+    val vcol = col(c).as("__v")
+    while (work.nonEmpty) {
+      val ((lo, hi), ranks) = work.head
+      work = work.tail
+      if (lo == hi) ranks.foreach { case (g, _) => resolved(g) = lo }
+      else {
+        val width = math.max(1L, (hi - lo) / B + 1L)
+        // integer `div` (never `/`: double division would misplace values
+        // near bin edges for longs beyond 2^53)
+        val counts = df.select(vcol).filter(col("__v").between(lo, hi))
+          .groupBy(expr(s"(__v - ${lo}L) div ${width}L").as("__b"))
+          .agg(count(lit(1)).as("__n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .sortBy(_._1)
+        val cumBefore = counts.scanLeft(0L)(_ + _._2).init
+        val byBin = ranks.groupBy { case (_, lr) =>
+          // the bin holding local rank lr: last bin whose cumBefore ≤ lr
+          var i = counts.length - 1
+          while (i > 0 && cumBefore(i) > lr) i -= 1
+          i
+        }
+        val (direct, recurse) = byBin.partition { case (i, _) =>
+          counts(i)._2 <= Direct
+        }
+        if (direct.nonEmpty) {
+          val bins = direct.keys.map(i => counts(i)._1).toSeq
+          val vals = df.select(vcol).filter(col("__v").between(lo, hi))
+            .withColumn("__b", expr(s"(__v - ${lo}L) div ${width}L"))
+            .filter(col("__b").isin(bins: _*))
+            .groupBy("__b", "__v").agg(count(lit(1)).as("__n"))
+            .collect()
+            .groupBy(_.getLong(0))
+            .map { case (b, rows) =>
+              b -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+            }
+          direct.foreach { case (i, rs) =>
+            val vc = vals(counts(i)._1)
+            val cums = vc.scanLeft(0L)(_ + _._2).init
+            rs.foreach { case (g, lr) =>
+              val local = lr - cumBefore(i)
+              var j = vc.length - 1
+              while (j > 0 && cums(j) > local) j -= 1
+              resolved(g) = vc(j)._1
+            }
+          }
+        }
+        recurse.foreach { case (i, rs) =>
+          val b = counts(i)._1
+          val nlo = lo + b * width
+          val nhi = math.min(hi, nlo + width - 1)
+          work = ((nlo, nhi) ->
+            rs.map { case (g, lr) => (g, lr - cumBefore(i)) }) :: work
+        }
+      }
+    }
+    positions.map { p =>
+      val (rl, rh) = (math.floor(p).toLong, math.ceil(p).toLong)
+      if (rl == rh) resolved(rl).toDouble
+      else {
+        val g = p - math.floor(p)
+        Seq(resolved(rl), resolved(rh)).toDF("__v")
+          .agg(expr(s"percentile(__v, $g)")).collect()(0).getDouble(0)
+      }
+    }
+  }
+
   /** 2-d skyline (dominance frontier): rows minimizing `minCol` while
     * maximizing `maxCol` — a row survives iff no other row is ≤ on
     * `minCol` AND ≥ on `maxCol` with at least one strict. The naive
@@ -401,33 +524,29 @@ object Analytics {
           (col("n_sd").cast("double") / col("n_s").cast("double")).as("p"))
     }),
 
-    // E170: equi-depth histogram — bucket edges are the exact k-quantiles
-    // (the q_agg_percentile machinery), attached to the scan as a 1-row
-    // broadcast HASH join on a derived-constant key (never a nested
-    // loop — see [[key0]]), bucket
-    // id as a codegen'd comparison chain over the edge array. Integer
+    // E170: equi-depth histogram — bucket edges are the exact
+    // k-quantiles, computed DISTRIBUTED by [[exactQuantilesLong]] (rank
+    // lookup via recursive range binning; the old single-aggregate
+    // `percentile` buffered all 581 k distinct cents in one reducer —
+    // 2.1 s of single-task work at sf0.1 and unbounded state at 100 TB),
+    // then inlined as literals into a codegen'd comparison chain over
+    // the bucketing scan. Bit-identical edges (the final interpolation
+    // runs Spark's own percentile over the two rank values); integer
     // cents vs interpolated edges: a cross-engine ulp on a fractional
-    // edge cannot flip an integer comparison. At 100 TB the exact
-    // percentile (which buffers each group's values) is replaced by
-    // approx_percentile — same plan shape, mergeable sketch state
-    // (`q_agg_percentile_approx` is that standing twin).
+    // edge cannot flip an integer comparison. `q_agg_percentile_approx`
+    // remains the sketch twin for single-pass interactive use.
     "q_hist_equidepth" -> ((s, dir) => {
       val k = 8
-      // two consumers (the edge aggregation and the bucketing scan) share
-      // one checkpointed narrow projection of the cents column
+      // the edge ranking and the bucketing scan share one checkpointed
+      // narrow projection of the cents column
       val li = graft.Ckpt(T.lineitem(s, dir)
         .select(floor(col("l_extendedprice") * 100).cast("long").as("__c")))
       val fracs = (1 until k).map(i => i.toDouble / k)
-      val edges = li
-        .agg(expr(s"percentile(__c, array(${fracs.mkString(", ")}))")
-          .as("__qs"))
-        .withColumn("__k0", key0(col("__qs")))
+      val qs = exactQuantilesLong(li, "__c", fracs)
       val bucket = (1 until k).map(i =>
-          when(col("__c") > element_at(col("__qs"), i), 1).otherwise(0))
+          when(col("__c") > qs(i - 1), 1).otherwise(0))
         .reduce(_ + _) + lit(1)
-      li.withColumn("__k0", key0(col("__c")))
-        .join(broadcast(edges), Seq("__k0"))
-        .select(bucket.as("bucket"), col("__c"))
+      li.select(bucket.as("bucket"), col("__c"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min(col("__c")).as("min_c"),
           max(col("__c")).as("max_c"))

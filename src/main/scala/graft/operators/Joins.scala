@@ -343,7 +343,10 @@ object Joins {
       val d = scratchDir(dir, "dpp")
       T.lineitem(s, dir)
         .withColumn("l_ym", date_format(col("l_shipdate"), "yyyy-MM"))
-        .repartition(col("l_ym"))
+        // pinned count: a bare repartition(col) AQE-coalesces this small
+        // 83-dir plant to one task that opens every parquet writer
+        // sequentially (see Versioned.clusterForWrite)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("l_ym"))
         .write.partitionBy("l_ym").mode("overwrite").parquet(d)
       val fact = s.read.parquet(d)
       val dim = T.orders(s, dir)

@@ -631,6 +631,24 @@ object Versioned {
     ()
   }
 
+  /** Hash-cluster rows to their partition value ahead of a
+    * `partitionBy` write, PINNING the exchange at the session's
+    * configured shuffle parallelism. The count matters: a bare
+    * `repartition(col)` participates in AQE partition coalescing, and a
+    * small-but-many-partition-VALUES batch (the planted bench tables:
+    * ~300 KB across 150 hive dirs) coalesces to ONE task that opens and
+    * closes every parquet writer sequentially — measured 2.5-6 s for a
+    * write whose pinned spelling takes ~1 s (guide §2.4/§6: writer-open
+    * overhead, not bytes, dominates many-small-partition writes). The
+    * explicit count is the session's `spark.sql.shuffle.partitions` —
+    * scale-parameterised, not a local constant — and the FILE layout is
+    * unchanged either way: each partition value hashes to exactly one
+    * task, so each hive dir still gets exactly one file.
+    */
+  private def clusterForWrite(df: DataFrame, partCol: String): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, col(partCol))
+
   /** Initial (or full-rewrite) partitioned commit: every partition of
     * `df` is written under this version and the manifest points them all
     * here. Returns the version. Claim-serialized for the same reason
@@ -645,7 +663,7 @@ object Versioned {
     // cluster rows to their partition before the write: each hive dir gets
     // one file instead of one per producing task — the small-file posture
     // a 100 TB partitioned commit needs
-    df.repartition(col(partCol))
+    clusterForWrite(df, partCol)
       .write.partitionBy(partCol).mode("overwrite").parquet(s"$dir/v$v/data")
     val parts = dataDirPartValues(dir, v, partCol)
     writeManifest(dir, v, parts.map(_ -> v).toMap)
@@ -670,8 +688,36 @@ object Versioned {
       kept: Map[String, Int]): DataFrame =
     kept.groupBy(_._2).toSeq.sortBy(_._1).map { case (owner, ps) =>
       val partCol = firstPartCol(dir, owner)
-      s.read.parquet(s"$dir/v$owner/data")
-        .filter(partFilter(partCol, ps.keys.toSeq))
+      val base = s"$dir/v$owner/data"
+      // Manifest-driven planning (guide §6 — "manifest metadata avoids
+      // directory listing altogether"): the manifest already names every
+      // admitted partition, and [[encPart]] is the SAME escaping Spark
+      // used to write the hive dir, so a NARROW read lists ONLY the
+      // admitted dirs as explicit paths under `basePath` instead of
+      // listing the whole data dir and filtering — a read over a
+      // 10 000-partition table that admits 3 partitions touches 3 dirs,
+      // and at the local bench this drops the per-read parallel-listing
+      // Spark job (~0.2 s each; the pruned q_lake_skipping/zorder/bloom
+      // reads paid it every consume). The cutoff is Spark's own
+      // parallel-listing threshold: ABOVE it Spark would launch a
+      // listing job over the explicit roots with per-root overhead
+      // (measured 1.4 s for 80 roots vs 0.3 s for one recursive base
+      // listing — full reads got slower, not faster), so wide/full
+      // reads keep the single base-dir scan. The partFilter stays as
+      // the residual either way: it carries the NULL-sentinel IS NULL
+      // binding, and partition-value inference over a narrowed dir set
+      // can only narrow the partition column's TYPE (callers drop or
+      // cast it — hidden reads drop `gpart`, declared queries cast the
+      // partition column).
+      val explicitCutoff = s.conf
+        .get("spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
+        .toInt
+      val read =
+        if (ps.size <= explicitCutoff)
+          s.read.option("basePath", base).parquet(
+            ps.keys.toSeq.sorted.map(p => s"$base/$partCol=${encPart(p)}"): _*)
+        else s.read.parquet(base)
+      read.filter(partFilter(partCol, ps.keys.toSeq))
     }.reduceOption(_ unionByName _)
       .getOrElse {
         val (_, o0) = manifest(dir, v).headOption
@@ -712,7 +758,7 @@ object Versioned {
       case None => updates
     }
     val v = claimNext(dir)
-    merged.repartition(col(partCol)).write.partitionBy(partCol)
+    clusterForWrite(merged, partCol).write.partitionBy(partCol)
       .mode("overwrite").parquet(s"$dir/v$v/data")
     val newParts = dataDirPartValues(dir, v, partCol)
     writeManifest(dir, v, man ++ newParts.map(_ -> v).toMap)
@@ -825,7 +871,7 @@ object Versioned {
       val partCol = firstPartCol(dir, majority)
       val moved = readManifestSubset(s, dir, cur, scattered)
       val v = claimNext(dir)
-      moved.repartition(col(partCol))
+      clusterForWrite(moved, partCol)
         .write.partitionBy(partCol).mode("overwrite")
         .parquet(s"$dir/v$v/data")
       writeManifest(dir, v,

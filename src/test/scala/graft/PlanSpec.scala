@@ -313,20 +313,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     //    attach (the BM25 avgdl input)
     //  - q_retrieval_hybrid: the same 1-row stats attaches from BOTH fused
     //    systems (bm25 stats row + sq8 trained-stats row)
-    //  - q_bpe_train: each merge round attaches the 1-row argmax pair by
-    //    broadcast (the SQ8-stats-row shape, x6 rounds)
     //  - q_bpe_tokenize: the 1-row step-ordered merge-list attach that the
     //    out-of-vocabulary fallback folds over. q_bpe_vocab_build is NOT
     //    here: it reads the persisted vocab (plain scan after the E102
-    //    reroute)
+    //    reroute). q_bpe_train / q_bpe_append_train left this whitelist in
+    //    the r14 optimization round: the per-round argmax pair now inlines
+    //    as literals (the broadcast-crossJoin per merge round is gone)
     //  - q_bm25_append_search: the same 1-row stats attach as
     //    q_bm25_index_search, through the append-merged components
     //  - q_nb_train / q_nb_predict / q_nb_confusion / q_nb_model_build /
     //    q_nb_model_append: 1-row vocabulary-size and corpus-count
     //    attaches, plus the <=n-label broadcast cross that scores each doc
     //    against every label
-    //  - q_bpe_append_train: the same 1-row argmax-pair attach per merge
-    //    round as q_bpe_train, over the appended word-count table
     //  - q_text_cosine_sparse: the 1-row corpus-count (stats.n) attach
     //    that prices the df-pruning gate — same family as q_text_bm25
     //  - q_bm25_fuzzy: the same 1-row stats attach as q_bm25_index_search,
@@ -354,7 +352,7 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q_bm25_append_search", "q_bm25_fuzzy", "q_bm25_index_search",
       "q_bm25_maxscore",
       "q_text_cosine_sparse",
-      "q_bpe_append_train", "q_bpe_tokenize", "q_bpe_train",
+      "q_bpe_tokenize",
       "q_nb_confusion", "q_nb_model_append", "q_nb_model_build",
       "q_nb_predict", "q_nb_train",
       "q_pipeline_classify_sample",
