@@ -297,6 +297,9 @@ object Analytics {
         "left_semi")
       val a = pruned.select(col("basket"), col("item").as("item_a"))
       val b = pruned.select(col("basket"), col("item").as("item_b"))
+      // NOT checkpointed: the two consumers' pairing subtrees are
+      // identical, so exchange reuse already executes the join once —
+      // an explicit checkpoint measured SLOWER (2.3 → 2.7 s)
       val pairs = a.join(b, Seq("basket"))
         .filter(col("item_a") < col("item_b"))
         .groupBy("item_a", "item_b").agg(count(lit(1)).as("n_ab"))

@@ -89,11 +89,14 @@ object Dedup {
   def nearDuplicatePairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 16, bands: Int = 4, threshold: Double = 0.6): DataFrame = {
     val r = k / bands
-    val sh = docs
+    // one materialization feeds all four consumers (banding + both verify
+    // sides): left lazy, the shingle+signature pass re-executed per
+    // consumer (the freqOrderedSets lesson)
+    val withSig = graft.Ckpt(docs
       .select(col(idCol).as("doc"), hashedShingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val withSig = sh.withColumn("sig",
-      graft.functions.TextHashes.minHashSig(col("sh"), k))
+      .withColumn("sig", graft.functions.TextHashes.minHashSig(col("sh"), k)))
+    val sh = withSig.select(col("doc"), col("sh"))
     // One row per (doc, band): band signature = hash of the band's slice.
     val bandSigs = transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))
@@ -140,13 +143,19 @@ object Dedup {
     * data collect).
     */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // materialize the edge list once: `pairs` is typically the tail of an
-    // expensive pipeline (LSH candidate generation + verify), and the loop
-    // below would otherwise re-execute it on every round AND every
-    // convergence check.
-    val edges = graft.Ckpt(
-      pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
-        .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y"))))
+    // materialize the PAIR list once, BEFORE the symmetric union: `pairs`
+    // is typically the tail of an expensive pipeline (LSH candidate
+    // generation + verify), and both the loop below and the union's two
+    // branches would otherwise re-execute it (the old spelling
+    // checkpointed the union, so the pipeline still ran twice inside the
+    // one materialization).
+    val p = graft.Ckpt(pairs.select(col("doc_a"), col("doc_b")))
+    // the symmetric union stays LAZY: both branches are scans of the
+    // checkpoint, so each round's join reads it twice at RDD-scan cost —
+    // a second materialization of the union measured as pure overhead on
+    // persisted-pair inputs
+    val edges = p.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .union(p.select(col("doc_b").as("x"), col("doc_a").as("y")))
     var labels = graft.Ckpt(
       edges.select(col("x").as("id")).distinct()
         .withColumn("label", col("id")))
@@ -341,9 +350,10 @@ object Dedup {
     // identical (substr(md5(space-joined gram), 1, 15)), so the oracle is
     // unchanged; distinct-over-hashes ≡ distinct-over-grams (md5).
     import graft.functions.TextHashes.spanMd5Hashes
-    val grams = docs
+    // two consumers (the shared-gram agg + the join back): one corpus pass
+    val grams = graft.Ckpt(docs
       .select(col("doc_id"),
-        explode(array_distinct(spanMd5Hashes(col("text"), l))).as("h"))
+        explode(array_distinct(spanMd5Hashes(col("text"), l))).as("h")))
     // (doc_id, h) pairs are distinct by construction, so a plain count per
     // h equals the distinct-doc count — skips the two-phase distinct agg
     // (the oracle keeps HAVING count(DISTINCT doc_id), same values)
@@ -376,8 +386,9 @@ object Dedup {
   def removeDuplicatedSpans(docs: DataFrame, l: Int = 8, minDocs: Int = 2): DataFrame = {
     import graft.functions.TextHashes.spanMd5Hashes
     val toks = docs.select(col("doc_id"), split(normText(col("text")), " ").as("toks"))
-    val grams = docs.select(col("doc_id"),
-      posexplode(spanMd5Hashes(col("text"), l)).as(Seq("p", "h")))
+    // two consumers (the shared-gram agg + the dup-start join): one pass
+    val grams = graft.Ckpt(docs.select(col("doc_id"),
+      posexplode(spanMd5Hashes(col("text"), l)).as(Seq("p", "h"))))
     val shared = grams.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
@@ -439,10 +450,12 @@ object Dedup {
     * needs.
     */
   def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = docs.select(col("source"),
+    // three consumers (sizes + both sides of the self-join): checkpoint
+    // so the corpus shingle pass runs once
+    val sh = graft.Ckpt(docs.select(col("source"),
         explode(shingles(col("text"), n)).as("g"))
       .select(col("source"), substring(md5(col("g")), 1, 15).as("h"))
-      .distinct()
+      .distinct())
     val sizes = sh.groupBy("source").agg(count(lit(1)).as("sz"))
     sh.select(col("source").as("src_a"), col("h"))
       .join(sh.select(col("source").as("src_b"), col("h")), Seq("h"))
@@ -590,11 +603,12 @@ object Dedup {
     // shingle): the running-originality metric of an ordered ingest.
     // One explode + a per-shingle min + a per-doc ratio in basis points.
     "q_text_novelty" -> ((s, dir) => {
-      val sh = T.documents(s, dir)
+      // two consumers (first-seen agg + the join): one corpus pass
+      val sh = graft.Ckpt(T.documents(s, dir)
         .select(col("doc_id"),
           explode(shingles(col("text"))).as("g"))
         .select(col("doc_id"), substring(md5(col("g")), 1, 15).as("h"))
-        .distinct()
+        .distinct())
       val first = sh.groupBy("h").agg(min("doc_id").as("first_seen"))
       sh.join(first, Seq("h"))
         .groupBy("doc_id")
@@ -867,8 +881,11 @@ object Dedup {
     // at 100 TB routes through q_dedup_near's LSH candidate generator, which
     // verifies with this same jaccardLong on ~n·bands candidates instead.
     "q_dedup_jaccard" -> ((s, dir) => {
-      val d = T.documents(s, dir)
-        .select(col("doc_id"), col("source"), hashedShingles(col("text")).as("sh"))
+      // the n² self-join references the shingled frame twice: checkpoint
+      // so the shingle pass runs once (the quadratic JOIN stays — that is
+      // this declared demo's point)
+      val d = graft.Ckpt(T.documents(s, dir)
+        .select(col("doc_id"), col("source"), hashedShingles(col("text")).as("sh")))
       val x = d.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
       val y = d.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
       x.join(y, Seq("source")).filter(col("doc_a") < col("doc_b"))

@@ -74,10 +74,16 @@ object DedupIndex {
     sigs.select(col("doc"),
       posexplode(bandKeys(col("sig"), k, bands)).as(Seq("band", "bsig")))
 
-  /** Both components, lazily, from a corpus DataFrame. */
+  /** Both components from a corpus DataFrame. The signature table is
+    * checkpointed: downstream consumers reference it up to four times
+    * (banding feeds both sides of the bucket self-join, the verify stage
+    * joins both endpoints' shingle sets), and left lazy the corpus
+    * shingle+signature pass re-executed per reference. The persisted-index
+    * path is unaffected (it reads the parquet components directly).
+    */
   def components(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 4): Components = {
-    val s = signatures(docs, textCol, idCol, k)
+    val s = graft.Ckpt(signatures(docs, textCol, idCol, k))
     Components(s, banded(s, k, bands))
   }
 
@@ -120,7 +126,8 @@ object DedupIndex {
   def lookup(ix: Components, batch: DataFrame, textCol: String, idCol: String,
       k: Int = 8, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     import graft.functions.TextHashes.jaccardLong
-    val bs = signatures(batch, textCol, idCol, k)
+    // the batch signature table feeds the band join AND the verify join
+    val bs = graft.Ckpt(signatures(batch, textCol, idCol, k))
     val candidates = ix.buckets
       .select(col("band"), col("bsig"), col("doc").as("doc_corpus"))
       .join(banded(bs, k, bands)
@@ -148,7 +155,9 @@ object DedupIndex {
     */
   def appendBatch(ix: Components, batch: DataFrame, textCol: String,
       idCol: String, k: Int = 8, bands: Int = 4): Components = {
-    val bs = signatures(batch, textCol, idCol, k)
+    // batch signatures feed both merged components (and their downstream
+    // multi-reference consumers): one batch pass
+    val bs = graft.Ckpt(signatures(batch, textCol, idCol, k))
     Components(ix.sigs.unionByName(bs),
       ix.buckets.unionByName(banded(bs, k, bands)))
   }

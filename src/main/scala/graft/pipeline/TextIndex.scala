@@ -541,21 +541,32 @@ object TextIndex {
     * against is exactly what the build wrote.
     */
   private def buildInto(spark: SparkSession, sfDir: String, vd: String): Unit = {
-    postingsOf(T.documents(spark, sfDir))
-      .write.mode("overwrite").parquet(s"$vd/postings")
-    val p = spark.read.parquet(s"$vd/postings")
-    vocabOf(p).write.mode("overwrite").parquet(s"$vd/vocab")
-    statsOf(p).write.mode("overwrite").parquet(s"$vd/stats")
-    // the max-score pruning component: per-word max tf (see maxTfOf)
-    maxTfOf(p).write.mode("overwrite").parquet(s"$vd/maxtf")
-    positionsOf(T.documents(spark, sfDir))
-      .write.mode("overwrite").parquet(s"$vd/positions")
-    // the fuzzy-search component: each vocab word's 1-deletion
-    // neighborhood, precomputed so typo-tolerant queries never re-expand
-    // the vocabulary (the E124 "(len+1)× the vocab" cost paid at build)
-    spark.read.parquet(s"$vd/vocab").select(col("word"))
-      .withColumn("variant", explode(deletionVariants(col("word"))))
-      .write.mode("overwrite").parquet(s"$vd/variants")
+    // Two independent corpus passes (postings chain, positions), and
+    // within the postings chain three independent derivations of the
+    // persisted posting table — overlapped per guide §2.6 ([[graft.Par]]);
+    // each component still derives from the PERSISTED form of its input.
+    graft.Par.run(
+      () => {
+        postingsOf(T.documents(spark, sfDir))
+          .write.mode("overwrite").parquet(s"$vd/postings")
+        val p = spark.read.parquet(s"$vd/postings")
+        graft.Par.run(
+          () => {
+            vocabOf(p).write.mode("overwrite").parquet(s"$vd/vocab")
+            // the fuzzy-search component: each vocab word's 1-deletion
+            // neighborhood, precomputed so typo-tolerant queries never
+            // re-expand the vocabulary (the E124 "(len+1)× the vocab"
+            // cost paid at build)
+            spark.read.parquet(s"$vd/vocab").select(col("word"))
+              .withColumn("variant", explode(deletionVariants(col("word"))))
+              .write.mode("overwrite").parquet(s"$vd/variants")
+          },
+          () => statsOf(p).write.mode("overwrite").parquet(s"$vd/stats"),
+          // the max-score pruning component: per-word max tf (see maxTfOf)
+          () => maxTfOf(p).write.mode("overwrite").parquet(s"$vd/maxtf"))
+      },
+      () => positionsOf(T.documents(spark, sfDir))
+        .write.mode("overwrite").parquet(s"$vd/positions"))
     java.nio.file.Files.writeString(java.nio.file.Paths.get(vd, "_meta"),
       "scoring=bm25\nk1=1.2\nb=0.75\nidf=lucene\npositions=1-based\n" +
         "variants=delete1\n")
